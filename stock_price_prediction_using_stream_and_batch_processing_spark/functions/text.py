@@ -1,0 +1,97 @@
+"""Text column expressions — normalization, tokenization, quality
+signals, language-ID heuristics. All built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen) — no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English/Spanish-ish stopword sets for the n-gram/stopword
+# language heuristic. Deliberately tiny: the signal is ratio-based.
+EN_STOPWORDS = (
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def normalize(col) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim — the canonical form used by fingerprints and
+    shingles."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text; empty text -> empty array."""
+    norm = normalize(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks,
+    via one regex pass (a cheap stand-in for a real BPE tokenizer; the
+    regex splits letter-runs of length>4 roughly like byte-pair merges
+    would). Stays JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def char_count(col) -> Column:
+    return F.length(F.col(col) if isinstance(col, str) else col)
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — computed with a
+    higher-order ``filter`` over the token array (no explode, no join,
+    no shuffle)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + stopword presence (real-text signal). Mirrors common LLM-corpus
+    quality filters; every term is a native column expression."""
+    toks_n = token_count(col).cast("double")
+    len_score = F.least(toks_n / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw * 5, F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3)
+
+
+def lang_id(col, threshold: float = 0.08) -> Column:
+    """Heuristic language ID: English if the stopword ratio clears the
+    threshold, else 'und' (unknown). A production version swaps in a
+    char-n-gram profile per language — same ratio plumbing."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Word-level n-gram shingles of the normalized text as an array of
+    strings (distinct). Rows with < n tokens yield a single shingle of
+    whatever tokens exist, so short docs still participate in dedup."""
+    toks = tokens(col)
+    k = F.size(toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k > 0, F.array_distinct(ngrams)).otherwise(F.array().cast("array<string>"))

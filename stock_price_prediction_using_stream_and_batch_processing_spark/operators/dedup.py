@@ -1,0 +1,173 @@
+"""Deduplication operators — exact and near-dup families for the
+large-scale training-data pipeline (BASELINE.json north star).
+
+Scale design:
+- Exact dedup groups on a content hash, never on the full row — at
+  100 TB the shuffle carries 16-byte digests + keys, not documents.
+- MinHash-LSH finds near-dup candidates via a band-bucket equi-join
+  (shuffle on band hash), NOT an all-pairs comparison: cost is
+  O(candidates), and hot buckets (boilerplate docs) are bounded by
+  per-bucket caps upstream if needed; AQE skew-join splits the rest.
+- All hashes are md5-based (functions/hashing.py) so every stage is
+  cross-checkable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing, text
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the row with the smallest ``id_col`` per distinct ``cols``
+    combination (deterministic, unlike ``dropDuplicates``)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup on the normalized-text fingerprint."""
+    return exact_dedup(df.withColumn("_fp", hashing.fingerprint(text_col)), ["_fp"], id_col).drop("_fp")
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, sig_i = min over shingles
+    of md5(i||shingle). Computed with higher-order ``array_min`` over
+    ``transform`` — per-row, no explode, no shuffle."""
+    shingles = text.word_shingles(text_col, shingle_n)
+    sig_cols = [
+        F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols).filter(F.size(shingles) > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: docs sharing any band
+    (rows-per-band = num_hashes/bands) of their MinHash signature.
+
+    Plan shape: signatures (narrow) -> explode to (doc, band_key)
+    -> self-equi-join on band_key (one shuffle) -> distinct pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.array(*band_cols).alias("bands")).select(
+        F.col(id_col), F.explode("bands").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    shingle-explode -> self-join on shingle (one shuffle on shingle
+    hash) -> per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|).
+    The explode carries md5(shingle) (16 bytes), not the shingle text.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(text.word_shingles(text_col, shingle_n)).alias("sh")
+    ).select(id_col, F.md5("sh").alias("sh"))
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: each token hashes to a ``bits``-bit value; bit b
+    of the signature is 1 iff the sum over tokens of (+1 if token-bit b
+    else -1) is positive. Pure column algebra: explode tokens ->
+    per-(doc,bit) vote via one groupBy — a single shuffle keyed by doc.
+    """
+    toks = df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
+    h = hashing.hex32_to_long(F.md5("tok"))
+    bit_votes = toks.select(
+        id_col,
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = bit_votes.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)])
+    sig = agg.select(
+        id_col,
+        sum(
+            [F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation
+    blocks on signature bytes (pigeonhole: distance<=k pairs share at
+    least one of k+1 blocks) so the join is equi, not cross."""
+    sig = simhash(df, text_col, id_col, bits)
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blocks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(i)), (F.shiftright(F.col("simhash"), i * block_bits) % (2**block_bits)).cast("string"))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,147 @@
+"""Time-series window operators — the reference's analytical core.
+
+The reference materialized trailing windows by collecting to Pandas on
+the driver (trailing-5: ``stream_consumer.py:50-54,72-76``; sliding-60
+loop: ``batch_processor.py:88-101``). Here they are Spark window
+functions partitioned by the series key, so the work distributes by key
+and never leaves the JVM.
+
+Scale notes:
+- Every function partitions by a key column; with millions of keys the
+  window sort parallelizes across executors (one local sort per key
+  group after a hash shuffle — no global sort anywhere).
+- A single giant key (one symbol with 100 TB of ticks) is the one shape
+  a row-window can't split; for that case pre-bucket by coarse time
+  range and run windows within buckets, stitching the first N-1 rows.
+  AQE skew handling covers the join/agg paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(key: str, ts: str, tiebreak: str | None):
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    return Window.partitionBy(key).orderBy(*order)
+
+
+def trailing_mean(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    n: int,
+    out: str = "trailing_mean",
+    tiebreak: str | None = None,
+    full_only: bool = False,
+) -> DataFrame:
+    """Trailing-``n``-row mean of ``value`` per ``key`` ordered by ``ts``
+    (reference W1 semantics minus the model: ``stream_consumer.py:51``).
+    ``full_only`` keeps only rows with a complete window (reference W2
+    gate ``batch_processor.py:89-95``)."""
+    w = _w(key, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    res = df.withColumn(out, F.avg(value).over(w))
+    if full_only:
+        res = res.withColumn("_wn", F.count(value).over(w)).filter(F.col("_wn") == n).drop("_wn")
+    return res
+
+
+def trailing_collect(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    n: int,
+    out: str = "window_values",
+    tiebreak: str | None = None,
+    full_only: bool = True,
+) -> DataFrame:
+    """Trailing-``n`` ordered value arrays per key — the input shape for
+    batched model inference (replaces the reference's Python sliding-loop
+    tensor build, ``batch_processor.py:93-97``)."""
+    w = _w(key, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    res = df.withColumn(out, F.collect_list(value).over(w))
+    if full_only:
+        res = res.filter(F.size(out) == n)
+    return res
+
+
+def lag_returns(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    lag: int = 1,
+    out: str = "return_pct",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key lag-``lag`` percent return: (v - lag(v)) / lag(v) * 100."""
+    w = _w(key, ts, tiebreak)
+    prev = F.lag(value, lag).over(w)
+    return df.withColumn(out, (F.col(value) - prev) / prev * 100)
+
+
+def tumbling_ohlc(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    duration: str = "1 hour",
+    seq: str | None = None,
+) -> DataFrame:
+    """Tumbling-window OHLC bars per key. Open/close are picked by
+    ``min_by``/``max_by`` on a unique sequence column (``seq``, default
+    ``ts``) so results are deterministic under ties. Map-side partial
+    aggregation (hash agg) keeps the shuffle to one row per (key, bucket).
+    """
+    seq = seq or ts
+    bucket = F.window(ts, duration)
+    return (
+        df.groupBy(F.col(key), bucket.alias("w"))
+        .agg(
+            F.min_by(value, seq).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(value, seq).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(key, F.col("w.start").alias("bucket_start"), "open", "high", "low", "close", "n_ticks")
+    )
+
+
+def vwap(
+    df: DataFrame,
+    key: str,
+    value: str,
+    weight: str,
+    extra_keys: list[str] | None = None,
+    out: str = "vwap",
+) -> DataFrame:
+    """Weighted average price sum(v*w)/sum(w) per key — one shuffle with
+    map-side combine."""
+    keys = [key] + (extra_keys or [])
+    return df.groupBy(*keys).agg(
+        (F.sum(F.col(value) * F.col(weight)) / F.sum(weight)).alias(out),
+        F.sum(weight).alias("total_weight"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``. Classic lag + running-sum
+    composition — two window passes over the same partitioning (one
+    shuffle; the second window reuses the first's sort)."""
+    w = _w(key, ts, tiebreak)
+    gap_s = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    is_new = F.when(gap_s.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new")

@@ -1,0 +1,410 @@
+"""Relational query corpus: scans, projections, filters, sorts/limits,
+aggregation, joins, set ops, dedup — SURVEY §2.2-§2.4 generalized plus
+the §2.10 gap coverage (joins/group-by/distinct/set ops absent from the
+reference).
+
+Every query aliases its computed columns identically in Spark and in
+the DuckDB oracle, rounds floating aggregates to a fixed scale, and
+tie-breaks every top-k so results are deterministic sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, joins, setops, topk
+from ..sources.tables import load_table
+from .core import register
+
+# --- scans / projections / filters -----------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_quantity > 25
+    """,
+    tags=("scan", "filter", "projection"),
+)
+def scan_filter_project(spark, sf_dir):
+    """Filter + arithmetic projection; predicate and column pruning push
+    to the Parquet scan (P0 generalized).
+
+    Per-row arithmetic is emitted UNROUNDED: identical IEEE ops give
+    bitwise-identical doubles across engines, whereas ROUND itself can
+    disagree at representation boundaries (Spark BigDecimal HALF_UP vs
+    DuckDB's scaled-multiply) — observed 13/25k mismatches at sf0.01.
+    Rounding is reserved for order-dependent aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    tags=("json", "projection"),
+)
+def json_extract_events(spark, sf_dir):
+    """JSON props extraction (reference P0b ``from_json`` analogue over
+    the events fixture)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@register(
+    "latest_k_events",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def latest_k_events(spark, sf_dir):
+    """The reference's 'last 10 000 ticks' fetch (S3/O2,
+    ``batch_processor.py:76``) as native TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    return topk.latest_k(ev, "ts", 100, tiebreak="event_id").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+@register(
+    "count_by_event_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("groupby", "count", "distinct"),
+)
+def count_by_event_type(spark, sf_dir):
+    """Group count + distinct count (reference A1 generalized to GROUP BY)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "global_agg_stats",
+    oracle="""
+    SELECT COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+           ROUND(AVG(value), 4) AS avg_v, ROUND(SUM(value), 2) AS sum_v
+    FROM events
+    """,
+    tags=("aggregate",),
+)
+def global_agg_stats(spark, sf_dir):
+    """min/mean/max/sum — the reference's driver-side NumPy metric aggs
+    (A2, ``stream_consumer.py:110-111``) as one distributed agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("groupby", "aggregate", "tpch"),
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: one hash-agg with map-side
+    partials; the canonical scan-heavy agg for the bench."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("rollup", "groupby"),
+)
+def rollup_lineitem(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (grouping-sets family — absent
+    from the reference, §2.10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75
+    FROM events GROUP BY event_type
+    """,
+    tags=("percentile", "groupby"),
+)
+def percentiles_by_type(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+    )
+
+
+@register(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("date", "groupby"),
+)
+def date_parts_orders(spark, sf_dir):
+    """Date-part extraction + agg (scalar date functions, §2.7 gap)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
+
+
+@register(
+    "case_when_price_bands",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("case", "groupby"),
+)
+def case_when_price_bands(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@register(
+    "join_orders_customer_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "groupby"),
+)
+def join_orders_customer_segment(spark, sf_dir):
+    """Fact ⋈ broadcast-dim join + agg: customer is catalog-sized, so
+    broadcast keeps the orders side shuffle-free before the agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        joins.broadcast_join(o, c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "multi-join", "groupby", "tpch"),
+)
+def revenue_by_nation(spark, sf_dir):
+    """TPC-H-Q5-shaped snowflake join: every dimension broadcast, the
+    fact table never shuffles until the final small agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("semi-join",),
+)
+def customers_with_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return joins.semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("anti-join",),
+)
+def customers_without_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return joins.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "top_parts_by_revenue",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey LIMIT 20
+    """,
+    tags=("join", "groupby", "topk"),
+)
+def top_parts_by_revenue(spark, sf_dir):
+    """Join + agg + deterministic top-k (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return topk.top_k(agg, 20, F.col("revenue").desc(), F.col("p_partkey"))
+
+
+# --- set ops / distinct / dedup --------------------------------------------
+
+
+@register(
+    "distinct_user_type_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("distinct",),
+)
+def distinct_user_type_pairs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "purchasers_who_also_errored",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("set-op", "intersect"),
+)
+def purchasers_who_also_errored(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return setops.intersect(a, b)
+
+
+@register(
+    "viewers_minus_purchasers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("set-op", "except"),
+)
+def viewers_minus_purchasers(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return setops.except_distinct(a, b)
+
+
+@register(
+    "dedup_exact_events",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_events(spark, sf_dir):
+    """Exact dedup keeping the first (min-id) row per key — deterministic,
+    unlike bare ``dropDuplicates``."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_dedup(ev, ["user_id", "event_type"], "event_id").select(
+        "user_id", "event_type", "event_id"
+    )

@@ -1,0 +1,269 @@
+"""Text-analysis + dedup query corpus over the ``documents`` table
+(north-star LLM-pipeline operators): token counting, quality scoring,
+language ID, fingerprinting, MinHash/SimHash signatures, LSH candidate
+pairs, n-gram Jaccard near-dup.
+
+Oracle portability notes (why these SQL strings look the way they do):
+- All content hashes are md5 (identical across Spark/DuckDB/Python).
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics.
+- Spark ``conv(hex,16,10)`` == DuckDB ``('0x'||hex)::BIGINT``.
+- The test corpus contains no actual near-duplicates, so the pair
+  queries are verified as empty==empty by the oracle; their mechanics
+  are proven on constructed duplicate fixtures in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, textops
+from ..sources.tables import load_table
+from .core import register
+
+# Shared DuckDB SQL fragments (kept in lockstep with functions/text.py).
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END"
+_STOPWORDS_SQL = "['the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by','an','be','this','are']"
+# word 3-gram shingles, distinct, matching functions/text.word_shingles
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 3, 0) + 2), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')))"
+)
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def doc_token_stats(spark, sf_dir):
+    """Whitespace token counting + char counts (north-star token
+    counting; all JVM-side regex/array ops)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import text as tx
+
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stopword_ratio,
+             CAST(len(toks) AS DOUBLE) AS n_toks
+      FROM t
+    )
+    SELECT doc_id, ROUND(punct_ratio, 6) AS punct_ratio, ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(least(n_toks / 20.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - punct_ratio * 4) * 0.3
+                 + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality
+    FROM r
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality(spark, sf_dir):
+    """Composite quality score (length band + punctuation + stopword
+    signal) — the LLM-corpus quality-filter shape, all native exprs."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import text as tx
+
+    return d.select(
+        "doc_id",
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                     AND CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(toks) >= 0.08
+                THEN 'en' ELSE 'und' END AS lang_pred
+    FROM t
+    """,
+    tags=("text", "langid"),
+)
+def doc_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import text as tx
+
+    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    tags=("text", "fingerprint", "dedup"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-content md5 fingerprint per doc (exact-dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import hashing
+
+    return d.select("doc_id", hashing.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "content_dedup_docs",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents)
+    SELECT f AS fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY f
+    """,
+    tags=("dedup", "text"),
+)
+def content_dedup_docs(spark, sf_dir):
+    """Exact content dedup summary: one keeper (min doc_id) per distinct
+    normalized content — the 100 TB shape (shuffle carries digests only)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import hashing
+
+    return (
+        d.select("doc_id", hashing.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "token_freq_top100",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents)
+    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 100
+    """,
+    tags=("text", "tokens", "groupby"),
+)
+def token_freq_top100(spark, sf_dir):
+    """Corpus token frequencies (canonical word-count plan) + top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = textops.token_frequencies(d)
+    return freq.orderBy(F.col("cnt").desc(), F.col("token")).limit(100)
+
+
+@register(
+    "minhash_signatures_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    )
+    SELECT doc_id,
+           MIN(md5('0:' || sh)) AS mh_0, MIN(md5('1:' || sh)) AS mh_1,
+           MIN(md5('2:' || sh)) AS mh_2, MIN(md5('3:' || sh)) AS mh_3,
+           MIN(md5('4:' || sh)) AS mh_4, MIN(md5('5:' || sh)) AS mh_5,
+           MIN(md5('6:' || sh)) AS mh_6, MIN(md5('7:' || sh)) AS mh_7
+    FROM sh GROUP BY doc_id
+    """,
+    tags=("dedup", "minhash", "text"),
+)
+def minhash_signatures_docs(spark, sf_dir):
+    """MinHash signatures (8 seeded md5 min-hashes over word 3-gram
+    shingles) — computed per-row with higher-order functions, no
+    explode/shuffle on the Spark side."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "text", "doc_id", num_hashes=8)
+
+
+@register(
+    "minhash_lsh_pairs_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    ),
+    sig AS (
+      SELECT doc_id, s.seed, MIN(md5(s.seed || ':' || sh)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(CAST(seed // 2 AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs_docs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 8 hashes banded 4×2; pairs share
+    any band. Band-bucket equi-join — never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=8, bands=4)
+
+
+@register(
+    "ngram_jaccard_pairs_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, md5(unnest({_SHINGLES})) AS sh
+      FROM documents WHERE len({_TOKS}) > 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs_docs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8): shingle-hash
+    self-join carrying 16-byte digests, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_docs(spark, sf_dir):
+    """32-bit SimHash per doc — bitwise majority vote over token hashes,
+    one shuffle keyed by doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "text", "doc_id")

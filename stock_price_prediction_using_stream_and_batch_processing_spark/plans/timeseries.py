@@ -1,0 +1,217 @@
+"""Time-series query corpus — the reference's analytical core (SURVEY
+§2.5 W1/W2) as first-class window queries, plus the §2.10 market-data
+extensions (OHLC bars, VWAP, sessionization, as-of join) and the
+oracle-checked model-inference path.
+
+The ``events`` table is the tick-stream analogue (ts≈timestamp,
+value≈price, user_id≈symbol — FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..ml.inference import predict_over_windows
+from ..operators import joins, windows
+from ..sources.tables import load_table
+from .core import register
+
+# Weighted-sum oracle for the linear fallback model with n=5:
+# weights i/15 for i=1..5 (ml/predictor.py); scaling cancels (affine).
+_PRED5_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         LAG(value, 4) OVER win AS x1, LAG(value, 3) OVER win AS x2,
+         LAG(value, 2) OVER win AS x3, LAG(value, 1) OVER win AS x4,
+         ROW_NUMBER() OVER win AS rn
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       ROUND((x1 * 1 + x2 * 2 + x3 * 3 + x4 * 4 + value * 5) / 15.0, 4) AS predicted_price
+FROM w WHERE rn >= 5
+"""
+
+
+@register(
+    "trailing_mean_events",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS trailing_mean
+    FROM events
+    """,
+    tags=("window", "timeseries"),
+)
+def trailing_mean_events(spark, sf_dir):
+    """Reference W1 (trailing-5 over the ordered series,
+    ``stream_consumer.py:51``) minus the model: per-key row window."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.trailing_mean(ev, "user_id", "ts", "value", 5, tiebreak="event_id")
+    return out.select("event_id", "user_id", F.round("trailing_mean", 6).alias("trailing_mean"))
+
+
+@register(
+    "sliding60_mean_events",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             AVG(value) OVER win AS m, COUNT(value) OVER win AS wn
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ROUND(m, 6) AS sliding_mean
+    FROM w WHERE wn = 60
+    """,
+    tags=("window", "timeseries"),
+)
+def sliding60_mean_events(spark, sf_dir):
+    """Reference W2 (length-60 sliding windows with the full-window
+    gate, ``batch_processor.py:88-95``) as a native window + size filter."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.trailing_mean(
+        ev, "user_id", "ts", "value", 60, out="sliding_mean", tiebreak="event_id", full_only=True
+    )
+    return out.select("event_id", "user_id", F.round("sliding_mean", 6).alias("sliding_mean"))
+
+
+@register(
+    "lag_returns_events",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_id, user_id, (value - prev) / prev * 100 AS return_pct
+    FROM w WHERE prev IS NOT NULL
+    """,
+    tags=("window", "lag", "timeseries"),
+)
+def lag_returns_events(spark, sf_dir):
+    """Lag features / percent returns per series key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.lag_returns(ev, "user_id", "ts", "value", tiebreak="event_id")
+    return out.filter(F.col("return_pct").isNotNull()).select(
+        "event_id", "user_id", "return_pct"
+    )
+
+
+@register(
+    "tumbling_ohlc_events",
+    oracle="""
+    SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           COUNT(*) AS n_ticks
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    tags=("window", "ohlc", "groupby", "timeseries"),
+)
+def tumbling_ohlc_events(spark, sf_dir):
+    """Tumbling 1-hour OHLC bars per key (epoch-aligned ``F.window`` ==
+    ``date_trunc`` for 1h); open/close tie-broken by unique event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = windows.tumbling_ohlc(ev, "user_id", "ts", "value", "1 hour", seq="event_id")
+    return bars.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+
+
+@register(
+    "vwap_lineitem",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS vwap,
+           ROUND(SUM(l_quantity), 2) AS total_weight
+    FROM lineitem GROUP BY l_partkey
+    """,
+    tags=("vwap", "groupby", "timeseries"),
+)
+def vwap_lineitem(spark, sf_dir):
+    """Volume-weighted average price per key — one shuffle, map-side
+    combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = windows.vwap(li, "l_partkey", "l_extendedprice", "l_quantity")
+    return out.select(
+        "l_partkey",
+        F.round("vwap", 4).alias("vwap"),
+        F.round("total_weight", 2).alias("total_weight"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER win IS NULL
+                       OR ts - LAG(ts) OVER win > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_id, user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("session", "window", "timeseries"),
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization (30-min inactivity gap): lag + running sum, then
+    per-session row counts."""
+    ev = load_table(spark, sf_dir, "events")
+    s = windows.sessionize(ev, "user_id", "ts", 30.0, tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "asof_join_purchase_error",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts, MAX(value) AS err_value
+               FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.value, e.err_value
+    FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    tags=("asof-join", "timeseries"),
+)
+def asof_join_purchase_error(spark, sf_dir):
+    """As-of (backward) join: each purchase picks up the most recent
+    prior error value for the same user. Implemented as union +
+    last-ignoring-nulls window — ONE shuffle on user_id, no range
+    cross-join (operators/joins.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = joins.asof_join(p, e, key="user_id", ts="ts", right_value_cols=["err_value"])
+    return out.filter(F.col("err_value").isNotNull()).select(
+        "event_id", "user_id", "value", "err_value"
+    )
+
+
+@register("predict_next_events", oracle=_PRED5_SQL, tags=("inference", "window", "timeseries"))
+def predict_next_events(spark, sf_dir):
+    """The full inference path (reference W1+E4): trailing-5 window ->
+    min-max scale (native) -> batched model UDF (Arrow) -> unscale
+    (native). The linear fallback model makes it oracle-checkable; the
+    Keras path swaps in via ``keras_path`` without changing the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    win = windows.trailing_collect(ev, "user_id", "ts", "value", 5, tiebreak="event_id")
+    pred = predict_over_windows(win, "window_values", seq_len=5)
+    return pred.select("event_id", "user_id", F.round("predicted_price", 4).alias("predicted_price"))

@@ -1,0 +1,110 @@
+"""Similarity-search query corpus over the ``embeddings`` table
+(array<float>, dim 64): exact brute-force cosine top-k (the oracle-
+checked baseline), LSH-bucketed approximate top-k (the scale path,
+rows-only + recall-tested in tests/), and exact cosine near-dup pairs.
+
+The DuckDB oracles compute cosine in EXPLICIT double precision
+(list_zip + ::DOUBLE) because DuckDB's built-in
+``list_cosine_similarity`` runs float32 and drifts ~1e-7 from Spark's
+double-precision higher-order-function arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+from ..operators import similarity
+from ..sources.tables import load_table
+from .core import register
+
+_DIM = 64
+
+_COS_DOUBLE = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_COS_DOUBLE.format(a='q.qv', b='e.embedding')} AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "vector", "topk"),
+)
+def cosine_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors against the full corpus:
+    queries broadcast, corpus streams (no corpus shuffle), per-query
+    heap via row_number window. All arithmetic in codegen'd
+    higher-order functions — no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.brute_force_topk(e, q, k=10)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "embedding_near_dup_exact",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_COS_DOUBLE.format(a='a.embedding', b='b.embedding')} AS sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+    FROM pairs WHERE sim >= 0.25
+    """,
+    tags=("similarity", "dedup", "vector"),
+)
+def embedding_near_dup_exact(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (subsampled corpus, low
+    threshold so the random test vectors yield a non-empty answer).
+    The LSH-accelerated variant is ``embedding_near_dup_lsh``
+    (rows-only; recall asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_sim", vectors.cosine("_va", "_vb"))
+        .filter(F.col("cosine_sim") >= 0.25)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+@register("cosine_topk_lsh", oracle=None, tags=("similarity", "vector", "lsh", "approx"))
+def cosine_topk_lsh(spark, sf_dir):
+    """Approximate cosine top-10 via sign-projection LSH (4 tables × 8
+    planes): only bucket-colliding pairs are scored. Rows-only driver
+    check; recall vs brute force asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.lsh_topk(e, q, k=10, dim=_DIM)
+    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@register("embedding_near_dup_lsh", oracle=None, tags=("similarity", "dedup", "lsh", "approx"))
+def embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — the 100 TB path (bucket
+    self-join instead of all-pairs)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return similarity.embedding_near_dup_pairs(e, threshold=0.25, dim=_DIM).select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )

@@ -1,0 +1,73 @@
+"""Parquet table access for the driver-generated test corpus.
+
+Columnar Parquet scans are the engine's batch source of record (the
+reference persisted raw ticks to MySQL over JDBC and re-read them with a
+hand-pushed ``ORDER BY .. LIMIT`` subquery — ``batch_processor.py:72-79``;
+here predicate/limit pushdown and column pruning come from Catalyst for
+free, and at 100 TB the scan parallelizes per Parquet row-group instead
+of bottlenecking on one JDBC connection).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (they
+# scale with the catalog, not the fact data).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+# Columns stored as TIMESTAMP(NANOS) in parquet. Spark has no ns
+# timestamp type; we read them as long (legacy conf, set at runtime so
+# it also applies under a driver-owned session) and convert to
+# microsecond timestamps — the same truncation DuckDB applies.
+NS_TIMESTAMP_COLS = {"events": ("ts",)}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the query corpus depends on, set defensively so
+    results are correct even under a caller-owned SparkSession (the
+    driver builds its own): UTC rendering (oracle comparability) and
+    ns-timestamp parquet reads."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table as stored (ns-timestamp cols still long)."""
+    ensure_session_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def normalize_ns(df: DataFrame, name: str) -> DataFrame:
+    for c in NS_TIMESTAMP_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return normalize_ns(raw_table(spark, sf_dir, name), name)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so queries can go through
+    ``spark.sql`` as well as the DataFrame API."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

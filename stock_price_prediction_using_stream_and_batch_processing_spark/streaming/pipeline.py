@@ -1,0 +1,99 @@
+"""The streaming tick pipeline — reference ``stream_consumer.py``
+semantics, Spark-first.
+
+Reference shape (SURVEY §3.1): Kafka → ``from_json`` parse → per
+micro-batch: JDBC append + driver-side trailing-5 LSTM predict.
+Differences here, by design:
+- Sink is an idempotent Parquet append with a checkpoint (the reference
+  had no checkpoint and at-least-once JDBC — §2.8).
+- Prediction happens INSIDE the plan (window + Arrow-batched UDF), not
+  on collected Pandas — executors scale it out.
+- Metrics come from a ``StreamingQueryListener`` instead of Python
+  lists (``stream_consumer.py:48``).
+- Tests drive it with a file source + ``availableNow`` (no Kafka in the
+  container); the source swaps to ``format("kafka")`` untouched because
+  parsing operates on the same (value: string) contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.inference import predict_over_windows
+from ..operators import windows
+from ..sources.ticks import tick_schema
+
+
+def parse_ticks(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-wire parse: binary/string JSON value -> typed tick columns
+    (reference P0a-P0c, ``stream_consumer.py:96-98``)."""
+    return (
+        raw.select(F.from_json(F.col(value_col).cast("string"), tick_schema).alias("data"))
+        .select("data.*")
+    )
+
+
+def kafka_tick_source(spark: SparkSession, bootstrap: str, topic: str = "stock_ticks") -> DataFrame:
+    """The production source (reference S1, ``stream_consumer.py:89-93``).
+    Not exercisable in the test container (no Kafka broker/jar) — kept
+    as the documented swap-in for ``file_tick_source``."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+
+
+def file_tick_source(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stand-in for the Kafka source: each line is one JSON
+    tick message (the producer wire format)."""
+    return spark.readStream.format("text").load(path)
+
+
+def run_tick_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    seq_len: int = 5,
+    predictions_path: str | None = None,
+    available_now: bool = True,
+):
+    """Parse -> persist raw ticks (Parquet append) -> per-batch trailing
+    window prediction, all via ``foreachBatch`` (reference S4 with the
+    imperative body re-expressed as DataFrame ops).
+
+    Per-batch windows reproduce the reference's cross-batch gap
+    semantics (windows never span micro-batches —
+    ``stream_consumer.py:72-76``); streaming/stateful.py provides the
+    continuous alternative.
+    """
+    parsed = parse_ticks(source)
+    pred_path = predictions_path or (sink_path.rstrip("/") + "_predictions")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():  # reference P0d guard
+            return
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(sink_path)
+        win = windows.trailing_collect(
+            batch_df, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp", full_only=True
+        )
+        pred = predict_over_windows(win, "window_values", seq_len=seq_len)
+        out = pred.select("symbol", "timestamp", "price", "predicted_price")
+        out.write.mode("append").parquet(pred_path)
+        batch_df.unpersist()
+
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q
