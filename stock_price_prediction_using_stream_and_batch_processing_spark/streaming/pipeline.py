@@ -48,10 +48,15 @@ def kafka_tick_source(spark: SparkSession, bootstrap: str, topic: str = "stock_t
     )
 
 
-def file_tick_source(spark: SparkSession, path: str) -> DataFrame:
+def file_tick_source(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based stand-in for the Kafka source: each line is one JSON
-    tick message (the producer wire format)."""
-    return spark.readStream.format("text").load(path)
+    tick message (the producer wire format). ``max_files_per_trigger``
+    splits the backlog into multiple micro-batches — the test analogue of
+    Kafka's ``maxOffsetsPerTrigger``."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def run_tick_stream(

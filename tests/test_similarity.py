@@ -1,0 +1,94 @@
+"""Similarity-search invariants (SURVEY §5 strategy 4: non-SQL ops get
+self-contained invariants).
+
+LSH sign-projection recall depends on true cosine: uniform-random
+synthetic vectors are near-orthogonal (worst case), so recall there is
+meaningless. The meaningful invariants:
+- correctness: LSH output pairs are a SUBSET of exact pairs with
+  identical cosine values (precision 1.0 by construction — every
+  candidate is exactly verified);
+- high-similarity recall: on PLANTED near-duplicates (cosine ≈ 0.999)
+  LSH finds everything brute force finds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.functions import vectors
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import similarity
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+SF_SMALL = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """120 base vectors + a 0.999-cosine perturbed copy of each
+    (ids 1000+i). Deterministic."""
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(120, DIM))
+    noise = rng.normal(size=(120, DIM)) * 0.02
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    rows += [(1000 + i, (base[i] + noise[i]).tolist()) for i in range(120)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_near_dup_lsh_subset_and_exact_values(spark):
+    e = load_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    lsh_pairs = similarity.embedding_near_dup_pairs(e, threshold=0.25, dim=DIM).collect()
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    exact = {
+        (r.id_a, r.id_b): r.c
+        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("c", vectors.cosine("_va", "_vb"))
+        .filter("c >= 0.25")
+        .collect()
+    }
+    for r in lsh_pairs:  # precision 1.0: every LSH pair is a true pair
+        assert (r.id_a, r.id_b) in exact
+        assert r.cosine_sim == pytest.approx(exact[(r.id_a, r.id_b)], rel=1e-12)
+
+
+def test_near_dup_lsh_full_recall_on_planted_dups(planted):
+    # cosine(base, base+0.02*noise) ≈ 0.999 -> collision probability per
+    # 10-plane table ≈ 0.87, across 6 tables ≈ 1 - 0.13^6 ≈ 0.999995.
+    pairs = similarity.embedding_near_dup_pairs(planted, threshold=0.95, dim=DIM).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    missing = {(i, 1000 + i) for i in range(120)} - got
+    assert not missing, f"LSH missed planted near-dups: {sorted(missing)[:5]}"
+
+
+def test_lsh_topk_finds_planted_partner_at_rank1(planted):
+    # Queries are the planted copies; both exact and LSH top-k must put
+    # the original at rank 1.
+    q = (
+        planted.filter(F.col("vec_id") >= 1000)
+        .filter(F.col("vec_id") < 1020)
+        .select((F.col("vec_id")).alias("q_id"), "embedding")
+    )
+    bf = similarity.brute_force_topk(planted, q, k=3).filter("rank = 1").collect()
+    lsh = similarity.lsh_topk(planted, q, k=3, dim=DIM).filter("rank = 1").collect()
+    assert {(r.q_id, r.vec_id) for r in bf} == {(1000 + i, i) for i in range(20)}
+    assert {(r.q_id, r.vec_id) for r in lsh} == {(1000 + i, i) for i in range(20)}
+    bf_sims = {r.q_id: r.cosine_sim for r in bf}
+    for r in lsh:  # same exact cosine math on both paths
+        assert r.cosine_sim == pytest.approx(bf_sims[r.q_id], rel=1e-12)
+
+
+def test_lsh_topk_scores_subset_of_bruteforce_universe(spark):
+    # On the real table: every (q, candidate, sim) LSH emits must agree
+    # with the exact score brute force computes for that same pair.
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    bf_all = similarity.brute_force_topk(e, q, k=10).collect()
+    lsh = similarity.lsh_topk(e, q, k=10, dim=DIM).collect()
+    exact_sims = {(r.q_id, r.vec_id): r.cosine_sim for r in bf_all}
+    for r in lsh:
+        if (r.q_id, r.vec_id) in exact_sims:
+            assert r.cosine_sim == pytest.approx(exact_sims[(r.q_id, r.vec_id)], rel=1e-12)
+        assert -1.0 <= r.cosine_sim <= 1.0

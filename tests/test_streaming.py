@@ -1,0 +1,176 @@
+"""Structured Streaming tests (SURVEY §5 strategy 3): file source +
+``Trigger.AvailableNow``, exercising the reference stream pipeline
+semantics (stream_consumer.py) and the stateful cross-batch extension.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.ml.inference import predict_over_windows
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import (
+    generate_ticks,
+    ticks_json_lines,
+)
+from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+    file_tick_source,
+    parse_ticks,
+    run_tick_stream,
+)
+from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.stateful import (
+    continuous_trailing_windows,
+)
+
+
+def _write_tick_files(tmp_path, n: int, n_files: int) -> str:
+    src = tmp_path / "ticks_in"
+    src.mkdir()
+    lines = ticks_json_lines(n)
+    per = (n + n_files - 1) // n_files
+    base_mtime = 1_700_000_000
+    for f in range(n_files):
+        chunk = lines[f * per : (f + 1) * per]
+        if chunk:
+            p = src / f"part-{f:03d}.json"
+            p.write_text("\n".join(chunk))
+            # Strictly increasing mtimes: the file source orders the
+            # backlog by modification time, and same-second writes would
+            # make micro-batch order (hence stateful-window order)
+            # nondeterministic.
+            os.utime(p, (base_mtime + f, base_mtime + f))
+    return str(src)
+
+
+def test_parse_ticks_wire_format(spark, tmp_path):
+    # from_json over the producer's exact wire format
+    # (stream_consumer.py:96-98): schema + values survive the round trip.
+    path = _write_tick_files(tmp_path, 17, 1)
+    static = spark.read.format("text").load(path)
+    parsed = parse_ticks(static).orderBy("timestamp").collect()
+    want = generate_ticks(17)
+    assert len(parsed) == 17
+    assert [r.symbol for r in parsed] == [t["symbol"] for t in want]
+    assert [r.price for r in parsed] == pytest.approx([t["price"] for t in want])
+    assert [r.volume for r in parsed] == [t["volume"] for t in want]
+    assert parsed[0].timestamp is not None
+
+
+def test_tick_stream_end_to_end(spark, tmp_path):
+    n = 40
+    path = _write_tick_files(tmp_path, n, 4)
+    sink = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_tick_stream(
+        spark,
+        file_tick_source(spark, path, max_files_per_trigger=1),
+        sink_path=sink,
+        checkpoint_path=ckpt,
+        seq_len=5,
+    )
+    q.awaitTermination(120)
+    # Raw sink: every tick persisted exactly once (checkpointed append —
+    # fixes the reference's missing checkpointLocation, SURVEY §2.8).
+    raw = spark.read.parquet(sink)
+    assert raw.count() == n
+    assert set(raw.columns) == {"symbol", "timestamp", "price", "volume"}
+    # Predictions: per-batch trailing windows (reference cross-batch gap
+    # semantics, stream_consumer.py:72-76) — each 10-tick batch yields
+    # 10-5+1 = 6 full windows.
+    preds = spark.read.parquet(sink + "_predictions")
+    assert preds.count() == 4 * 6
+    assert preds.filter("predicted_price IS NULL").count() == 0
+
+
+def test_tick_stream_restart_is_idempotent(spark, tmp_path):
+    n = 20
+    path = _write_tick_files(tmp_path, n, 2)
+    sink = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run: checkpoint says all files consumed
+        q = run_tick_stream(
+            spark, file_tick_source(spark, path), sink_path=sink, checkpoint_path=ckpt
+        )
+        q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n
+
+
+def test_continuous_windows_span_microbatches(spark, tmp_path):
+    # The stateful path (applyInPandasWithState) must produce one full
+    # window per tick from the seq_len-th tick on, regardless of
+    # micro-batch boundaries — unlike per-batch mode which restarts at
+    # each batch (the reference's gap, SURVEY §7 hard part i).
+    n, seq_len, n_files = 30, 5, 6
+    path = _write_tick_files(tmp_path, n, n_files)
+    parsed = parse_ticks(file_tick_source(spark, path, max_files_per_trigger=1))
+    cont = continuous_trailing_windows(parsed, seq_len=seq_len)
+    q = (
+        cont.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cont_windows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cont_windows ORDER BY timestamp").collect()
+    prices = [t["price"] for t in generate_ticks(n)]
+    assert len(rows) == n - seq_len + 1  # no per-batch restart gaps
+    for i, r in enumerate(rows):
+        assert r.window_values == pytest.approx(prices[i : i + seq_len])
+
+
+def test_continuous_equals_batch_windows(spark, tmp_path):
+    # Invariant: streaming stateful windows == batch window function over
+    # the same data (the batch side is oracle-checked separately).
+    n, seq_len = 25, 5
+    path = _write_tick_files(tmp_path, n, 5)
+    parsed = parse_ticks(file_tick_source(spark, path, max_files_per_trigger=1))
+    q = (
+        continuous_trailing_windows(parsed, seq_len=seq_len)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cont_eq_batch")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = spark.sql(
+        "SELECT timestamp, window_values FROM cont_eq_batch ORDER BY timestamp"
+    ).collect()
+    static = parse_ticks(spark.read.format("text").load(path))
+    batch_rows = (
+        windows.trailing_collect(static, "symbol", "timestamp", "price", seq_len)
+        .orderBy("timestamp")
+        .select("timestamp", "window_values")
+        .collect()
+    )
+    assert [(r.timestamp, tuple(r.window_values)) for r in stream_rows] == [
+        (r.timestamp, tuple(r.window_values)) for r in batch_rows
+    ]
+
+
+def test_stream_predictions_match_batch_path(spark, tmp_path):
+    # End-to-end: the streaming foreachBatch prediction for a
+    # single-batch stream equals the batch predict_over_windows result.
+    n = 15
+    path = _write_tick_files(tmp_path, n, 1)
+    sink = str(tmp_path / "raw")
+    q = run_tick_stream(
+        spark, file_tick_source(spark, path), sink_path=sink, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.timestamp, round(r.predicted_price, 9))
+        for r in spark.read.parquet(sink + "_predictions").collect()
+    }
+    static = parse_ticks(spark.read.format("text").load(path))
+    win = windows.trailing_collect(static, "symbol", "timestamp", "price", 5, tiebreak="timestamp")
+    want = {
+        (r.timestamp, round(r.predicted_price, 9))
+        for r in predict_over_windows(win, "window_values", seq_len=5).collect()
+    }
+    assert got == want
