@@ -30,6 +30,8 @@ HEADLINE = [
     "sliding60_mean_events",
     "tumbling_ohlc_events",
     "sessionize_events",
+    "hopping_counts_events",
+    "range_join_purchase_windows",
     "asof_join_purchase_error",
     "predict_next_events",
     "vwap_lineitem",
@@ -40,6 +42,7 @@ HEADLINE = [
     "minhash_signatures_docs",
     "simhash_docs",
     "cosine_topk_bruteforce",
+    "media_feature_stats",
     "stream_hourly_counts",
 ]
 

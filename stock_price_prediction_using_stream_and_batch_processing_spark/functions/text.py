@@ -87,11 +87,20 @@ def lang_id(col, threshold: float = 0.08) -> Column:
 def word_shingles(col, n: int = 3) -> Column:
     """Word-level n-gram shingles of the normalized text as an array of
     strings (distinct). Rows with < n tokens yield a single shingle of
-    whatever tokens exist, so short docs still participate in dedup."""
+    whatever tokens exist, so short docs still participate in dedup.
+
+    Shape: zip ``n`` shifted copies of the token array and concat each
+    zipped struct. The lambda touches ONLY its own variable — an earlier
+    formulation sliced the outer ``tokens`` tree inside the lambda,
+    which interpreted HOF evaluation re-computes per element: O(k²)
+    regex work per doc (~12× slower on the documents corpus)."""
     toks = tokens(col)
     k = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, 2_000_000_000) for i in range(n)])
+    # concat_ws skips the null padding arrays_zip adds for the shorter
+    # shifted copies, so element 0 of a k<n doc is all k tokens.
     ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.slice(zipped, 1, F.greatest(k - n + 1, F.lit(1))),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
     )
     return F.when(k > 0, F.array_distinct(ngrams)).otherwise(F.array().cast("array<string>"))

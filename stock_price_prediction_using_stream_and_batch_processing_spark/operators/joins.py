@@ -28,6 +28,54 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on, "left_anti")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Range (interval) join: left rows whose ``point`` timestamp falls
+    in a right row's [``start``, ``end``) interval. Spark has no native
+    range-join strategy (a bare theta join plans as a nested-loop /
+    cross product), so this buckets time into ``bucket_seconds`` cells:
+    points map to one bucket, intervals explode to the buckets they
+    cover, and the match becomes an EQUI-join on bucket plus a cheap
+    residual range filter — O(candidates-per-bucket), shuffle-
+    partitioned by bucket, instead of |L|×|R|.
+
+    Pick ``bucket_seconds`` ≈ the typical interval length: each interval
+    then lands in ~2 buckets and candidate blowup stays ~2×. A point
+    lives in exactly one bucket, so no post-join dedup is needed.
+    """
+    def secs(c: str):
+        # TIMESTAMP_NTZ needs a hop through TIMESTAMP before the
+        # numeric cast; session tz is pinned UTC (sources/tables.py) so
+        # the epoch is consistent on both sides.
+        return F.col(c).cast("timestamp").cast("double")
+
+    lb = left.withColumn("_bkt", F.floor(secs(point) / bucket_seconds))
+    rb = (
+        right.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(secs(start) / bucket_seconds),
+                    F.floor(secs(end) / bucket_seconds),
+                )
+            ),
+        )
+    )
+    upper = F.col(point) <= F.col(end) if end_inclusive else F.col(point) < F.col(end)
+    return (
+        lb.join(rb, lb["_bkt"] == rb["_bkt"], "inner")
+        .filter((F.col(point) >= F.col(start)) & upper)
+        .drop("_bkt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

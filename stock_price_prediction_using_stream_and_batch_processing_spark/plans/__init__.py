@@ -13,5 +13,6 @@ from . import timeseries  # noqa: F401
 from . import textplans  # noqa: F401
 from . import vectorplans  # noqa: F401
 from . import streamplans  # noqa: F401
+from . import mediaplans  # noqa: F401
 
 __all__ = ["all_queries", "get", "oracle_map", "query_map"]

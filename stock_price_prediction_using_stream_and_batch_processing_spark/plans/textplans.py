@@ -37,20 +37,22 @@ _SHINGLES = (
     oracle=f"""
     SELECT doc_id,
            CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
            CAST(length(text) AS INTEGER) AS n_chars_actual
     FROM documents
     """,
     tags=("text", "tokens"),
 )
 def doc_token_stats(spark, sf_dir):
-    """Whitespace token counting + char counts (north-star token
-    counting; all JVM-side regex/array ops)."""
+    """Token counting, whitespace + BPE-ish regex sub-word counts
+    (north-star token counting; all JVM-side regex/array ops)."""
     d = load_table(spark, sf_dir, "documents")
     from ..functions import text as tx
 
     return d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
         tx.char_count("text").cast("int").alias("n_chars_actual"),
     )
 

@@ -129,6 +129,77 @@ def tumbling_ohlc_events(spark, sf_dir):
 
 
 @register(
+    "hopping_counts_events",
+    oracle="""
+    WITH occ AS (
+      SELECT user_id, date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS ws, value
+      FROM events CROSS JOIN (SELECT unnest(range(2)) AS k)
+    )
+    SELECT user_id, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM occ GROUP BY user_id, ws
+    """,
+    tags=("window", "hopping", "groupby", "timeseries"),
+)
+def hopping_counts_events(spark, sf_dir):
+    """Hopping (sliding) time-window aggregation: 2-hour windows every
+    hour — each event lands in exactly 2 windows. ``F.window`` expands
+    rows window-side BEFORE the hash agg, so partial aggregation still
+    applies (shuffle carries one row per (user, window) per partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "range_join_purchase_windows",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS iv_id, CAST(ts AS TIMESTAMP) AS iv_start,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS iv_end
+      FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0
+    )
+    SELECT iv.iv_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+    FROM iv JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= iv.iv_start AND CAST(e.ts AS TIMESTAMP) < iv.iv_end
+    GROUP BY iv.iv_id
+    """,
+    tags=("join", "range", "timeseries"),
+)
+def range_join_purchase_windows(spark, sf_dir):
+    """Pure range join (no equi key): all activity inside the 30 minutes
+    after each sampled purchase event. A bare theta join would plan as a
+    nested-loop cross product; ``joins.interval_join`` buckets time at
+    the interval length so it becomes an equi-join on bucket + residual
+    filter — O(candidates) with a bucket-keyed shuffle
+    (operators/joins.py). Oracle casts ns→μs to mirror Spark timestamp
+    precision."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 20 == 0))
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("iv_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("iv_end"),
+        )
+    )
+    j = joins.interval_join(
+        ev.select("ts", "value"), iv, point="ts", start="iv_start", end="iv_end", bucket_seconds=1800
+    )
+    return j.groupBy("iv_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@register(
     "vwap_lineitem",
     oracle="""
     SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS vwap,
@@ -214,4 +285,32 @@ def predict_next_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     win = windows.trailing_collect(ev, "user_id", "ts", "value", 5, tiebreak="event_id")
     pred = predict_over_windows(win, "window_values", seq_len=5)
+    return pred.select("event_id", "user_id", F.round("predicted_price", 4).alias("predicted_price"))
+
+
+@register(
+    "predict_sliding60_events",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS win,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(list_dot_product(win, list_transform(range(1, 61), i -> 2.0 * i / 3660.0)), 4) AS predicted_price
+    FROM w WHERE rn >= 60
+    """,
+    tags=("inference", "window", "timeseries"),
+)
+def predict_sliding60_events(spark, sf_dir):
+    """The reference's BATCH inference length (W2: sliding-60 windows,
+    ``batch_processor.py:88-101``) through the same distributed path as
+    ``predict_next_events``. Oracle exploits the affine identity
+    unscale(model(scale(v))) == Σ wᵢ·vᵢ of the linear fallback, so the
+    Arrow UDF is value-checked at the reference's real window length."""
+    ev = load_table(spark, sf_dir, "events")
+    win = windows.trailing_collect(ev, "user_id", "ts", "value", 60, tiebreak="event_id")
+    pred = predict_over_windows(win, "window_values", seq_len=60)
     return pred.select("event_id", "user_id", F.round("predicted_price", 4).alias("predicted_price"))

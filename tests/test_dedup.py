@@ -1,0 +1,79 @@
+"""Dedup-operator mechanics on CONSTRUCTED near-duplicates (the driver
+corpus has none — textplans.py docstring): MinHash-LSH, n-gram Jaccard,
+SimHash blocking, and exact dedup must all find planted duplicate
+families and nothing spurious at high thresholds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
+    "windowsill and the birds sing in the garden as morning light spreads slowly over town"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """3 duplicate families + distinct background docs.
+
+    - 0/1: identical text (exact dup)
+    - 2/3: one word changed (near dup, high jaccard)
+    - 4/5: a few words changed (near dup, lower jaccard)
+    - 100..119: distinct unrelated docs
+    """
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE),
+        (3, BASE.replace("lazy", "sleepy")),
+        (4, BASE),
+        (5, BASE.replace("quick brown", "slow red").replace("morning", "evening")),
+    ]
+    words = BASE.split()
+    for i in range(100, 120):
+        rows.append((i, " ".join(words[(i * 7 + j) % len(words)] + str(i * 31 + j) for j in range(25))))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_content_dedup(docs):
+    kept = {r.doc_id for r in dedup.content_dedup(docs, "text", "doc_id").collect()}
+    # families (0,1,2,4) share identical text -> keeper is min id 0
+    assert 0 in kept and {1, 2, 4}.isdisjoint(kept)
+    assert {3, 5}.issubset(kept)  # modified texts survive
+    assert all(i in kept for i in range(100, 120))
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8).collect()}
+    # identical docs always collide on every band
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    # one-word change: 16/8 = 2 rows per band -> near-certain collision
+    assert (2, 3) in pairs
+    # unrelated docs never pair with the BASE family
+    assert not any(a < 100 <= b for a, b in pairs)
+
+
+def test_ngram_jaccard_thresholds(docs):
+    at50 = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert at50[(0, 1)] == pytest.approx(1.0)
+    assert 0.5 <= at50[(2, 3)] < 1.0  # one word changed: most 3-shingles survive
+    at99 = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.99).collect()}
+    assert (0, 1) in at99 and (2, 3) not in at99
+    assert not any(a < 100 <= b for a, b in at50)
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0  # identical text -> identical simhash
+    assert (2, 3) in pairs  # one word -> few bits flip
+    assert not any(a < 100 <= b for a, b in pairs)  # no cross-family pairs
+
+
+def test_exact_dedup_deterministic_keeper(docs):
+    out1 = sorted(r.doc_id for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect())
+    out2 = sorted(r.doc_id for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect())
+    assert out1 == out2  # min-id keeper, not arbitrary dropDuplicates

@@ -1,0 +1,114 @@
+"""Physical-plan shape regressions: the plans we tuned for 100 TB must
+STAY that shape. Each assertion encodes an `.explain("formatted")`
+review — broadcast where intended, pushdown reaching the scan, partial
+aggregation, no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import query_map
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = query_map()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_broadcasts(spark):
+    # revenue_by_nation joins lineitem->supplier->nation: both dims are
+    # catalog-sized and must broadcast — a SortMergeJoin here would
+    # shuffle the full fact table per dim at 100 TB.
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+    # column pruning: the lineitem scan must not read all 11 columns
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 6
+
+
+def test_groupby_has_partial_aggregation(spark):
+    # pricing_summary: map-side combine means two HashAggregate nodes
+    # (partial + final) around one Exchange.
+    plan = _plan(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_window_query_single_shuffle(spark):
+    # trailing_mean_events: one hash-partitioning Exchange (by the
+    # series key), then a local sort — no global sort, no extra shuffle.
+    plan = _plan(spark, "trailing_mean_events")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # interval_join must plan as a hash/sort-merge EQUI join on the time
+    # bucket — BroadcastNestedLoopJoin/CartesianProduct would be the
+    # O(|L|x|R|) failure mode at scale.
+    plan = _plan(spark, "range_join_purchase_windows")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_asof_join_no_range_explosion(spark):
+    plan = _plan(spark, "asof_join_purchase_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    # top_parts_by_revenue: global ORDER BY + LIMIT must collapse to
+    # TakeOrderedAndProject, never a full global sort.
+    plan = _plan(spark, "top_parts_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    # content_dedup_docs groups by md5 fingerprint; the shuffle must not
+    # carry the raw text column.
+    df = query_map()["content_dedup_docs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex and all("text" not in ln for ln in ex)
+
+
+def test_semi_anti_joins_plan_as_joins(spark):
+    for name, kind in [("customers_with_orders", "LeftSemi"), ("customers_without_orders", "LeftAnti")]:
+        plan = _plan(spark, name)
+        assert kind in plan, f"{name}: expected {kind}\n{plan}"
+
+
+def test_no_python_udf_outside_inference(spark):
+    # Everything except the model-inference and mapInPandas multimodal
+    # paths must stay JVM-side: no BatchEvalPython (row-at-a-time UDF)
+    # anywhere; ArrowEvalPython only in the declared Python-boundary
+    # queries.
+    allowed_python = {
+        "predict_next_events",
+        "predict_sliding60_events",
+        "media_feature_stats",
+        "media_feature_extract",
+    }
+    for name, fn in query_map().items():
+        if name.startswith("stream_"):
+            continue  # streaming plans build their own sources
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        if name not in allowed_python:
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+                f"{name} unexpectedly crosses the Python boundary"
+            )
