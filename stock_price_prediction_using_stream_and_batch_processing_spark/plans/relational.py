@@ -408,3 +408,30 @@ def dedup_exact_events(spark, sf_dir):
     return dedup.exact_dedup(ev, ["user_id", "event_type"], "event_id").select(
         "user_id", "event_type", "event_id"
     )
+
+
+@register(
+    "salted_agg_by_type",
+    oracle="""
+    SELECT event_type, ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n_rows,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("groupby", "skew", "salting"),
+)
+def salted_agg_by_type(spark, sf_dir):
+    """Skew-proof aggregation on a LOW-cardinality key (event_type — the
+    classic hot-key shape): deterministic salt spreads each key over 16
+    reducers, partial (key, salt) agg, then final per-key re-agg
+    (operators/skew.py). Result identical to a direct groupBy — the
+    oracle IS the direct groupBy."""
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    out = skew.salted_sum_count(ev, ["event_type"], "value", unique_col="event_id", n_salts=16)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        "n_rows",
+        F.round("avg_value", 6).alias("avg_value"),
+    )

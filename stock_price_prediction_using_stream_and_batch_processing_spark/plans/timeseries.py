@@ -289,6 +289,49 @@ def predict_next_events(spark, sf_dir):
 
 
 @register(
+    "session_window_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER win IS NULL
+                       OR ts - LAG(ts) OVER win > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("session", "window", "groupby", "timeseries"),
+)
+def session_window_stats(spark, sf_dir):
+    """Native ``F.session_window`` gap sessions (30 min) — Spark's
+    built-in merging session aggregation (works identically in
+    Structured Streaming with a watermark). The oracle derives the same
+    sessions via the lag+cumsum composition, proving the two
+    formulations agree. Session end = last event + gap, per Spark's
+    session_window contract."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "predict_sliding60_events",
     oracle="""
     WITH w AS (

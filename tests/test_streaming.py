@@ -153,6 +153,42 @@ def test_continuous_equals_batch_windows(spark, tmp_path):
     ]
 
 
+def test_metrics_listener_collects_progress(spark, tmp_path):
+    # StreamingQueryListener replaces the reference's driver-side Python
+    # lists (stream_consumer.py:48,77-79) — works identically on a
+    # cluster because it consumes the engine's progress feed.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.metrics import BatchMetricsListener
+
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        n = 24
+        path = _write_tick_files(tmp_path, n, 3)
+        q = run_tick_stream(
+            spark,
+            file_tick_source(spark, path, max_files_per_trigger=1),
+            sink_path=str(tmp_path / "raw"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        import time as _t
+
+        for _ in range(50):
+            if sum(p["num_input_rows"] for p in listener.progress) >= n:
+                break
+            _t.sleep(0.2)
+        s = listener.summary()
+        # numInputRows can over-count under availableNow re-planning;
+        # exact once-only DELIVERY is asserted via the parquet sink in
+        # test_tick_stream_end_to_end — here we check the feed works.
+        assert s["total_rows"] >= n
+        assert s["n_batches"] >= 3
+        assert s["mean_ms"] is None or s["mean_ms"] >= 0
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_stream_predictions_match_batch_path(spark, tmp_path):
     # End-to-end: the streaming foreachBatch prediction for a
     # single-batch stream equals the batch predict_over_windows result.
