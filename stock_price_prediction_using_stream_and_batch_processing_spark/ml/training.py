@@ -1,0 +1,75 @@
+"""Distributed model (re)training via pyspark.ml — the capability the
+reference NAMES but never implements: ``batch_processor.retrain_model``
+(``batch_processor.py:103-151``) only re-runs inference with the frozen
+``lstm_model.keras``; nothing is ever fitted.
+
+Here the batch job can actually retrain: trailing-window lag features
+(native window functions) -> ``VectorAssembler`` -> ``LinearRegression``
+fitted with MLlib's distributed solver, then scored with the model's
+own ``transform`` (JVM-side, no Python boundary at all). The fitted
+coefficients play the same role as the Keras artifact — a
+deterministic, saveable model the streaming side can reload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def window_features(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    seq_len: int = 5,
+    label_out: str = "label",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Supervised frame: features = the ``seq_len`` trailing values
+    (lag seq_len-1 .. lag 0), label = the NEXT value. One shuffle on the
+    series key; rows without a full window or a next value are dropped."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    out = df
+    for i in range(seq_len):
+        out = out.withColumn(f"lag_{seq_len - 1 - i}", F.lag(value, seq_len - 1 - i).over(w))
+    out = out.withColumn(label_out, F.lead(value, 1).over(w))
+    feat_cols = [f"lag_{i}" for i in range(seq_len - 1, -1, -1)]
+    cond = F.lit(True)
+    for c in feat_cols + [label_out]:
+        cond = cond & F.col(c).isNotNull()
+    return out.filter(cond)
+
+
+def train_next_value_model(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    seq_len: int = 5,
+    tiebreak: str | None = None,
+):
+    """Fit LinearRegression on the windowed frame. Returns
+    (pipeline_model, training_frame). Distributed: feature build is a
+    window shuffle, the fit is MLlib's WLS/L-BFGS over partitioned data."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    frame = window_features(df, key, ts, value, seq_len, tiebreak=tiebreak)
+    feat_cols = [f"lag_{i}" for i in range(seq_len - 1, -1, -1)]
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=feat_cols, outputCol="features"),
+            LinearRegression(featuresCol="features", labelCol="label", regParam=1e-6),
+        ]
+    )
+    model = pipe.fit(frame)
+    return model, frame
+
+
+def score(model, frame: DataFrame, out: str = "predicted_next") -> DataFrame:
+    """JVM-side scoring via the fitted pipeline's transform."""
+    return model.transform(frame).withColumnRenamed("prediction", out)

@@ -435,3 +435,77 @@ def salted_agg_by_type(spark, sf_dir):
         "n_rows",
         F.round("avg_value", 6).alias("avg_value"),
     )
+
+
+@register("approx_agg_stats", oracle=None, tags=("groupby", "approx", "sketch"))
+def approx_agg_stats(spark, sf_dir):
+    """Sketch-based aggregates for interactive scale: HyperLogLog++
+    distinct counts and t-digest-style quantiles per event_type. Not
+    oracle-checkable (algorithm-specific results); error bounds vs the
+    exact aggregates are asserted in tests/test_approx.py. At 100 TB
+    these replace exact distinct/percentile when a bounded error is
+    acceptable — constant memory per group, one shuffle, mergeable
+    partials."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "active_users_union",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop", "union"),
+)
+def active_users_union(spark, sf_dir):
+    """UNION (distinct) via operators/setops.union_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return setops.union_distinct(a, b)
+
+
+@register(
+    "views_except_all_purchases",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setop", "except"),
+)
+def views_except_all_purchases(spark, sf_dir):
+    """EXCEPT ALL (multiset difference): each user id survives
+    max(views - purchases, 0) times — bag semantics the distinct EXCEPT
+    (q: viewers_minus_purchasers) can't express."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return setops.except_all(a, b)
+
+
+@register(
+    "latest3_events_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rn
+    FROM r WHERE rn <= 3
+    """,
+    tags=("topk", "window"),
+)
+def latest3_events_per_user(spark, sf_dir):
+    """Per-key top-k (operators/topk.top_k_per_group): one hash shuffle
+    on the key, per-key heap via row_number — never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    out = topk.top_k_per_group(ev, "user_id", 3, F.col("ts").desc(), F.col("event_id").desc())
+    return out.select("user_id", "event_id", "value", F.col("rn").cast("int").alias("rn"))

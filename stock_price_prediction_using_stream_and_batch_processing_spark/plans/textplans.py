@@ -269,3 +269,44 @@ def simhash_docs(spark, sf_dir):
     one shuffle keyed by doc."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash(d, "text", "doc_id")
+
+
+@register(
+    "doc_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct
+      FROM documents
+    ), r AS (
+      SELECT doc_id, text, toks,
+             CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subword_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - punct_ratio * 4) * 0.3
+                 + least(stopword_ratio * 5, 1.0) * 0.3, 6) AS quality,
+           CASE WHEN len(toks) > 0 AND stopword_ratio >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+           md5({_NORM}) AS fingerprint
+    FROM r
+    """,
+    tags=("text", "profile"),
+)
+def doc_profile(spark, sf_dir):
+    """The one-pass document profile (operators/textops.text_profile):
+    every text-quality feature in a single projection — the shape a
+    corpus-filtering pipeline runs before routing/filtering decisions."""
+    d = load_table(spark, sf_dir, "documents")
+    prof = textops.text_profile(d)
+    return prof.withColumn("n_subword_tokens", F.col("n_subword_tokens").cast("int")).withColumn(
+        "n_chars_actual", F.col("n_chars_actual").cast("int")
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..ml.inference import predict_over_windows
 from ..operators import windows
 from ..sources.ticks import tick_schema
+from .stateful import continuous_trailing_windows
 
 
 def parse_ticks(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -102,3 +103,42 @@ def run_tick_stream(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     return q
+
+
+def run_continuous_prediction_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    predictions_path: str,
+    checkpoint_path: str,
+    seq_len: int = 5,
+    available_now: bool = True,
+):
+    """The gapless upgrade of ``run_tick_stream``'s per-batch predictions:
+    stateful cross-batch trailing windows (streaming/stateful.py) feed
+    the same Arrow inference UDF, so EVERY tick from the ``seq_len``-th
+    on gets a prediction regardless of micro-batch boundaries — the
+    continuity the reference lacks (``stream_consumer.py:72-76``,
+    SURVEY §7 hard part i). Output is a checkpointed append-mode Parquet
+    sink."""
+    parsed = parse_ticks(source)
+    win = continuous_trailing_windows(parsed, seq_len=seq_len)
+
+    # Inference runs inside foreachBatch, not chained onto the stateful
+    # stream: Spark 4.1 crashes feeding applyInPandasWithState output
+    # rows into a downstream pandas_udf (GenericInternalRow
+    # ClassCastException in ArrowEvalPython). The per-batch DataFrame is
+    # a clean boundary; the prediction math and checkpointing are
+    # unchanged.
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        pred = predict_over_windows(batch_df, "window_values", seq_len=seq_len)
+        out = pred.select("symbol", "timestamp", "price", "predicted_price")
+        out.write.mode("append").parquet(predictions_path)
+
+    writer = (
+        win.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

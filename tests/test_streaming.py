@@ -18,6 +18,7 @@ from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tick
 from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
     file_tick_source,
     parse_ticks,
+    run_continuous_prediction_stream,
     run_tick_stream,
 )
 from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.stateful import (
@@ -151,6 +152,32 @@ def test_continuous_equals_batch_windows(spark, tmp_path):
     assert [(r.timestamp, tuple(r.window_values)) for r in stream_rows] == [
         (r.timestamp, tuple(r.window_values)) for r in batch_rows
     ]
+
+
+def test_continuous_prediction_stream_gapless(spark, tmp_path):
+    # End-to-end stateful path: every tick from the 5th on gets a
+    # prediction (no per-batch gaps), and values equal the batch-mode
+    # full-series computation.
+    n, seq_len = 28, 5
+    path = _write_tick_files(tmp_path, n, 4)
+    preds_path = str(tmp_path / "preds")
+    q = run_continuous_prediction_stream(
+        spark,
+        file_tick_source(spark, path, max_files_per_trigger=1),
+        predictions_path=preds_path,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        seq_len=seq_len,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(preds_path).orderBy("timestamp").collect()
+    assert len(got) == n - seq_len + 1  # gapless: 4 batches, zero restart loss
+    prices = [t["price"] for t in generate_ticks(n)]
+    from tests.test_reference_parity import numpy_predict
+
+    want = numpy_predict(prices, seq_len)
+    import numpy as np
+
+    np.testing.assert_allclose([r.predicted_price for r in got], want, rtol=1e-12)
 
 
 def test_metrics_listener_collects_progress(spark, tmp_path):
