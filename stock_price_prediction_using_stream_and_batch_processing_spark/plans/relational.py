@@ -509,3 +509,33 @@ def latest3_events_per_user(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = topk.top_k_per_group(ev, "user_id", 3, F.col("ts").desc(), F.col("event_id").desc())
     return out.select("user_id", "event_id", "value", F.col("rn").cast("int").alias("rn"))
+
+
+@register(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot", "groupby"),
+)
+def pivot_user_event_counts(spark, sf_dir):
+    """PIVOT: per-user event-type count matrix. The value list is given
+    EXPLICITLY — with it, Spark pivots in one pass (grouping expands to
+    conditional aggregates, same plan the oracle spells out); without
+    it, Spark runs an extra distinct-values job first."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(c).alias(c) for c in ["click", "error", "purchase", "signup", "view"]]
+    )

@@ -134,3 +134,53 @@ def stream_dedup_within_watermark(spark, sf_dir):
     )
     name = _run_stream_to_memory(out, "stream_dd", "append")
     return spark.table(name)
+
+
+@register(
+    "stream_join_purchase_error",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS e_ts
+               FROM events WHERE event_type = 'error')
+    SELECT p.user_id, p.purchase_id, e.error_id,
+           CAST(date_diff('second', p.p_ts, e.e_ts) AS BIGINT) AS gap_s
+    FROM p JOIN e ON p.user_id = e.user_id
+     AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_join_purchase_error(spark, sf_dir):
+    """STREAM-STREAM inner join: errors within 30 minutes after a
+    purchase by the same user. Both sides are watermarked streams — the
+    time-bound join condition lets Spark expire state (purchases older
+    than watermark+30min drop from the join buffer); at 100 TB/day this
+    is what keeps stream-stream join state finite. availableNow over the
+    static fixture makes the result deterministic = the batch join the
+    oracle runs."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    )
+    e = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("e_user"), F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))
+    )
+    j = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
+    )
+    name = _run_stream_to_memory(j, "ssjoin", "append")
+    return spark.table(name)

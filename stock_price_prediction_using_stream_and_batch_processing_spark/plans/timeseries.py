@@ -357,3 +357,40 @@ def predict_sliding60_events(spark, sf_dir):
     win = windows.trailing_collect(ev, "user_id", "ts", "value", 60, tiebreak="event_id")
     pred = predict_over_windows(win, "window_values", seq_len=60)
     return pred.select("event_id", "user_id", F.round("predicted_price", 4).alias("predicted_price"))
+
+
+@register(
+    "trend_forecast_per_user",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS t
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(regr_slope(value, t), 6) AS slope,
+           ROUND(regr_intercept(value, t), 6) AS intercept,
+           ROUND(regr_intercept(value, t) + regr_slope(value, t) * COUNT(*), 4) AS forecast_next,
+           COUNT(*) AS n_obs
+    FROM x GROUP BY user_id
+    """,
+    tags=("regression", "forecast", "timeseries"),
+)
+def trend_forecast_per_user(spark, sf_dir):
+    """Per-key OLS trend + next-step forecast with NATIVE regression
+    aggregates (``regr_slope``/``regr_intercept``) — no Python. The
+    grouped-map (applyInPandas) equivalent lives in ml/grouped.py and is
+    asserted equal in tests/test_grouped.py; at scale the native form
+    wins (one hash agg, no Arrow hop), the grouped-map form generalizes
+    to models SQL can't express."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select("user_id", "value", (F.row_number().over(w) - 1).cast("double").alias("t"))
+    return x.groupBy("user_id").agg(
+        F.round(F.expr("regr_slope(value, t)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(value, t)"), 6).alias("intercept"),
+        F.round(
+            F.expr("regr_intercept(value, t)") + F.expr("regr_slope(value, t)") * F.count("*"), 4
+        ).alias("forecast_next"),
+        F.count("*").alias("n_obs"),
+    )

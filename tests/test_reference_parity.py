@@ -113,3 +113,26 @@ def test_multi_symbol_windows_are_per_key(spark):
         assert len(rows) == len(prices) - 4
         for i, r in enumerate(rows):
             assert r.window_values == pytest.approx(prices[i : i + 5])
+
+
+def test_keras_fallback_without_tf(spark):
+    # SURVEY §7 hard part iii: TF optional. With keras unavailable (this
+    # container), load_model must fall back to the linear model even
+    # when an artifact path is supplied.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.ml.predictor import (
+        LinearWindowModel,
+        load_model,
+    )
+
+    try:
+        import keras  # noqa: F401
+
+        has_keras = True
+    except ImportError:
+        has_keras = False
+    m = load_model(5, keras_path="/root/reference/lstm_model.keras" if not has_keras else None)
+    assert isinstance(m, LinearWindowModel)
+    import numpy as np
+
+    out = m.predict(np.ones((3, 5)))
+    assert out.shape == (3,) and np.allclose(out, 1.0)  # weights sum to 1
