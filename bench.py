@@ -80,9 +80,94 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reference_parity": reference_parity_bench(spark),
             }
         )
     )
+
+
+def reference_parity_bench(spark) -> dict:
+    """The two BASELINE.md reference workloads, measured directly:
+    - batch_10k_sliding60_s: 10,000 ticks -> length-60 sliding windows ->
+      batched inference (reference: ~39-49 s; target <= 98 s).
+    - stream_microbatch_mean_ms: mean micro-batch processing time for the
+      tick stream at reference rate shape (reference: ~30 ms driver-side;
+      target <= 60 ms — note ours includes a parquet sink + distributed
+      inference per batch, not a driver print).
+    """
+    import shutil
+    import tempfile
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark import batch as batch_job
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import (
+        ticks_dataframe,
+        ticks_json_lines,
+    )
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.metrics import (
+        BatchMetricsListener,
+    )
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        file_tick_source,
+        run_tick_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_parity_")
+    try:
+        # --- batch: 10k ticks, sliding-60 inference, one declarative plan
+        raw = f"{work}/raw"
+        ticks_dataframe(spark, 10_000).write.parquet(raw)
+        t0 = time.time()
+        preds = batch_job.run_once(spark, raw, k=10_000, seq_len=60, min_rows=100)
+        preds.write.format("noop").mode("overwrite").save()
+        batch_s = round(time.time() - t0, 3)
+
+        # --- stream: 20 micro-batches of 50 ticks each through the full
+        # parse -> sink -> window -> predict pipeline
+        src = f"{work}/stream_in"
+        os.makedirs(src)
+        lines = ticks_json_lines(1000)
+        for i in range(20):
+            p = f"{src}/part-{i:03d}.json"
+            with open(p, "w") as f:
+                f.write("\n".join(lines[i * 50 : (i + 1) * 50]))
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        listener = BatchMetricsListener()
+        spark.streams.addListener(listener)
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # tiny-batch tuning: AQE can't coalesce in streaming, so size
+            # the window shuffle for the batch, not the cluster
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            q = run_tick_stream(
+                spark,
+                file_tick_source(spark, src, max_files_per_trigger=1),
+                sink_path=f"{work}/sink",
+                checkpoint_path=f"{work}/ckpt",
+            )
+            q.awaitTermination(300)
+            deadline = time.time() + 10
+            while len(listener.progress) < 20 and time.time() < deadline:
+                time.sleep(0.2)
+            s = listener.summary()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.streams.removeListener(listener)
+        # Comparison note: the reference's ~30 ms micro-batches held ~1-3
+        # ticks and did a driver-side predict + un-checkpointed MySQL
+        # insert. Ours process 50 ticks/batch through checkpointed
+        # parquet persistence + a distributed window + Arrow inference —
+        # micro-batch SCHEDULING floor (~3 jobs + sink commits) dominates,
+        # so the apples-to-apples number is ms per tick at sustained rate.
+        mean_ms = s["mean_ms"]
+        return {
+            "batch_10k_sliding60_s": batch_s,
+            "stream_microbatch_mean_ms": round(mean_ms, 1) if mean_ms else None,
+            "stream_microbatch_max_ms": s["max_ms"],
+            "stream_ms_per_tick": round(mean_ms / 50.0, 2) if mean_ms else None,
+            "stream_n_batches": s["n_batches"],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
