@@ -59,12 +59,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band
     (rows-per-band = num_hashes/bands) of their MinHash signature.
 
     Plan shape: signatures (narrow) -> explode to (doc, band_key)
     -> self-equi-join on band_key (one shuffle) -> distinct pairs.
+
+    ``max_bucket_size`` drops band buckets with more members than the
+    cap BEFORE the self-join. At corpus scale, boilerplate (license
+    headers, templates) creates mega-buckets whose pair count is
+    O(bucket²) — a 1M-doc bucket is 5·10¹¹ candidate pairs from ONE
+    band. Capping trades recall on exactly those degenerate groups
+    (which exact content-dedup already collapses) for a bounded join.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -75,6 +83,13 @@ def minhash_lsh_pairs(
     banded = sigs.select(F.col(id_col), F.array(*band_cols).alias("bands")).select(
         F.col(id_col), F.explode("bands").alias("band_key")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -144,6 +159,44 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         ).cast("long").alias("simhash"),
     )
     return sig
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    where cluster_id = min doc id reachable through the pair graph —
+    the step that turns pairwise candidates into DEDUP GROUPS (keep one
+    per cluster).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min label in its neighborhood (one groupBy over the edge
+    list); converges in O(graph diameter) rounds — near-dup graphs are
+    unions of small cliques, so 2-3 rounds in practice. Each round is
+    one shuffle keyed by node; no driver-side graph state, so it runs
+    at any scale. Early-exits via an AGGREGATE convergence check (sum
+    of labels strictly decreases until fixpoint).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # self-loops keep isolated-after-filter nodes and each node's own id
+    nodes = edges.select("src").distinct()
+    labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor labels: join edges with labels on dst, min over (own, neighbors)
+        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        both = labels.union(nbr)
+        labels = both.groupBy("node").agg(F.min("label").alias("label"))
+        labels = labels.localCheckpoint(eager=True)  # cut the growing lineage
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3) -> DataFrame:

@@ -539,3 +539,23 @@ def pivot_user_event_counts(spark, sf_dir):
     return out.select(
         "user_id", *[F.col(c).alias(c) for c in ["click", "error", "purchase", "signup", "view"]]
     )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("groupby", "cube", "grouping-sets"),
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE aggregation (all 4 grouping sets in one pass — Spark expands
+    rows per grouping set BEFORE the hash agg, so partial aggregation
+    still applies). Completes the grouping-sets family next to
+    rollup_lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )

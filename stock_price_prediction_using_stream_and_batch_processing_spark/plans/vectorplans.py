@@ -108,3 +108,47 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(e, threshold=0.25, dim=_DIM).select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {_COS_DOUBLE.format(a='a.embedding', b='b.embedding')} >= 0.25
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+    tags=("dedup", "clusters", "vector", "iterative"),
+)
+def embedding_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
+    propagation (operators/dedup.dedup_clusters) — the step that turns
+    pairwise similarity into keep-one-per-group dedup. Oracle is a
+    recursive CTE computing the same transitive closure. One of the few
+    genuinely ITERATIVE dataflows in the engine: each round is one
+    shuffle; convergence is checked with an aggregate, not a collect of
+    the labels."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("c", vectors.cosine("_va", "_vb"))
+        .filter(F.col("c") >= 0.25)
+        .select("id_a", "id_b")
+    )
+    from ..operators import dedup
+
+    return dedup.dedup_clusters(pairs)

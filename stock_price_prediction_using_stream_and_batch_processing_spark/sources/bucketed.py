@@ -1,0 +1,38 @@
+"""Bucketed tables — co-located joins with no shuffle at read time.
+
+The heaviest cost of a fact-fact join at 100 TB is shuffling both
+sides on the join key. Writing both tables bucketed (``bucketBy`` on
+the key, same bucket count) fixes their physical partitioning at WRITE
+time: Spark's scan reports the bucketing as a satisfied
+HashPartitioning, so the join plans with NO Exchange on either side —
+pay the shuffle once at ingest, never again per query. The classic
+lineitem ⋈ orders layout.
+
+Requires a catalog table (``saveAsTable``); plain ``.parquet(path)``
+drops bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-clustered) managed
+    table. ``sortBy`` additionally orders rows inside each bucket file,
+    enabling sort-merge joins without a per-query sort."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

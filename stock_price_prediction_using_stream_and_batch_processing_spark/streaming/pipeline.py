@@ -28,13 +28,25 @@ from ..sources.ticks import tick_schema
 from .stateful import continuous_trailing_windows
 
 
-def parse_ticks(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_ticks(raw: DataFrame, value_col: str = "value", drop_malformed: bool = True) -> DataFrame:
     """Kafka-wire parse: binary/string JSON value -> typed tick columns
-    (reference P0a-P0c, ``stream_consumer.py:96-98``)."""
-    return (
+    (reference P0a-P0c, ``stream_consumer.py:96-98``).
+
+    ``drop_malformed`` (default) discards rows whose essential fields
+    (symbol, timestamp, price) failed to parse — otherwise broken wire
+    messages become null-timestamp rows that poison the raw table and
+    sort first in every window. (The reference had no handling at all:
+    a malformed message yields nulls via ``from_json`` and is written
+    to MySQL as-is.)"""
+    parsed = (
         raw.select(F.from_json(F.col(value_col).cast("string"), tick_schema).alias("data"))
         .select("data.*")
     )
+    if drop_malformed:
+        parsed = parsed.filter(
+            F.col("symbol").isNotNull() & F.col("timestamp").isNotNull() & F.col("price").isNotNull()
+        )
+    return parsed
 
 
 def kafka_tick_source(spark: SparkSession, bootstrap: str, topic: str = "stock_ticks") -> DataFrame:

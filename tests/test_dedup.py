@@ -73,6 +73,53 @@ def test_simhash_near_pairs(docs):
     assert not any(a < 100 <= b for a, b in pairs)  # no cross-family pairs
 
 
+def test_dedup_clusters_from_pairs(spark):
+    # chain 1-2-3 plus clique 10-11-12 plus isolated pair 20-21:
+    # transitive closure must group the chain even though (1,3) is not
+    # a direct pair.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # path graph 0-1-2-...-15: worst-case diameter for label propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(15)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(16)}
+
+
+def test_end_to_end_minhash_to_clusters(docs):
+    # the full pipeline: minhash LSH pairs -> clusters -> keeper set
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8)
+    clusters = dedup.dedup_clusters(pairs)
+    by_cluster = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    # family {0,1,2,3} (identical + one-word-off) lands in one cluster
+    fam = [c for c in by_cluster.values() if 0 in c]
+    assert fam and {0, 1, 2, 3}.issubset(fam[0])
+    # background docs never join the BASE family cluster
+    assert all(i not in fam[0] for i in range(100, 120))
+
+
+def test_minhash_bucket_cap_bounds_boilerplate(spark):
+    # 50 identical boilerplate docs + 2 genuine near-dups. Uncapped, the
+    # boilerplate bucket yields 50*49/2 pairs; capped at 10 the
+    # mega-bucket is dropped entirely while the small near-dup pair
+    # survives.
+    rows = [(i, "this license header is identical boilerplate text repeated everywhere") for i in range(50)]
+    rows += [(100, BASE), (101, BASE.replace("lazy", "sleepy"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16, bands=8)
+    capped = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16, bands=8, max_bucket_size=10)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+
 def test_exact_dedup_deterministic_keeper(docs):
     out1 = sorted(r.doc_id for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect())
     out2 = sorted(r.doc_id for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect())

@@ -59,6 +59,26 @@ def test_parse_ticks_wire_format(spark, tmp_path):
     assert parsed[0].timestamp is not None
 
 
+def test_parse_drops_malformed_wire_messages(spark, tmp_path):
+    # Broken producer messages (bad JSON, missing fields, garbage types)
+    # must not reach the raw table as null rows — null timestamps would
+    # sort first in every window. The reference wrote them to MySQL
+    # as-is (no handling).
+    good = ticks_json_lines(4)
+    bad = ["not json at all", '{"symbol":"AAPL"}', "", '{"price":"x","timestamp":"y"}']
+    src = tmp_path / "mixed"
+    src.mkdir()
+    (src / "part-000.json").write_text("\n".join(good + bad))
+    sink = str(tmp_path / "raw")
+    q = run_tick_stream(
+        spark, file_tick_source(spark, str(src)), sink_path=sink, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    raw = spark.read.parquet(sink)
+    assert raw.count() == 4
+    assert raw.filter("timestamp IS NULL OR price IS NULL OR symbol IS NULL").count() == 0
+
+
 def test_tick_stream_end_to_end(spark, tmp_path):
     n = 40
     path = _write_tick_files(tmp_path, n, 4)
@@ -121,6 +141,47 @@ def test_continuous_windows_span_microbatches(spark, tmp_path):
     assert len(rows) == n - seq_len + 1  # no per-batch restart gaps
     for i, r in enumerate(rows):
         assert r.window_values == pytest.approx(prices[i : i + seq_len])
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    # Kill-and-resume: run the stateful window stream over the first
+    # files, STOP, add more files, restart with the same checkpoint.
+    # The recovered state store must carry the window tail across the
+    # restart — total output identical to one uninterrupted run.
+    n, seq_len = 20, 5
+    src = tmp_path / "ticks_in"
+    src.mkdir()
+    lines = ticks_json_lines(n)
+    base = 1_700_000_000
+
+    def write_file(idx, chunk):
+        p = src / f"part-{idx:03d}.json"
+        p.write_text("\n".join(chunk))
+        os.utime(p, (base + idx, base + idx))
+
+    for i in range(2):  # first half: 2 files x 5 ticks
+        write_file(i, lines[i * 5 : (i + 1) * 5])
+    preds = str(tmp_path / "preds")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_continuous_prediction_stream(
+        spark, file_tick_source(spark, str(src), 1), preds, ckpt, seq_len=seq_len
+    )
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(preds).count()
+    assert n_first == 10 - seq_len + 1
+    for i in range(2, 4):  # second half arrives after the restart
+        write_file(i, lines[i * 5 : (i + 1) * 5])
+    q = run_continuous_prediction_stream(
+        spark, file_tick_source(spark, str(src), 1), preds, ckpt, seq_len=seq_len
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(preds).orderBy("timestamp").collect()
+    assert len(got) == n - seq_len + 1  # no gap at the restart boundary
+    prices = [t["price"] for t in generate_ticks(n)]
+    for i, r in enumerate(got):
+        from tests.test_reference_parity import numpy_predict
+
+        assert r.predicted_price == pytest.approx(numpy_predict(prices[: i + seq_len], seq_len)[-1], rel=1e-12)
 
 
 def test_continuous_equals_batch_windows(spark, tmp_path):
