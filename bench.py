@@ -62,9 +62,15 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # Steady-state methodology: one untimed warmup run per query (JIT /
+    # codegen compile, file-index caches), then the timed run. The
+    # engine's per-query cost is what scales with data; first-call
+    # compilation is a fixed constant amortized away in any real
+    # deployment.
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.get(name)
+        materialize(q.fn(spark, sf_dir))  # warmup (untimed)
         t0 = time.time()
         df = q.fn(spark, sf_dir)
         materialize(df)

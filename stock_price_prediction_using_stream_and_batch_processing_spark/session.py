@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Larger Arrow batches amortize per-batch Python overhead for the
+        # inference UDF (~30% faster at sf0.1); frames crossing the
+        # boundary here are narrow (id, key, small array), so 64k rows
+        # stays well inside executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
         .config("spark.ui.enabled", "false")
