@@ -72,6 +72,28 @@ def file_tick_source(spark: SparkSession, path: str, max_files_per_trigger: int 
     return reader.load(path)
 
 
+def idempotent_epoch_write(df: DataFrame, path: str, epoch_id: int) -> None:
+    """EXACTLY-ONCE foreachBatch parquet write: partition by the epoch id
+    and dynamically overwrite only that epoch's partition. A plain
+    ``mode("append")`` is at-least-once — a crash between the write and
+    the checkpoint commit re-runs the epoch and DUPLICATES its rows; an
+    epoch-keyed overwrite makes the retry replace its own output
+    instead. (The reference's JDBC append had exactly this duplication
+    window — SURVEY §2.8.)"""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_tick_stream(
     spark: SparkSession,
     source: DataFrame,
@@ -97,13 +119,13 @@ def run_tick_stream(
         if batch_df.isEmpty():  # reference P0d guard
             return
         batch_df.persist()
-        batch_df.write.mode("append").parquet(sink_path)
+        idempotent_epoch_write(batch_df, sink_path, epoch_id)
         win = windows.trailing_collect(
             batch_df, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp", full_only=True
         )
         pred = predict_over_windows(win, "window_values", seq_len=seq_len)
         out = pred.select("symbol", "timestamp", "price", "predicted_price")
-        out.write.mode("append").parquet(pred_path)
+        idempotent_epoch_write(out, pred_path, epoch_id)
         batch_df.unpersist()
 
     writer = (
@@ -115,6 +137,13 @@ def run_tick_stream(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     return q
+
+
+def read_stream_output(spark: SparkSession, path: str) -> DataFrame:
+    """Read a sink written by ``idempotent_epoch_write`` with the epoch
+    bookkeeping column dropped."""
+    df = spark.read.parquet(path)
+    return df.drop("_epoch") if "_epoch" in df.columns else df
 
 
 def run_continuous_prediction_stream(
@@ -144,7 +173,7 @@ def run_continuous_prediction_stream(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         pred = predict_over_windows(batch_df, "window_values", seq_len=seq_len)
         out = pred.select("symbol", "timestamp", "price", "predicted_price")
-        out.write.mode("append").parquet(predictions_path)
+        idempotent_epoch_write(out, predictions_path, epoch_id)
 
     writer = (
         win.writeStream.outputMode("append")

@@ -17,7 +17,9 @@ from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tick
 )
 from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
     file_tick_source,
+    idempotent_epoch_write,
     parse_ticks,
+    read_stream_output,
     run_continuous_prediction_stream,
     run_tick_stream,
 )
@@ -74,7 +76,7 @@ def test_parse_drops_malformed_wire_messages(spark, tmp_path):
         spark, file_tick_source(spark, str(src)), sink_path=sink, checkpoint_path=str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
-    raw = spark.read.parquet(sink)
+    raw = read_stream_output(spark, sink)
     assert raw.count() == 4
     assert raw.filter("timestamp IS NULL OR price IS NULL OR symbol IS NULL").count() == 0
 
@@ -94,13 +96,13 @@ def test_tick_stream_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     # Raw sink: every tick persisted exactly once (checkpointed append —
     # fixes the reference's missing checkpointLocation, SURVEY §2.8).
-    raw = spark.read.parquet(sink)
+    raw = read_stream_output(spark, sink)
     assert raw.count() == n
     assert set(raw.columns) == {"symbol", "timestamp", "price", "volume"}
     # Predictions: per-batch trailing windows (reference cross-batch gap
     # semantics, stream_consumer.py:72-76) — each 10-tick batch yields
     # 10-5+1 = 6 full windows.
-    preds = spark.read.parquet(sink + "_predictions")
+    preds = read_stream_output(spark, sink + "_predictions")
     assert preds.count() == 4 * 6
     assert preds.filter("predicted_price IS NULL").count() == 0
 
@@ -115,7 +117,22 @@ def test_tick_stream_restart_is_idempotent(spark, tmp_path):
             spark, file_tick_source(spark, path), sink_path=sink, checkpoint_path=ckpt
         )
         q.awaitTermination(120)
-    assert spark.read.parquet(sink).count() == n
+    assert read_stream_output(spark, sink).count() == n
+
+
+def test_epoch_write_retry_is_exactly_once(spark, tmp_path):
+    # Simulate a foreachBatch retry: the same epoch written twice (crash
+    # between write and checkpoint commit) must NOT duplicate rows; a
+    # different epoch must append.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import ticks_dataframe
+
+    path = str(tmp_path / "sink")
+    df = ticks_dataframe(spark, 10)
+    idempotent_epoch_write(df, path, epoch_id=0)
+    idempotent_epoch_write(df, path, epoch_id=0)  # retry of epoch 0
+    assert read_stream_output(spark, path).count() == 10
+    idempotent_epoch_write(ticks_dataframe(spark, 7, seed=9), path, epoch_id=1)
+    assert read_stream_output(spark, path).count() == 17
 
 
 def test_continuous_windows_span_microbatches(spark, tmp_path):
@@ -167,7 +184,7 @@ def test_stateful_state_survives_restart(spark, tmp_path):
         spark, file_tick_source(spark, str(src), 1), preds, ckpt, seq_len=seq_len
     )
     q.awaitTermination(120)
-    n_first = spark.read.parquet(preds).count()
+    n_first = read_stream_output(spark, preds).count()
     assert n_first == 10 - seq_len + 1
     for i in range(2, 4):  # second half arrives after the restart
         write_file(i, lines[i * 5 : (i + 1) * 5])
@@ -175,7 +192,7 @@ def test_stateful_state_survives_restart(spark, tmp_path):
         spark, file_tick_source(spark, str(src), 1), preds, ckpt, seq_len=seq_len
     )
     q.awaitTermination(120)
-    got = spark.read.parquet(preds).orderBy("timestamp").collect()
+    got = read_stream_output(spark, preds).orderBy("timestamp").collect()
     assert len(got) == n - seq_len + 1  # no gap at the restart boundary
     prices = [t["price"] for t in generate_ticks(n)]
     for i, r in enumerate(got):
@@ -230,7 +247,7 @@ def test_continuous_prediction_stream_gapless(spark, tmp_path):
         seq_len=seq_len,
     )
     q.awaitTermination(120)
-    got = spark.read.parquet(preds_path).orderBy("timestamp").collect()
+    got = read_stream_output(spark, preds_path).orderBy("timestamp").collect()
     assert len(got) == n - seq_len + 1  # gapless: 4 batches, zero restart loss
     prices = [t["price"] for t in generate_ticks(n)]
     from tests.test_reference_parity import numpy_predict
@@ -289,7 +306,7 @@ def test_stream_predictions_match_batch_path(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         (r.timestamp, round(r.predicted_price, 9))
-        for r in spark.read.parquet(sink + "_predictions").collect()
+        for r in read_stream_output(spark, sink + "_predictions").collect()
     }
     static = parse_ticks(spark.read.format("text").load(path))
     win = windows.trailing_collect(static, "symbol", "timestamp", "price", 5, tiebreak="timestamp")
