@@ -45,3 +45,9 @@ def sign_projection_bits(a, planes: list[list[float]]) -> Column:
         plane = F.array(*[F.lit(float(v)) for v in p])
         bits.append(F.when(dot(a, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def dot_literal(a, const_vec: list[float]) -> Column:
+    """Dot product against a driver-side constant vector folded into the
+    plan as literals (for centroid scoring — no broadcast join needed)."""
+    return dot(a, F.array(*[F.lit(float(v)) for v in const_vec]))

@@ -99,6 +99,93 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_build(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """Train an IVF coarse quantizer (MLlib KMeans on a corpus sample)
+    and assign every corpus vector to its nearest centroid cell.
+
+    Returns (assigned_corpus_df_with_`_cell`, centroids ndarray). The
+    k-means fit runs distributed; cell assignment is a broadcast of the
+    k×dim centroid matrix folded into native column expressions (argmin
+    over k squared distances — no Python, no shuffle)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = corpus.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else corpus
+    train = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = np.stack([np.asarray(c) for c in km.clusterCenters()])
+    assigned = corpus.withColumn("_cell", nearest_cell_expr(vec_col, centroids))
+    return assigned, centroids
+
+
+def nearest_cell_expr(vec_col: str, centroids: np.ndarray):
+    """argmin over cells of squared L2 distance, as a pure column
+    expression: ||v-c||² = ||v||² - 2·v·c + ||c||²; ||v||² is constant
+    across cells, so argmin of (||c||² - 2·v·c) suffices. Centroids ride
+    the plan as literals (catalyst constant-folds the per-cell norms)."""
+    scores = [
+        (float(np.dot(c, c)) - 2.0 * vectors.dot_literal(vec_col, c.tolist())).alias(f"_s{i}")
+        for i, c in enumerate(centroids)
+    ]
+    arr = F.array(*scores)
+    return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: each query scores only the vectors in its
+    ``n_probe`` nearest cells. At 100 TB the corpus is stored
+    partitioned/bucketed by cell, so a probe reads n_probe/n_cells of
+    the data — the classic inverted-file trade (recall grows with
+    n_probe). Candidate join is an equi-join on cell id."""
+    assigned, centroids = ivf_build(corpus, dim, n_cells, vec_col, seed)
+    # per-query distances to every centroid -> n_probe nearest cells
+    qcols = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    cell_scores = [
+        (float(np.dot(c, c)) - 2.0 * vectors.dot_literal("_qv", c.tolist())).alias(f"_s{i}")
+        for i, c in enumerate(centroids)
+    ]
+    qcells = qcols.withColumn("_scores", F.array(*cell_scores)).withColumn(
+        "_cell",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_scores"),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                        )
+                    ),
+                    lambda p: p["i"],
+                ),
+                1,
+                n_probe,
+            )
+        ),
+    ).select(query_id, "_qv", F.col("_cell").cast("int"))
+    cand = assigned.join(F.broadcast(qcells), "_cell").filter(F.col(corpus_id) != F.col(query_id))
+    scored = cand.select(query_id, corpus_id, vectors.cosine(vec_col, "_qv").alias("cosine_sim"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -152,3 +152,17 @@ def embedding_dedup_clusters(spark, sf_dir):
     from ..operators import dedup
 
     return dedup.dedup_clusters(pairs)
+
+
+@register("cosine_topk_ivf", oracle=None, tags=("similarity", "vector", "ivf", "approx"))
+def cosine_topk_ivf(spark, sf_dir):
+    """Approximate cosine top-10 via IVF (MLlib k-means coarse quantizer,
+    16 cells, probe 4): each query scores only its probed cells'
+    vectors. Rows-only check; probe-all == brute-force equivalence and
+    planted-neighbor recall asserted in tests/test_similarity.py. At
+    100 TB the corpus is bucketed by cell so a probe reads
+    n_probe/n_cells of the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.ivf_topk(e, q, k=10, dim=_DIM, n_cells=16, n_probe=4)
+    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -92,3 +92,25 @@ def test_lsh_topk_scores_subset_of_bruteforce_universe(spark):
         if (r.q_id, r.vec_id) in exact_sims:
             assert r.cosine_sim == pytest.approx(exact_sims[(r.q_id, r.vec_id)], rel=1e-12)
         assert -1.0 <= r.cosine_sim <= 1.0
+
+
+def test_ivf_probe_all_equals_bruteforce(spark):
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    bf = {(r.q_id, r.vec_id, round(r.cosine_sim, 9)) for r in similarity.brute_force_topk(e, q, k=10).collect()}
+    ivf = {
+        (r.q_id, r.vec_id, round(r.cosine_sim, 9))
+        for r in similarity.ivf_topk(e, q, k=10, dim=DIM, n_cells=16, n_probe=16).collect()
+    }
+    assert ivf == bf  # probing every cell = exact search
+
+
+def test_ivf_finds_planted_partner(planted):
+    # near-identical vectors land in the same k-means cell, so even a
+    # 2-cell probe finds the planted rank-1 partner.
+    q = (
+        planted.filter((F.col("vec_id") >= 1000) & (F.col("vec_id") < 1015))
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    ivf = similarity.ivf_topk(planted, q, k=3, dim=DIM, n_cells=8, n_probe=2).filter("rank = 1")
+    assert {(r.q_id, r.vec_id) for r in ivf.collect()} == {(1000 + i, i) for i in range(15)}
