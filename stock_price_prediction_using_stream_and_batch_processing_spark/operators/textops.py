@@ -32,3 +32,45 @@ def token_frequencies(df: DataFrame, text_col: str = "text", min_count: int = 1)
     toks = df.select(F.explode(text.tokens(text_col)).alias("token"))
     out = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     return out.filter(F.col("cnt") >= min_count)
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every char ``k``-gram
+    of the normalized text, slide a ``window``-position window, keep the
+    min hash of each window, emit the DISTINCT selected hashes per doc.
+    Guarantees any match of length >= k+window-1 shares a fingerprint —
+    the local-similarity detector exact md5 fingerprints can't provide
+    (Schleimer et al.'s MOSS algorithm).
+
+    Plan: per-row k-gram array (positions via sequence; the lambda only
+    touches a plain column attribute, so no per-element re-evaluation of
+    the normalize tree) -> posexplode -> per-doc ordered window min ->
+    distinct. One shuffle keyed by doc."""
+    from pyspark.sql import Window as W
+
+    norm = text.normalize(text_col)
+    d = df.select(F.col(id_col), norm.alias("_norm")).filter(F.length("_norm") >= k)
+    grams = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_norm") - k + 1),
+                lambda i: F.col("_norm").substr(i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(id_col, "pos", hashing.hex32_to_long(F.md5("gram")).alias("h"))
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    # only full windows select a fingerprint (last window-1 positions are
+    # covered by earlier windows)
+    n_pos = W.partitionBy(id_col)
+    win_min = hashed.withColumn("_n", F.max("pos").over(n_pos)).filter(
+        F.col("pos") <= F.col("_n") - window + 1
+    ).withColumn("fp", F.min("h").over(w))
+    return win_min.select(id_col, "fp").distinct()

@@ -310,3 +310,35 @@ def doc_profile(spark, sf_dir):
     return prof.withColumn("n_subword_tokens", F.col("n_subword_tokens").cast("int")).withColumn(
         "n_chars_actual", F.col("n_chars_actual").cast("int")
     )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS nm FROM documents WHERE length({_NORM}) >= 8
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(substr(nm, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT AS h,
+             length(nm) - 8 + 1 AS npos
+      FROM d, UNNEST(range(1, length(nm) - 8 + 2)) AS t(i)
+    ),
+    sel AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams WHERE pos <= npos - 4 + 1
+    )
+    SELECT DISTINCT doc_id, fp FROM sel
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints, k=8 char-grams, window 4
+    (operators/textops.winnowed_fingerprints): local-similarity
+    fingerprints guaranteeing any shared run of length >= 11 chars
+    shares a fingerprint — the MOSS algorithm, per-doc window mins over
+    one doc-keyed shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.winnowed_fingerprints(d, "text", "doc_id", k=8, window=4)

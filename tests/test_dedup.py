@@ -124,3 +124,24 @@ def test_exact_dedup_deterministic_keeper(docs):
     out1 = sorted(r.doc_id for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect())
     out2 = sorted(r.doc_id for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect())
     assert out1 == out2  # min-id keeper, not arbitrary dropDuplicates
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    # Winnowing guarantee: any shared normalized substring of length
+    # >= k + window - 1 (= 11) produces at least one common fingerprint;
+    # fully unrelated docs share none.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.textops import winnowed_fingerprints
+
+    shared = "a common plagiarized sentence lives here"
+    rows = [
+        (1, "first document prefix " + shared + " and an ending one"),
+        (2, "completely different start " + shared + " other tail text"),
+        (3, "zq zzyx unrelated wxv content qqj entirely kkz distinct pp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowed_fingerprints(df, "text", "doc_id", k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
