@@ -92,6 +92,16 @@ def test_semi_anti_joins_plan_as_joins(spark):
         assert kind in plan, f"{name}: expected {kind}\n{plan}"
 
 
+def test_no_cartesian_products_anywhere(spark):
+    # A CartesianProduct in any corpus query is an O(|L|x|R|) landmine
+    # at scale; every join must be equi, broadcast, or range-bucketed.
+    for name, fn in query_map().items():
+        if name.startswith("stream_"):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
 def test_no_python_udf_outside_inference(spark):
     # Everything except the model-inference and mapInPandas multimodal
     # paths must stay JVM-side: no BatchEvalPython (row-at-a-time UDF)
