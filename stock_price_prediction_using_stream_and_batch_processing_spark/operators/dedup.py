@@ -36,17 +36,25 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     """Per-doc MinHash signature: for seed i, sig_i = min over shingles
     of md5(i||shingle).
 
+    Each md5 digest yields FOUR independent 32-bit hash functions (its
+    8-hex chunks), so ``num_hashes`` functions cost ceil(num_hashes/4)
+    digests per shingle — not one digest per seed. Min over fixed-width
+    lowercase hex == numeric min, so the aggregate stays a string MIN.
+
     Shape: explode shingles once, then ONE groupBy(doc) computing all
-    ``num_hashes`` mins — partial (map-side) aggregation means the
-    shuffle carries one signature row per doc per partition, and the
-    expensive shingle expression (regex normalize + slice) is evaluated
-    exactly once per row. (A pure higher-order-function variant with no
-    shuffle re-evaluated the shingle tree per seed — ~40× slower at
-    sf0.1.)"""
+    mins — partial (map-side) aggregation means the shuffle carries one
+    signature row per doc per partition. (History: one md5 per
+    (seed, shingle) doubled the digest work; a pure higher-order-function
+    variant with no shuffle re-evaluated the shingle tree per seed —
+    ~40× slower at sf0.1. A (a·h+b) mod p universal family was REJECTED:
+    32-bit h against the 61-bit modulus made the functions near-monotone
+    in h and the argmins correlated across seeds.)"""
     sh = df.select(F.col(id_col), F.explode(text.word_shingles(text_col, shingle_n)).alias("_sh"))
+    n_digests = (num_hashes + 3) // 4
+    digests = [F.md5(F.concat(F.lit(f"{g}:"), F.col("_sh"))) for g in range(n_digests)]
     return sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh_{i}")
+            F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
     )

@@ -8,9 +8,10 @@ Oracle portability notes (why these SQL strings look the way they do):
 - DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
   replace-all semantics.
 - Spark ``conv(hex,16,10)`` == DuckDB ``('0x'||hex)::BIGINT``.
-- The test corpus contains no actual near-duplicates, so the pair
-  queries are verified as empty==empty by the oracle; their mechanics
-  are proven on constructed duplicate fixtures in tests/test_dedup.py.
+- The documents corpus DOES contain planted near-duplicates (~25 pairs
+  at sf0.01 with 3-gram Jaccard 0.9-0.99): the LSH pair queries find
+  them and the oracle verifies the exact pair set. Operator mechanics
+  are additionally proven on constructed fixtures in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -171,20 +172,21 @@ def token_freq_top100(spark, sf_dir):
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
-    )
+    ),
+    d AS (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh)
     SELECT doc_id,
-           MIN(md5('0:' || sh)) AS mh_0, MIN(md5('1:' || sh)) AS mh_1,
-           MIN(md5('2:' || sh)) AS mh_2, MIN(md5('3:' || sh)) AS mh_3,
-           MIN(md5('4:' || sh)) AS mh_4, MIN(md5('5:' || sh)) AS mh_5,
-           MIN(md5('6:' || sh)) AS mh_6, MIN(md5('7:' || sh)) AS mh_7
-    FROM sh GROUP BY doc_id
+           MIN(substr(d0, 1, 8)) AS mh_0, MIN(substr(d0, 9, 8)) AS mh_1,
+           MIN(substr(d0, 17, 8)) AS mh_2, MIN(substr(d0, 25, 8)) AS mh_3,
+           MIN(substr(d1, 1, 8)) AS mh_4, MIN(substr(d1, 9, 8)) AS mh_5,
+           MIN(substr(d1, 17, 8)) AS mh_6, MIN(substr(d1, 25, 8)) AS mh_7
+    FROM d GROUP BY doc_id
     """,
     tags=("dedup", "minhash", "text"),
 )
 def minhash_signatures_docs(spark, sf_dir):
-    """MinHash signatures (8 seeded md5 min-hashes over word 3-gram
-    shingles) — computed per-row with higher-order functions, no
-    explode/shuffle on the Spark side."""
+    """MinHash signatures: 8 min-hashes over word 3-gram shingles — four
+    independent 32-bit functions per md5 digest, two digests per shingle
+    (operators/dedup.minhash_signatures)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_signatures(d, "text", "doc_id", num_hashes=8)
 
@@ -195,9 +197,12 @@ def minhash_signatures_docs(spark, sf_dir):
     WITH sh AS (
       SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
     ),
+    d AS (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh),
     sig AS (
-      SELECT doc_id, s.seed, MIN(md5(s.seed || ':' || sh)) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      SELECT doc_id, s.seed,
+             MIN(substr(CASE WHEN s.seed < 4 THEN d0 ELSE d1 END,
+                        CAST((s.seed % 4) * 8 + 1 AS INTEGER), 8)) AS mh
+      FROM d CROSS JOIN (SELECT unnest(range(8)) AS seed) s
       GROUP BY doc_id, s.seed
     ),
     bands AS (
