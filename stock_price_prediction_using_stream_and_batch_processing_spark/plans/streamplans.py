@@ -103,13 +103,24 @@ def stream_hourly_counts(spark, sf_dir):
     return spark.table(name)
 
 
-@register("stream_watermark_hourly_append", oracle=None, tags=("streaming", "watermark", "late-data"))
+@register(
+    "stream_watermark_hourly_append",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, COUNT(*) AS n
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark", "late-data"),
+)
 def stream_watermark_hourly_append(spark, sf_dir):
     """Watermarked hourly counts in APPEND mode: only windows the
-    10-minute watermark has closed are emitted — late-data semantics the
-    reference lacks (§2.8). Emit set depends on the final watermark, so
-    this is a rows-only check; exact behavior is pinned in
-    tests/test_streaming.py."""
+    10-minute watermark has CLOSED are emitted — late-data semantics the
+    reference lacks (§2.8). Under availableNow the terminal watermark is
+    max(ts) - 10min, so the emitted set is exactly the windows whose end
+    is at or below it — which is what the oracle computes."""
     s = _stream_events(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -121,11 +132,19 @@ def stream_watermark_hourly_append(spark, sf_dir):
     return spark.table(name)
 
 
-@register("stream_dedup_within_watermark", oracle=None, tags=("streaming", "dedup", "watermark"))
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
 def stream_dedup_within_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state
     (``dropDuplicatesWithinWatermark`` keyed by (user_id, event_type)) —
-    the streaming face of the dedup family."""
+    the streaming face of the dedup family. The fixture arrives as one
+    micro-batch, so within-watermark dedup equals global DISTINCT (the
+    oracle); with re-emission after state expiry the check would be
+    rows-only again — that long-gap behavior is what the operator
+    TRADES for bounded state at 100 TB."""
     s = _stream_events(spark, sf_dir)
     out = (
         s.withWatermark("ts", "1 hour")
