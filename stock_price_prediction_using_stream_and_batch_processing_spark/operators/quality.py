@@ -1,0 +1,55 @@
+"""Data-quality expectations — declarative rule checks over a table.
+
+A pipeline gate needs (a) per-rule violation counts to decide
+pass/fail, and (b) the violating rows for triage. Rules are plain
+boolean Columns (the EXPECTATION, i.e. what should be TRUE), so the
+whole check is one scan with conditional aggregation — no Python, one
+job for all rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One row per rule: (rule, n_violations, n_rows, pass_rate).
+    A NULL rule result counts as a violation (unknown != satisfied)."""
+    aggs = []
+    for name, expr in rules.items():
+        ok = F.coalesce(expr.cast("boolean"), F.lit(False))
+        aggs.append(F.sum(F.when(~ok, 1).otherwise(0)).alias(name))
+    counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    rows = counted.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(name).alias("n_violations"),
+                        F.col("_n").alias("n_rows"),
+                    )
+                    for name in rules
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.withColumn(
+        "pass_rate",
+        F.when(F.col("n_rows") > 0, 1.0 - F.col("n_violations") / F.col("n_rows")).otherwise(1.0),
+    )
+
+
+def violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Rows failing ANY rule, tagged with the list of failed rule names."""
+    fails = F.filter(
+        F.array(
+            *[
+                F.when(~F.coalesce(expr.cast("boolean"), F.lit(False)), F.lit(name))
+                for name, expr in rules.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("failed_rules", fails).filter(F.size("failed_rules") > 0)

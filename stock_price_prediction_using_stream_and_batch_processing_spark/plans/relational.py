@@ -559,3 +559,41 @@ def cube_status_priority(spark, sf_dir):
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+@register(
+    "data_quality_events",
+    oracle="""
+    WITH c AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN value > 0 THEN 0 ELSE 1 END) AS value_positive,
+             SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS user_id_present,
+             SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 0 ELSE 1 END) AS known_event_type,
+             SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS props_is_json
+      FROM events
+    )
+    SELECT rule, n_violations, n AS n_rows,
+           ROUND(1.0 - CAST(n_violations AS DOUBLE) / n, 6) AS pass_rate
+    FROM c UNPIVOT (n_violations FOR rule IN (value_positive, user_id_present, known_event_type, props_is_json))
+    """,
+    tags=("quality", "expectations"),
+)
+def data_quality_events(spark, sf_dir):
+    """Declarative data-quality gate (operators/quality.check): all
+    rules evaluate in ONE scan with conditional aggregation — the
+    pipeline-admission check an LLM-data ingest runs before accepting a
+    batch."""
+    from ..operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    known = ["click", "error", "purchase", "signup", "view"]
+    out = quality.check(
+        ev,
+        {
+            "value_positive": F.col("value") > 0,
+            "user_id_present": F.col("user_id").isNotNull(),
+            "known_event_type": F.col("event_type").isin(known),
+            "props_is_json": F.get_json_object("props", "$").isNotNull(),
+        },
+    )
+    return out.withColumn("pass_rate", F.round("pass_rate", 6))

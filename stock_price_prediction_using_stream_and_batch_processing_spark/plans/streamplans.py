@@ -16,7 +16,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from ..sources.tables import normalize_ns, raw_table
+from ..sources.tables import load_table, normalize_ns, raw_table
 from .core import register
 
 
@@ -202,4 +202,30 @@ def stream_join_purchase_error(spark, sf_dir):
         (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
     )
     name = _run_stream_to_memory(j, "ssjoin", "append")
+    return spark.table(name)
+
+
+@register(
+    "stream_enrich_user_segment",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "stream-static", "enrichment"),
+)
+def stream_enrich_user_segment(spark, sf_dir):
+    """STREAM-STATIC join: enrich the live purchase stream with a
+    dimension table (user -> market segment). The static side is
+    broadcast once per micro-batch plan — no stream state at all, the
+    standard shape for slowly-changing dimension enrichment at any
+    scale. Deterministic (stateless), so fully oracle-checked."""
+    s = _stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    j = s.join(F.broadcast(customer), s["user_id"] == customer["c_custkey"]).select(
+        "event_id", "user_id", "segment", "value"
+    )
+    name = _run_stream_to_memory(j, "stream_enrich", "append")
     return spark.table(name)

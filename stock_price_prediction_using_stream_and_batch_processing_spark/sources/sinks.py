@@ -11,6 +11,8 @@ statistics skip pages for key-selective scans.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,3 +43,39 @@ def read_ticks(spark: SparkSession, path: str) -> DataFrame:
     column via an explicit date predicate) prunes partitions at plan
     time — verify with PartitionFilters in `.explain`."""
     return spark.read.parquet(path)
+
+
+def compact(spark: SparkSession, path: str, partition_col: str | None = None, target_partitions: int = 1) -> int:
+    """Small-files compaction: rewrite a (possibly epoch-fragmented)
+    parquet dir into ``target_partitions`` files per partition value.
+    Streaming sinks accrete one small file per micro-batch per task —
+    at scale, scan cost becomes file-open-bound; periodic compaction
+    restores big-file scans. Materializes (localCheckpoint) before
+    overwriting the path it read. Returns the row count."""
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    n = df.count()
+    if partition_col is not None and partition_col in df.columns:
+        out = df.repartition(target_partitions, F.col(partition_col))
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    else:
+        df.drop("_epoch").coalesce(target_partitions).write.mode("overwrite").parquet(path)
+    return n
+
+
+def expire_partitions(spark: SparkSession, path: str, partition_col: str, keep_values: list) -> list:
+    """Retention (TTL): drop partitions whose value is NOT in
+    ``keep_values``. The partitionBy layout is path-addressable
+    (``col=value/`` dirs), so expiry is a directory delete per expired
+    partition — surviving partitions' files are untouched and no data
+    is rewritten. Returns the partition values dropped."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    present = [r[0] for r in df.select(partition_col).distinct().collect()]
+    drop = [v for v in present if v not in set(keep_values)]
+    for v in drop:
+        # path-addressable layout (partitionBy writes value-named dirs)
+        d = os.path.join(path, f"{partition_col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    return drop

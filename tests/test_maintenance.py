@@ -1,0 +1,84 @@
+"""Table maintenance + data quality: compaction, retention, schema
+evolution, expectation violations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import quality
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources import sinks
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import ticks_dataframe
+
+
+def _parquet_files(d):
+    out = []
+    for root, _, files in os.walk(d):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_shrinks_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    # simulate micro-batch accretion: 8 tiny appends
+    for i in range(8):
+        ticks_dataframe(spark, 10, seed=i).write.mode("append").parquet(path)
+    assert len(_parquet_files(path)) >= 8
+    n = sinks.compact(spark, path)
+    assert n == 80
+    assert len(_parquet_files(path)) == 1
+    assert spark.read.parquet(path).count() == 80
+
+
+def test_compact_partitioned_keeps_layout(spark, tmp_path):
+    path = str(tmp_path / "ticks")
+    sinks.write_partitioned_ticks(ticks_dataframe(spark, 48, step_seconds=3600.0), path)
+    # fragment day 1 with extra appends
+    extra = ticks_dataframe(spark, 5, seed=3).withColumn("date", F.to_date("timestamp"))
+    extra.write.mode("append").partitionBy("date").parquet(path)
+    n = sinks.compact(spark, path, partition_col="date")
+    assert n == 53
+    parts = sorted(d for d in os.listdir(path) if d.startswith("date="))
+    assert parts == ["date=2024-01-01", "date=2024-01-02"]
+    for p in parts:  # one file per partition after compaction
+        assert len(_parquet_files(os.path.join(path, p))) == 1
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    path = str(tmp_path / "ticks")
+    sinks.write_partitioned_ticks(ticks_dataframe(spark, 72, step_seconds=3600.0), path)
+    import datetime as dt
+
+    dropped = sinks.expire_partitions(
+        spark, path, "date", keep_values=[dt.date(2024, 1, 2), dt.date(2024, 1, 3)]
+    )
+    assert dropped == [dt.date(2024, 1, 1)]
+    left = spark.read.parquet(path)
+    assert left.count() == 48
+    assert left.select(F.min("date")).collect()[0][0] == dt.date(2024, 1, 2)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    # later files add a column; mergeSchema read sees the union schema
+    # with nulls for old files — the append-only evolution story.
+    path = str(tmp_path / "evolving")
+    ticks_dataframe(spark, 5).write.mode("append").parquet(path)
+    ticks_dataframe(spark, 5, seed=2).withColumn("venue", F.lit("NYSE")).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "venue" in merged.columns
+    assert merged.count() == 10
+    assert merged.filter("venue IS NULL").count() == 5
+
+
+def test_quality_violations_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 7.0, None), (4, -1.0, None)],
+        "id long, v double, s string",
+    )
+    rules = {"v_pos": F.col("v") > 0, "s_present": F.col("s").isNotNull()}
+    report = {r.rule: r.n_violations for r in quality.check(df, rules).collect()}
+    assert report == {"v_pos": 2, "s_present": 2}
+    bad = {r.id: sorted(r.failed_rules) for r in quality.violations(df, rules).collect()}
+    assert bad == {2: ["v_pos"], 3: ["s_present"], 4: ["s_present", "v_pos"]}
