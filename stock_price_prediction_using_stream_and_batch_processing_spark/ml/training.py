@@ -73,3 +73,16 @@ def train_next_value_model(
 def score(model, frame: DataFrame, out: str = "predicted_next") -> DataFrame:
     """JVM-side scoring via the fitted pipeline's transform."""
     return model.transform(frame).withColumnRenamed("prediction", out)
+
+
+def save_model(model, path: str) -> None:
+    """Persist the fitted pipeline — the engine's counterpart of the
+    reference's ``lstm_model.keras`` artifact, re-loadable on any
+    cluster."""
+    model.write().overwrite().save(path)
+
+
+def load_saved_model(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
