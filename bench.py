@@ -63,18 +63,22 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     # Steady-state methodology: one untimed warmup run per query (JIT /
-    # codegen compile, file-index caches), then the timed run. The
-    # engine's per-query cost is what scales with data; first-call
-    # compilation is a fixed constant amortized away in any real
-    # deployment.
+    # codegen compile, file-index caches), then the MIN of two timed
+    # runs (damps same-host scheduling noise for cross-round
+    # comparability). The engine's per-query cost is what scales with
+    # data; first-call compilation is a fixed constant amortized away in
+    # any real deployment.
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.get(name)
         materialize(q.fn(spark, sf_dir))  # warmup (untimed)
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        materialize(df)
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            materialize(q.fn(spark, sf_dir))
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
