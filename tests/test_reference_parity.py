@@ -136,3 +136,27 @@ def test_keras_fallback_without_tf(spark):
 
     out = m.predict(np.ones((3, 5)))
     assert out.shape == (3,) and np.allclose(out, 1.0)  # weights sum to 1
+
+
+def test_asof_join_tie_semantics(spark):
+    # A right row at EXACTLY the left row's timestamp must match
+    # (inclusive <=), and the latest-not-later right row wins.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.joins import asof_join
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [("A", ts(10)), ("A", ts(20)), ("A", ts(5))], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", ts(10), 1.0), ("A", ts(15), 2.0), ("A", ts(25), 3.0)],
+        "k string, ts timestamp, rv double",
+    )
+    out = {r.ts: r.rv for r in asof_join(left, right, "k", "ts", ["rv"]).collect()}
+    assert out[ts(5)] is None      # nothing at or before t=5
+    assert out[ts(10)] == 1.0      # exact-timestamp match included
+    assert out[ts(20)] == 2.0      # latest right row not after t=20
