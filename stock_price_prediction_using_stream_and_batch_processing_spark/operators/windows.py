@@ -145,3 +145,31 @@ def sessionize(
     return df.withColumn("_new", is_new).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("_new")
+
+
+def ewma_final(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    tiebreak: str | None = None,
+    out: str = "ewma",
+) -> DataFrame:
+    """Final EWMA per key: ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded
+    with the first value. A recursive definition no window frame can
+    express — instead each key's ordered values fold once through
+    ``F.aggregate`` (linear work per key, one shuffle). For per-ROW
+    ewma streams use streaming/stateful.continuous_ewma (state carry);
+    for unbounded histories segment the fold by coarse time bucket and
+    stitch with the carry formula ewma = w·seg + (1-w)·prev."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    sortable = F.struct(*order, F.col(value).alias("_v"))
+    grouped = df.groupBy(key).agg(F.sort_array(F.collect_list(sortable)).alias("_s"))
+    vals = F.transform(F.col("_s"), lambda r: r["_v"])
+    fold = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(F.lit(alpha) * x + F.lit(1.0 - alpha) * acc),
+    )
+    return grouped.select(F.col(key), fold.alias(out), F.size("_s").alias("n_obs"))

@@ -394,3 +394,27 @@ def trend_forecast_per_user(spark, sf_dir):
         ).alias("forecast_next"),
         F.count("*").alias("n_obs"),
     )
+
+
+@register(
+    "ewma_final_per_user",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           ROUND(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma,
+           CAST(len(vals) AS INTEGER) AS n_obs
+    FROM o
+    """,
+    tags=("ewma", "fold", "timeseries"),
+)
+def ewma_final_per_user(spark, sf_dir):
+    """Final EWMA (alpha=0.2) per key — a RECURSIVE per-key statistic no
+    window frame expresses; computed as one ordered fold per key via
+    ``F.aggregate`` (operators/windows.ewma_final). Oracle folds the
+    same list with DuckDB's list_reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.ewma_final(ev, "user_id", "ts", "value", alpha=0.2, tiebreak="event_id")
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"), F.col("n_obs").cast("int").alias("n_obs"))

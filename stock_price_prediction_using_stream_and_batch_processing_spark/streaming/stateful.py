@@ -43,3 +43,31 @@ def continuous_trailing_windows(parsed: DataFrame, seq_len: int = 5) -> DataFram
     return parsed.groupBy("symbol").applyInPandasWithState(
         fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+EWMA_OUTPUT_SCHEMA = "symbol string, timestamp timestamp, price double, ewma double"
+EWMA_STATE_SCHEMA = "cur double"
+
+
+def continuous_ewma(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-row EWMA stream that SPANS micro-batches: the state store
+    carries one double per key (the running ewma). Emits every tick with
+    its updated ewma — the streaming face of windows.ewma_final's
+    recursive statistic."""
+
+    def fn(key, pdfs, state: GroupState):
+        (cur,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["timestamp"])
+            for _, row in pdf.iterrows():
+                x = float(row["price"])
+                cur = x if cur is None else alpha * x + (1.0 - alpha) * cur
+                out.append((key[0], row["timestamp"], x, cur))
+        state.update((cur,))
+        if out:
+            yield pd.DataFrame(out, columns=["symbol", "timestamp", "price", "ewma"])
+
+    return parsed.groupBy("symbol").applyInPandasWithState(
+        fn, EWMA_OUTPUT_SCHEMA, EWMA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

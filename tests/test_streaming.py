@@ -315,3 +315,36 @@ def test_stream_predictions_match_batch_path(spark, tmp_path):
         for r in predict_over_windows(win, "window_values", seq_len=5).collect()
     }
     assert got == want
+
+
+def test_continuous_ewma_spans_batches_and_matches_batch_fold(spark, tmp_path):
+    # Streaming EWMA with state carry == the batch fold over the full
+    # series, regardless of micro-batch boundaries.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.windows import ewma_final
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.stateful import continuous_ewma
+
+    n, alpha = 30, 0.2
+    path = _write_tick_files(tmp_path, n, 6)
+    parsed = parse_ticks(file_tick_source(spark, path, max_files_per_trigger=1))
+    q = (
+        continuous_ewma(parsed, alpha=alpha)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cont_ewma")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cont_ewma ORDER BY timestamp").collect()
+    assert len(rows) == n
+    # python mirror of the recursion
+    prices = [t["price"] for t in generate_ticks(n)]
+    cur = None
+    for r, x in zip(rows, prices):
+        cur = x if cur is None else alpha * x + (1 - alpha) * cur
+        assert r.ewma == pytest.approx(cur, rel=1e-12)
+    # final streaming value == batch fold operator (oracle-checked query path)
+    static = parse_ticks(spark.read.format("text").load(path))
+    batch_final = ewma_final(static, "symbol", "timestamp", "price", alpha=alpha).collect()[0]
+    assert rows[-1].ewma == pytest.approx(batch_final.ewma, rel=1e-12)
