@@ -597,3 +597,34 @@ def data_quality_events(spark, sf_dir):
         },
     )
     return out.withColumn("pass_rate", F.round("pass_rate", 6))
+
+
+@register(
+    "corr_value_props_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+           ROUND(covar_samp(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS covar_vk,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("corr", "json", "groupby"),
+)
+def corr_value_props_by_type(spark, sf_dir):
+    """Statistical aggregates (Pearson corr, sample covariance) between
+    a native column and a JSON-extracted property — the
+    extract-then-aggregate composition; both aggregates are one-pass
+    with map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", k), 4).alias("corr_vk"),
+            F.round(F.covar_samp("value", k), 2).alias("covar_vk"),
+            F.count("*").alias("n"),
+        )
+    )

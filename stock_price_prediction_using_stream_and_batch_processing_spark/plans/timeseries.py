@@ -418,3 +418,37 @@ def ewma_final_per_user(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = windows.ewma_final(ev, "user_id", "ts", "value", alpha=0.2, tiebreak="event_id")
     return out.select("user_id", F.round("ewma", 6).alias("ewma"), F.col("n_obs").cast("int").alias("n_obs"))
+
+
+@register(
+    "returns_volatility_per_user",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, (value - prev) / prev * 100 AS ret
+      FROM w WHERE prev IS NOT NULL AND prev <> 0
+    )
+    SELECT user_id, ROUND(stddev_samp(ret), 4) AS volatility,
+           ROUND(AVG(ret), 4) AS mean_return, COUNT(*) AS n_returns
+    FROM r GROUP BY user_id
+    """,
+    tags=("volatility", "window", "groupby", "timeseries"),
+)
+def returns_volatility_per_user(spark, sf_dir):
+    """Return volatility (sample stddev of lag-1 percent returns) per
+    series key — the canonical risk metric, composed from the
+    lag-returns operator + one grouped aggregation (window shuffle and
+    agg shuffle share the same key partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    r = windows.lag_returns(ev, "user_id", "ts", "value", tiebreak="event_id").filter(
+        F.col("return_pct").isNotNull()
+    )
+    return r.groupBy("user_id").agg(
+        F.round(F.stddev_samp("return_pct"), 4).alias("volatility"),
+        F.round(F.avg("return_pct"), 4).alias("mean_return"),
+        F.count("*").alias("n_returns"),
+    )
