@@ -43,7 +43,10 @@ HEADLINE = [
     "simhash_docs",
     "cosine_topk_bruteforce",
     "media_feature_stats",
-    "stream_hourly_counts",
+    # Watermarked APPEND is the scale-safe streaming headline (bounded
+    # state); complete-mode stream_hourly_counts stays registry-extended
+    # as an oracle-determinism device only.
+    "stream_watermark_hourly_append",
 ]
 
 

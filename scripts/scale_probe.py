@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from stock_price_prediction_using_stream_and_batch_processing_spark import get_spark
-from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import query_map
+from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import full_query_map
 from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import TABLES, load_table
 
 BASE = "/root/testdata/sf0.1"
@@ -97,7 +97,7 @@ def main() -> None:
     global None_or_spark
     spark = None_or_spark = get_spark(app_name="scale-probe")
     build_scaled(spark, factor, out_dir, scale_tables)
-    qs = query_map()
+    qs = full_query_map()
     # warm up codegen/scan paths once
     load_table(spark, out_dir, "events").count()
     print(f"| query | 1x (s) | {factor}x (s) | ratio |")

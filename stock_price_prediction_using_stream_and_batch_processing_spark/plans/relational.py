@@ -100,6 +100,7 @@ def latest_k_events(spark, sf_dir):
     FROM events GROUP BY event_type
     """,
     tags=("groupby", "count", "distinct"),
+    driver=False,
 )
 def count_by_event_type(spark, sf_dir):
     """Group count + distinct count (reference A1 generalized to GROUP BY)."""
@@ -112,18 +113,22 @@ def count_by_event_type(spark, sf_dir):
 @register(
     "global_agg_stats",
     oracle="""
-    SELECT COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+    SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_v, MAX(value) AS max_v,
            ROUND(AVG(value), 4) AS avg_v, ROUND(SUM(value), 2) AS sum_v
     FROM events
     """,
-    tags=("aggregate",),
+    tags=("aggregate", "distinct"),
 )
 def global_agg_stats(spark, sf_dir):
     """min/mean/max/sum — the reference's driver-side NumPy metric aggs
-    (A2, ``stream_consumer.py:110-111``) as one distributed agg."""
+    (A2, ``stream_consumer.py:110-111``) as one distributed agg — plus
+    COUNT DISTINCT (A1's distinct-count face; the grouped variant is the
+    extended-tier ``count_by_event_type``)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
         F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
         F.round(F.avg("value"), 4).alias("avg_v"),
@@ -172,6 +177,7 @@ def pricing_summary(spark, sf_dir):
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("rollup", "groupby"),
+    driver=False,
 )
 def rollup_lineitem(spark, sf_dir):
     """Hierarchical totals via ROLLUP (grouping-sets family — absent
@@ -192,6 +198,7 @@ def rollup_lineitem(spark, sf_dir):
     FROM events GROUP BY event_type
     """,
     tags=("percentile", "groupby"),
+    driver=False,
 )
 def percentiles_by_type(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
@@ -232,6 +239,7 @@ def date_parts_orders(spark, sf_dir):
     FROM orders GROUP BY 1
     """,
     tags=("case", "groupby"),
+    driver=False,
 )
 def case_when_price_bands(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
@@ -355,6 +363,7 @@ def top_parts_by_revenue(spark, sf_dir):
     "distinct_user_type_pairs",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("distinct",),
+    driver=False,
 )
 def distinct_user_type_pairs(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -385,6 +394,7 @@ def purchasers_who_also_errored(spark, sf_dir):
     SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
     tags=("set-op", "except"),
+    driver=False,
 )
 def viewers_minus_purchasers(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -447,9 +457,13 @@ def approx_agg_stats(spark, sf_dir):
     acceptable — constant memory per group, one shuffle, mergeable
     partials."""
     ev = load_table(spark, sf_dir, "events")
+    pq = F.percentile_approx("value", [0.5, 0.95], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        # Scalar columns, not an array<double>: the driver's
+        # order-insensitive value-hash can't factorize list cells.
+        F.element_at(pq, 1).alias("value_p50"),
+        F.element_at(pq, 2).alias("value_p95"),
         F.count("*").alias("n_rows"),
     )
 
@@ -515,11 +529,11 @@ def latest3_events_per_user(spark, sf_dir):
     "pivot_user_event_counts",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
     tags=("pivot", "groupby"),
@@ -565,11 +579,11 @@ def cube_status_priority(spark, sf_dir):
     "data_quality_events",
     oracle="""
     WITH c AS (
-      SELECT COUNT(*) AS n,
-             SUM(CASE WHEN value > 0 THEN 0 ELSE 1 END) AS value_positive,
-             SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS user_id_present,
-             SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 0 ELSE 1 END) AS known_event_type,
-             SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS props_is_json
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 0 THEN 0 ELSE 1 END) AS BIGINT) AS value_positive,
+             CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS user_id_present,
+             CAST(SUM(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 0 ELSE 1 END) AS BIGINT) AS known_event_type,
+             CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS props_is_json
       FROM events
     )
     SELECT rule, n_violations, n AS n_rows,

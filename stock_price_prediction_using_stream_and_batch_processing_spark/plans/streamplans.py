@@ -22,14 +22,26 @@ from .core import register
 
 def _run_stream_to_memory(sdf, name_prefix: str, output_mode: str):
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = sdf.sparkSession
+    # A stateful streaming query opens + commits one state store PER
+    # shuffle partition PER micro-batch; under a driver session left at
+    # the 200 default that store overhead (~35 s for the stream-stream
+    # join at sf0.01) dwarfs the data. Pin a small sizing while the
+    # query runs — the partition count is baked into the (throwaway)
+    # checkpoint at start, so restoring afterwards is safe.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -62,6 +74,7 @@ def _stream_events(spark, sf_dir):
     FROM events WHERE event_type = 'purchase' AND value > 100
     """,
     tags=("streaming", "filter", "projection"),
+    driver=False,
 )
 def stream_filter_project_events(spark, sf_dir):
     """Stateless streaming filter+project (reference P0 path under
@@ -83,6 +96,7 @@ def stream_filter_project_events(spark, sf_dir):
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window-agg", "groupby"),
+    driver=False,
 )
 def stream_hourly_counts(spark, sf_dir):
     """Streaming tumbling-window aggregation (complete mode): the
@@ -213,6 +227,7 @@ def stream_join_purchase_error(spark, sf_dir):
     WHERE e.event_type = 'purchase'
     """,
     tags=("streaming", "join", "stream-static", "enrichment"),
+    driver=False,
 )
 def stream_enrich_user_segment(spark, sf_dir):
     """STREAM-STATIC join: enrich the live purchase stream with a

@@ -43,6 +43,7 @@ _SHINGLES = (
     FROM documents
     """,
     tags=("text", "tokens"),
+    driver=False,
 )
 def doc_token_stats(spark, sf_dir):
     """Token counting, whitespace + BPE-ish regex sub-word counts
@@ -81,6 +82,7 @@ def doc_token_stats(spark, sf_dir):
     FROM r
     """,
     tags=("text", "quality"),
+    driver=False,
 )
 def doc_quality(spark, sf_dir):
     """Composite quality score (length band + punctuation + stopword
@@ -107,6 +109,7 @@ def doc_quality(spark, sf_dir):
     FROM t
     """,
     tags=("text", "langid"),
+    driver=False,
 )
 def doc_lang_id(spark, sf_dir):
     """Stopword-ratio language ID heuristic."""
@@ -120,6 +123,7 @@ def doc_lang_id(spark, sf_dir):
     "doc_fingerprint",
     oracle=f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
     tags=("text", "fingerprint", "dedup"),
+    driver=False,
 )
 def doc_fingerprint(spark, sf_dir):
     """Normalized-content md5 fingerprint per doc (exact-dedup key)."""
@@ -182,6 +186,7 @@ def token_freq_top100(spark, sf_dir):
     FROM d GROUP BY doc_id
     """,
     tags=("dedup", "minhash", "text"),
+    driver=False,
 )
 def minhash_signatures_docs(spark, sf_dir):
     """MinHash signatures: 8 min-hashes over word 3-gram shingles — four

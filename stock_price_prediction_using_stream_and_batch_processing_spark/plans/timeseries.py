@@ -43,6 +43,7 @@ FROM w WHERE rn >= 5
     FROM events
     """,
     tags=("window", "timeseries"),
+    driver=False,
 )
 def trailing_mean_events(spark, sf_dir):
     """Reference W1 (trailing-5 over the ordered series,
@@ -66,6 +67,7 @@ def trailing_mean_events(spark, sf_dir):
     FROM w WHERE wn = 60
     """,
     tags=("window", "timeseries"),
+    driver=False,
 )
 def sliding60_mean_events(spark, sf_dir):
     """Reference W2 (length-60 sliding windows with the full-window
@@ -89,6 +91,7 @@ def sliding60_mean_events(spark, sf_dir):
     FROM w WHERE prev IS NOT NULL AND prev <> 0
     """,
     tags=("window", "lag", "timeseries"),
+    driver=False,
 )
 def lag_returns_events(spark, sf_dir):
     """Lag features / percent returns per series key."""
@@ -238,6 +241,7 @@ def vwap_lineitem(spark, sf_dir):
     FROM s GROUP BY user_id, session_id
     """,
     tags=("session", "window", "timeseries"),
+    driver=False,
 )
 def sessionize_events(spark, sf_dir):
     """Sessionization (30-min inactivity gap): lag + running sum, then

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from stock_price_prediction_using_stream_and_batch_processing_spark.ml.grouped import per_key_linear_forecast
-from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import query_map
+from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import full_query_map
 from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_grouped_map_equals_native_regression(spark):
     native = {
-        r.user_id: r for r in query_map()["trend_forecast_per_user"](spark, SF).collect()
+        r.user_id: r for r in full_query_map()["trend_forecast_per_user"](spark, SF).collect()
     }
     ev = load_table(spark, SF, "events")
     grouped = {

@@ -8,13 +8,13 @@ from __future__ import annotations
 
 import pytest
 
-from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import query_map
+from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import full_query_map
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = query_map()[name](spark, SF)
+    df = full_query_map()[name](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -80,7 +80,7 @@ def test_topk_uses_take_ordered(spark):
 def test_exact_dedup_shuffles_digest_not_text(spark):
     # content_dedup_docs groups by md5 fingerprint; the shuffle must not
     # carry the raw text column.
-    df = query_map()["content_dedup_docs"](spark, SF)
+    df = full_query_map()["content_dedup_docs"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex and all("text" not in ln for ln in ex)
@@ -95,7 +95,7 @@ def test_semi_anti_joins_plan_as_joins(spark):
 def test_no_cartesian_products_anywhere(spark):
     # A CartesianProduct in any corpus query is an O(|L|x|R|) landmine
     # at scale; every join must be equi, broadcast, or range-bucketed.
-    for name, fn in query_map().items():
+    for name, fn in full_query_map().items():
         if name.startswith("stream_"):
             continue
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
@@ -113,7 +113,7 @@ def test_no_python_udf_outside_inference(spark):
         "media_feature_stats",
         "media_feature_extract",
     }
-    for name, fn in query_map().items():
+    for name, fn in full_query_map().items():
         if name.startswith("stream_"):
             continue  # streaming plans build their own sources
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()

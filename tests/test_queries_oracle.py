@@ -11,7 +11,9 @@ from stock_price_prediction_using_stream_and_batch_processing_spark import plans
 from .conftest import SF_SMALL
 from .oracle_check import run_check
 
-ALL = sorted(plans.all_queries())
+# include_extended: the driver checks only the 50 driver-tier queries,
+# but locally EVERY registered query (both tiers) stays differential.
+ALL = sorted(plans.all_queries(include_extended=True))
 WITH_ORACLE = [n for n in ALL if plans.get(n).oracle is not None]
 ROWS_ONLY = [n for n in ALL if plans.get(n).oracle is None]
 
