@@ -348,3 +348,56 @@ def test_continuous_ewma_spans_batches_and_matches_batch_fold(spark, tmp_path):
     static = parse_ticks(spark.read.format("text").load(path))
     batch_final = ewma_final(static, "symbol", "timestamp", "price", alpha=alpha).collect()[0]
     assert rows[-1].ewma == pytest.approx(batch_final.ewma, rel=1e-12)
+
+
+def test_stateful_fold_correct_when_key_spans_many_arrow_chunks(spark, tmp_path):
+    # applyInPandasWithState delivers one key's micro-batch as MULTIPLE
+    # Arrow-sized pandas chunks in no guaranteed row order. Regression
+    # for the bug where each chunk was sorted independently: shrink the
+    # Arrow batch size so a single-key micro-batch arrives as ~15 chunks,
+    # and shuffle the input rows so any per-chunk (or no) sort folds out
+    # of time order. Windows AND ewma must still equal the batch fold.
+    import random
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.windows import ewma_final
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.stateful import continuous_ewma
+
+    n, seq_len, alpha = 100, 5, 0.2
+    src = tmp_path / "ticks_in"
+    src.mkdir()
+    lines = ticks_json_lines(n)
+    random.Random(7).shuffle(lines)  # one file == one micro-batch, time-shuffled
+    (src / "part-000.json").write_text("\n".join(lines))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        parsed = parse_ticks(file_tick_source(spark, str(src)))
+        for name, sdf in [
+            ("chunked_win", continuous_trailing_windows(parsed, seq_len=seq_len)),
+            ("chunked_ewma", continuous_ewma(parsed, alpha=alpha)),
+        ]:
+            q = (
+                sdf.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    prices = [t["price"] for t in generate_ticks(n)]
+    win_rows = spark.sql("SELECT * FROM chunked_win ORDER BY timestamp").collect()
+    assert len(win_rows) == n - seq_len + 1
+    for i, r in enumerate(win_rows):
+        assert tuple(r.window_values) == pytest.approx(tuple(prices[i : i + seq_len]), rel=1e-12)
+
+    ewma_rows = spark.sql("SELECT * FROM chunked_ewma ORDER BY timestamp").collect()
+    assert len(ewma_rows) == n
+    cur = None
+    for r, x in zip(ewma_rows, prices):
+        cur = x if cur is None else alpha * x + (1 - alpha) * cur
+        assert r.ewma == pytest.approx(cur, rel=1e-12)
