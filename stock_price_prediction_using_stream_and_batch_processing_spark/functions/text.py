@@ -25,10 +25,14 @@ def normalize(col) -> Column:
     return F.trim(c)
 
 
+def tokens_from_normalized(norm: Column) -> Column:
+    """Whitespace tokens of an already-normalized column; empty -> []."""
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+
+
 def tokens(col) -> Column:
     """Whitespace tokens of the normalized text; empty text -> empty array."""
-    norm = normalize(col)
-    return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
+    return tokens_from_normalized(normalize(col))
 
 
 def token_count(col) -> Column:
@@ -55,26 +59,46 @@ def punct_ratio(col) -> Column:
     return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    """Fraction of tokens that are stopwords — computed with a
-    higher-order ``filter`` over the token array (no explode, no join,
-    no shuffle)."""
-    toks = tokens(col)
+def stopword_ratio_from_tokens(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """``stopword_ratio`` over an already-materialized token array —
+    the one-pass building block (higher-order ``filter``; no explode,
+    no join, no shuffle)."""
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def stopword_ratio(col, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — computed with a
+    higher-order ``filter`` over the token array (no explode, no join,
+    no shuffle)."""
+    return stopword_ratio_from_tokens(tokens(col), stopwords)
+
+
+def quality_score_from(n_tokens: Column, punct_r: Column, stopword_r: Column) -> Column:
+    """Quality score as pure arithmetic over precomputed signal columns
+    — lets callers materialize tokens/punct ONCE per row instead of
+    re-deriving the normalize/tokenize regex tree per term."""
+    len_score = F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_r * 4)
+    sw_score = F.least(stopword_r * 5, F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3)
+
+
 def quality_score(col) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation
     + stopword presence (real-text signal). Mirrors common LLM-corpus
-    quality filters; every term is a native column expression."""
-    toks_n = token_count(col).cast("double")
-    len_score = F.least(toks_n / F.lit(20.0), F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
-    sw = stopword_ratio(col)
-    sw_score = F.least(sw * 5, F.lit(1.0))
-    return (len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3)
+    quality filters; every term is a native column expression.
+
+    Hot-path callers should use :func:`quality_score_from` over
+    materialized intermediates (see operators/textops.quality_features)
+    — this convenience form re-derives the regex tree per term."""
+    return quality_score_from(token_count(col).cast("double"), punct_ratio(col), stopword_ratio(col))
+
+
+def lang_id_from(n_tokens: Column, stopword_r: Column, threshold: float = 0.08) -> Column:
+    """Language ID from precomputed token count + stopword ratio."""
+    return F.when((n_tokens > 0) & (stopword_r >= threshold), F.lit("en")).otherwise(F.lit("und"))
 
 
 def lang_id(col, threshold: float = 0.08) -> Column:

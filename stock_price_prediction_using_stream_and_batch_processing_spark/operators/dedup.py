@@ -180,8 +180,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     list); converges in O(graph diameter) rounds — near-dup graphs are
     unions of small cliques, so 2-3 rounds in practice. Each round is
     one shuffle keyed by node; no driver-side graph state, so it runs
-    at any scale. Early-exits via an AGGREGATE convergence check (sum
-    of labels strictly decreases until fixpoint).
+    at any scale. Convergence check is type-agnostic (works for string
+    doc ids): count rows whose label changed this round via a self-join
+    of new vs old labels — still aggregate-only, no label collect, and
+    ``limit(1)`` lets Spark stop at the first changed row. A graph with
+    diameter > ``max_iters`` raises instead of returning silently wrong
+    cluster ids.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -191,19 +195,32 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     # self-loops keep isolated-after-filter nodes and each node's own id
     nodes = edges.select("src").distinct()
     labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
-    prev_sum = None
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: join edges with labels on dst, min over (own, neighbors)
         nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
             F.col("src").alias("node"), F.col("label")
         )
         both = labels.union(nbr)
-        labels = both.groupBy("node").agg(F.min("label").alias("label"))
-        labels = labels.localCheckpoint(eager=True)  # cut the growing lineage
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if prev_sum is not None and cur_sum == prev_sum:
+        new_labels = both.groupBy("node").agg(F.min("label").alias("label"))
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut the growing lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(pair graph has a component with larger diameter); "
+            "raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -12,17 +12,74 @@ from ..functions import hashing, text
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One row per doc with the full text-quality feature set."""
-    return df.select(
+    """One row per doc with the full text-quality feature set.
+
+    One-pass shape: the normalize regex runs ONCE per row (stage 1),
+    tokens are split from it once (stage 2), and every ratio/score is
+    arithmetic over those materialized columns (stage 3). Catalyst's
+    CollapseProject keeps the staging because the intermediates are
+    non-cheap and multiply referenced — previously quality_score
+    re-derived the whole regex tree per term (~5× regex per row)."""
+    norm = df.select(
         "doc_id",
-        text.token_count(text_col).alias("n_tokens"),
+        text.normalize(text_col).alias("_norm"),
+        text.punct_ratio(text_col).alias("_punct"),
         text.bpe_ish_token_count(text_col).alias("n_subword_tokens"),
         text.char_count(text_col).alias("n_chars_actual"),
-        F.round(text.punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(text.stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        F.round(text.quality_score(text_col), 6).alias("quality"),
-        text.lang_id(text_col).alias("lang_pred"),
-        hashing.fingerprint(text_col).alias("fingerprint"),
+    )
+    toksed = norm.select(
+        "doc_id",
+        text.tokens_from_normalized(F.col("_norm")).alias("_toks"),
+        F.md5("_norm").alias("fingerprint"),  # == hashing.fingerprint(text)
+        "_punct",
+        "n_subword_tokens",
+        "n_chars_actual",
+    )
+    sized = toksed.select(
+        "doc_id",
+        F.size("_toks").alias("_n"),
+        text.stopword_ratio_from_tokens(F.col("_toks")).alias("_sw"),
+        "_punct",
+        "n_subword_tokens",
+        "n_chars_actual",
+        "fingerprint",
+    )
+    return sized.select(
+        "doc_id",
+        F.col("_n").alias("n_tokens"),
+        "n_subword_tokens",
+        "n_chars_actual",
+        F.round("_punct", 6).alias("punct_ratio"),
+        F.round("_sw", 6).alias("stopword_ratio"),
+        F.round(
+            text.quality_score_from(F.col("_n").cast("double"), F.col("_punct"), F.col("_sw")), 6
+        ).alias("quality"),
+        text.lang_id_from(F.col("_n"), F.col("_sw")).alias("lang_pred"),
+        "fingerprint",
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """punct/stopword ratios + composite quality, one regex pass per row
+    (the hot-path subset of :func:`text_profile`)."""
+    base = df.select(
+        F.col(id_col),
+        text.tokens(text_col).alias("_toks"),
+        text.punct_ratio(text_col).alias("_punct"),
+    )
+    sized = base.select(
+        id_col,
+        F.size("_toks").alias("_n"),
+        text.stopword_ratio_from_tokens(F.col("_toks")).alias("_sw"),
+        "_punct",
+    )
+    return sized.select(
+        id_col,
+        F.round("_punct", 6).alias("punct_ratio"),
+        F.round("_sw", 6).alias("stopword_ratio"),
+        F.round(
+            text.quality_score_from(F.col("_n").cast("double"), F.col("_punct"), F.col("_sw")), 6
+        ).alias("quality"),
     )
 
 

@@ -86,16 +86,10 @@ def doc_token_stats(spark, sf_dir):
 )
 def doc_quality(spark, sf_dir):
     """Composite quality score (length band + punctuation + stopword
-    signal) — the LLM-corpus quality-filter shape, all native exprs."""
+    signal) — the LLM-corpus quality-filter shape, all native exprs;
+    one regex pass per row (operators/textops.quality_features)."""
     d = load_table(spark, sf_dir, "documents")
-    from ..functions import text as tx
-
-    return d.select(
-        "doc_id",
-        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(tx.quality_score("text"), 6).alias("quality"),
-    )
+    return textops.quality_features(d)
 
 
 @register(
