@@ -75,6 +75,32 @@ def score(model, frame: DataFrame, out: str = "predicted_next") -> DataFrame:
     return model.transform(frame).withColumnRenamed("prediction", out)
 
 
+def score_windows(
+    model,
+    df: DataFrame,
+    window_col: str = "window_values",
+    seq_len: int = 5,
+    out: str = "predicted_price",
+) -> DataFrame:
+    """Score trailing-window ARRAYS with a fitted/reloaded pipeline —
+    the bridge that lets the streaming predict path swap its default
+    predictor for a retrained, saved MLlib artifact (the engine's
+    version of the reference hot-swapping ``lstm_model.keras``,
+    ``stream_consumer.py:43-45``).
+
+    The window array unpacks into the ``lag_i`` feature columns the
+    assembler was fitted on (``element_at`` is 1-based; the array's last
+    element is the newest value = ``lag_0``). Entirely JVM-side — no
+    Python boundary."""
+    feat = df
+    for i in range(seq_len):
+        feat = feat.withColumn(f"lag_{i}", F.element_at(F.col(window_col), seq_len - i))
+    scored = model.transform(feat)
+    return scored.withColumnRenamed("prediction", out).drop(
+        "features", *[f"lag_{i}" for i in range(seq_len)]
+    )
+
+
 def save_model(model, path: str) -> None:
     """Persist the fitted pipeline — the engine's counterpart of the
     reference's ``lstm_model.keras`` artifact, re-loadable on any

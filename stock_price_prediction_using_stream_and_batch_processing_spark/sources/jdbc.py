@@ -1,0 +1,177 @@
+"""JDBC interop — the external-database seam the reference used as its
+table of record.
+
+The reference appended every micro-batch to MySQL
+(``/root/reference/stream_consumer.py:61-69``, config ``:34-40``) and
+read it back with the sort+limit pushed into the database as a derived
+table (``/root/reference/batch_processor.py:72-79``, pushdown ``:76``).
+This engine's default durable store is partitioned Parquet
+(sources/sinks.py) — but "same capabilities" includes talking to an
+external RDBMS when one is the system of record, so this module ships
+the reader/writer wrappers with the same semantics.
+
+Environment block (no database exists in the test sandbox, so tests
+verify the constructed option plumbing, not a live round-trip):
+
+- the JDBC driver jar must be on the Spark classpath
+  (``spark.jars`` / ``--jars``; the reference shipped
+  ``mysql-connector-j-9.3.0.jar`` in-repo and wired it via
+  ``spark.driver.extraClassPath`` — ``batch_processor.py:27-29``);
+- connectivity/credentials come from the caller — nothing here reads
+  env vars or hardcodes endpoints.
+
+Scale notes (100 TB posture):
+- A single-connection JDBC read is a one-task scan. ``read_jdbc``
+  exposes Spark's partitioned-read contract (partition_column /
+  lower_bound / upper_bound / num_partitions) so big tables fan out
+  across executors; without it Spark reads on one executor thread.
+- ``pushdown_subquery`` pushes ORDER BY ... LIMIT into the database —
+  the top-k never crosses the wire (reference S3 semantics). For
+  predicate pushdown on a plain table, Spark's JDBC source already
+  pushes filters; verify with PushedFilters in `.explain`.
+- Writes: ``batchsize`` batches INSERTs; ``truncate=true`` on
+  overwrite avoids re-creating the table (keeps indexes/grants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+def jdbc_options(
+    url: str,
+    dbtable: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    **extra: str,
+) -> dict[str, str]:
+    """The option block both directions share (reference
+    ``MYSQL_CONFIG``, ``stream_consumer.py:34-40``). ``extra`` passes
+    through source-specific options (batchsize, fetchsize,
+    sessionInitStatement, ...)."""
+    opts = {
+        "url": url,
+        "driver": driver,
+        "dbtable": dbtable,
+        "user": user,
+        "password": password,
+    }
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def pushdown_subquery(
+    table: str,
+    order_by: str | None = None,
+    descending: bool = True,
+    limit: int | None = None,
+) -> str:
+    """Derived-table string that pushes sort+limit into the database —
+    the reference's latest-k fetch shape
+    (``batch_processor.py:76``: ``(SELECT * FROM stock_ticks_raw ORDER
+    BY timestamp DESC LIMIT 10000) as tmp``)."""
+    q = f"SELECT * FROM {table}"
+    if order_by is not None:
+        q += f" ORDER BY {order_by} {'DESC' if descending else 'ASC'}"
+    if limit is not None:
+        q += f" LIMIT {int(limit)}"
+    return f"({q}) as tmp"
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    **extra: str,
+) -> DataFrameReader:
+    """Configured (not yet loaded) JDBC reader. Callers do ``.load()``;
+    tests inspect the option plumbing without needing a live database.
+
+    With ``partition_column`` + bounds + ``num_partitions`` the scan
+    fans out to one query per stride per executor — the difference
+    between a 1-task and an N-task read of a big table."""
+    extra = dict(extra)
+    extra.setdefault("fetchsize", fetchsize)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partitioned JDBC read needs partition_column, lower_bound, "
+                "upper_bound AND num_partitions"
+            )
+        extra.update(
+            partitionColumn=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+        )
+    opts = jdbc_options(url, dbtable, user, password, driver, **extra)
+    return spark.read.format("jdbc").options(**opts)
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str, user: str, password: str, **kw) -> DataFrame:
+    """Load a JDBC table/derived-table as a DataFrame."""
+    return jdbc_reader(spark, url, dbtable, user, password, **kw).load()
+
+
+def read_jdbc_latest_k(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    ts_col: str = "timestamp",
+    k: int = 10_000,
+    **kw,
+) -> DataFrame:
+    """Reference S3: last-k rows by timestamp with the top-k pushed into
+    the database, re-sorted ascending Spark-side (folding the
+    reference's client-side Pandas re-sort, ``batch_processor.py:114``,
+    into the plan)."""
+    sub = pushdown_subquery(table, order_by=ts_col, descending=True, limit=k)
+    df = read_jdbc(spark, url, sub, user, password, **kw)
+    return df.orderBy(ts_col)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    mode: str = "append",
+    batchsize: int = 10_000,
+    **extra: str,
+) -> None:
+    """Reference S2: append a DataFrame to an RDBMS table
+    (``stream_consumer.py:61-69``). Executors open the connections —
+    each write task INSERTs its own partition, batched by
+    ``batchsize``; partition count bounds connection fan-in."""
+    writer = configured_jdbc_writer(df, url, dbtable, user, password, driver, mode, batchsize, **extra)
+    writer.save()
+
+
+def configured_jdbc_writer(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    mode: str = "append",
+    batchsize: int = 10_000,
+    **extra: str,
+):
+    """The writer ``write_jdbc`` saves — exposed so tests can verify
+    the constructed options without a live database."""
+    opts = jdbc_options(url, dbtable, user, password, driver, batchsize=batchsize, **extra)
+    return df.write.format("jdbc").options(**opts).mode(mode)

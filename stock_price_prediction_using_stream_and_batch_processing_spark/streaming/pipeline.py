@@ -102,6 +102,7 @@ def run_tick_stream(
     seq_len: int = 5,
     predictions_path: str | None = None,
     available_now: bool = True,
+    mllib_model_path: str | None = None,
 ):
     """Parse -> persist raw ticks (Parquet append) -> per-batch trailing
     window prediction, all via ``foreachBatch`` (reference S4 with the
@@ -111,9 +112,18 @@ def run_tick_stream(
     semantics (windows never span micro-batches —
     ``stream_consumer.py:72-76``); streaming/stateful.py provides the
     continuous alternative.
+
+    ``mllib_model_path`` swaps the default predictor for a saved MLlib
+    pipeline (ml/training.save_model) scored JVM-side — the engine's
+    retrained-model hot-swap, mirroring the reference loading
+    ``lstm_model.keras`` at startup (``stream_consumer.py:43-45``).
     """
     parsed = parse_ticks(source)
     pred_path = predictions_path or (sink_path.rstrip("/") + "_predictions")
+    if mllib_model_path is not None:
+        from ..ml.training import load_saved_model, score_windows
+
+        model = load_saved_model(mllib_model_path)  # once, at stream build
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():  # reference P0d guard
@@ -123,7 +133,10 @@ def run_tick_stream(
         win = windows.trailing_collect(
             batch_df, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp", full_only=True
         )
-        pred = predict_over_windows(win, "window_values", seq_len=seq_len)
+        if mllib_model_path is not None:
+            pred = score_windows(model, win, "window_values", seq_len=seq_len)
+        else:
+            pred = predict_over_windows(win, "window_values", seq_len=seq_len)
         out = pred.select("symbol", "timestamp", "price", "predicted_price")
         idempotent_epoch_write(out, pred_path, epoch_id)
         batch_df.unpersist()

@@ -1,0 +1,67 @@
+"""JDBC interop seam (sources/jdbc.py) — reference S2/S3 parity.
+
+No database exists in the sandbox, so these tests verify the
+constructed option plumbing end-to-end short of the socket: the pure
+option/subquery builders, and that a ``.load()``/``.save()`` attempt
+actually reaches Spark's JDBC source with OUR driver class (it must
+fail with ClassNotFound for exactly that class, proving the options
+were applied, not silently dropped)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources import jdbc
+
+
+URL = "jdbc:mysql://localhost:3306/stock_prediction"
+
+
+def test_jdbc_options_block():
+    opts = jdbc.jdbc_options(URL, "stock_ticks_raw", "root", "pw", batchsize=500)
+    assert opts == {
+        "url": URL,
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "dbtable": "stock_ticks_raw",
+        "user": "root",
+        "password": "pw",
+        "batchsize": "500",  # extras stringified for the option map
+    }
+
+
+def test_pushdown_subquery_matches_reference_shape():
+    # batch_processor.py:76 — the exact derived-table fetch shape
+    assert (
+        jdbc.pushdown_subquery("stock_ticks_raw", order_by="timestamp", limit=10_000)
+        == "(SELECT * FROM stock_ticks_raw ORDER BY timestamp DESC LIMIT 10000) as tmp"
+    )
+    assert jdbc.pushdown_subquery("t") == "(SELECT * FROM t) as tmp"
+    assert (
+        jdbc.pushdown_subquery("t", order_by="ts", descending=False, limit=5)
+        == "(SELECT * FROM t ORDER BY ts ASC LIMIT 5) as tmp"
+    )
+
+
+def test_partitioned_reader_requires_full_bounds(spark):
+    with pytest.raises(ValueError, match="num_partitions"):
+        jdbc.jdbc_reader(spark, URL, "t", "u", "p", partition_column="id")
+
+
+def test_reader_options_reach_spark_jdbc_source(spark):
+    reader = jdbc.jdbc_reader(
+        spark, URL, "stock_ticks_raw", "root", "pw",
+        partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=8,
+    )
+    # constructing the reader is lazy and must not touch the network
+    with pytest.raises(Exception) as exc:
+        reader.load()
+    # missing driver jar -> ClassNotFound for the class WE configured
+    assert "com.mysql.cj.jdbc.Driver" in str(exc.value)
+
+
+def test_writer_options_reach_spark_jdbc_source(spark):
+    df = spark.range(3)
+    writer = jdbc.configured_jdbc_writer(df, URL, "stock_ticks_raw", "root", "pw")
+    with pytest.raises(Exception) as exc:
+        writer.save()
+    assert "com.mysql.cj.jdbc.Driver" in str(exc.value)

@@ -1,0 +1,72 @@
+"""Swap-in seams that the sandbox cannot fully exercise: the Kafka
+source (no broker/connector jar) and the Keras model path (no
+TensorFlow). Each seam gets as much coverage as the environment allows
+— plan construction up to the missing artifact, with skip marks where
+the artifact itself is required — so no public code path is
+zero-coverage."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.ml.predictor import (
+    LinearWindowModel,
+    load_model,
+)
+from stock_price_prediction_using_stream_and_batch_processing_spark.streaming import pipeline
+
+_HAS_KERAS = importlib.util.find_spec("keras") is not None
+
+
+def test_kafka_tick_source_plan_builds_or_skips(spark):
+    # Building the source touches Spark's data-source resolution with
+    # our format/options; without the kafka connector jar that's where
+    # it stops — assert the failure is exactly the missing connector
+    # (proving the wiring), then skip the rest.
+    try:
+        df = pipeline.kafka_tick_source(spark, "localhost:9092")
+    except Exception as e:
+        assert "kafka" in str(e).lower()
+        pytest.skip(f"kafka connector not on classpath: {str(e)[:120]}")
+    # with the jar present: an unstarted streaming plan over the Kafka
+    # wire schema that parse_ticks composes on unchanged
+    assert df.isStreaming
+    assert "value" in df.columns
+    parsed = pipeline.parse_ticks(df)
+    assert {"symbol", "timestamp", "price", "volume"} <= set(parsed.columns)
+
+
+@pytest.mark.skipif(_HAS_KERAS, reason="keras installed; fallback branch unreachable")
+def test_load_model_falls_back_without_keras():
+    m = load_model(5, keras_path="/nonexistent/lstm_model.keras")
+    assert isinstance(m, LinearWindowModel)
+
+
+@pytest.mark.skipif(not _HAS_KERAS, reason="keras/TF not in this container")
+def test_load_model_keras_roundtrip(tmp_path):
+    # Mirrors the reference artifact contract (lstm_model.keras:
+    # Input(5,1) -> LSTM stack -> Dense(1)); a tiny Dense stand-in keeps
+    # the test fast while exercising save -> load_model -> predict.
+    import keras
+
+    model = keras.Sequential(
+        [keras.layers.Input(shape=(5,)), keras.layers.Dense(1)]
+    )
+    path = str(tmp_path / "model.keras")
+    model.save(path)
+    loaded = load_model(5, keras_path=path)
+    assert not isinstance(loaded, LinearWindowModel)
+    out = np.asarray(loaded.predict(np.zeros((3, 5))))
+    assert out.reshape(-1).shape == (3,)
+
+
+def test_linear_fallback_accepts_reference_tensor_shape():
+    # (batch, seq, 1) — the reference's reshape contract
+    # (stream_consumer.py:52) must predict identically to (batch, seq).
+    m = LinearWindowModel(5)
+    x2 = np.arange(10, dtype=float).reshape(2, 5)
+    x3 = x2[:, :, None]
+    assert np.allclose(m.predict(x3), m.predict(x2))

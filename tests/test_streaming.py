@@ -317,6 +317,47 @@ def test_stream_predictions_match_batch_path(spark, tmp_path):
     assert got == want
 
 
+def test_stream_scores_with_saved_mllib_model(spark, tmp_path):
+    # Retrained-model hot-swap: train + save an MLlib pipeline, point
+    # the stream at the artifact, and the streaming predictions must
+    # equal batch score_windows over the same windows (JVM-side path).
+    from stock_price_prediction_using_stream_and_batch_processing_spark.ml import training
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import (
+        ticks_dataframe,
+    )
+
+    n, seq_len = 40, 5
+    model, _ = training.train_next_value_model(
+        ticks_dataframe(spark, 300), "symbol", "timestamp", "price", seq_len=seq_len
+    )
+    model_path = str(tmp_path / "model")
+    training.save_model(model, model_path)
+
+    path = _write_tick_files(tmp_path, n, 1)
+    sink = str(tmp_path / "raw")
+    q = run_tick_stream(
+        spark,
+        file_tick_source(spark, path),
+        sink_path=sink,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        seq_len=seq_len,
+        mllib_model_path=model_path,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.timestamp, round(r.predicted_price, 9))
+        for r in read_stream_output(spark, sink + "_predictions").collect()
+    }
+    static = parse_ticks(spark.read.format("text").load(path))
+    win = windows.trailing_collect(static, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp")
+    reloaded = training.load_saved_model(model_path)
+    want = {
+        (r.timestamp, round(r.predicted_price, 9))
+        for r in training.score_windows(reloaded, win, "window_values", seq_len=seq_len).collect()
+    }
+    assert got == want and len(got) == n - seq_len + 1
+
+
 def test_continuous_ewma_spans_batches_and_matches_batch_fold(spark, tmp_path):
     # Streaming EWMA with state carry == the batch fold over the full
     # series, regardless of micro-batch boundaries.

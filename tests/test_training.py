@@ -45,6 +45,29 @@ def test_training_is_deterministic(spark, ticks):
     assert c1 == pytest.approx(c2, rel=1e-9)
 
 
+def test_save_load_roundtrip_and_window_scoring(spark, ticks, tmp_path):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows
+
+    model, frame = training.train_next_value_model(ticks, "symbol", "timestamp", "price", seq_len=5)
+    path = str(tmp_path / "model")
+    training.save_model(model, path)
+    reloaded = training.load_saved_model(path)
+    # score_windows over window ARRAYS == transform over lag columns
+    win = windows.trailing_collect(ticks, "symbol", "timestamp", "price", 5, tiebreak="timestamp")
+    got = {
+        (r.symbol, r.timestamp, round(r.predicted_price, 9))
+        for r in training.score_windows(reloaded, win, "window_values", seq_len=5).collect()
+    }
+    want = {
+        (r.symbol, r.timestamp, round(r.prediction, 9))
+        for r in model.transform(frame).select("symbol", "timestamp", "prediction").collect()
+    }
+    # frame rows additionally require a NEXT value (label) — windows
+    # at each series tail score in got but not in want
+    assert want <= got
+    assert len(got) - len(want) == 2  # one tail row per symbol
+
+
 def test_scoring_stays_jvm_side(spark, ticks):
     model, frame = training.train_next_value_model(ticks, "symbol", "timestamp", "price", seq_len=3)
     plan = training.score(model, frame)._jdf.queryExecution().executedPlan().toString()
