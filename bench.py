@@ -134,48 +134,68 @@ def reference_parity_bench(spark) -> dict:
         preds.write.format("noop").mode("overwrite").save()
         batch_s = round(time.time() - t0, 3)
 
-        # --- stream: 20 micro-batches of 50 ticks each through the full
-        # parse -> sink -> window -> predict pipeline
-        src = f"{work}/stream_in"
-        os.makedirs(src)
-        lines = ticks_json_lines(1000)
-        for i in range(20):
-            p = f"{src}/part-{i:03d}.json"
-            with open(p, "w") as f:
-                f.write("\n".join(lines[i * 50 : (i + 1) * 50]))
-            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
-        listener = BatchMetricsListener()
-        spark.streams.addListener(listener)
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            # tiny-batch tuning: AQE can't coalesce in streaming, so size
-            # the window shuffle for the batch, not the cluster
-            spark.conf.set("spark.sql.shuffle.partitions", "4")
-            q = run_tick_stream(
-                spark,
-                file_tick_source(spark, src, max_files_per_trigger=1),
-                sink_path=f"{work}/sink",
-                checkpoint_path=f"{work}/ckpt",
-            )
-            q.awaitTermination(300)
-            deadline = time.time() + 10
-            while len(listener.progress) < 20 and time.time() < deadline:
-                time.sleep(0.2)
-            s = listener.summary()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-            spark.streams.removeListener(listener)
-        # Comparison note: the reference's ~30 ms micro-batches held ~1-3
-        # ticks and did a driver-side predict + un-checkpointed MySQL
-        # insert. Ours process 50 ticks/batch through checkpointed
-        # parquet persistence + a distributed window + Arrow inference —
-        # micro-batch SCHEDULING floor (~3 jobs + sink commits) dominates,
-        # so the apples-to-apples number is ms per tick at sustained rate.
+        def run_stream(src: str, n_batches: int, shuffle_partitions: str):
+            listener = BatchMetricsListener()
+            spark.streams.addListener(listener)
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                # tiny-batch tuning: AQE can't coalesce in streaming, so
+                # size the window shuffle for the batch, not the cluster
+                spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+                q = run_tick_stream(
+                    spark,
+                    file_tick_source(spark, src, max_files_per_trigger=1),
+                    sink_path=f"{src}_sink",
+                    checkpoint_path=f"{src}_ckpt",
+                )
+                q.awaitTermination(300)
+                deadline = time.time() + 10
+                while len(listener.progress) < n_batches and time.time() < deadline:
+                    time.sleep(0.2)
+                return listener
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+                spark.streams.removeListener(listener)
+
+        def write_batches(name: str, sizes: list[int]) -> str:
+            src = f"{work}/{name}"
+            os.makedirs(src)
+            lines = ticks_json_lines(sum(sizes))
+            at = 0
+            for i, sz in enumerate(sizes):
+                p = f"{src}/part-{i:03d}.json"
+                with open(p, "w") as f:
+                    f.write("\n".join(lines[at : at + sz]))
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+                at += sz
+            return src
+
+        # --- stream A, the BASELINE.md latency target (<=60 ms): the
+        # reference's load shape — ~10 ticks/s arriving as 1-3-tick
+        # micro-batches (producer.py:34; processing_times.png measured
+        # ~100 such batches at mean ~30 ms). 100 batches, steady-state
+        # mean after a 5-batch warmup (first batches pay codegen +
+        # file-index setup that a long-running stream amortizes away).
+        src_ref = write_batches("stream_ref", [1 + (i % 3) for i in range(100)])
+        ref_listener = run_stream(src_ref, 100, "1")
+        durs = [p["duration_ms"] for p in ref_listener.progress if p["duration_ms"] is not None]
+        steady = durs[5:] if len(durs) > 10 else durs
+        ref_mean = sum(steady) / len(steady) if steady else None
+
+        # --- stream B, throughput shape: 20 micro-batches of 50 ticks
+        # through the same parse -> combined sink (persist + window +
+        # predict in one write) pipeline.
+        src_tp = write_batches("stream_tp", [50] * 20)
+        s = run_stream(src_tp, 20, "4").summary()
         mean_ms = s["mean_ms"]
         return {
             "batch_10k_sliding60_s": batch_s,
-            "stream_microbatch_mean_ms": round(mean_ms, 1) if mean_ms else None,
-            "stream_microbatch_max_ms": s["max_ms"],
+            # reference-shaped latency (1-3-tick batches, steady state)
+            "stream_microbatch_mean_ms": round(ref_mean, 1) if ref_mean else None,
+            "stream_microbatch_max_ms": max(steady) if steady else None,
+            "stream_ref_shape_n_batches": len(durs),
+            # 50-tick-batch throughput
+            "stream_tp_mean_ms": round(mean_ms, 1) if mean_ms else None,
             "stream_ms_per_tick": round(mean_ms / 50.0, 2) if mean_ms else None,
             "stream_n_batches": s["n_batches"],
         }

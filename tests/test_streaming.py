@@ -20,6 +20,8 @@ from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pi
     idempotent_epoch_write,
     parse_ticks,
     read_stream_output,
+    read_stream_predictions,
+    read_stream_ticks,
     run_continuous_prediction_stream,
     run_tick_stream,
 )
@@ -94,15 +96,15 @@ def test_tick_stream_end_to_end(spark, tmp_path):
         seq_len=5,
     )
     q.awaitTermination(120)
-    # Raw sink: every tick persisted exactly once (checkpointed append —
+    # Raw view: every tick persisted exactly once (checkpointed append —
     # fixes the reference's missing checkpointLocation, SURVEY §2.8).
-    raw = read_stream_output(spark, sink)
+    raw = read_stream_ticks(spark, sink)
     assert raw.count() == n
     assert set(raw.columns) == {"symbol", "timestamp", "price", "volume"}
-    # Predictions: per-batch trailing windows (reference cross-batch gap
-    # semantics, stream_consumer.py:72-76) — each 10-tick batch yields
-    # 10-5+1 = 6 full windows.
-    preds = read_stream_output(spark, sink + "_predictions")
+    # Predictions view: per-batch trailing windows (reference cross-batch
+    # gap semantics, stream_consumer.py:72-76) — each 10-tick batch
+    # yields 10-5+1 = 6 full windows.
+    preds = read_stream_predictions(spark, sink)
     assert preds.count() == 4 * 6
     assert preds.filter("predicted_price IS NULL").count() == 0
 
@@ -306,7 +308,7 @@ def test_stream_predictions_match_batch_path(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         (r.timestamp, round(r.predicted_price, 9))
-        for r in read_stream_output(spark, sink + "_predictions").collect()
+        for r in read_stream_predictions(spark, sink).collect()
     }
     static = parse_ticks(spark.read.format("text").load(path))
     win = windows.trailing_collect(static, "symbol", "timestamp", "price", 5, tiebreak="timestamp")
@@ -346,7 +348,7 @@ def test_stream_scores_with_saved_mllib_model(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         (r.timestamp, round(r.predicted_price, 9))
-        for r in read_stream_output(spark, sink + "_predictions").collect()
+        for r in read_stream_predictions(spark, sink).collect()
     }
     static = parse_ticks(spark.read.format("text").load(path))
     win = windows.trailing_collect(static, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp")
