@@ -182,6 +182,39 @@ def reference_parity_bench(spark) -> dict:
         steady = durs[5:] if len(durs) > 10 else durs
         ref_mean = sum(steady) / len(steady) if steady else None
 
+        # --- stream floor: the same source shape driven through a
+        # foreachBatch that does NOTHING. What remains is pure Structured
+        # Streaming machinery — offset WAL + commit log fsyncs, source
+        # listing, incremental planning — i.e. the exactly-once tax the
+        # reference's unfenced driver loop (~30 ms, no checkpoint, no
+        # recovery) never pays. The engine's own work per batch is
+        # (stream_microbatch_mean_ms - stream_floor_mean_ms).
+        src_floor = write_batches("stream_floor", [1 + (i % 3) for i in range(40)])
+        from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+            parse_ticks,
+        )
+
+        floor_listener = BatchMetricsListener()
+        spark.streams.addListener(floor_listener)
+        try:
+            fq = (
+                parse_ticks(file_tick_source(spark, src_floor, max_files_per_trigger=1))
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", f"{src_floor}_ckpt")
+                .foreachBatch(lambda df, eid: None)
+                .trigger(availableNow=True)
+                .start()
+            )
+            fq.awaitTermination(300)
+            deadline = time.time() + 10
+            while len(floor_listener.progress) < 40 and time.time() < deadline:
+                time.sleep(0.2)
+        finally:
+            spark.streams.removeListener(floor_listener)
+        fdurs = [p["duration_ms"] for p in floor_listener.progress if p["duration_ms"] is not None]
+        fsteady = fdurs[5:] if len(fdurs) > 10 else fdurs
+        floor_mean = sum(fsteady) / len(fsteady) if fsteady else None
+
         # --- stream B, throughput shape: 20 micro-batches of 50 ticks
         # through the same parse -> combined sink (persist + window +
         # predict in one write) pipeline.
@@ -194,6 +227,8 @@ def reference_parity_bench(spark) -> dict:
             "stream_microbatch_mean_ms": round(ref_mean, 1) if ref_mean else None,
             "stream_microbatch_max_ms": max(steady) if steady else None,
             "stream_ref_shape_n_batches": len(durs),
+            # empty-foreachBatch machinery floor at the same load shape
+            "stream_floor_mean_ms": round(floor_mean, 1) if floor_mean else None,
             # 50-tick-batch throughput
             "stream_tp_mean_ms": round(mean_ms, 1) if mean_ms else None,
             "stream_ms_per_tick": round(mean_ms / 50.0, 2) if mean_ms else None,

@@ -99,6 +99,8 @@ def run_tick_stream(
     available_now: bool = True,
     mllib_model_path: str | None = None,
     keras_path: str | None = None,
+    small_batch_coalesce: int | None = 1,
+    guard_empty_batches: bool = False,
 ):
     """Parse -> persist + predict in ONE sink write per micro-batch, via
     ``foreachBatch`` (reference S4 with the imperative body re-expressed
@@ -116,6 +118,21 @@ def run_tick_stream(
     ``stream_consumer.py:72-76``); streaming/stateful.py provides the
     continuous alternative.
 
+    ``small_batch_coalesce``: at the reference tick rate a micro-batch
+    holds a handful of rows, so the default ``coalesce(1)`` makes the
+    batch SinglePartition — which already satisfies the trailing
+    window's ClusteredDistribution(symbol), so EnsureRequirements plans
+    NO Exchange: the whole batch (scan -> sort -> window -> predict ->
+    sink) is one stage, one task. Set ``None`` for bulk backfills
+    (large ``maxFilesPerTrigger``) where scan/shuffle parallelism
+    matters more than per-batch constants.
+
+    ``guard_empty_batches``: the reference's P0d empty-batch guard as an
+    opt-in — ``isEmpty()`` costs one extra Spark job on EVERY batch to
+    skip work on the rare empty one. Off by default: every operator
+    below is empty-safe, and an empty epoch write is harmless (readers
+    see a zero-row partition).
+
     ``mllib_model_path`` swaps the default predictor for a saved MLlib
     pipeline (ml/training.save_model) scored JVM-side; ``keras_path``
     swaps in a Keras artifact via the Arrow UDF — the engine's
@@ -129,8 +146,10 @@ def run_tick_stream(
         model = load_saved_model(mllib_model_path)  # once, at stream build
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():  # reference P0d guard
+        if guard_empty_batches and batch_df.isEmpty():  # reference P0d guard
             return
+        if small_batch_coalesce:
+            batch_df = batch_df.coalesce(small_batch_coalesce)
         win = windows.trailing_collect(
             batch_df, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp", full_only=False
         )

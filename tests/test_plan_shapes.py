@@ -122,3 +122,30 @@ def test_no_python_udf_outside_inference(spark):
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
                 f"{name} unexpectedly crosses the Python boundary"
             )
+
+
+def test_tiny_batch_coalesce_eliminates_window_exchange(spark):
+    # run_tick_stream's small_batch_coalesce=1 relies on this: a
+    # SinglePartition child already satisfies the trailing window's
+    # ClusteredDistribution(symbol), so EnsureRequirements must plan NO
+    # Exchange — the whole micro-batch runs as one stage, one task.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.ml.inference import (
+        predict_over_windows,
+    )
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import (
+        ticks_dataframe,
+    )
+
+    base = ticks_dataframe(spark, 50).coalesce(1)
+    win = windows.trailing_collect(
+        base, "symbol", "timestamp", "price", 5, tiebreak="timestamp", full_only=False
+    )
+    pred = predict_over_windows(win, "window_values", seq_len=5)
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the default (un-coalesced) path still shuffles by the key
+    win2 = windows.trailing_collect(
+        ticks_dataframe(spark, 50), "symbol", "timestamp", "price", 5, tiebreak="timestamp"
+    )
+    assert "Exchange hashpartitioning" in win2._jdf.queryExecution().executedPlan().toString()
