@@ -68,6 +68,107 @@ def trailing_collect(
     return res
 
 
+def bucketed_trailing_mean(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    n: int,
+    bucket_seconds: int,
+    tiebreak: str | None = None,
+    out: str = "trailing_mean",
+) -> DataFrame:
+    """Trailing-``n`` mean for the one shape a plain row window can't
+    split: a single giant key (one symbol holding ~all of a 100 TB tick
+    table). ``trailing_mean`` partitions by ``key``, so that key's whole
+    history lands in ONE task's sort. Here the series is split into
+    coarse time buckets and the window runs partitioned by
+    ``(key, bucket)`` — every bucket sorts in parallel.
+
+    Exactness across bucket boundaries: the first ``n-1`` rows of each
+    bucket need rows from *earlier* buckets. For each key we build
+    per-bucket tails (last ``n-1`` rows by ``(ts, tiebreak)``, an
+    aggregate — no giant sort), then per key compute each bucket's
+    **cumulative prefix tail** — the last ``n-1`` rows of the
+    concatenation of ALL earlier buckets' tails — with array ops over
+    the per-key bucket list (size B·(n-1) structs, tiny next to the
+    data). Those rows are injected as carry rows (flagged, filtered
+    from the output), so the result is row-for-row identical to
+    ``trailing_mean`` for every occupancy pattern, including empty and
+    sparse buckets.
+
+    Cost model at scale: one extra shuffle keyed ``(key, bucket)`` over
+    ``n-1`` rows per bucket plus a per-key reduce over B buckets; the
+    prefix build is O(B^2·n) array cells per key, so pick
+    ``bucket_seconds`` to keep B (buckets per key) in the low
+    thousands — for 100 TB of one symbol, daily buckets give B=365 and
+    ~270 GB per bucket-task group, further split by Spark's range
+    partitioning of the (key,bucket) hash across executors.
+    """
+    sec = F.col(ts).cast("timestamp").cast("double")
+    base = df.withColumn("_b", F.floor(sec / F.lit(float(bucket_seconds))).cast("long")).withColumn(
+        "_carry", F.lit(False)
+    )
+
+    # Per-(key, bucket) tail: last n-1 rows as ordered structs. The
+    # struct field order (ts, tiebreak, value) makes sort_array sort by
+    # the window's ORDER BY.
+    tail_fields = [F.col(ts).alias("_ts")] + (
+        [F.col(tiebreak).alias("_tb")] if tiebreak else []
+    ) + [F.col(value).alias("_v")]
+    last_n1 = lambda arr: F.when(  # noqa: E731 — local plan fragment
+        F.size(arr) <= n - 1, arr
+    ).otherwise(F.slice(arr, -(n - 1), n - 1))
+    tails = (
+        base.groupBy(key, "_b")
+        .agg(F.sort_array(F.collect_list(F.struct(*tail_fields))).alias("_tail"))
+        .select(key, "_b", last_n1(F.col("_tail")).alias("_tail"))
+    )
+
+    # Per key: buckets in order; carry[i] = last n-1 of flatten(tails of
+    # buckets 0..i-1). All JVM-side higher-order functions.
+    per_key = tails.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("_b"), F.col("_tail")))).alias("_bt")
+    )
+    idx = F.sequence(F.lit(1), F.size("_bt"))
+    carries = per_key.select(
+        key,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("_bt"), i)["_b"].alias("_b"),
+                    last_n1(
+                        F.flatten(
+                            F.transform(
+                                F.slice(F.col("_bt"), F.lit(1), i - 1), lambda s: s["_tail"]
+                            )
+                        )
+                    ).alias("_tail"),
+                ),
+            )
+        ).alias("_c"),
+    ).select(key, F.col("_c._b").alias("_b"), F.explode("_c._tail").alias("_r"))
+
+    carry_cols = [F.col(key), F.col("_b"), F.col("_r._ts").alias(ts)] + (
+        [F.col("_r._tb").alias(tiebreak)] if tiebreak else []
+    ) + [F.col("_r._v").alias(value), F.lit(True).alias("_carry")]
+    carry_rows = carries.select(*carry_cols)
+
+    unioned = base.unionByName(carry_rows, allowMissingColumns=True)
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key, "_b")
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), 0)
+    )
+    return (
+        unioned.withColumn(out, F.avg(value).over(w))
+        .filter(~F.col("_carry"))
+        .drop("_b", "_carry")
+    )
+
+
 def lag_returns(
     df: DataFrame,
     key: str,
@@ -144,7 +245,11 @@ def sessionize(
     composition — two window passes over the same partitioning (one
     shuffle; the second window reuses the first's sort)."""
     w = _w(key, ts, tiebreak)
-    gap_s = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    # via TIMESTAMP first: a direct TIMESTAMP_NTZ->double cast is illegal
+    # (driver testdata ships ts as NTZ; session tz is UTC so the hop is
+    # value-identity)
+    sec = F.col(ts).cast("timestamp").cast("double")
+    gap_s = sec - F.lag(sec).over(w)
     is_new = F.when(gap_s.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("_new", is_new).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))

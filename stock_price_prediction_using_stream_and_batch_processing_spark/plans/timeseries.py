@@ -54,6 +54,30 @@ def trailing_mean_events(spark, sf_dir):
 
 
 @register(
+    "trailing_mean_events_bucketed",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS trailing_mean
+    FROM events
+    """,
+    tags=("window", "timeseries", "skew"),
+    driver=False,
+)
+def trailing_mean_events_bucketed(spark, sf_dir):
+    """The giant-key window strategy (operators/windows.py
+    bucketed_trailing_mean): identical semantics to trailing_mean_events
+    — same oracle — but partitioned by (key, 7-day bucket) with exact
+    cumulative prefix-tail carry, so one dominant key parallelizes
+    instead of serializing into a single task's sort."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.bucketed_trailing_mean(
+        ev, "user_id", "ts", "value", 5, bucket_seconds=7 * 86400, tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", F.round("trailing_mean", 6).alias("trailing_mean"))
+
+
+@register(
     "sliding60_mean_events",
     oracle="""
     WITH w AS (
