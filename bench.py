@@ -71,32 +71,45 @@ def main() -> None:
     # comparability). The engine's per-query cost is what scales with
     # data; first-call compilation is a fixed constant amortized away in
     # any real deployment.
+    # Fault isolation: one broken query must not erase the round's
+    # performance record (round 3 lost ALL numbers to a single
+    # AnalysisException in warmup). Failures become {"err": ...} entries
+    # and the JSON line is always emitted.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        q = plans.get(name)
-        materialize(q.fn(spark, sf_dir))  # warmup (untimed)
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            materialize(q.fn(spark, sf_dir))
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+        try:
+            q = plans.get(name)
+            materialize(q.fn(spark, sf_dir))  # warmup (untimed)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                materialize(q.fn(spark, sf_dir))
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERR {type(exc).__name__}", file=sys.stderr)
+
+    try:
+        parity = reference_parity_bench(spark)
+    except Exception as exc:  # noqa: BLE001
+        parity = {"err": f"{type(exc).__name__}: {exc}"[:500]}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_corpus_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "reference_parity": reference_parity_bench(spark),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_corpus_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "reference_parity": parity,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 def reference_parity_bench(spark) -> dict:

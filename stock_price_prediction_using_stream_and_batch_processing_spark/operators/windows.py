@@ -68,6 +68,18 @@ def trailing_collect(
     return res
 
 
+def _free_name(base: str, taken) -> str:
+    """An internal column name guaranteed not to collide with the
+    input's columns (a caller whose data already has ``_b`` must not
+    silently lose it)."""
+    name = base
+    i = 0
+    while name in taken:
+        i += 1
+        name = f"{base}__{i}"
+    return name
+
+
 def bucketed_trailing_mean(
     df: DataFrame,
     key: str,
@@ -86,49 +98,69 @@ def bucketed_trailing_mean(
     ``(key, bucket)`` — every bucket sorts in parallel.
 
     Exactness across bucket boundaries: the first ``n-1`` rows of each
-    bucket need rows from *earlier* buckets. For each key we build
-    per-bucket tails (last ``n-1`` rows by ``(ts, tiebreak)``, an
-    aggregate — no giant sort), then per key compute each bucket's
+    bucket need rows from *earlier* buckets. Per-bucket tails (the last
+    ``n-1`` rows by ``(ts, tiebreak)``) are found with ``row_number``
+    over a ``(key, bucket)`` window — Spark's window sort is EXTERNAL
+    (spills to disk), so a 270 GB bucket ranks without materializing in
+    memory — and only those ≤``n-1`` rows per bucket reach the
+    ``collect_list`` that builds the tail array (bounded O(n) per
+    group, never the whole bucket). Then per key each bucket's
     **cumulative prefix tail** — the last ``n-1`` rows of the
-    concatenation of ALL earlier buckets' tails — with array ops over
-    the per-key bucket list (size B·(n-1) structs, tiny next to the
-    data). Those rows are injected as carry rows (flagged, filtered
-    from the output), so the result is row-for-row identical to
-    ``trailing_mean`` for every occupancy pattern, including empty and
-    sparse buckets.
+    concatenation of ALL earlier buckets' tails — is computed with
+    array ops over the per-key bucket list (size B·(n-1) structs, tiny
+    next to the data). Those rows are injected as carry rows (flagged,
+    filtered from the output), so the result is row-for-row identical
+    to ``trailing_mean`` for every occupancy pattern, including empty
+    and sparse buckets.
 
-    Cost model at scale: one extra shuffle keyed ``(key, bucket)`` over
-    ``n-1`` rows per bucket plus a per-key reduce over B buckets; the
-    prefix build is O(B^2·n) array cells per key, so pick
-    ``bucket_seconds`` to keep B (buckets per key) in the low
-    thousands — for 100 TB of one symbol, daily buckets give B=365 and
-    ~270 GB per bucket-task group, further split by Spark's range
-    partitioning of the (key,bucket) hash across executors.
+    Cost model at scale: the data passes two ``(key, bucket)``-keyed
+    shuffles (the rank pass and the final window); per-bucket memory is
+    O(n) structs after the rank filter; the prefix build is O(B²·n)
+    array cells per key, so pick ``bucket_seconds`` to keep B (buckets
+    per key) in the low thousands — for 100 TB of one symbol, daily
+    buckets give B=365, and each bucket's sort spills rather than
+    OOMing because it is a window rank, not an aggregation buffer.
     """
-    sec = F.col(ts).cast("timestamp").cast("double")
-    base = df.withColumn("_b", F.floor(sec / F.lit(float(bucket_seconds))).cast("long")).withColumn(
-        "_carry", F.lit(False)
-    )
+    if n <= 1:
+        # Trailing mean of one row is the row itself — no carry, no
+        # bucketing, no shuffle (and F.slice(arr, 0, 0) below would
+        # raise INVALID_PARAMETER_VALUE.START for n=1).
+        return df.withColumn(out, F.col(value).cast("double"))
 
-    # Per-(key, bucket) tail: last n-1 rows as ordered structs. The
-    # struct field order (ts, tiebreak, value) makes sort_array sort by
-    # the window's ORDER BY.
+    b_col = _free_name("_b", df.columns)
+    carry_col = _free_name("_carry", df.columns)
+    rn_col = _free_name("_rn", df.columns)
+
+    sec = F.col(ts).cast("timestamp").cast("double")
+    base = df.withColumn(
+        b_col, F.floor(sec / F.lit(float(bucket_seconds))).cast("long")
+    ).withColumn(carry_col, F.lit(False))
+
+    # Per-(key, bucket) tail: rank rows newest-first with a window
+    # (external sort — spillable) and keep only the last n-1; the
+    # collect_list then aggregates at most n-1 rows per group. Struct
+    # field order (ts, tiebreak, value) makes sort_array order by the
+    # window's ORDER BY.
+    desc_order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w_rank = Window.partitionBy(key, b_col).orderBy(*desc_order)
     tail_fields = [F.col(ts).alias("_ts")] + (
         [F.col(tiebreak).alias("_tb")] if tiebreak else []
     ) + [F.col(value).alias("_v")]
+    tails = (
+        base.withColumn(rn_col, F.row_number().over(w_rank))
+        .filter(F.col(rn_col) <= n - 1)
+        .groupBy(key, b_col)
+        .agg(F.sort_array(F.collect_list(F.struct(*tail_fields))).alias("_tail"))
+    )
+
     last_n1 = lambda arr: F.when(  # noqa: E731 — local plan fragment
         F.size(arr) <= n - 1, arr
     ).otherwise(F.slice(arr, -(n - 1), n - 1))
-    tails = (
-        base.groupBy(key, "_b")
-        .agg(F.sort_array(F.collect_list(F.struct(*tail_fields))).alias("_tail"))
-        .select(key, "_b", last_n1(F.col("_tail")).alias("_tail"))
-    )
 
     # Per key: buckets in order; carry[i] = last n-1 of flatten(tails of
     # buckets 0..i-1). All JVM-side higher-order functions.
     per_key = tails.groupBy(key).agg(
-        F.sort_array(F.collect_list(F.struct(F.col("_b"), F.col("_tail")))).alias("_bt")
+        F.sort_array(F.collect_list(F.struct(F.col(b_col), F.col("_tail")))).alias("_bt")
     )
     idx = F.sequence(F.lit(1), F.size("_bt"))
     carries = per_key.select(
@@ -137,7 +169,7 @@ def bucketed_trailing_mean(
             F.transform(
                 idx,
                 lambda i: F.struct(
-                    F.element_at(F.col("_bt"), i)["_b"].alias("_b"),
+                    F.element_at(F.col("_bt"), i)[b_col].alias(b_col),
                     last_n1(
                         F.flatten(
                             F.transform(
@@ -148,24 +180,24 @@ def bucketed_trailing_mean(
                 ),
             )
         ).alias("_c"),
-    ).select(key, F.col("_c._b").alias("_b"), F.explode("_c._tail").alias("_r"))
+    ).select(key, F.col(f"_c.{b_col}").alias(b_col), F.explode("_c._tail").alias("_r"))
 
-    carry_cols = [F.col(key), F.col("_b"), F.col("_r._ts").alias(ts)] + (
+    carry_cols = [F.col(key), F.col(b_col), F.col("_r._ts").alias(ts)] + (
         [F.col("_r._tb").alias(tiebreak)] if tiebreak else []
-    ) + [F.col("_r._v").alias(value), F.lit(True).alias("_carry")]
+    ) + [F.col("_r._v").alias(value), F.lit(True).alias(carry_col)]
     carry_rows = carries.select(*carry_cols)
 
     unioned = base.unionByName(carry_rows, allowMissingColumns=True)
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = (
-        Window.partitionBy(key, "_b")
+        Window.partitionBy(key, b_col)
         .orderBy(*order)
         .rowsBetween(-(n - 1), 0)
     )
     return (
         unioned.withColumn(out, F.avg(value).over(w))
-        .filter(~F.col("_carry"))
-        .drop("_b", "_carry")
+        .filter(~F.col(carry_col))
+        .drop(b_col, carry_col)
     )
 
 

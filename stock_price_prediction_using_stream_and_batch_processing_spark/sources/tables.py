@@ -33,10 +33,13 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# Columns stored as TIMESTAMP(NANOS) in parquet. Spark has no ns
-# timestamp type; we read them as long (legacy conf, set at runtime so
-# it also applies under a driver-owned session) and convert to
-# microsecond timestamps — the same truncation DuckDB applies.
+# Event-time columns whose parquet physical encoding has varied across
+# driver data generations: TIMESTAMP(NANOS) (read as long under the
+# legacy conf and truncated to micros, matching DuckDB), timestamp[us]
+# WITHOUT timezone (read as TIMESTAMP_NTZ — which ``withWatermark``
+# hard-rejects), or a proper tz-aware timestamp. ``normalize_ns``
+# canonicalizes all three to TIMESTAMP so downstream batch + streaming
+# plans never see the physical encoding.
 NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
 
@@ -56,9 +59,18 @@ def raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_ns(df: DataFrame, name: str) -> DataFrame:
+    """Canonicalize event-time columns to TIMESTAMP regardless of how
+    the parquet file encoded them (bigint nanos, TIMESTAMP_NTZ, or
+    already TIMESTAMP). The session timezone is pinned to UTC
+    (``ensure_session_confs``), so the NTZ→TIMESTAMP cast is
+    value-identity. Works on batch AND streaming DataFrames."""
+    dtypes = dict(df.dtypes)
     for c in NS_TIMESTAMP_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dtypes.get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

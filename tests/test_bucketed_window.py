@@ -58,12 +58,64 @@ def test_bucketed_equals_plain_window(skewed):
 
 def test_bucketed_partitions_by_bucket(skewed):
     """The point of the operator: the window sort runs per (key, bucket),
-    never per key — visible as the extra _b column in the partitioning."""
+    never per key — the Window exec node computing the trailing mean must
+    list BOTH the key and the bucket column in its partition spec."""
+    import re
+
     bucketed = windows.bucketed_trailing_mean(
         skewed, "k", "ts", "v", 5, bucket_seconds=100, tiebreak="i"
     )
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
-    assert "_b" in plan  # window partition key includes the bucket
+    # The avg-over-frame window node: windowspecdefinition(k#.., _b#.., ...)
+    avg_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "avg(" in line
+    ]
+    assert avg_windows, f"no avg window node in plan:\n{plan}"
+    assert any(
+        re.search(r"windowspecdefinition\(k#\d+[L]?,\s*_b#\d+L?", line)
+        for line in avg_windows
+    ), f"avg window not partitioned by (k, _b):\n" + "\n".join(avg_windows)
+
+
+def test_bucketed_n1_short_circuit(spark):
+    """n=1 must not crash (F.slice(arr, 0, 0) raises) — trailing mean of
+    one row is the value itself."""
+    df = spark.range(10).select(
+        F.lit("K").alias("k"),
+        F.col("id").alias("i"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    plain = windows.trailing_mean(df, "k", "ts", "v", 1, tiebreak="i")
+    bucketed = windows.bucketed_trailing_mean(
+        df, "k", "ts", "v", 1, bucket_seconds=5, tiebreak="i"
+    )
+    assert _collect(plain) == _collect(bucketed)
+
+
+def test_bucketed_preserves_existing_b_column(spark):
+    """An input that already has columns named _b/_carry must come
+    through untouched — internal names are collision-safe."""
+    df = spark.range(20).select(
+        F.lit("K").alias("k"),
+        F.col("id").alias("i"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+        (F.col("id") % 3).alias("_b"),
+        F.lit("keepme").alias("_carry"),
+    )
+    res = windows.bucketed_trailing_mean(
+        df, "k", "ts", "v", 3, bucket_seconds=7, tiebreak="i"
+    )
+    assert "_b" in res.columns and "_carry" in res.columns
+    rows = res.select("i", "_b", "_carry", "trailing_mean").collect()
+    assert all(r["_carry"] == "keepme" for r in rows)
+    assert {(r["i"], r["_b"]) for r in rows} == {(i, i % 3) for i in range(20)}
+    plain = windows.trailing_mean(
+        df.drop("_b", "_carry"), "k", "ts", "v", 3, tiebreak="i"
+    )
+    assert _collect(res) == _collect(plain)
 
 
 def test_bucketed_window_larger_than_bucket(spark):
