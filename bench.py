@@ -138,6 +138,17 @@ def reference_parity_bench(spark) -> dict:
     )
 
     work = tempfile.mkdtemp(prefix="bench_parity_")
+    # Tick-rate streaming tuning, applied to EVERY stream measured here
+    # (pipeline, reference-shape, and floor — same settings, so the
+    # mean/floor ratio is like-for-like): push the file-source
+    # seen-files log compaction out of the hot path (default 10 batches
+    # → a full log rewrite every 10th micro-batch showed up as ~1 s
+    # spikes and ~+95 ms on the MEAN at 1-3-tick batches) and retain
+    # fewer checkpoint log entries.
+    prev_compact = spark.conf.get("spark.sql.streaming.fileSource.log.compactInterval", "10")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "1000")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "20")
     try:
         # --- batch: 10k ticks, sliding-60 inference, one declarative plan
         raw = f"{work}/raw"
@@ -195,6 +206,38 @@ def reference_parity_bench(spark) -> dict:
         steady = durs[5:] if len(durs) > 10 else durs
         ref_mean = sum(steady) / len(steady) if steady else None
 
+        # --- stream A-live: the same pipeline under a processingTime
+        # trigger — the faithful analogue of the reference's forever-loop
+        # consumer (stream_consumer.py runs until killed; availableNow is
+        # a backlog-drain shape). Stopped after 100 progress events.
+        src_live = write_batches("stream_live", [1 + (i % 3) for i in range(100)])
+        live_listener = BatchMetricsListener()
+        spark.streams.addListener(live_listener)
+        prev_sp2 = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            lq = run_tick_stream(
+                spark,
+                file_tick_source(spark, src_live, max_files_per_trigger=1),
+                sink_path=f"{src_live}_sink",
+                checkpoint_path=f"{src_live}_ckpt",
+                available_now=False,
+            )
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                got = [p for p in live_listener.progress if p["duration_ms"] is not None]
+                if len(got) >= 100:
+                    break
+                time.sleep(0.2)
+            lq.stop()
+            lq.awaitTermination(30)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp2)
+            spark.streams.removeListener(live_listener)
+        ldurs = [p["duration_ms"] for p in live_listener.progress if p["duration_ms"] is not None]
+        lsteady = ldurs[5:] if len(ldurs) > 10 else ldurs
+        live_mean = sum(lsteady) / len(lsteady) if lsteady else None
+
         # --- stream floor: the same source shape driven through a
         # foreachBatch that does NOTHING. What remains is pure Structured
         # Streaming machinery — offset WAL + commit log fsyncs, source
@@ -240,6 +283,9 @@ def reference_parity_bench(spark) -> dict:
             "stream_microbatch_mean_ms": round(ref_mean, 1) if ref_mean else None,
             "stream_microbatch_max_ms": max(steady) if steady else None,
             "stream_ref_shape_n_batches": len(durs),
+            # same pipeline, live processingTime trigger (the reference's
+            # forever-loop shape)
+            "stream_live_mean_ms": round(live_mean, 1) if live_mean else None,
             # empty-foreachBatch machinery floor at the same load shape
             "stream_floor_mean_ms": round(floor_mean, 1) if floor_mean else None,
             # 50-tick-batch throughput
@@ -248,6 +294,8 @@ def reference_parity_bench(spark) -> dict:
             "stream_n_batches": s["n_batches"],
         }
     finally:
+        spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", prev_compact)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
         shutil.rmtree(work, ignore_errors=True)
 
 

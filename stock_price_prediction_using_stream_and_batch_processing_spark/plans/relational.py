@@ -378,6 +378,7 @@ def distinct_user_type_pairs(spark, sf_dir):
     SELECT user_id FROM events WHERE event_type = 'error'
     """,
     tags=("set-op", "intersect"),
+    driver=False,
 )
 def purchasers_who_also_errored(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
@@ -410,6 +411,7 @@ def viewers_minus_purchasers(spark, sf_dir):
     FROM events GROUP BY user_id, event_type
     """,
     tags=("dedup",),
+    driver=False,
 )
 def dedup_exact_events(spark, sf_dir):
     """Exact dedup keeping the first (min-id) row per key — deterministic,
@@ -493,6 +495,7 @@ def active_users_union(spark, sf_dir):
     SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
     tags=("setop", "except"),
+    driver=False,
 )
 def views_except_all_purchases(spark, sf_dir):
     """EXCEPT ALL (multiset difference): each user id survives
@@ -563,6 +566,7 @@ def pivot_user_event_counts(spark, sf_dir):
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("groupby", "cube", "grouping-sets"),
+    driver=False,
 )
 def cube_status_priority(spark, sf_dir):
     """CUBE aggregation (all 4 grouping sets in one pass — Spark expands
@@ -625,6 +629,7 @@ def data_quality_events(spark, sf_dir):
     GROUP BY event_type
     """,
     tags=("corr", "json", "groupby"),
+    driver=False,
 )
 def corr_value_props_by_type(spark, sf_dir):
     """Statistical aggregates (Pearson corr, sample covariance) between

@@ -74,7 +74,6 @@ def _stream_events(spark, sf_dir):
     FROM events WHERE event_type = 'purchase' AND value > 100
     """,
     tags=("streaming", "filter", "projection"),
-    driver=False,
 )
 def stream_filter_project_events(spark, sf_dir):
     """Stateless streaming filter+project (reference P0 path under
@@ -96,7 +95,6 @@ def stream_filter_project_events(spark, sf_dir):
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window-agg", "groupby"),
-    driver=False,
 )
 def stream_hourly_counts(spark, sf_dir):
     """Streaming tumbling-window aggregation (complete mode): the
@@ -227,7 +225,6 @@ def stream_join_purchase_error(spark, sf_dir):
     WHERE e.event_type = 'purchase'
     """,
     tags=("streaming", "join", "stream-static", "enrichment"),
-    driver=False,
 )
 def stream_enrich_user_segment(spark, sf_dir):
     """STREAM-STATIC join: enrich the live purchase stream with a

@@ -43,7 +43,6 @@ FROM w WHERE rn >= 5
     FROM events
     """,
     tags=("window", "timeseries"),
-    driver=False,
 )
 def trailing_mean_events(spark, sf_dir):
     """Reference W1 (trailing-5 over the ordered series,
@@ -62,7 +61,6 @@ def trailing_mean_events(spark, sf_dir):
     FROM events
     """,
     tags=("window", "timeseries", "skew"),
-    driver=False,
 )
 def trailing_mean_events_bucketed(spark, sf_dir):
     """The giant-key window strategy (operators/windows.py

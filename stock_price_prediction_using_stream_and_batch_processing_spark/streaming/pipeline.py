@@ -101,6 +101,7 @@ def run_tick_stream(
     keras_path: str | None = None,
     small_batch_coalesce: int | None = 1,
     guard_empty_batches: bool = False,
+    async_progress: bool = False,
 ):
     """Parse -> persist + predict in ONE sink write per micro-batch, via
     ``foreachBatch`` (reference S4 with the imperative body re-expressed
@@ -132,6 +133,18 @@ def run_tick_stream(
     skip work on the rare empty one. Off by default: every operator
     below is empty-safe, and an empty epoch write is harmless (readers
     see a zero-row partition).
+
+    ``async_progress``: write the offset WAL / commit log
+    ASYNCHRONOUSLY (``asyncProgressTrackingEnabled``) instead of
+    fencing every micro-batch on two checkpoint fsyncs. Trade: failure
+    recovery replays from the last flushed offset, so the guarantee
+    drops from exactly-once to at-least-once FOR THE OFFSET LOG — but
+    the sink write itself stays idempotent (epoch-keyed overwrite), so
+    replayed epochs overwrite their own output and the END-TO-END
+    result is still duplicate-free. This matches (and still beats) the
+    reference's unfenced consumer loop, which has no recovery log at
+    all. Requires a live (processingTime) trigger — Spark rejects it
+    under availableNow.
 
     ``mllib_model_path`` swaps the default predictor for a saved MLlib
     pipeline (ml/training.save_model) scored JVM-side; ``keras_path``
@@ -178,6 +191,8 @@ def run_tick_stream(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(process_batch)
     )
+    if async_progress:
+        writer = writer.option("asyncProgressTrackingEnabled", "true")
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()

@@ -70,3 +70,28 @@ def test_linear_fallback_accepts_reference_tensor_shape():
     x2 = np.arange(10, dtype=float).reshape(2, 5)
     x3 = x2[:, :, None]
     assert np.allclose(m.predict(x3), m.predict(x2))
+
+
+def test_async_progress_unsupported_with_foreachbatch(spark, tmp_path):
+    """async_progress is a PRODUCTION lever for the Kafka-sink swap-in:
+    Spark's async progress tracking (offset WAL / commit log written off
+    the hot path, at-least-once) rejects ForeachBatchSink by design. Pin
+    the exact error so the documented limitation stays true — if a Spark
+    upgrade starts supporting it, this test fails and the latency bench
+    should adopt it."""
+    from pyspark.errors.exceptions.captured import IllegalArgumentException
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming import pipeline
+
+    src = tmp_path / "ticks"
+    src.mkdir()
+    (src / "t.json").write_text('{"symbol":"A","timestamp":"2024-01-01T00:00:00","price":1.0,"volume":1}')
+    with pytest.raises(IllegalArgumentException, match="does not support async progress tracking"):
+        pipeline.run_tick_stream(
+            spark,
+            pipeline.file_tick_source(spark, str(src)),
+            sink_path=str(tmp_path / "sink"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            available_now=False,
+            async_progress=True,
+        )
