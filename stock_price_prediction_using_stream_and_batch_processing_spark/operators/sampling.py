@@ -1,0 +1,90 @@
+"""Deterministic sampling, splitting, and sequence-packing operators —
+the reproducibility-critical steps of a training-data pipeline.
+
+Random sampling (``df.sample``) is NOT reproducible across runs,
+partitionings, or engines; every operator here derives its decision
+from a content hash of a stable id (md5, identical in Spark / DuckDB /
+Python), so the same row lands in the same split/sample/bin on every
+engine at every scale — and the whole thing is a narrow projection +
+filter that Catalyst pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex32_to_long
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
+    """Stable [0, n_buckets) bucket from md5 of the id (+ salt). The
+    salt gives independent re-draws: sampling with salt 'a' is
+    uncorrelated with salt 'b' — resample without touching the data."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hex32_to_long(F.md5(F.concat(c.cast("string"), F.lit(salt)))) % n_buckets
+
+
+def hash_sample(df: DataFrame, id_col: str, pct: int, salt: str = "") -> DataFrame:
+    """Keep a deterministic ~pct% of rows by id-hash bucket. A pure
+    filter — no shuffle, prunes with the scan, and the SAME rows
+    survive on any engine/partitioning (unlike df.sample)."""
+    return df.filter(hash_bucket(id_col, 100, salt) < pct)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row a stable train/val/test label by id-hash bucket.
+    Rows never migrate between splits across runs or engines — the
+    property that keeps eval sets uncontaminated as the corpus grows
+    (new rows hash into splits at the same rates; old rows stay put)."""
+    b = hash_bucket(id_col, 100, salt)
+    label = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out, label)
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Context-window packing: concatenate documents (in stable order)
+    and chop into ``capacity``-token bins — each doc is assigned the
+    bin where its first token lands (pretraining packing semantics:
+    documents straddle bin boundaries).
+
+    Scale shape: a GLOBAL running sum would serialize into one task,
+    so docs are first sharded by id-hash (each shard packs
+    independently — exactly how a distributed packing job fans out
+    over workers) and the running sum is a window per shard:
+    ``Window.partitionBy(shard)`` → one shuffle, B parallel external
+    sorts, no global order anywhere. Deterministic: shard and order
+    derive from the id hash/id, so the same doc lands in the same bin
+    on every run and engine.
+    """
+    shard = hash_bucket(id_col, n_shards, salt)
+    d = df.withColumn("_shard", shard)
+    w = Window.partitionBy("_shard").orderBy(id_col)
+    prev_cum = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        d.withColumn("bin_in_shard", F.floor(prev_cum / F.lit(float(capacity))).cast("long"))
+        .withColumn(
+            "bin_id",
+            F.concat(F.col("_shard").cast("string"), F.lit(":"), F.col("bin_in_shard").cast("string")),
+        )
+        .withColumn("shard", F.col("_shard").cast("long"))
+        .drop("_shard")
+    )

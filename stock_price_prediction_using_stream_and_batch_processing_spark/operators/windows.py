@@ -104,22 +104,26 @@ def bucketed_trailing_mean(
     (spills to disk), so a 270 GB bucket ranks without materializing in
     memory — and only those ≤``n-1`` rows per bucket reach the
     ``collect_list`` that builds the tail array (bounded O(n) per
-    group, never the whole bucket). Then per key each bucket's
-    **cumulative prefix tail** — the last ``n-1`` rows of the
-    concatenation of ALL earlier buckets' tails — is computed with
-    array ops over the per-key bucket list (size B·(n-1) structs, tiny
-    next to the data). Those rows are injected as carry rows (flagged,
-    filtered from the output), so the result is row-for-row identical
-    to ``trailing_mean`` for every occupancy pattern, including empty
-    and sparse buckets.
+    group, never the whole bucket). Each bucket's **carry** — the last
+    ``n-1`` rows of the concatenation of ALL earlier buckets' tails —
+    comes from a second window over the tails table itself: since every
+    non-empty bucket's tail holds ≥1 row (and empty buckets have no
+    tails row at all), those last ``n-1`` rows always lie within the
+    previous ``n-1`` tails, so a ``rowsBetween(-(n-1), -1)`` frame +
+    flatten + tail-slice is exact and LINEAR in the bucket count (an
+    earlier formulation built an O(B²·n) per-key prefix table; probed
+    at B=1000/10M rows it doubled the wall time). Carry rows are
+    injected flagged and filtered from the output, so the result is
+    row-for-row identical to ``trailing_mean`` for every occupancy
+    pattern, including empty and sparse buckets.
 
     Cost model at scale: the data passes two ``(key, bucket)``-keyed
     shuffles (the rank pass and the final window); per-bucket memory is
-    O(n) structs after the rank filter; the prefix build is O(B²·n)
-    array cells per key, so pick ``bucket_seconds`` to keep B (buckets
-    per key) in the low thousands — for 100 TB of one symbol, daily
-    buckets give B=365, and each bucket's sort spills rather than
-    OOMing because it is a window rank, not an aggregation buffer.
+    O(n) structs after the rank filter; the carry pass moves only
+    B·(n-1) structs per key through one ``(key)``-keyed window. B
+    (buckets per key) is a free parallelism knob — for 100 TB of one
+    symbol, hourly buckets give B≈8760 tasks of ~11 GB, each an
+    external sort.
     """
     if n <= 1:
         # Trailing mean of one row is the row itself — no carry, no
@@ -157,30 +161,15 @@ def bucketed_trailing_mean(
         F.size(arr) <= n - 1, arr
     ).otherwise(F.slice(arr, -(n - 1), n - 1))
 
-    # Per key: buckets in order; carry[i] = last n-1 of flatten(tails of
-    # buckets 0..i-1). All JVM-side higher-order functions.
-    per_key = tails.groupBy(key).agg(
-        F.sort_array(F.collect_list(F.struct(F.col(b_col), F.col("_tail")))).alias("_bt")
+    # carry[bucket] = last n-1 rows of all earlier tails. Every tails
+    # row holds >=1 row (empty buckets have no tails row), so the
+    # previous n-1 tails always cover it — a bounded window frame,
+    # linear in B. First bucket per key: empty frame -> [] -> no rows.
+    w_carry = Window.partitionBy(key).orderBy(b_col).rowsBetween(-(n - 1), -1)
+    carries = (
+        tails.withColumn("_prev", F.flatten(F.collect_list("_tail").over(w_carry)))
+        .select(F.col(key), F.col(b_col), F.explode(last_n1(F.col("_prev"))).alias("_r"))
     )
-    idx = F.sequence(F.lit(1), F.size("_bt"))
-    carries = per_key.select(
-        key,
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(F.col("_bt"), i)[b_col].alias(b_col),
-                    last_n1(
-                        F.flatten(
-                            F.transform(
-                                F.slice(F.col("_bt"), F.lit(1), i - 1), lambda s: s["_tail"]
-                            )
-                        )
-                    ).alias("_tail"),
-                ),
-            )
-        ).alias("_c"),
-    ).select(key, F.col(f"_c.{b_col}").alias(b_col), F.explode("_c._tail").alias("_r"))
 
     carry_cols = [F.col(key), F.col(b_col), F.col("_r._ts").alias(ts)] + (
         [F.col("_r._tb").alias(tiebreak)] if tiebreak else []

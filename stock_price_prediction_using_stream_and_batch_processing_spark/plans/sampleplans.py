@@ -1,0 +1,125 @@
+"""Deterministic sampling / splitting / packing query corpus — the
+reproducibility layer of a training-data pipeline (north-star surface
+alongside dedup + text analysis).
+
+All decisions hash md5(id || salt) so Spark and the DuckDB oracle agree
+bit-for-bit: Spark ``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+``('0x' || substr(md5(x),1,8))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup, sampling
+from ..sources.tables import load_table
+from .core import register
+from .textplans import _TOKS  # DuckDB tokenizer fragment, lockstep with functions/text.py
+
+# DuckDB twin of operators/sampling.hash_bucket
+def _bucket_sql(expr: str, n: int, salt: str = "") -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR) || '{salt}'), 1, 8))::BIGINT % {n})"
+
+
+@register(
+    "hash_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 100)} < 5
+    """,
+    tags=("sampling", "deterministic", "filter"),
+    driver=False,
+)
+def hash_sample_docs(spark, sf_dir):
+    """Deterministic 5% corpus sample — a pure hash filter (no shuffle,
+    no randomness; same rows survive on every engine and partitioning,
+    unlike ``df.sample``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, "doc_id", 5).select("doc_id", "source", "lang")
+
+
+@register(
+    "train_val_test_split_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('doc_id', 100)} < 90 THEN 'train'
+                WHEN {_bucket_sql('doc_id', 100)} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "split", "deterministic"),
+    driver=False,
+)
+def train_val_test_split_docs(spark, sf_dir):
+    """Stable 90/5/5 train/val/test assignment by id hash — rows never
+    migrate between splits as the corpus grows (eval-set hygiene)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(d, "doc_id", 90, 5).select("doc_id", "split")
+
+
+@register(
+    "pack_docs_bins",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             {_bucket_sql('doc_id', 8)} AS shard,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin_in_shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM sized
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+    """,
+    tags=("sampling", "packing", "window"),
+    driver=False,
+)
+def pack_docs_bins(spark, sf_dir):
+    """Context-window packing: shard by id hash, pack each shard's docs
+    (id order) into 2048-token bins by running token count — the
+    distributed form of pretraining sequence packing (one shuffle, per-
+    shard window sums, no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("n_tokens", tx.token_count("text").cast("long"))
+    packed = sampling.pack_greedy(d, "doc_id", "n_tokens", capacity=2048, n_shards=8)
+    return packed.select("doc_id", "shard", "bin_in_shard", "n_tokens")
+
+
+@register(
+    "simhash_near_pairs_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                     THEN [] ELSE string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') END) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "near-dup"),
+    driver=False,
+)
+def simhash_near_pairs_docs(spark, sf_dir):
+    """SimHash near-dup PAIRS (Hamming <= 3): candidates via pigeonhole
+    byte-block equi-join (distance<=k pairs share >=1 of k+1 blocks —
+    never an all-pairs cross), verified by bit_count(xor). The oracle
+    does the O(n²) join the Spark plan avoids, so the check also proves
+    the blocking loses no pairs on this corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "text", "doc_id", bits=32, max_hamming=3)

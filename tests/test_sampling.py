@@ -1,0 +1,96 @@
+"""Deterministic sampling / split / packing operators: the properties
+that make them trustworthy in a training pipeline — reproducibility
+across partitionings, split stability under corpus growth, and exact
+packing semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sampling
+
+from .conftest import SF_MED
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w"))
+
+
+def test_hash_sample_deterministic_across_partitionings(spark):
+    d = _docs(spark)
+    a = sorted(r.doc_id for r in sampling.hash_sample(d, "doc_id", 10).collect())
+    b = sorted(
+        r.doc_id for r in sampling.hash_sample(d.repartition(13), "doc_id", 10).collect()
+    )
+    assert a == b and 0 < len(a) < 400
+
+
+def test_hash_sample_rate_and_salt_independence(spark):
+    d = _docs(spark, 2000)
+    base = {r.doc_id for r in sampling.hash_sample(d, "doc_id", 20).collect()}
+    assert abs(len(base) / 2000 - 0.20) < 0.05  # ~20%, hash-uniform
+    other = {r.doc_id for r in sampling.hash_sample(d, "doc_id", 20, salt="v2").collect()}
+    assert other != base  # a new salt is a fresh draw
+    overlap = len(base & other) / len(base)
+    assert 0.05 < overlap < 0.5  # independent 20% draws overlap ~20%
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """THE eval-hygiene property: rows keep their split when the corpus
+    doubles — a subset's assignment equals the full corpus's."""
+    small = sampling.train_val_test_split(_docs(spark, 200), "doc_id")
+    big = sampling.train_val_test_split(_docs(spark, 400), "doc_id")
+    a = {r.doc_id: r.split for r in small.collect()}
+    b = {r.doc_id: r.split for r in big.collect()}
+    assert all(b[k] == v for k, v in a.items())
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for s in b.values():
+        counts[s] += 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_pack_greedy_exact_semantics(spark):
+    """Within every shard (docs in id order) each doc's bin is
+    floor(prev_cumulative_tokens / capacity) — recomputed independently
+    in plain Python."""
+    cap = 50
+    packed = sampling.pack_greedy(_docs(spark, 300), "doc_id", "w", capacity=cap, n_shards=4)
+    rows = packed.select("doc_id", "shard", "bin_in_shard", "w").collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in sorted(shard_rows, key=lambda r: r.doc_id):
+            assert r.bin_in_shard == math.floor(cum / cap), r
+            cum += r.w
+    assert len(rows) == 300  # every doc packed exactly once
+
+
+def test_pack_greedy_plan_has_no_global_sort(spark):
+    """The scale property: running sums are per-shard windows — the
+    plan must hash-partition by shard, never range-partition globally."""
+    packed = sampling.pack_greedy(_docs(spark, 300), "doc_id", "w", capacity=50, n_shards=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_sample_filter_reaches_scan(spark):
+    """hash_sample is a pure filter: no shuffle in the plan."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, SF_MED, "documents")
+    plan = (
+        sampling.hash_sample(d, "doc_id", 5)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
