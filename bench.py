@@ -27,6 +27,7 @@ HEADLINE = [
     "top_parts_by_revenue",
     "join_orders_customer_segment",
     "trailing_mean_events",
+    "trailing_mean_events_bucketed",
     "sliding60_mean_events",
     "tumbling_ohlc_events",
     "sessionize_events",
