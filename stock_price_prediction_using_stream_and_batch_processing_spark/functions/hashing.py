@@ -34,7 +34,17 @@ def hex32_to_long(hex_col: Column) -> Column:
     exact for 32-bit magnitudes (no overflow), and the same expression
     exists in DuckDB via ``from_hex``-free arithmetic.
     """
-    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+    return hex_prefix_to_long(hex_col, 8)
+
+
+def hex_prefix_to_long(hex_col: Column, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars -> non-negative value as a long.
+    ``n_hex`` must be <= 15 (60 bits) so the value fits a signed long
+    exactly in BOTH Spark and DuckDB (``('0x'||substr(h,1,n))::BIGINT``)
+    — 16 chars would overflow at sign-bit magnitudes under ANSI mode."""
+    if not 1 <= n_hex <= 15:
+        raise ValueError(f"n_hex must be in [1, 15], got {n_hex}")
+    return F.conv(F.substring(hex_col, 1, n_hex), 16, 10).cast("long")
 
 
 def seeded_hash_long(col, seed: int) -> Column:

@@ -148,9 +148,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     of the signature is 1 iff the sum over tokens of (+1 if token-bit b
     else -1) is positive. Pure column algebra: explode tokens ->
     per-(doc,bit) vote via one groupBy — a single shuffle keyed by doc.
-    """
+    ``bits`` up to 60 (15 md5 hex chars — the widest engine-portable
+    signed-long hash; wider signatures mean exponentially more Hamming
+    blocking buckets in ``simhash_near_pairs``)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
-    h = hashing.hex32_to_long(F.md5("tok"))
+    h = hashing.hex_prefix_to_long(F.md5("tok"), (bits + 3) // 4)
     bit_votes = toks.select(
         id_col,
         *[
@@ -224,10 +228,27 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_block_size: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation
-    blocks on signature bytes (pigeonhole: distance<=k pairs share at
-    least one of k+1 blocks) so the join is equi, not cross."""
+    blocks on signature byte-blocks (pigeonhole: distance<=k pairs share
+    at least one of k+1 blocks) so the join is equi, not cross.
+
+    Scale note: with 32-bit signatures the blocks are bits/(k+1)=8-bit
+    values — only 256 distinct buckets per block index, so within-bucket
+    candidate counts grow O(n²/256) with corpus size. At real corpus
+    scale EITHER raise ``bits`` (wider signature → exponentially more
+    buckets; 64-bit/4-block = 65k buckets per index) OR set
+    ``max_block_size`` to drop mega-buckets before the self-join —
+    the same bounded-join trade ``minhash_lsh_pairs`` makes: recall is
+    lost only on blocks so degenerate that near-everything collides
+    there."""
     sig = simhash(df, text_col, id_col, bits)
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
@@ -243,6 +264,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, bits: int = 32
             )
         ).alias("blk"),
     )
+    if max_block_size is not None:
+        w = Window.partitionBy("blk")
+        blocks = (
+            blocks.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_block_size)
+            .drop("_bn")
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, F.col("a.blk") == F.col("b.blk"))

@@ -96,11 +96,11 @@ def pack_docs_bins(spark, sf_dir):
                      THEN [] ELSE string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') END) AS tok
       FROM documents
     ),
-    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
     votes AS (
       SELECT doc_id, b.bit,
              SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) b
       GROUP BY doc_id, b.bit
     ),
     sigs AS (
@@ -116,10 +116,14 @@ def pack_docs_bins(spark, sf_dir):
     driver=False,
 )
 def simhash_near_pairs_docs(spark, sf_dir):
-    """SimHash near-dup PAIRS (Hamming <= 3): candidates via pigeonhole
-    byte-block equi-join (distance<=k pairs share >=1 of k+1 blocks —
-    never an all-pairs cross), verified by bit_count(xor). The oracle
-    does the O(n²) join the Spark plan avoids, so the check also proves
-    the blocking loses no pairs on this corpus."""
+    """SimHash near-dup PAIRS (Hamming <= 3) over 60-bit signatures:
+    candidates via pigeonhole block equi-join (distance<=k pairs share
+    >=1 of k+1 blocks — never an all-pairs cross), verified by
+    bit_count(xor). 60-bit/15-bit blocks give 32k buckets per block
+    index, so within-bucket collisions are real near-dups, not corpus
+    mass (the 32-bit/8-bit variant probed 13x at 10x docs — quadratic
+    in its 256 buckets; see SCALE.md). The oracle does the O(n²) join
+    the Spark plan avoids, so the check also proves the blocking loses
+    no pairs on this corpus."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, "text", "doc_id", bits=32, max_hamming=3)
+    return dedup.simhash_near_pairs(d, "text", "doc_id", bits=60, max_hamming=3)

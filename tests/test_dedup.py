@@ -73,6 +73,18 @@ def test_simhash_near_pairs(docs):
     assert not any(a < 100 <= b for a, b in pairs)  # no cross-family pairs
 
 
+def test_simhash_near_pairs_block_cap(docs):
+    """max_block_size drops mega-blocks BEFORE the self-join (bounded
+    candidate count); with a cap of 1 every bucket holding >=2 docs is
+    dropped, so no pair can survive — and the uncapped result is a
+    superset of any capped one."""
+    uncapped = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=6).collect()}
+    capped_1 = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=6, max_block_size=1).collect()}
+    assert capped_1 == set()
+    capped_big = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=6, max_block_size=10_000).collect()}
+    assert capped_big == uncapped
+
+
 def test_dedup_clusters_from_pairs(spark):
     # chain 1-2-3 plus clique 10-11-12 plus isolated pair 20-21:
     # transitive closure must group the chain even though (1,3) is not
