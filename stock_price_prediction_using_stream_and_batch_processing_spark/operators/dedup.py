@@ -285,3 +285,41 @@ def simhash_near_pairs(
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_id_col: str | None = None,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Eval-set DECONTAMINATION: train docs sharing any word
+    ``shingle_n``-gram with an eval doc — the cross-corpus variant of
+    n-gram dedup (a train doc that contains an eval example verbatim
+    inflates benchmark scores; standard practice drops or flags it).
+
+    Output: one row per contaminated (train_id, eval_id) pair with the
+    count of shared distinct shingles.
+
+    Plan shape: both sides explode to (id, md5(shingle)) digests — the
+    shuffle carries 16-byte hashes, never text — then ONE equi-join on
+    the digest. The eval side is small by construction (held-out sets
+    are thousands of rows, not billions), so Spark broadcasts it and
+    the 100 TB train side never shuffles at all.
+    """
+    eval_id_col = eval_id_col or id_col
+
+    def sh(df, idc):
+        return df.select(
+            F.col(idc), F.explode(text.word_shingles(text_col, shingle_n)).alias("_s")
+        ).select(F.col(idc), F.md5("_s").alias("_h"))
+
+    t = sh(train, id_col).withColumnRenamed(id_col, "train_id")
+    e = sh(eval_df, eval_id_col).withColumnRenamed(eval_id_col, "eval_id")
+    return (
+        t.join(F.broadcast(e), "_h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

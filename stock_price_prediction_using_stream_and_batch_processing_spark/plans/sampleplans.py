@@ -127,3 +127,36 @@ def simhash_near_pairs_docs(spark, sf_dir):
     no pairs on this corpus."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(d, "text", "doc_id", bits=60, max_hamming=3)
+
+
+# word 8-gram shingles (distinct), lockstep with text.word_shingles(n=8)
+_SHINGLES8 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 8, 0) + 2), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 7), ' ')))"
+)
+
+
+@register(
+    "decontaminate_train_eval",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES8}) AS s FROM documents),
+    e AS (SELECT doc_id AS eval_id, s FROM sh WHERE {_bucket_sql('doc_id', 100)} < 5),
+    t AS (SELECT doc_id AS train_id, s FROM sh WHERE {_bucket_sql('doc_id', 100)} >= 5)
+    SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM t JOIN e USING (s)
+    GROUP BY train_id, eval_id
+    """,
+    tags=("sampling", "decontamination", "dedup", "broadcast-join"),
+    driver=False,
+)
+def decontaminate_train_eval(spark, sf_dir):
+    """Eval-set decontamination: train docs sharing any word 8-gram with
+    the (hash-split) eval set — the cross-corpus dedup step every
+    benchmark-honest training pipeline runs. The eval side is small by
+    construction, so it BROADCASTS and the 100 TB train side joins
+    without shuffling; the join carries md5 digests, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    b = sampling.hash_bucket("doc_id", 100)
+    eval_df = d.filter(b < 5)
+    train_df = d.filter(b >= 5)
+    return dedup.ngram_contamination(train_df, eval_df, "text", "doc_id", shingle_n=8)

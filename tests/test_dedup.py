@@ -157,3 +157,28 @@ def test_winnowing_guarantee_shared_substring(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_ngram_contamination_planted(spark):
+    """A train doc containing an eval example verbatim is flagged; an
+    unrelated train doc is not; the join must broadcast the eval side."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words with no overlap whatsoever here today"),
+            (3, "prefix words then alpha beta gamma delta epsilon zeta eta theta end"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    out = dedup.ngram_contamination(train, ev, "text", "doc_id", shingle_n=8)
+    rows = {(r.train_id, r.eval_id): r.n_shared_ngrams for r in out.collect()}
+    assert (1, 100) in rows and (3, 100) in rows
+    assert (2, 100) not in rows
+    # doc 1 contains the full eval text: all its 8-gram positions overlap
+    assert rows[(1, 100)] >= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
