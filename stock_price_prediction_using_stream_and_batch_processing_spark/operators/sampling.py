@@ -88,3 +88,25 @@ def pack_greedy(
         .withColumn("shard", F.col("_shard").cast("long"))
         .drop("_shard")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~``rates[stratum]``% of
+    each stratum's rows by id hash (strata not in ``rates`` keep
+    ``default_pct``%). The corpus-mixture re-balancing step of a
+    training pipeline (e.g. downsample the dominant language, keep all
+    of a low-resource one) — reproducible, unlike ``df.sampleBy``, and
+    still a pure filter: no shuffle, prunes with the scan."""
+    pct = None
+    for k, v in rates.items():
+        cond = F.col(strata_col) == k
+        pct = F.when(cond, F.lit(v)) if pct is None else pct.when(cond, F.lit(v))
+    pct = F.lit(default_pct) if pct is None else pct.otherwise(F.lit(default_pct))
+    return df.filter(hash_bucket(id_col, 100, salt) < pct)

@@ -131,3 +131,27 @@ def winnowed_fingerprints(
         F.col("pos") <= F.col("_n") - window + 1
     ).withColumn("fp", F.min("h").over(w))
     return win_min.select(id_col, "fp").distinct()
+
+
+# PII patterns shared with the DuckDB oracle — RE2-safe (no lookaround),
+# identical semantics under Java regex and DuckDB/RE2.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4s from the text column,
+    replacing each match with a typed placeholder ([EMAIL], ...), and
+    count the redactions per type. One projection, all JVM-side regex —
+    the standard pre-training privacy scrub. (A production pipeline
+    swaps in NER-model patterns; the plumbing — ordered regex cascade +
+    per-type counts in a single pass — is what this operator is.)"""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name.lower()}"))
+        redacted = F.regexp_replace(redacted, pat, f"[{name}]")
+    return df.select(F.col(id_col), redacted.alias("text_redacted"), *counts)

@@ -160,3 +160,26 @@ def decontaminate_train_eval(spark, sf_dir):
     eval_df = d.filter(b < 5)
     train_df = d.filter(b >= 5)
     return dedup.ngram_contamination(train_df, eval_df, "text", "doc_id", shingle_n=8)
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 100)} <
+          CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 80
+                    WHEN 'es' THEN 50 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                    ELSE 0 END
+    """,
+    tags=("sampling", "stratified", "deterministic"),
+    driver=False,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Corpus-mixture re-balancing: per-language deterministic sampling
+    rates (downsample dominant en to 20%, keep 80% of low-resource zh)
+    — a pure hash filter, no shuffle, reproducible across engines
+    (unlike ``df.sampleBy``)."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = {"en": 20, "zh": 80, "es": 50, "de": 50, "fr": 50}
+    return sampling.stratified_hash_sample(d, "doc_id", "lang", rates).select("doc_id", "lang")

@@ -346,3 +346,31 @@ def doc_winnow_fingerprints(spark, sf_dir):
     one doc-keyed shuffle."""
     d = load_table(spark, sf_dir, "documents")
     return textops.winnowed_fingerprints(d, "text", "doc_id", k=8, window=4)
+
+
+@register(
+    "pii_redact_docs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4
+    FROM documents
+    """,
+    tags=("text", "pii", "redaction"),
+    driver=False,
+)
+def pii_redact_docs(spark, sf_dir):
+    """PII scrub over the corpus: email/phone/IPv4 -> typed placeholders
+    + per-type counts, one JVM-side regex cascade per row (the
+    pre-training privacy pass; patterns are RE2-safe so the DuckDB
+    oracle runs the identical cascade). The synthetic corpus carries no
+    PII — the differential still proves the two engines' regex
+    semantics agree on every document; planted-PII behavior is pinned
+    in tests/test_sampling.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.redact_pii(d, "text", "doc_id")

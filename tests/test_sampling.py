@@ -94,3 +94,41 @@ def test_sample_filter_reaches_scan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_stratified_rates_and_determinism(spark):
+    d = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "zh").otherwise("xx").alias("lang"),
+    )
+    out = sampling.stratified_hash_sample(d, "doc_id", "lang", {"en": 20, "zh": 80})
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert abs(len(by_lang["en"]) / 1000 - 0.20) < 0.06
+    assert abs(len(by_lang["zh"]) / 1000 - 0.80) < 0.06
+    assert "xx" not in by_lang  # default_pct=0 drops unlisted strata
+    again = {r.doc_id for r in sampling.stratified_hash_sample(
+        d.repartition(7), "doc_id", "lang", {"en": 20, "zh": 80}).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_redact_pii_planted(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    d = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.com or 555-123-4567 now"),
+            (2, "server at 10.0.255.3 responded; also 192.168.1.1 backup"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textops.redact_pii(d).collect()}
+    assert out[1].text_redacted == "contact [EMAIL] or [PHONE] now"
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ipv4 == 0
+    assert out[2].text_redacted == "server at [IPV4] responded; also [IPV4] backup"
+    assert out[2].n_ipv4 == 2
+    assert out[3].text_redacted == "no pii here at all"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
