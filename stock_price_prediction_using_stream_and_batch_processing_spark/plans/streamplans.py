@@ -241,3 +241,56 @@ def stream_enrich_user_segment(spark, sf_dir):
     )
     name = _run_stream_to_memory(j, "stream_enrich", "append")
     return spark.table(name)
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tags=("streaming", "session-window", "watermark"),
+    driver=False,
+)
+def stream_session_counts(spark, sf_dir):
+    """STREAMING session windows (30-minute gap per user, 10-minute
+    watermark, append mode): sessions are emitted only once the
+    watermark passes their end (last event + gap) — state per key is
+    one open session, closed and evicted as the watermark advances,
+    which is what keeps sessionization state bounded on an unbounded
+    stream. Under availableNow the terminal watermark is max(ts)-10min,
+    so the emitted set equals the batch sessionization the oracle
+    derives (lag/cumsum), restricted to closed sessions."""
+    s = _stream_events(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = _run_stream_to_memory(agg, "stream_sess", "append")
+    return spark.table(name)
