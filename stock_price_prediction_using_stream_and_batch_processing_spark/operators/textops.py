@@ -133,6 +133,84 @@ def winnowed_fingerprints(
     return win_min.select(id_col, "fp").distinct()
 
 
+def term_frequencies(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) term counts — explode + one (id, token)-keyed
+    aggregation with map-side combine. The shuffle carries (id, token,
+    partial-count) rows, never document text."""
+    toks = df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF weights per (doc, token): tf · (ln((1+N)/(1+df)) + 1)
+    (the smoothed-idf form, so corpus-universal tokens still get weight
+    1·tf and nothing divides by zero).
+
+    Plan at scale: the term-frequency table keys one shuffle by
+    (id, token); document frequency is a second aggregation of THAT
+    table keyed by token (counting rows — each row is a distinct
+    (doc, token), so no countDistinct pass over raw data); the corpus
+    size N joins in as a broadcast single-row aggregate, never a
+    driver-side ``count()``. All arithmetic is exact given integer
+    tf/df/N, so the cross-engine differential is stable."""
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = df.groupBy().agg(F.count("*").alias("_n_docs"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    joined = tf.join(df_t, "token").join(F.broadcast(n_docs))
+    idf = F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return joined.select(
+        F.col(id_col),
+        "token",
+        "tf",
+        F.round(idf, 6).alias("idf"),
+        F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: the token array is FILTERED to query terms with a
+    higher-order function *before* the explode, so the exploded/
+    shuffled row count is O(query hits), not O(corpus tokens); document
+    length and the corpus aggregates (N, avgdl) come from the same
+    single pass over the token arrays; per-term document frequencies
+    (|query| rows) and the corpus aggregate (1 row) are broadcast.
+    With ``top_k`` the final order-by folds to TakeOrderedAndProject —
+    no global sort."""
+    q = F.array(*[F.lit(t) for t in query_terms])
+    dl = df.select(F.col(id_col), text.tokens(text_col).alias("_toks")).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        F.filter("_toks", lambda t: F.array_contains(q, t)).alias("_hits"),
+    )
+    corpus = dl.groupBy().agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    tf = (
+        dl.select(id_col, "dl", F.explode("_hits").alias("token"))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    j = tf.join(F.broadcast(dft), "token").join(F.broadcast(corpus))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    gain = F.col("tf") * (k1 + 1.0)
+    norm = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    scores = j.groupBy(id_col).agg(F.round(F.sum(idf * gain / norm), 6).alias("bm25"))
+    if top_k is not None:
+        scores = scores.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_k)
+    return scores
+
+
 # PII patterns shared with the DuckDB oracle — RE2-safe (no lookaround),
 # identical semantics under Java regex and DuckDB/RE2.
 PII_PATTERNS = (

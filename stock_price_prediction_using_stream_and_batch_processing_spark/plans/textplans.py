@@ -349,6 +349,75 @@ def doc_winnow_fingerprints(spark, sf_dir):
 
 
 @register(
+    "tf_idf_docs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           ROUND(ln((1.0 + n_docs) / (1.0 + df)) + 1.0, 6) AS idf,
+           ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tf_idf
+    FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN n
+    """,
+    tags=("text", "tfidf", "ranking"),
+    driver=False,
+)
+def tf_idf_docs(spark, sf_dir):
+    """TF-IDF weights per (doc, token) with smoothed idf
+    (operators/textops.tf_idf): the vectorization pass behind corpus
+    search / keyword extraction. Integer-exact inputs make the
+    cross-engine differential stable."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.tf_idf(d)
+
+
+# Terms chosen from the synthetic corpus vocabulary; BM25 mechanics are
+# term-agnostic.
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_TERMS_SQL = "['" + "','".join(_BM25_TERMS) + "']"
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS dl,
+             list_filter({_TOKS}, x -> list_contains({_BM25_TERMS_SQL}, x)) AS hits
+      FROM documents
+    ),
+    corpus AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, dl, tok AS token, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(hits) AS tok FROM dl)
+      GROUP BY doc_id, dl, tok
+    ),
+    dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token)
+    SELECT doc_id,
+           ROUND(SUM(ln(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN corpus
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("text", "bm25", "ranking", "topk"),
+    driver=False,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """Top-100 documents by BM25 relevance to a fixed query-term bag
+    (operators/textops.bm25_scores, k1=1.2, b=0.75): the retrieval
+    scorer a RAG/data-curation pipeline runs corpus-wide. The explode
+    is pre-filtered to query-term hits, so shuffled rows are O(hits)
+    not O(tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.bm25_scores(d, list(_BM25_TERMS), top_k=100)
+
+
+@register(
     "pii_redact_docs",
     oracle=r"""
     SELECT doc_id,
