@@ -237,6 +237,85 @@ def tumbling_ohlc(
     )
 
 
+def ohlc_rollup_levels(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    seq: str,
+    levels: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+    single_scan: bool = True,
+) -> DataFrame:
+    """Multi-resolution OHLC bars (minute → hour → day) where each
+    coarser level is derived from the PREVIOUS level's bars, not from
+    raw data — the continuous-aggregate / hypertable-rollup pattern.
+
+    Why it matters at 100 TB: raw ticks feed exactly ONE aggregation
+    (the finest level's groupBy); every coarser level aggregates a
+    table that is orders of magnitude smaller (one row per
+    (key, bucket)), so the marginal cost of each extra resolution is
+    ~zero. Computing each level independently would re-scan the raw
+    table per level.
+
+    ``single_scan=True`` materializes the fine level with a lazy
+    ``localCheckpoint`` before fanning out. This is load-bearing, not
+    an optimization flag: the three union branches are three different
+    logical subtrees (Catalyst prunes the seq-carry columns out of the
+    finest branch), so WITHOUT the cut Spark plans three full raw
+    scans — ReuseExchange never fires because the pruned aggregates
+    differ. Materialized storage is one row per (key, fine-bucket) —
+    a production pipeline writes this level to a table instead (the
+    "continuous aggregate" itself) and gets incremental refresh of all
+    coarser levels for free.
+
+    Exactness of the rollup: the partials are MERGEABLE because each
+    bar carries the sequence ids its open/close were chosen by
+    (open = value at min ``seq``, close = value at max ``seq``);
+    merging bars picks the open of the bar with the smallest open-seq
+    and the close of the bar with the largest close-seq, which equals
+    the direct computation for ANY seq ordering — even when ``seq``
+    disagrees with ``ts`` order. high/low/count merge trivially.
+    ``levels`` must be coarsening multiples (epoch-aligned windows
+    nest: each fine bucket lies in exactly one coarse bucket).
+
+    Output: one row per (resolution, key, bucket) with the level label
+    in ``resolution``."""
+    partial = (
+        df.groupBy(F.col(key), F.window(ts, levels[0]).alias("w"))
+        .agg(
+            F.min(seq).alias("_oseq"),
+            F.min_by(value, seq).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max(seq).alias("_cseq"),
+            F.max_by(value, seq).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(key, F.col("w.start").alias("bucket_start"), "_oseq", "open", "high", "low", "_cseq", "close", "n_ticks")
+    )
+    if single_scan:
+        partial = partial.localCheckpoint(eager=False)
+    out_cols = [key, "bucket_start", "open", "high", "low", "close", "n_ticks"]
+    result = partial.select(F.lit(levels[0]).alias("resolution"), *out_cols)
+    prev = partial
+    for lvl in levels[1:]:
+        prev = (
+            prev.groupBy(F.col(key), F.window("bucket_start", lvl).alias("w"))
+            .agg(
+                F.min("_oseq").alias("_oseq"),
+                F.min_by("open", "_oseq").alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max("_cseq").alias("_cseq"),
+                F.max_by("close", "_cseq").alias("close"),
+                F.sum("n_ticks").alias("n_ticks"),
+            )
+            .select(key, F.col("w.start").alias("bucket_start"), "_oseq", "open", "high", "low", "_cseq", "close", "n_ticks")
+        )
+        result = result.unionByName(prev.select(F.lit(lvl).alias("resolution"), *out_cols))
+    return result
+
+
 def vwap(
     df: DataFrame,
     key: str,

@@ -154,6 +154,51 @@ def tumbling_ohlc_events(spark, sf_dir):
 
 
 @register(
+    "multi_res_ohlc_events",
+    oracle="""
+    SELECT '1 minute' AS resolution, user_id,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           arg_min(value, event_id) AS open, MAX(value) AS high,
+           MIN(value) AS low, arg_max(value, event_id) AS close,
+           COUNT(*) AS n_ticks
+    FROM events GROUP BY user_id, date_trunc('minute', ts)
+    UNION ALL
+    SELECT '1 hour', user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+           arg_min(value, event_id), MAX(value), MIN(value),
+           arg_max(value, event_id), COUNT(*)
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    UNION ALL
+    SELECT '1 day', user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           arg_min(value, event_id), MAX(value), MIN(value),
+           arg_max(value, event_id), COUNT(*)
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+    tags=("window", "ohlc", "rollup", "timeseries"),
+    driver=False,
+)
+def multi_res_ohlc_events(spark, sf_dir):
+    """Minute/hour/day OHLC bars where each coarser level rolls up the
+    previous level's bars (operators/windows.ohlc_rollup_levels) — raw
+    ticks are scanned once; the oracle computes every level DIRECTLY
+    from raw events, so the differential proves the mergeable-partial
+    rollup is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = windows.ohlc_rollup_levels(ev, "user_id", "ts", "value", seq="event_id")
+    return bars.select(
+        "resolution",
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+
+
+@register(
     "hopping_counts_events",
     oracle="""
     WITH occ AS (

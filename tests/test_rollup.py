@@ -1,0 +1,77 @@
+"""Multi-resolution OHLC rollup (operators/windows.ohlc_rollup_levels):
+the coarse levels are derived from fine-level partials — these tests pin
+that the rollup equals computing each level directly from raw rows, in
+particular when the open/close sequence order DISAGREES with ts order
+(the case the mergeable (open_seq, close_seq) carry exists for)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows
+
+
+def _direct(df, duration):
+    bars = windows.tumbling_ohlc(df, "k", "ts", "v", duration, seq="seq")
+    return {
+        (r["k"], r["bucket_start"]): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+        for r in bars.collect()
+    }
+
+
+def test_rollup_equals_direct_with_seq_ts_disagreement(spark):
+    # seq assigned so that within several buckets the min-seq row is NOT
+    # the earliest-ts row: rollup must still pick open/close by seq.
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    seq = 1000
+    for k in ("a", "b"):
+        for i in range(180):  # 3 hours of minutes
+            # descending seq within each 20-minute run flips seq vs ts
+            seq_val = seq + (19 - i % 20) + (i // 20) * 100
+            rows.append((k, base + dt.timedelta(minutes=i, seconds=i % 7), float(i % 13) + 0.5, seq_val))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, seq long")
+
+    out = windows.ohlc_rollup_levels(df, "k", "ts", "v", seq="seq", levels=("1 minute", "1 hour", "3 hours"))
+    got = {
+        (r["resolution"], r["k"], r["bucket_start"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_ticks"]
+        )
+        for r in out.collect()
+    }
+
+    for res, dur in (("1 minute", "1 minute"), ("1 hour", "1 hour"), ("3 hours", "3 hours")):
+        want = _direct(df, dur)
+        have = {(k, b): v for (r, k, b), v in got.items() if r == res}
+        assert have == want, f"resolution {res} diverges from direct computation"
+
+
+def test_rollup_single_scan_of_raw(spark):
+    """single_scan=True must cut the raw source out of the union's
+    branches: after the fine level's lazy localCheckpoint, every branch
+    reads the materialized RDD (no raw-source leaf anywhere in the
+    executed plan). Without it, Catalyst's per-branch pruning plans one
+    full raw scan PER LEVEL — the shape the flag exists to prevent."""
+    df = spark.range(10_000).select(
+        F.lit("k").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.col("id").alias("seq"),
+    )
+    levels = ("1 minute", "1 hour", "1 day")
+
+    shared = windows.ohlc_rollup_levels(df, "k", "ts", "v", seq="seq", levels=levels)
+    shared.write.format("noop").mode("overwrite").save()
+    plan_shared = shared._jdf.queryExecution().executedPlan().toString()
+    # the raw source is a Range leaf; after the checkpoint cut no branch
+    # may contain it — they all read the one materialized fine level
+    assert "Range (" not in plan_shared
+    assert plan_shared.count("Scan ExistingRDD") == 3
+
+    rescans = windows.ohlc_rollup_levels(
+        df, "k", "ts", "v", seq="seq", levels=levels, single_scan=False
+    )
+    plan_rescan = rescans._jdf.queryExecution().executedPlan().toString()
+    assert plan_rescan.count("Range (") == 3
