@@ -141,6 +141,47 @@ def term_frequencies(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
 
 
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb-style
+    quality filters that catch boilerplate and degenerate generations):
+
+    - ``dup_token_frac``: 1 − distinct/total tokens
+    - ``top_token_frac``: occurrences of the most frequent token / total
+    - ``dup_bigram_frac``: 1 − distinct/total word bigrams
+
+    Plan: token/bigram distinct counts are higher-order array ops in one
+    projection (no shuffle); the most-frequent-token count needs real
+    grouping, so it rides the (id, token) term-frequency aggregation and
+    joins back by id. Both sides shuffle by doc id — two narrow
+    shuffles carrying counts, never text."""
+    tf = term_frequencies(df, text_col, id_col)
+    top = tf.groupBy(id_col).agg(
+        F.max("tf").alias("_top"), F.sum("tf").alias("_total"), F.count("*").alias("_distinct")
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        text.token_count(text_col).alias("_n"),
+        F.size(text.word_shingles(text_col, 2)).alias("_bg_distinct"),
+    )
+    j = bigrams.join(top, id_col, "left")
+    total = F.col("_total")
+    return j.select(
+        id_col,
+        F.round(
+            F.when(total > 0, F.lit(1.0) - F.col("_distinct") / total).otherwise(F.lit(0.0)), 6
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(total > 0, F.col("_top") / total).otherwise(F.lit(0.0)), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(
+                F.col("_n") >= 2, F.lit(1.0) - F.col("_bg_distinct") / (F.col("_n") - 1)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """TF-IDF weights per (doc, token): tf · (ln((1+N)/(1+df)) + 1)
     (the smoothed-idf form, so corpus-universal tokens still get weight

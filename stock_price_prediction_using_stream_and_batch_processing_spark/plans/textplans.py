@@ -349,6 +349,43 @@ def doc_winnow_fingerprints(spark, sf_dir):
 
 
 @register(
+    "doc_repetition_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total, COUNT(*) AS n_distinct
+      FROM tf GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, len(toks) AS n,
+             len(list_distinct(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE list_transform(toks, x -> x) END)) AS bg_distinct
+      FROM t
+    )
+    SELECT bg.doc_id,
+           ROUND(CASE WHEN total > 0 THEN 1.0 - CAST(n_distinct AS DOUBLE) / total ELSE 0.0 END, 6) AS dup_token_frac,
+           ROUND(CASE WHEN total > 0 THEN CAST(top_c AS DOUBLE) / total ELSE 0.0 END, 6) AS top_token_frac,
+           ROUND(CASE WHEN n >= 2 THEN 1.0 - CAST(bg_distinct AS DOUBLE) / (n - 1) ELSE 0.0 END, 6) AS dup_bigram_frac
+    FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+    driver=False,
+)
+def doc_repetition_docs(spark, sf_dir):
+    """Within-doc repetition filters (operators/textops.
+    repetition_features): duplicate-token, top-token and
+    duplicate-bigram fractions — the Gopher-style boilerplate/
+    degeneration catchers a curation pipeline runs corpus-wide."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.repetition_features(d)
+
+
+@register(
     "tf_idf_docs",
     oracle=f"""
     WITH tf AS (

@@ -132,3 +132,28 @@ def test_redact_pii_planted(spark):
     assert out[2].n_ipv4 == 2
     assert out[3].text_redacted == "no pii here at all"
     assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_repetition_features_planted(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # fully degenerate
+            (2, "all words here are unique"),    # zero repetition
+            (3, "ab ab cd ab ab cd"),            # mixed: 2 distinct of 6; bigrams 5, distinct 3
+            (4, ""),                             # empty -> all zeros
+            (5, "one"),                          # single token -> bigram frac 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textops.repetition_features(d).collect()}
+    assert out[1].dup_token_frac == 0.75 and out[1].top_token_frac == 1.0
+    assert out[1].dup_bigram_frac == round(1 - 1 / 3, 6)
+    assert out[2].dup_token_frac == 0.0 and out[2].top_token_frac == 0.2
+    assert out[2].dup_bigram_frac == 0.0
+    assert out[3].dup_token_frac == round(1 - 2 / 6, 6)
+    assert out[3].top_token_frac == round(4 / 6, 6)
+    assert out[3].dup_bigram_frac == round(1 - 3 / 5, 6)
+    assert out[4].dup_token_frac == out[4].top_token_frac == out[4].dup_bigram_frac == 0.0
+    assert out[5].dup_bigram_frac == 0.0 and out[5].top_token_frac == 1.0
