@@ -220,6 +220,9 @@ def percentiles_by_type(spark, sf_dir):
     FROM orders GROUP BY 1, 2
     """,
     tags=("date", "groupby"),
+    # rotated to extended in r4 (driver-green r1-r3) to free driver slots
+    # for never-checked queries; still DuckDB-checked in tests.
+    driver=False,
 )
 def date_parts_orders(spark, sf_dir):
     """Date-part extraction + agg (scalar date functions, §2.7 gap)."""
@@ -327,6 +330,9 @@ def customers_with_orders(spark, sf_dir):
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tags=("anti-join",),
+    # rotated to extended in r4: its driver row was a 0-row result (weak
+    # evidence); the anti-join mechanics stay pinned by the local oracle.
+    driver=False,
 )
 def customers_without_orders(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
@@ -478,6 +484,9 @@ def approx_agg_stats(spark, sf_dir):
     SELECT user_id FROM events WHERE event_type = 'error'
     """,
     tags=("setop", "union"),
+    # rotated to extended in r4; views_except_all_purchases keeps a
+    # driver row for the set-op family.
+    driver=False,
 )
 def active_users_union(spark, sf_dir):
     """UNION (distinct) via operators/setops.union_distinct."""

@@ -374,7 +374,6 @@ def doc_winnow_fingerprints(spark, sf_dir):
     FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
     """,
     tags=("text", "quality", "repetition"),
-    driver=False,
 )
 def doc_repetition_docs(spark, sf_dir):
     """Within-doc repetition filters (operators/textops.
@@ -401,7 +400,6 @@ def doc_repetition_docs(spark, sf_dir):
     FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN n
     """,
     tags=("text", "tfidf", "ranking"),
-    driver=False,
 )
 def tf_idf_docs(spark, sf_dir):
     """TF-IDF weights per (doc, token) with smoothed idf
@@ -442,7 +440,6 @@ _BM25_TERMS_SQL = "['" + "','".join(_BM25_TERMS) + "']"
     LIMIT 100
     """,
     tags=("text", "bm25", "ranking", "topk"),
-    driver=False,
 )
 def bm25_topk_docs(spark, sf_dir):
     """Top-100 documents by BM25 relevance to a fixed query-term bag

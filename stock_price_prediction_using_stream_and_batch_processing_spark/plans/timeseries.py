@@ -176,7 +176,6 @@ def tumbling_ohlc_events(spark, sf_dir):
     FROM events GROUP BY user_id, date_trunc('day', ts)
     """,
     tags=("window", "ohlc", "rollup", "timeseries"),
-    driver=False,
 )
 def multi_res_ohlc_events(spark, sf_dir):
     """Minute/hour/day OHLC bars where each coarser level rolls up the
@@ -210,6 +209,9 @@ def multi_res_ohlc_events(spark, sf_dir):
     FROM occ GROUP BY user_id, ws
     """,
     tags=("window", "hopping", "groupby", "timeseries"),
+    # rotated to extended in r4 (driver-green r1-r3; tumbling/session
+    # keep driver rows for the time-agg family).
+    driver=False,
 )
 def hopping_counts_events(spark, sf_dir):
     """Hopping (sliding) time-window aggregation: 2-hour windows every
