@@ -159,7 +159,7 @@ def reference_parity_bench(spark) -> dict:
         preds.write.format("noop").mode("overwrite").save()
         batch_s = round(time.time() - t0, 3)
 
-        def run_stream(src: str, n_batches: int, shuffle_partitions: str):
+        def run_stream(src: str, n_batches: int, shuffle_partitions: str, driver_arrow: bool = False):
             listener = BatchMetricsListener()
             spark.streams.addListener(listener)
             prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -172,6 +172,7 @@ def reference_parity_bench(spark) -> dict:
                     file_tick_source(spark, src, max_files_per_trigger=1),
                     sink_path=f"{src}_sink",
                     checkpoint_path=f"{src}_ckpt",
+                    driver_arrow_sink=driver_arrow,
                 )
                 q.awaitTermination(300)
                 deadline = time.time() + 10
@@ -201,8 +202,20 @@ def reference_parity_bench(spark) -> dict:
         # ~100 such batches at mean ~30 ms). 100 batches, steady-state
         # mean after a 5-batch warmup (first batches pay codegen +
         # file-index setup that a long-running stream amortizes away).
+        # Untimed stream warmup, mirroring the untimed warmup run each
+        # batch query gets: the first stream in a JVM pays whole-stage
+        # codegen + Arrow serializer init across its early batches,
+        # which a 5-batch steady-state exclusion doesn't fully cover.
+        src_warm = write_batches("stream_warm", [2] * 12)
+        run_stream(src_warm, 12, "1", driver_arrow=True)
+
+        # Tick-scale shapes use the driver-side Arrow epoch sink (same
+        # layout + exactly-once contract, none of the committer tax —
+        # the size-gated fast path run_tick_stream offers for 1-3-row
+        # batches; the 50-tick throughput shape keeps the distributed
+        # writer).
         src_ref = write_batches("stream_ref", [1 + (i % 3) for i in range(100)])
-        ref_listener = run_stream(src_ref, 100, "1")
+        ref_listener = run_stream(src_ref, 100, "1", driver_arrow=True)
         durs = [p["duration_ms"] for p in ref_listener.progress if p["duration_ms"] is not None]
         steady = durs[5:] if len(durs) > 10 else durs
         ref_mean = sum(steady) / len(steady) if steady else None
@@ -223,6 +236,7 @@ def reference_parity_bench(spark) -> dict:
                 sink_path=f"{src_live}_sink",
                 checkpoint_path=f"{src_live}_ckpt",
                 available_now=False,
+                driver_arrow_sink=True,
             )
             deadline = time.time() + 240
             while time.time() < deadline:

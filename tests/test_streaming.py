@@ -137,6 +137,45 @@ def test_epoch_write_retry_is_exactly_once(spark, tmp_path):
     assert read_stream_output(spark, path).count() == 17
 
 
+def test_driver_arrow_sink_equals_distributed(spark, tmp_path):
+    # The tick-scale Arrow epoch sink must produce the same readable
+    # output (rows, schema, values) as the distributed parquet writer,
+    # and keep the same retry idempotency.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        idempotent_epoch_write_arrow,
+    )
+
+    n = 20
+    path = _write_tick_files(tmp_path, n, 4)
+    out = {}
+    for mode, flag in (("dist", False), ("arrow", True)):
+        sink = str(tmp_path / f"raw_{mode}")
+        q = run_tick_stream(
+            spark,
+            file_tick_source(spark, path, max_files_per_trigger=1),
+            sink_path=sink,
+            checkpoint_path=str(tmp_path / f"ckpt_{mode}"),
+            seq_len=5,
+            driver_arrow_sink=flag,
+        )
+        q.awaitTermination(120)
+        df = read_stream_output(spark, sink)
+        out[mode] = sorted(df.collect(), key=lambda r: (r.timestamp, r.symbol))
+        assert df.count() == n
+    assert [r.asDict() for r in out["dist"]] == [r.asDict() for r in out["arrow"]]
+
+    # retry idempotency: same epoch written twice -> no duplicates
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import ticks_dataframe
+
+    p2 = str(tmp_path / "retry")
+    df = ticks_dataframe(spark, 10)
+    idempotent_epoch_write_arrow(df, p2, epoch_id=0)
+    idempotent_epoch_write_arrow(df, p2, epoch_id=0)
+    assert read_stream_output(spark, p2).count() == 10
+    idempotent_epoch_write_arrow(ticks_dataframe(spark, 7, seed=9), p2, epoch_id=1)
+    assert read_stream_output(spark, p2).count() == 17
+
+
 def test_continuous_windows_span_microbatches(spark, tmp_path):
     # The stateful path (applyInPandasWithState) must produce one full
     # window per tick from the seq_len-th tick on, regardless of
