@@ -115,24 +115,42 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
     shingle-explode -> self-join on shingle (one shuffle on shingle
     hash) -> per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|).
     The explode carries md5(shingle) (16 bytes), not the shingle text.
-    """
+
+    ``candidates`` ((id_a, id_b), id_a < id_b) restricts the
+    intersection computation to those pairs — the VERIFY stage of an
+    LSH pipeline: instead of the all-pairs digest self-join, each
+    candidate joins its a-side shingle set then matches b-side digests,
+    so the work is O(candidates × shingles-per-doc), independent of
+    corpus size."""
     shingled = df.select(
         F.col(id_col), F.explode(text.word_shingles(text_col, shingle_n)).alias("sh")
     ).select(id_col, F.md5("sh").alias("sh"))
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = shingled.alias("a"), shingled.alias("b")
-    inter = (
-        a.join(b, F.col("a.sh") == F.col("b.sh"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if candidates is not None:
+        sh_a = shingled.select(F.col(id_col).alias("id_a"), "sh")
+        sh_b = shingled.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a, b = shingled.alias("a"), shingled.alias("b")
+        inter = (
+            a.join(b, F.col("a.sh") == F.col("b.sh"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -226,6 +244,46 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
             "raise max_iters"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dup_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The canonical end-to-end LLM-corpus near-dup REMOVAL pipeline as
+    one operator: MinHash-LSH candidate pairs → exact-Jaccard
+    verification restricted to the candidates → connected components
+    over the verified pair graph → keep one representative (min id)
+    per cluster → return the surviving corpus rows.
+
+    Every stage is the bounded-at-scale variant: candidates come from
+    band-bucket equi-joins (never all-pairs; ``max_bucket_size`` caps
+    boilerplate mega-buckets), verification work is
+    O(candidates × shingles/doc), component labels propagate with one
+    shuffle per graph-diameter round, and the final drop is a
+    broadcast-friendly left anti join (the drop list is one row per
+    NON-representative near-dup — tiny relative to the corpus).
+
+    False negatives are the LSH recall trade documented on
+    ``minhash_lsh_pairs``; every SURVIVOR≁SURVIVOR relation is still
+    exact because verification recomputes true Jaccard on candidates.
+    """
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+    )
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, threshold=threshold, candidates=cands
+    )
+    clusters = dedup_clusters(verified)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(drop, df[id_col] == drop["doc_id"], "left_anti")
 
 
 def simhash_near_pairs(

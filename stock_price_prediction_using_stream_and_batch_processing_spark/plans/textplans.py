@@ -253,6 +253,70 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
 
 
 @register(
+    "near_dup_filter_docs",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    ),
+    d AS (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh),
+    sig AS (
+      SELECT doc_id, s.seed,
+             MIN(substr(CASE WHEN s.seed < 4 THEN d0 ELSE d1 END,
+                        CAST((s.seed % 4) * 8 + 1 AS INTEGER), 8)) AS mh
+      FROM d CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(CAST(seed // 2 AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    ver AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM ver UNION SELECT id_b, id_a FROM ver
+    ),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN reach r ON e.t = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE lab < node)
+    """,
+    tags=("dedup", "minhash", "lsh", "jaccard", "components", "pipeline"),
+    driver=False,
+)
+def near_dup_filter_docs(spark, sf_dir):
+    """End-to-end near-dup corpus removal (operators/dedup.
+    near_dup_filter): LSH candidates → candidate-restricted exact
+    Jaccard ≥ 0.8 → connected components → keep min-id representative
+    per cluster. The oracle recomputes the whole pipeline in SQL with a
+    recursive CTE for the components, so the differential checks the
+    composition, not just the stages."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_filter(d, "text", "doc_id", num_hashes=8, bands=4)
+
+
+@register(
     "simhash_docs",
     oracle=f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

@@ -182,3 +182,26 @@ def test_ngram_contamination_planted(spark):
     assert rows[(1, 100)] >= 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_dup_filter_keeps_representatives(docs):
+    """The composed removal pipeline keeps exactly one representative
+    (min id) of each near-dup family and every background doc."""
+    survivors = {
+        r.doc_id
+        for r in dedup.near_dup_filter(
+            docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.8
+        ).collect()
+    }
+    # family {0..4} is one cluster (identical + high-jaccard variants):
+    # only the min id survives
+    assert 0 in survivors
+    assert not ({1, 2, 3, 4} & survivors)
+    # every background doc survives untouched
+    assert set(range(100, 120)) <= survivors
+    # doc 5 (lower-jaccard variant) survives only if its true jaccard
+    # vs the family is below the 0.8 verify threshold — assert the
+    # decision matches the exact pair computation, whichever way
+    exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    five_linked = exact.filter("id_a = 5 or id_b = 5").count() > 0
+    assert (5 in survivors) == (not five_linked)
