@@ -44,6 +44,13 @@ HEADLINE = [
     "simhash_docs",
     "cosine_topk_bruteforce",
     "media_feature_stats",
+    # round-4 additions: ranking, repetition, hypertable rollup, and the
+    # composed near-dup removal pipeline
+    "tf_idf_docs",
+    "bm25_topk_docs",
+    "doc_repetition_docs",
+    "multi_res_ohlc_events",
+    "near_dup_filter_docs",
     # Watermarked APPEND is the scale-safe streaming headline (bounded
     # state); complete-mode stream_hourly_counts stays registry-extended
     # as an oracle-determinism device only.

@@ -213,6 +213,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: every propagation round joins edges, and
+        # without the cut each round re-executes the whole upstream pair
+        # pipeline (for near_dup_filter that is minhash + LSH banding +
+        # jaccard verification PER ROUND — measured 9.6 s -> ~4 s at
+        # sf0.1 from this line alone)
+        .localCheckpoint(eager=True)
     )
     # self-loops keep isolated-after-filter nodes and each node's own id
     nodes = edges.select("src").distinct()
