@@ -252,6 +252,49 @@ def bm25_scores(
     return scores
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    RAG / pretraining document splitter. With stride = chunk_tokens −
+    overlap, chunk i covers tokens [i·stride, i·stride + chunk_tokens);
+    every token position belongs to ≥1 chunk, consecutive chunks share
+    ``overlap`` tokens, and the final chunk may be short. Empty docs
+    yield no chunks.
+
+    Plan: tokens materialize once per row, chunk starts are a
+    ``sequence`` array, and each chunk is a ``slice`` + ``array_join``
+    inside a ``transform`` whose lambda touches only plain column
+    attributes (no per-element re-evaluation of the tokenize tree) —
+    then one ``posexplode``. Chunking is embarrassingly parallel: no
+    shuffle at all; output order/row-multiplicity is per input row."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    base = df.select(F.col(id_col), text.tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(F.col("_toks"), s + 1, chunk_tokens), " ").alias("txt"),
+            F.size(F.slice(F.col("_toks"), s + 1, chunk_tokens)).alias("nt"),
+        ),
+    )
+    return base.select(id_col, F.posexplode(chunks).alias("chunk_id", "_c")).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.txt").alias("chunk_text"),
+        F.col("_c.nt").alias("n_chunk_tokens"),
+    )
+
+
 # PII patterns shared with the DuckDB oracle — RE2-safe (no lookaround),
 # identical semantics under Java regex and DuckDB/RE2.
 PII_PATTERNS = (

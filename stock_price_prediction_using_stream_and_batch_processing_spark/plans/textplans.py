@@ -516,6 +516,30 @@ def bm25_topk_docs(spark, sf_dir):
 
 
 @register(
+    "chunk_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE len({_TOKS}) > 0),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st FROM t
+    )
+    SELECT doc_id, CAST(st // 48 AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, CAST(st + 1 AS INTEGER), CAST(st + 64 AS INTEGER)), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, CAST(st + 1 AS INTEGER), CAST(st + 64 AS INTEGER))) AS INTEGER) AS n_chunk_tokens
+    FROM s
+    """,
+    tags=("text", "chunking", "rag"),
+    driver=False,
+)
+def chunk_docs(spark, sf_dir):
+    """Fixed-window document chunking with overlap (operators/textops.
+    chunk_documents, 64-token chunks / 16-token overlap): the
+    RAG-indexing / pretraining splitter, shuffle-free (tokens -> start
+    sequence -> slice/join -> posexplode)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@register(
     "pii_redact_docs",
     oracle=r"""
     SELECT doc_id,

@@ -157,3 +157,38 @@ def test_repetition_features_planted(spark):
     assert out[3].dup_bigram_frac == round(1 - 3 / 5, 6)
     assert out[4].dup_token_frac == out[4].top_token_frac == out[4].dup_bigram_frac == 0.0
     assert out[5].dup_bigram_frac == 0.0 and out[5].top_token_frac == 1.0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    words = [f"w{i}" for i in range(150)]
+    d = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:10])), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = textops.chunk_documents(d, chunk_tokens=64, overlap=16)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 150 tokens, stride 48 -> starts 0,48,96,144 -> 4 chunks
+    c1 = by_doc[1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in c1] == [64, 64, 54, 6]
+    # consecutive chunks share exactly the 16-token overlap
+    t0, t1 = c1[0].chunk_text.split(" "), c1[1].chunk_text.split(" ")
+    assert t0[-16:] == t1[:16]
+    # concatenating stride-sized prefixes reconstructs the doc exactly
+    recon = []
+    for r in c1:
+        recon.extend(r.chunk_text.split(" ")[:48])
+    assert recon[:150] == words and len(recon) <= 150 + 16
+    # short doc: one chunk holding everything; empty doc: no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 10
+    assert 3 not in by_doc
+    # shuffle-free: no Exchange anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with __import__("pytest").raises(ValueError):
+        textops.chunk_documents(d, chunk_tokens=16, overlap=16)
