@@ -151,3 +151,58 @@ def test_dedup_clusters_equals_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+TEXT_ROWS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=30),
+    min_size=0,
+    max_size=8,
+)
+
+
+@PROP
+@given(docs=TEXT_ROWS, chunk=st.integers(min_value=2, max_value=6), overlap=st.integers(min_value=0, max_value=4))
+def test_chunk_documents_equals_python(spark, docs, chunk, overlap):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "")][:0], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in textops.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            piece = toks[s : s + chunk]
+            want[(i, ci)] = (" ".join(piece), len(piece))
+    assert got == want
+
+
+@PROP
+@given(docs=TEXT_ROWS)
+def test_repetition_features_equals_python(spark, docs):
+    from collections import Counter
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "")][:0], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_token_frac, r.top_token_frac, r.dup_bigram_frac)
+        for r in textops.repetition_features(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        c = Counter(toks)
+        dup = round(1.0 - len(c) / n, 6) if n else 0.0
+        top = round(max(c.values()) / n, 6) if n else 0.0
+        if n >= 2:
+            bigrams = [f"{toks[j]} {toks[j+1]}" for j in range(n - 1)]
+            dbg = round(1.0 - len(set(bigrams)) / (n - 1), 6)
+        else:
+            dbg = 0.0
+        assert got[i] == (dup, top, dbg), f"doc {i}: {got[i]} != {(dup, top, dbg)}"
