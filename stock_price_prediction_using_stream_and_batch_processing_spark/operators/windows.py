@@ -280,40 +280,106 @@ def ohlc_rollup_levels(
 
     Output: one row per (resolution, key, bucket) with the level label
     in ``resolution``."""
-    partial = (
-        df.groupBy(F.col(key), F.window(ts, levels[0]).alias("w"))
-        .agg(
-            F.min(seq).alias("_oseq"),
-            F.min_by(value, seq).alias("open"),
-            F.max(value).alias("high"),
-            F.min(value).alias("low"),
-            F.max(seq).alias("_cseq"),
-            F.max_by(value, seq).alias("close"),
-            F.count(F.lit(1)).alias("n_ticks"),
-        )
-        .select(key, F.col("w.start").alias("bucket_start"), "_oseq", "open", "high", "low", "_cseq", "close", "n_ticks")
-    )
+    partial = ohlc_partials(df, key, ts, value, seq, levels[0])
     if single_scan:
         partial = partial.localCheckpoint(eager=False)
     out_cols = [key, "bucket_start", "open", "high", "low", "close", "n_ticks"]
     result = partial.select(F.lit(levels[0]).alias("resolution"), *out_cols)
     prev = partial
     for lvl in levels[1:]:
-        prev = (
-            prev.groupBy(F.col(key), F.window("bucket_start", lvl).alias("w"))
-            .agg(
-                F.min("_oseq").alias("_oseq"),
-                F.min_by("open", "_oseq").alias("open"),
-                F.max("high").alias("high"),
-                F.min("low").alias("low"),
-                F.max("_cseq").alias("_cseq"),
-                F.max_by("close", "_cseq").alias("close"),
-                F.sum("n_ticks").alias("n_ticks"),
-            )
-            .select(key, F.col("w.start").alias("bucket_start"), "_oseq", "open", "high", "low", "_cseq", "close", "n_ticks")
-        )
+        prev = merge_ohlc_bars(prev, key, lvl)
         result = result.unionByName(prev.select(F.lit(lvl).alias("resolution"), *out_cols))
     return result
+
+
+def ohlc_partials(
+    df: DataFrame, key: str, ts: str, value: str, seq: str, duration: str
+) -> DataFrame:
+    """Mergeable OHLC bars at one resolution: alongside open/high/low/
+    close/count, each bar carries ``open_seq``/``close_seq`` — the
+    sequence ids its open/close were chosen by — which is what makes
+    two bars for the same (key, bucket) (or nested buckets) combinable
+    EXACTLY via :func:`merge_ohlc_bars`. This is the schema a
+    materialized continuous aggregate stores."""
+    return (
+        df.groupBy(F.col(key), F.window(ts, duration).alias("w"))
+        .agg(
+            F.min(seq).alias("open_seq"),
+            F.min_by(value, seq).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max(seq).alias("close_seq"),
+            F.max_by(value, seq).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            key, F.col("w.start").alias("bucket_start"),
+            "open_seq", "open", "high", "low", "close_seq", "close", "n_ticks",
+        )
+    )
+
+
+def merge_ohlc_bars(bars: DataFrame, key: str, duration: str | None = None) -> DataFrame:
+    """Combine mergeable bars (:func:`ohlc_partials` schema): with
+    ``duration``, roll fine buckets up into coarser epoch-aligned
+    windows; with ``None``, merge multiple bars of the SAME bucket
+    (the incremental-refresh case — a new batch's partial bar plus the
+    stored bar). Open/close follow the min/max carried seq, so the
+    merge equals recomputing from raw for any split of the rows."""
+    if duration is None:
+        grouped = bars.groupBy(F.col(key), F.col("bucket_start"))
+        start = F.col("bucket_start")
+    else:
+        grouped = bars.groupBy(F.col(key), F.window("bucket_start", duration).alias("w"))
+        start = F.col("w.start")
+    return grouped.agg(
+        F.min("open_seq").alias("open_seq"),
+        F.min_by("open", "open_seq").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("close_seq").alias("close_seq"),
+        F.max_by("close", "close_seq").alias("close"),
+        F.sum("n_ticks").alias("n_ticks"),
+    ).select(
+        key, start.alias("bucket_start"),
+        "open_seq", "open", "high", "low", "close_seq", "close", "n_ticks",
+    )
+
+
+def refresh_ohlc_fine(
+    spark,
+    fine_path: str,
+    new_raw: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    seq: str,
+    duration: str = "1 minute",
+    partition_col: str | None = None,
+) -> int:
+    """Incremental maintenance of a MATERIALIZED fine-bar table — the
+    refresh half of the continuous-aggregate pattern
+    (:func:`ohlc_rollup_levels` documents the query half). Only the new
+    batch's raw rows are aggregated; their partial bars merge with the
+    stored bars of exactly the affected (key, bucket)s (exact via the
+    seq carries, so LATE data takes the same path as new data), and the
+    result MERGEs back replacing those bars only. Cost per refresh is
+    O(batch) + O(affected bars), independent of table history size —
+    at 100 TB/day of raw, coarser resolutions then derive from this
+    table via :func:`merge_ohlc_bars` without ever rescanning raw.
+    Returns the number of bar rows written by the merge."""
+    from .upsert import merge_into_parquet
+
+    batch = ohlc_partials(new_raw, key, ts, value, seq, duration)
+    try:
+        target = spark.read.parquet(fine_path)
+    except Exception:  # first refresh: nothing materialized yet
+        batch.write.parquet(fine_path)
+        return spark.read.parquet(fine_path).count()
+    affected_keys = batch.select(key, "bucket_start").distinct()
+    existing = target.join(affected_keys, [key, "bucket_start"], "semi")
+    merged = merge_ohlc_bars(existing.unionByName(batch), key)
+    return merge_into_parquet(spark, fine_path, merged, [key, "bucket_start"], partition_col)
 
 
 def vwap(

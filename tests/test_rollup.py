@@ -75,3 +75,35 @@ def test_rollup_single_scan_of_raw(spark):
     )
     plan_rescan = rescans._jdf.queryExecution().executedPlan().toString()
     assert plan_rescan.count("Range (") == 3
+
+
+def test_incremental_fine_refresh_equals_full_recompute(spark, tmp_path):
+    """Two refreshes (second containing LATE rows for already-
+    materialized buckets) must leave the fine-bar table identical to a
+    one-shot aggregation of all raw rows, and coarse levels derived
+    from the maintained table must equal direct computation."""
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    raw = []
+    for k in ("x", "y"):
+        for i in range(240):
+            raw.append((k, base + dt.timedelta(minutes=i // 2, seconds=13 * (i % 2)), float((i * 7) % 23) + 0.25, 10_000 - i))
+    # batch 2 = every 5th row (late arrivals hitting existing buckets)
+    # plus a brand-new bucket at the end
+    b2 = [r for j, r in enumerate(raw) if j % 5 == 0]
+    b1 = [r for j, r in enumerate(raw) if j % 5 != 0]
+    b2.append(("x", base + dt.timedelta(hours=9), 99.5, 20_000))
+    all_rows = b1 + b2
+    schema = "k string, ts timestamp, v double, seq long"
+    fine_path = str(tmp_path / "fine_bars")
+
+    windows.refresh_ohlc_fine(spark, fine_path, spark.createDataFrame(b1, schema), "k", "ts", "v", "seq")
+    windows.refresh_ohlc_fine(spark, fine_path, spark.createDataFrame(b2, schema), "k", "ts", "v", "seq")
+
+    maintained = spark.read.parquet(fine_path)
+    direct = windows.ohlc_partials(spark.createDataFrame(all_rows, schema), "k", "ts", "v", "seq", "1 minute")
+    key_fn = lambda r: (r["k"], r["bucket_start"])  # noqa: E731
+    assert sorted(maintained.collect(), key=key_fn) == sorted(direct.collect(), key=key_fn)
+
+    hour_from_fine = windows.merge_ohlc_bars(maintained, "k", "1 hour")
+    hour_direct = windows.ohlc_partials(spark.createDataFrame(all_rows, schema), "k", "ts", "v", "seq", "1 hour")
+    assert sorted(hour_from_fine.collect(), key=key_fn) == sorted(hour_direct.collect(), key=key_fn)
