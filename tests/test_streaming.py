@@ -557,3 +557,38 @@ def test_transform_with_state_twin_equals_apply_in_pandas(spark, tmp_path):
         provider=rocksdb,
     )
     assert tws == legacy
+
+
+def test_bar_maintenance_stream_equals_batch(spark, tmp_path):
+    """The stream-maintained minute-bar table must equal a one-shot
+    batch aggregation of all ticks, and a replayed epoch must be a
+    no-op (the double-merge guard)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows as W
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        maintain_bars_batch,
+        run_bar_maintenance_stream,
+    )
+
+    n = 30
+    path = _write_tick_files(tmp_path, n, 3)
+    bars_root = str(tmp_path / "bars_root")
+    q = run_bar_maintenance_stream(
+        spark,
+        file_tick_source(spark, path, max_files_per_trigger=1),
+        bars_root=bars_root,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    maintained = spark.read.parquet(f"{bars_root}/bars")
+    all_ticks = parse_ticks(spark.read.format("text").load(path))
+    direct = W.ohlc_partials(all_ticks, "symbol", "timestamp", "price", "timestamp", "1 minute")
+    key_fn = lambda r: (r["symbol"], r["bucket_start"])  # noqa: E731
+    assert sorted(maintained.collect(), key=key_fn) == sorted(direct.collect(), key=key_fn)
+    assert maintained.agg({"n_ticks": "sum"}).collect()[0][0] == n
+
+    # replay of an already-merged epoch must not double-count
+    last_epoch = int(open(f"{bars_root}/_last_epoch").read())
+    merged = maintain_bars_batch(spark, bars_root, all_ticks, last_epoch)
+    assert merged is False
+    assert spark.read.parquet(f"{bars_root}/bars").agg({"n_ticks": "sum"}).collect()[0][0] == n
