@@ -292,6 +292,51 @@ def near_dup_filter(
     return df.join(drop, df[id_col] == drop["doc_id"], "left_anti")
 
 
+def incremental_content_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot exact dedup: filter a NEW batch of documents
+    against the fingerprint store of everything already ingested, keep
+    one copy of each fingerprint new to this batch, and append the
+    surviving fingerprints to the store — the daily-crawl-lands-on-an-
+    existing-corpus shape. The store holds 16-byte md5 fingerprints,
+    never text, so at 100 TB of corpus it is ~0.02% of the data and the
+    anti-join shuffles digests only. First call bootstraps the store.
+    Returns the surviving rows of ``new_docs``.
+
+    NOT idempotent across retries of the same batch (the append
+    advances the store); wrap calls in the caller's epoch guard (see
+    streaming/pipeline.maintain_bars_batch for the pattern) when driven
+    from foreachBatch."""
+    from ..functions import hashing
+
+    fp = new_docs.select(
+        F.col(id_col), F.col(text_col), hashing.fingerprint(text_col).alias("_fp")
+    )
+    # one keeper per fingerprint WITHIN the batch (min id), exact shape;
+    # keeper columns renamed to dodge self-join ambiguity (keeper
+    # derives from fp)
+    keeper = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id")).select(
+        F.col("_fp").alias("_kfp"), "_keep_id"
+    )
+    batch_unique = fp.join(
+        keeper,
+        (F.col("_fp") == F.col("_kfp")) & (F.col(id_col) == F.col("_keep_id")),
+    ).select(id_col, text_col, "_fp")
+    try:
+        store = spark.read.parquet(store_path)
+        fresh = batch_unique.join(store, batch_unique["_fp"] == store["fp"], "left_anti")
+    except Exception:  # first batch: empty store
+        fresh = batch_unique
+    fresh = fresh.localCheckpoint(eager=True)  # materialize before the store append
+    fresh.select(F.col("_fp").alias("fp")).write.mode("append").parquet(store_path)
+    return fresh.select(id_col, text_col)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str,

@@ -205,3 +205,28 @@ def test_near_dup_filter_keeps_representatives(docs):
     exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
     five_linked = exact.filter("id_a = 5 or id_b = 5").count() > 0
     assert (5 in survivors) == (not five_linked)
+
+
+def test_incremental_content_dedup_across_batches(spark, tmp_path):
+    """Batch 2 must drop docs whose content arrived in batch 1 (even
+    under normalization differences), keep genuinely new content, and
+    the store must accumulate so batch 3 sees both."""
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "something else")],
+        ["doc_id", "text"],
+    )
+    out1 = {r.doc_id for r in dedup.incremental_content_dedup(spark, b1, store).collect()}
+    assert out1 == {1, 3}  # within-batch dup collapsed to min id
+    b2 = spark.createDataFrame(
+        [(10, "THE QUICK   brown fox!"), (11, "brand new content here")],
+        ["doc_id", "text"],
+    )
+    out2 = {r.doc_id for r in dedup.incremental_content_dedup(spark, b2, store).collect()}
+    assert out2 == {11}  # 10 normalizes to batch-1 content
+    b3 = spark.createDataFrame(
+        [(20, "brand new content here"), (21, "something else"), (22, "never seen before")],
+        ["doc_id", "text"],
+    )
+    out3 = {r.doc_id for r in dedup.incremental_content_dedup(spark, b3, store).collect()}
+    assert out3 == {22}
