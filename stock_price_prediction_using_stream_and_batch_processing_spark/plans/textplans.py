@@ -303,7 +303,6 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     WHERE doc_id NOT IN (SELECT node FROM comp WHERE lab < node)
     """,
     tags=("dedup", "minhash", "lsh", "jaccard", "components", "pipeline"),
-    driver=False,
 )
 def near_dup_filter_docs(spark, sf_dir):
     """End-to-end near-dup corpus removal (operators/dedup.

@@ -510,6 +510,10 @@ def ewma_final_per_user(spark, sf_dir):
     FROM r GROUP BY user_id
     """,
     tags=("volatility", "window", "groupby", "timeseries"),
+    # rotated to extended in r4 (driver-green r1-r3; trend/ewma keep
+    # driver rows for the per-key statistics family) to free a slot for
+    # the composed near-dup pipeline.
+    driver=False,
 )
 def returns_volatility_per_user(spark, sf_dir):
     """Return volatility (sample stddev of lag-1 percent returns) per
