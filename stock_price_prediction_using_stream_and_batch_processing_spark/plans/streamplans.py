@@ -244,6 +244,64 @@ def stream_enrich_user_segment(spark, sf_dir):
 
 
 @register(
+    "stream_ohlc_maintenance",
+    oracle="""
+    SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           COUNT(*) AS n_ticks
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    tags=("streaming", "ohlc", "rollup", "continuous-aggregate"),
+    driver=False,
+)
+def stream_ohlc_maintenance(spark, sf_dir):
+    """STREAMING continuous-aggregate maintenance, oracle-checked: the
+    event stream drives ``refresh_ohlc_fine`` per micro-batch, merging
+    each batch's partial bars into a materialized hourly-bar table
+    (only affected (key, bucket) bars touched). Because the bars are
+    exactly mergeable (seq-carried open/close), the final table is
+    IDENTICAL to the batch tumbling-OHLC aggregation — same oracle as
+    ``tumbling_ohlc_events`` — for ANY micro-batch split of the input,
+    including late arrivals. This is the lambda-architecture
+    unification: one operator definition, identical results from the
+    stream and the batch path."""
+    import tempfile
+
+    from ..operators.windows import refresh_ohlc_fine
+
+    s = _stream_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_bars_")
+    bars = os.path.join(work, "bars")
+
+    def maint(batch_df, epoch_id):
+        refresh_ohlc_fine(
+            spark, bars, batch_df,
+            key="user_id", ts="ts", value="value", seq="event_id", duration="1 hour",
+        )
+
+    q = (
+        s.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(maint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(bars).select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+
+
+@register(
     "stream_session_counts",
     oracle="""
     WITH o AS (
