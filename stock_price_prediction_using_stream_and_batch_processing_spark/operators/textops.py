@@ -252,6 +252,28 @@ def bm25_scores(
     return scores
 
 
+def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy (mean surprisal, nats) under the
+    corpus's own unigram language model — the perplexity-style quality
+    filter (CCNet-shape): documents whose tokens are improbable under
+    the corpus distribution score high and get routed/filtered. A
+    production pipeline swaps in an external KenLM; the plumbing — LM
+    table join + per-doc aggregation — is identical.
+
+    Plan: token frequencies aggregate once (map-side combined); the
+    doc-token stream joins the frequency table by token (AQE broadcasts
+    it while the vocabulary is small; shuffles by token beyond that)
+    and the corpus total rides along as a broadcast single-row
+    aggregate. Only the final per-doc mean is order-dependent float
+    math, rounded for the differential."""
+    toks = df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.groupBy().agg(F.sum("cnt").alias("_total"))
+    joined = toks.join(freq, "token").join(F.broadcast(total))
+    logp = F.log(F.col("cnt") / F.col("_total"))
+    return joined.groupBy(id_col).agg(F.round(-F.avg(logp), 6).alias("surprisal_nats"))
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -515,6 +515,27 @@ def bm25_topk_docs(spark, sf_dir):
 
 
 @register(
+    "doc_surprisal_docs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq)
+    SELECT doc_id, ROUND(-AVG(ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal_nats
+    FROM tok JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+    driver=False,
+)
+def doc_surprisal_docs(spark, sf_dir):
+    """Mean unigram surprisal per document under the corpus's own
+    distribution (operators/textops.unigram_surprisal) — the
+    perplexity-filter shape for corpus quality routing."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.unigram_surprisal(d)
+
+
+@register(
     "chunk_docs",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE len({_TOKS}) > 0),
