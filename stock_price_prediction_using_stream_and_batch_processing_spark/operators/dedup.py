@@ -32,7 +32,16 @@ def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return exact_dedup(df.withColumn("_fp", hashing.fingerprint(text_col)), ["_fp"], id_col).drop("_fp")
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
+    """(id, _sh) — one row per distinct word shingle per doc. The
+    shared input of the near-dup stages; compute it ONCE (and
+    localCheckpoint it) when several stages run over the same corpus —
+    the normalize+tokenize+shingle projection is the dominant cost and
+    Catalyst cannot share it across differently-keyed subtrees."""
+    return df.select(F.col(id_col), F.explode(text.word_shingles(text_col, shingle_n)).alias("_sh"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3, shingled: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature: for seed i, sig_i = min over shingles
     of md5(i||shingle).
 
@@ -49,7 +58,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     ~40× slower at sf0.1. A (a·h+b) mod p universal family was REJECTED:
     32-bit h against the 61-bit modulus made the functions near-monotone
     in h and the argmins correlated across seeds.)"""
-    sh = df.select(F.col(id_col), F.explode(text.word_shingles(text_col, shingle_n)).alias("_sh"))
+    sh = shingled if shingled is not None else exploded_shingles(df, text_col, id_col, shingle_n)
     n_digests = (num_hashes + 3) // 4
     digests = [F.md5(F.concat(F.lit(f"{g}:"), F.col("_sh"))) for g in range(n_digests)]
     return sh.groupBy(id_col).agg(
@@ -68,6 +77,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band
     (rows-per-band = num_hashes/bands) of their MinHash signature.
@@ -83,7 +93,7 @@ def minhash_lsh_pairs(
     (which exact content-dedup already collapses) for a bounded join.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled=shingled)
     band_cols = [
         F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band_{b}")
         for b in range(bands)
@@ -116,6 +126,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
@@ -129,9 +140,8 @@ def ngram_jaccard_pairs(
     candidate joins its a-side shingle set then matches b-side digests,
     so the work is O(candidates × shingles-per-doc), independent of
     corpus size."""
-    shingled = df.select(
-        F.col(id_col), F.explode(text.word_shingles(text_col, shingle_n)).alias("sh")
-    ).select(id_col, F.md5("sh").alias("sh"))
+    base = shingled if shingled is not None else exploded_shingles(df, text_col, id_col, shingle_n)
+    shingled = base.select(id_col, F.md5("_sh").alias("sh"))
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         sh_a = shingled.select(F.col(id_col).alias("id_a"), "sh")
@@ -280,12 +290,17 @@ def near_dup_filter(
     ``minhash_lsh_pairs``; every SURVIVOR≁SURVIVOR relation is still
     exact because verification recomputes true Jaccard on candidates.
     """
+    # the shingle projection is the pipeline's dominant cost and feeds
+    # BOTH the signature and verification stages with different
+    # downstream keys — materialize it once instead of 3 corpus passes
+    shingled = exploded_shingles(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size, shingled=shingled,
     )
     verified = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n=shingle_n, threshold=threshold, candidates=cands
+        df, text_col, id_col, shingle_n=shingle_n, threshold=threshold,
+        candidates=cands, shingled=shingled,
     )
     clusters = dedup_clusters(verified)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -314,9 +329,8 @@ def incremental_content_dedup(
     from foreachBatch."""
     from ..functions import hashing
 
-    fp = new_docs.select(
-        F.col(id_col), F.col(text_col), hashing.fingerprint(text_col).alias("_fp")
-    )
+    in_cols = list(new_docs.columns)
+    fp = new_docs.withColumn("_fp", hashing.fingerprint(text_col))
     # one keeper per fingerprint WITHIN the batch (min id), exact shape;
     # keeper columns renamed to dodge self-join ambiguity (keeper
     # derives from fp)
@@ -326,15 +340,20 @@ def incremental_content_dedup(
     batch_unique = fp.join(
         keeper,
         (F.col("_fp") == F.col("_kfp")) & (F.col(id_col) == F.col("_keep_id")),
-    ).select(id_col, text_col, "_fp")
-    try:
+    ).select(*in_cols, "_fp")
+    # explicit existence check, not a bare except around the read: a
+    # TRANSIENT failure reading an existing store must raise (treating
+    # it as 'first batch' would admit duplicates permanently)
+    from ..sources.tables import hadoop_path_exists
+
+    if hadoop_path_exists(spark, store_path):
         store = spark.read.parquet(store_path)
         fresh = batch_unique.join(store, batch_unique["_fp"] == store["fp"], "left_anti")
-    except Exception:  # first batch: empty store
+    else:  # first batch: bootstrap the store
         fresh = batch_unique
     fresh = fresh.localCheckpoint(eager=True)  # materialize before the store append
     fresh.select(F.col("_fp").alias("fp")).write.mode("append").parquet(store_path)
-    return fresh.select(id_col, text_col)
+    return fresh.select(*in_cols)
 
 
 def simhash_near_pairs(

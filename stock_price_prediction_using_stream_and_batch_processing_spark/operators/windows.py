@@ -355,7 +355,7 @@ def refresh_ohlc_fine(
     value: str,
     seq: str,
     duration: str = "1 minute",
-    partition_col: str | None = None,
+    partition_col: str | None = "part_date",
 ) -> int:
     """Incremental maintenance of a MATERIALIZED fine-bar table — the
     refresh half of the continuous-aggregate pattern
@@ -363,22 +363,40 @@ def refresh_ohlc_fine(
     batch's raw rows are aggregated; their partial bars merge with the
     stored bars of exactly the affected (key, bucket)s (exact via the
     seq carries, so LATE data takes the same path as new data), and the
-    result MERGEs back replacing those bars only. Cost per refresh is
-    O(batch) + O(affected bars), independent of table history size —
-    at 100 TB/day of raw, coarser resolutions then derive from this
-    table via :func:`merge_ohlc_bars` without ever rescanning raw.
+    result MERGEs back replacing those bars only.
+
+    ``partition_col`` (default on): the table is laid out partitioned
+    by ``to_date(bucket_start)`` and the merge-back rewrites ONLY the
+    dates the batch touched (dynamic partition overwrite) — this is
+    what makes refresh cost O(batch) + O(affected partitions) instead
+    of a full-table rewrite as history accumulates. ``None`` stores a
+    flat table and rewrites all of it each refresh — only for
+    short-lived scratch tables. The first refresh writes the same
+    layout, so later merges always see a consistently-partitioned
+    table. Readers should drop/ignore the partition column.
     Returns the number of bar rows written by the merge."""
     from .upsert import merge_into_parquet
 
+    from ..sources.tables import hadoop_path_exists
+
     batch = ohlc_partials(new_raw, key, ts, value, seq, duration)
-    try:
-        target = spark.read.parquet(fine_path)
-    except Exception:  # first refresh: nothing materialized yet
-        batch.write.parquet(fine_path)
+    with_part = (
+        (lambda d: d.withColumn(partition_col, F.to_date("bucket_start")))
+        if partition_col is not None
+        else (lambda d: d)
+    )
+    if not hadoop_path_exists(spark, fine_path):
+        writer = with_part(batch).write
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(fine_path)
         return spark.read.parquet(fine_path).count()
+    target = spark.read.parquet(fine_path)
+    if partition_col is not None:
+        target = target.drop(partition_col)
     affected_keys = batch.select(key, "bucket_start").distinct()
     existing = target.join(affected_keys, [key, "bucket_start"], "semi")
-    merged = merge_ohlc_bars(existing.unionByName(batch), key)
+    merged = with_part(merge_ohlc_bars(existing.unionByName(batch), key))
     return merge_into_parquet(spark, fine_path, merged, [key, "bucket_start"], partition_col)
 
 

@@ -267,13 +267,22 @@ def stream_ohlc_maintenance(spark, sf_dir):
     ``tumbling_ohlc_events`` — for ANY micro-batch split of the input,
     including late arrivals. This is the lambda-architecture
     unification: one operator definition, identical results from the
-    stream and the batch path."""
+    stream and the batch path.
+
+    The source is split into FOUR files streamed one per micro-batch
+    (``maxFilesPerTrigger=1``), so the differential genuinely executes
+    the merge path — an arbitrary row split where most (key, hour)
+    buckets receive bars from several epochs — not just the bootstrap
+    write a single-batch stream would take."""
     import tempfile
 
     from ..operators.windows import refresh_ohlc_fine
 
-    s = _stream_events(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="stream_bars_")
+    split_dir = os.path.join(work, "src")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(split_dir)
+    schema = spark.read.parquet(split_dir).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
     bars = os.path.join(work, "bars")
 
     def maint(batch_df, epoch_id):

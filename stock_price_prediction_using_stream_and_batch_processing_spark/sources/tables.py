@@ -52,6 +52,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists on the session's Hadoop filesystem — an
+    explicit existence check for bootstrap-or-merge decisions, instead
+    of catching read errors (which would silently treat a TRANSIENT
+    read failure as 'table absent')."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table as stored (ns-timestamp cols still long)."""
     ensure_session_confs(spark)

@@ -108,9 +108,17 @@ def idempotent_epoch_write_arrow(df: DataFrame, path: str, epoch_id: int) -> Non
     ``stream_consumer.py:61-69``). Bulk backfills keep the distributed
     writer. The temp name starts with ``.`` so Spark's reader ignores a
     crash-orphaned partial file."""
+    import shutil
+
     import pyarrow.parquet as pq
 
     d = f"{path.rstrip('/')}/_epoch={int(epoch_id)}"
+    # A replayed epoch may have been written by the DISTRIBUTED writer
+    # before the crash (multiple part-* files) — clear the directory so
+    # the retry REPLACES the epoch's output under either writer, the
+    # same contract mode("overwrite") gives the distributed twin.
+    if os.path.isdir(d):
+        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, "._part-0.parquet.tmp")
     pq.write_table(df.toArrow(), tmp)
@@ -266,6 +274,7 @@ def maintain_bars_batch(
     batch_df: DataFrame,
     epoch_id: int,
     duration: str = "1 minute",
+    marker_root: str | None = None,
 ) -> bool:
     """One epoch of streaming continuous-aggregate maintenance: merge
     this batch's ticks into the materialized fine-bar table
@@ -279,10 +288,17 @@ def maintain_bars_batch(
     Closing that window needs a transactional table format
     (Delta/Iceberg MERGE) — documented limit of a parquet-only sink,
     still strictly stronger than the reference's unfenced at-least-once
-    JDBC append."""
+    JDBC append.
+
+    ``marker_root`` is where the epoch marker lives; it MUST share the
+    checkpoint's lifecycle (epoch ids restart at 0 when the checkpoint
+    is cleared, and a marker that outlives its checkpoint makes every
+    post-reset batch look like a replay — silently dropping all data).
+    ``run_bar_maintenance_stream`` passes the checkpoint dir itself."""
     from ..operators.windows import refresh_ohlc_fine
 
-    marker = os.path.join(bars_root, "_last_epoch")
+    marker = os.path.join(marker_root or bars_root, "_last_epoch")
+    os.makedirs(marker_root or bars_root, exist_ok=True)
     try:
         with open(marker) as f:
             last = int(f.read().strip())
@@ -320,7 +336,10 @@ def run_bar_maintenance_stream(
     parsed = parse_ticks(source)
 
     def _maint(batch_df: DataFrame, epoch_id: int) -> None:
-        maintain_bars_batch(spark, bars_root, batch_df, epoch_id, duration)
+        # marker shares the checkpoint's lifecycle (see maintain_bars_batch)
+        maintain_bars_batch(
+            spark, bars_root, batch_df, epoch_id, duration, marker_root=checkpoint_path
+        )
 
     writer = (
         parsed.writeStream.outputMode("append")

@@ -99,7 +99,11 @@ def test_incremental_fine_refresh_equals_full_recompute(spark, tmp_path):
     windows.refresh_ohlc_fine(spark, fine_path, spark.createDataFrame(b1, schema), "k", "ts", "v", "seq")
     windows.refresh_ohlc_fine(spark, fine_path, spark.createDataFrame(b2, schema), "k", "ts", "v", "seq")
 
-    maintained = spark.read.parquet(fine_path)
+    maintained = spark.read.parquet(fine_path).drop("part_date")
+    # the table on disk must be date-partitioned (merge scoping)
+    import os
+
+    assert any(e.startswith("part_date=") for e in os.listdir(fine_path))
     direct = windows.ohlc_partials(spark.createDataFrame(all_rows, schema), "k", "ts", "v", "seq", "1 minute")
     key_fn = lambda r: (r["k"], r["bucket_start"])  # noqa: E731
     assert sorted(maintained.collect(), key=key_fn) == sorted(direct.collect(), key=key_fn)

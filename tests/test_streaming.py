@@ -580,15 +580,17 @@ def test_bar_maintenance_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    maintained = spark.read.parquet(f"{bars_root}/bars")
+    maintained = spark.read.parquet(f"{bars_root}/bars").drop("part_date")
     all_ticks = parse_ticks(spark.read.format("text").load(path))
     direct = W.ohlc_partials(all_ticks, "symbol", "timestamp", "price", "timestamp", "1 minute")
     key_fn = lambda r: (r["symbol"], r["bucket_start"])  # noqa: E731
     assert sorted(maintained.collect(), key=key_fn) == sorted(direct.collect(), key=key_fn)
     assert maintained.agg({"n_ticks": "sum"}).collect()[0][0] == n
 
-    # replay of an already-merged epoch must not double-count
-    last_epoch = int(open(f"{bars_root}/_last_epoch").read())
-    merged = maintain_bars_batch(spark, bars_root, all_ticks, last_epoch)
+    # replay of an already-merged epoch must not double-count; the
+    # marker lives with the CHECKPOINT (epoch ids restart with it)
+    ckpt = str(tmp_path / "ckpt")
+    last_epoch = int(open(f"{ckpt}/_last_epoch").read())
+    merged = maintain_bars_batch(spark, bars_root, all_ticks, last_epoch, marker_root=ckpt)
     assert merged is False
     assert spark.read.parquet(f"{bars_root}/bars").agg({"n_ticks": "sum"}).collect()[0][0] == n
