@@ -188,13 +188,16 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     1·tf and nothing divides by zero).
 
     Plan at scale: the term-frequency table keys one shuffle by
-    (id, token); document frequency is a second aggregation of THAT
-    table keyed by token (counting rows — each row is a distinct
-    (doc, token), so no countDistinct pass over raw data); the corpus
-    size N joins in as a broadcast single-row aggregate, never a
+    (id, token) and is MATERIALIZED once (lazy localCheckpoint) —
+    document frequency is a second aggregation of THAT table keyed by
+    token, and without the cut Catalyst duplicates the whole
+    tokenize+explode+aggregate subtree into the join's other side
+    (a second full corpus scan; same union-branch non-sharing as
+    windows.ohlc_rollup_levels). The corpus size N joins in as a
+    broadcast single-row aggregate over a metadata-only scan, never a
     driver-side ``count()``. All arithmetic is exact given integer
     tf/df/N, so the cross-engine differential is stable."""
-    tf = term_frequencies(df, text_col, id_col)
+    tf = term_frequencies(df, text_col, id_col).localCheckpoint(eager=False)
     n_docs = df.groupBy().agg(F.count("*").alias("_n_docs"))
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     joined = tf.join(df_t, "token").join(F.broadcast(n_docs))
@@ -236,11 +239,13 @@ def bm25_scores(
         F.filter("_toks", lambda t: F.array_contains(q, t)).alias("_hits"),
     )
     corpus = dl.groupBy().agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    # materialized once: df_t below re-aggregates THIS table, and
+    # without the cut its corpus scan duplicates into the join
     tf = (
         dl.select(id_col, "dl", F.explode("_hits").alias("token"))
         .groupBy(id_col, "dl", "token")
         .agg(F.count("*").alias("tf"))
-    )
+    ).localCheckpoint(eager=False)
     dft = tf.groupBy("token").agg(F.count("*").alias("df_t"))
     j = tf.join(F.broadcast(dft), "token").join(F.broadcast(corpus))
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
