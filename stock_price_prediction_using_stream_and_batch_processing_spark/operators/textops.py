@@ -272,7 +272,10 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     aggregate. Only the final per-doc mean is order-dependent float
     math, rounded for the differential."""
     toks = df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("token"))
-    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # freq is vocabulary-sized — materialize it once so the corpus
+    # total and the LM join both read it instead of each embedding
+    # another full tokenize scan (3 corpus scans -> 1 + the join's)
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     total = freq.groupBy().agg(F.sum("cnt").alias("_total"))
     joined = toks.join(freq, "token").join(F.broadcast(total))
     logp = F.log(F.col("cnt") / F.col("_total"))
