@@ -344,9 +344,9 @@ def incremental_content_dedup(
     # explicit existence check, not a bare except around the read: a
     # TRANSIENT failure reading an existing store must raise (treating
     # it as 'first batch' would admit duplicates permanently)
-    from ..sources.tables import hadoop_path_exists
+    from ..sources.tables import parquet_table_exists
 
-    if hadoop_path_exists(spark, store_path):
+    if parquet_table_exists(spark, store_path):
         store = spark.read.parquet(store_path)
         fresh = batch_unique.join(store, batch_unique["_fp"] == store["fp"], "left_anti")
     else:  # first batch: bootstrap the store

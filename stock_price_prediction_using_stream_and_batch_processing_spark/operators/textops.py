@@ -233,19 +233,20 @@ def bm25_scores(
     With ``top_k`` the final order-by folds to TakeOrderedAndProject —
     no global sort."""
     q = F.array(*[F.lit(t) for t in query_terms])
+    # dl is the ONE corpus pass (id, length, query-term hits — small);
+    # materialize it so the corpus aggregate, tf, and df_t all derive
+    # from it instead of each re-running the tokenize scan
     dl = df.select(F.col(id_col), text.tokens(text_col).alias("_toks")).select(
         id_col,
         F.size("_toks").alias("dl"),
         F.filter("_toks", lambda t: F.array_contains(q, t)).alias("_hits"),
-    )
+    ).localCheckpoint(eager=False)
     corpus = dl.groupBy().agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
-    # materialized once: df_t below re-aggregates THIS table, and
-    # without the cut its corpus scan duplicates into the join
     tf = (
         dl.select(id_col, "dl", F.explode("_hits").alias("token"))
         .groupBy(id_col, "dl", "token")
         .agg(F.count("*").alias("tf"))
-    ).localCheckpoint(eager=False)
+    )
     dft = tf.groupBy("token").agg(F.count("*").alias("df_t"))
     j = tf.join(F.broadcast(dft), "token").join(F.broadcast(corpus))
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))

@@ -377,21 +377,39 @@ def refresh_ohlc_fine(
     Returns the number of bar rows written by the merge."""
     from .upsert import merge_into_parquet
 
-    from ..sources.tables import hadoop_path_exists
+    from ..sources.tables import parquet_table_exists
 
     batch = ohlc_partials(new_raw, key, ts, value, seq, duration)
+    # partition date derived from epoch days, NOT to_date (which is
+    # session-timezone-dependent: a job restarted under a different tz
+    # would route the same bucket to a different partition, stranding
+    # the old row outside the merge's pruned slice)
+    utc_date = F.date_from_unix_date(
+        F.floor(F.col("bucket_start").cast("timestamp").cast("double") / 86400.0).cast("int")
+    )
     with_part = (
-        (lambda d: d.withColumn(partition_col, F.to_date("bucket_start")))
+        (lambda d: d.withColumn(partition_col, utc_date))
         if partition_col is not None
         else (lambda d: d)
     )
-    if not hadoop_path_exists(spark, fine_path):
+    if not parquet_table_exists(spark, fine_path):
         writer = with_part(batch).write
         if partition_col is not None:
             writer = writer.partitionBy(partition_col)
         writer.parquet(fine_path)
         return spark.read.parquet(fine_path).count()
     target = spark.read.parquet(fine_path)
+    stored_partitioned = partition_col in target.columns if partition_col is not None else False
+    if partition_col is not None and not stored_partitioned:
+        raise ValueError(
+            f"bar table at {fine_path} is flat but partition_col={partition_col!r} was "
+            "requested — refresh with partition_col=None or rebuild the table partitioned"
+        )
+    if partition_col is None and any(c.startswith("part_") for c in target.columns):
+        raise ValueError(
+            f"bar table at {fine_path} is partitioned but partition_col=None was "
+            "requested — pass the table's partition column"
+        )
     if partition_col is not None:
         target = target.drop(partition_col)
     affected_keys = batch.select(key, "bucket_start").distinct()

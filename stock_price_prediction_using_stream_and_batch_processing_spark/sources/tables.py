@@ -52,15 +52,37 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
-    """True if ``path`` exists on the session's Hadoop filesystem — an
-    explicit existence check for bootstrap-or-merge decisions, instead
-    of catching read errors (which would silently treat a TRANSIENT
-    read failure as 'table absent')."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+def parquet_table_exists(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` holds a COMMITTED parquet table: the directory
+    exists and contains at least one visible file (not ``_temporary``
+    staging or dot-files). An explicit check for bootstrap-or-merge
+    decisions, instead of catching read errors (which would silently
+    treat a TRANSIENT read failure as 'table absent') — while a crash
+    that left only staging dirs behind still correctly reads as
+    'nothing committed yet'. Falls back to a schema-probe read when
+    the JVM filesystem API is unavailable (Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return False
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                return True
+        return False
+    except AttributeError:  # Spark Connect: no _jvm — probe the reader
+        from pyspark.errors import AnalysisException
+
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Unable to infer schema" in str(e):
+                return False
+            raise
 
 
 def raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -108,21 +108,23 @@ def idempotent_epoch_write_arrow(df: DataFrame, path: str, epoch_id: int) -> Non
     ``stream_consumer.py:61-69``). Bulk backfills keep the distributed
     writer. The temp name starts with ``.`` so Spark's reader ignores a
     crash-orphaned partial file."""
-    import shutil
-
     import pyarrow.parquet as pq
 
     d = f"{path.rstrip('/')}/_epoch={int(epoch_id)}"
-    # A replayed epoch may have been written by the DISTRIBUTED writer
-    # before the crash (multiple part-* files) — clear the directory so
-    # the retry REPLACES the epoch's output under either writer, the
-    # same contract mode("overwrite") gives the distributed twin.
-    if os.path.isdir(d):
-        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, "._part-0.parquet.tmp")
+    target = "part-0.parquet"
+    # A replayed epoch may have been written by the DISTRIBUTED writer
+    # before the crash (multiple part-* files) — remove every file
+    # EXCEPT our target so the retry replaces the epoch's output under
+    # either writer. The target itself is only ever swapped via
+    # os.replace, so a concurrent reader always sees old-or-new rows,
+    # never an empty epoch.
+    for name in os.listdir(d):
+        if name != target:
+            os.remove(os.path.join(d, name))
+    tmp = os.path.join(d, f"._{target}.tmp")
     pq.write_table(df.toArrow(), tmp)
-    os.replace(tmp, os.path.join(d, "part-0.parquet"))
+    os.replace(tmp, os.path.join(d, target))
 
 
 def run_tick_stream(
@@ -294,11 +296,24 @@ def maintain_bars_batch(
     checkpoint's lifecycle (epoch ids restart at 0 when the checkpoint
     is cleared, and a marker that outlives its checkpoint makes every
     post-reset batch look like a replay — silently dropping all data).
-    ``run_bar_maintenance_stream`` passes the checkpoint dir itself."""
+    ``run_bar_maintenance_stream`` passes the checkpoint dir itself.
+    The symmetric hazard: clearing the checkpoint while KEEPING the
+    bars table re-merges the whole stream into existing bars
+    (double-counts) — checkpoint, marker, and bars table form one unit;
+    reset all three together. Local filesystem paths only (the marker
+    uses OS file primitives; a URI checkpoint would silently write the
+    marker somewhere else and resurrect the stale-marker data loss) —
+    enforced below; cloud deployments want a transactional table
+    format here anyway."""
     from ..operators.windows import refresh_ohlc_fine
 
-    marker = os.path.join(marker_root or bars_root, "_last_epoch")
-    os.makedirs(marker_root or bars_root, exist_ok=True)
+    root = marker_root or bars_root
+    if "://" in root:
+        raise ValueError(
+            f"maintain_bars_batch requires a local marker/checkpoint path, got {root!r}"
+        )
+    marker = os.path.join(root, "_last_epoch")
+    os.makedirs(root, exist_ok=True)
     try:
         with open(marker) as f:
             last = int(f.read().strip())
