@@ -1,0 +1,73 @@
+"""Scalable total ordering: a distributed global row number.
+
+``row_number() OVER (ORDER BY …)`` with no PARTITION BY collapses the
+whole table into ONE task's sort — the canonical "works at sf0.01, dies
+at 100 TB" plan. The training-data pipeline needs a total order anyway
+(deterministic global shuffle of a corpus into training order), so this
+implements the classic two-phase scheme:
+
+1. range-repartition + sort within partitions on the order key
+   (Spark's sample-based RangePartitioner — each partition an
+   independent external sort);
+2. count rows per partition (tiny aggregate), prefix-sum the counts on
+   the driver-side-sized grid, broadcast the offsets back;
+3. rank = partition offset + within-partition row_number (the window is
+   per-partition, so no second global sort).
+
+The repartitioned frame is localCheckpoint'd: RangePartitioner samples
+its boundaries, so recomputing it between the count pass and the rank
+pass could move rows across partitions and corrupt the offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _free_name(base: str, taken) -> str:
+    name = base
+    i = 0
+    while name in taken:
+        i += 1
+        name = f"{base}__{i}"
+    return name
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order row number (1-based) without a single-partition sort.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak
+    column) — otherwise ties straddling a partition boundary make the
+    rank nondeterministic.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    pid_col = _free_name("_pid", df.columns)
+    off_col = _free_name("_off", df.columns)
+
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.repartitionByRange(int(parts), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(pid_col, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    counts = ranged.groupBy(pid_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy(pid_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col(pid_col),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(off_col),
+    )
+
+    w_in = Window.partitionBy(pid_col).orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), pid_col)
+        .withColumn(out, F.col(off_col) + F.row_number().over(w_in))
+        .drop(pid_col, off_col)
+    )

@@ -15,5 +15,6 @@ from . import vectorplans  # noqa: F401
 from . import streamplans  # noqa: F401
 from . import mediaplans  # noqa: F401
 from . import sampleplans  # noqa: F401
+from . import behavioral  # noqa: F401
 
 __all__ = ["all_queries", "get", "oracle_map", "query_map"]

@@ -585,3 +585,83 @@ def pii_redact_docs(spark, sf_dir):
     in tests/test_sampling.py."""
     d = load_table(spark, sf_dir, "documents")
     return textops.redact_pii(d, "text", "doc_id")
+
+
+@register(
+    "collocation_pmi_docs",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS token FROM toks),
+    uc AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM bg)
+    SELECT bc.bigram, bc.c AS n_pair,
+           ROUND(LN((bc.c / btot.m) / ((u1.c / tot.n) * (u2.c / tot.n))), 6) AS pmi
+    FROM bc
+    CROSS JOIN btot CROSS JOIN tot
+    JOIN uc u1 ON string_split(bc.bigram, ' ')[1] = u1.token
+    JOIN uc u2 ON string_split(bc.bigram, ' ')[2] = u2.token
+    WHERE bc.c >= 3
+    ORDER BY pmi DESC, bc.bigram LIMIT 50
+    """,
+    tags=("text", "collocation", "pmi"),
+    driver=False,
+)
+def collocation_pmi_docs(spark, sf_dir):
+    """Top-50 bigram collocations by pointwise mutual information —
+    the corpus-statistics pass behind phrase mining / tokenizer-merge
+    candidates. Plan: one explode->groupBy for unigram counts
+    (vocabulary-sized), one for bigram counts (the heavy shuffle,
+    map-side combined), two token-keyed joins, TakeOrderedAndProject
+    top-k. PMI arithmetic mirrors the oracle operation-for-operation so
+    the doubles are bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import text as tx
+
+    toks = tx.tokens(F.col("text"))
+    n = F.size(toks)
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tokd = d.select(toks.alias("t"))
+    uni = tokd.select(F.explode("t").alias("token"))
+    uc = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    bg = d.select(F.explode(bigram_arr).alias("bigram"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    btot = bg.agg(F.count(F.lit(1)).cast("double").alias("m"))
+
+    u1 = uc.select(F.col("token").alias("_t1"), F.col("c").alias("_c1"))
+    u2 = uc.select(F.col("token").alias("_t2"), F.col("c").alias("_c2"))
+    scored = (
+        bc.filter(F.col("c") >= 3)
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(tot))
+        .join(u1, F.split(F.col("bigram"), " ").getItem(0) == F.col("_t1"))
+        .join(u2, F.split(F.col("bigram"), " ").getItem(1) == F.col("_t2"))
+        .select(
+            "bigram",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("m"))
+                    / ((F.col("_c1") / F.col("n")) * (F.col("_c2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(50)

@@ -166,3 +166,49 @@ def cosine_topk_ivf(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     out = similarity.ivf_topk(e, q, k=10, dim=_DIM, n_cells=16, n_probe=4)
     return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@register(
+    "embedding_centroid_dispersion",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, AVG(e) AS c FROM ex GROUP BY label, i),
+    d AS (
+      SELECT ex.vec_id, ex.label, SQRT(SUM((ex.e - cent.c) * (ex.e - cent.c))) AS dist
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+      GROUP BY ex.vec_id, ex.label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(dist), 6) AS mean_dist, ROUND(MAX(dist), 6) AS max_dist
+    FROM d GROUP BY label
+    """,
+    tags=("vector", "clustering", "quality"),
+    driver=False,
+)
+def embedding_centroid_dispersion(spark, sf_dir):
+    """Per-label centroid + intra-cluster dispersion (the embedding-
+    space quality probe run before/after dedup or domain mixing).
+    Plan: posexplode -> groupBy(label, dim) mean (fully parallel over
+    label x 64 dims), centroids re-assembled into arrays and BROADCAST
+    back (labels are few at any corpus size), per-vector L2 distance in
+    codegen'd zip_with/aggregate, final tiny groupBy(label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "e"))
+    cent = ex.groupBy("label", "pos").agg(F.avg(F.col("e").cast("double")).alias("c"))
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("_centroid")
+    )
+    d = e.join(F.broadcast(cent_arr), "label").withColumn(
+        "_dist", vectors.l2_distance(F.col("embedding"), F.col("_centroid"))
+    )
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("_dist"), 6).alias("mean_dist"),
+        F.round(F.max("_dist"), 6).alias("max_dist"),
+    )
