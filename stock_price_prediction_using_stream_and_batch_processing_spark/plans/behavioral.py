@@ -46,7 +46,6 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
     FROM s3
     """,
     tags=("behavioral", "funnel", "window"),
-    driver=False,
 )
 def funnel_view_click_purchase(spark, sf_dir):
     """Strict ordered funnel view → click → purchase: chained
@@ -118,7 +117,6 @@ def event_transitions_events(spark, sf_dir):
     FROM documents
     """,
     tags=("sampling", "ordering", "shuffle"),
-    driver=False,
 )
 def global_shuffle_docs(spark, sf_dir):
     """Deterministic global training-order shuffle: every doc ranked by

@@ -455,7 +455,7 @@ def salted_agg_by_type(spark, sf_dir):
     )
 
 
-@register("approx_agg_stats", oracle=None, tags=("groupby", "approx", "sketch"))
+@register("approx_agg_stats", oracle=None, tags=("groupby", "approx", "sketch"), driver=False)
 def approx_agg_stats(spark, sf_dir):
     """Sketch-based aggregates for interactive scale: HyperLogLog++
     distinct counts and t-digest-style quantiles per event_type. Not
@@ -528,6 +528,7 @@ def views_except_all_purchases(spark, sf_dir):
     FROM r WHERE rn <= 3
     """,
     tags=("topk", "window"),
+    driver=False,
 )
 def latest3_events_per_user(spark, sf_dir):
     """Per-key top-k (operators/topk.top_k_per_group): one hash shuffle
@@ -549,6 +550,7 @@ def latest3_events_per_user(spark, sf_dir):
     FROM events GROUP BY user_id
     """,
     tags=("pivot", "groupby"),
+    driver=False,
 )
 def pivot_user_event_counts(spark, sf_dir):
     """PIVOT: per-user event-type count matrix. The value list is given

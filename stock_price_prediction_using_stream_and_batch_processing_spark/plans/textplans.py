@@ -610,7 +610,6 @@ def pii_redact_docs(spark, sf_dir):
     ORDER BY pmi DESC, bc.bigram LIMIT 50
     """,
     tags=("text", "collocation", "pmi"),
-    driver=False,
 )
 def collocation_pmi_docs(spark, sf_dir):
     """Top-50 bigram collocations by pointwise mutual information —

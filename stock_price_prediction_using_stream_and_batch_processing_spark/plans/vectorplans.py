@@ -89,7 +89,7 @@ def embedding_near_dup_exact(spark, sf_dir):
     )
 
 
-@register("cosine_topk_lsh", oracle=None, tags=("similarity", "vector", "lsh", "approx"))
+@register("cosine_topk_lsh", oracle=None, tags=("similarity", "vector", "lsh", "approx"), driver=False)
 def cosine_topk_lsh(spark, sf_dir):
     """Approximate cosine top-10 via sign-projection LSH (4 tables × 8
     planes): only bucket-colliding pairs are scored. Rows-only driver
@@ -187,7 +187,6 @@ def cosine_topk_ivf(spark, sf_dir):
     FROM d GROUP BY label
     """,
     tags=("vector", "clustering", "quality"),
-    driver=False,
 )
 def embedding_centroid_dispersion(spark, sf_dir):
     """Per-label centroid + intra-cluster dispersion (the embedding-
