@@ -53,3 +53,38 @@ def violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         lambda x: x.isNotNull(),
     )
     return df.withColumn("failed_rules", fails).filter(F.size("failed_rules") > 0)
+
+
+def percentile_bins(
+    df: DataFrame,
+    score_col: str,
+    quantiles: list[float] | None = None,
+    out: str = "bin",
+) -> DataFrame:
+    """Assign each row to a quantile bin of ``score_col`` WITHOUT a
+    global sort: exact interpolated quantile thresholds come from one
+    aggregate (``percentile`` — a mergeable sketch-free exact aggregate;
+    swap ``percentile_approx`` in when the score column has extreme
+    cardinality), the 1-row threshold array broadcasts back, and the
+    bin index is a codegen'd count of thresholds strictly below the
+    score. Bin k holds scores in (thr_{k-1}, thr_k] — ties at a
+    threshold always land in the lower bin, identically on any engine
+    computing the same interpolation.
+
+    The scale contrast: ``NTILE(n) OVER (ORDER BY score)`` — the naive
+    formulation — moves the entire table through ONE task. This is two
+    map-side-combined passes and a broadcast.
+    """
+    qs = quantiles or [i / 10.0 for i in range(1, 10)]
+    thr = df.agg(
+        F.expr(f"percentile({score_col}, array({', '.join(str(q) for q in qs)}))").alias("_thr")
+    )
+    binned = df.crossJoin(F.broadcast(thr)).withColumn(
+        out,
+        F.aggregate(
+            F.col("_thr"),
+            F.lit(1),
+            lambda acc, t: acc + F.when(F.col(score_col) > t, 1).otherwise(0),
+        ),
+    )
+    return binned.drop("_thr")

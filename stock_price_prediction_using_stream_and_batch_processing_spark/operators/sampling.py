@@ -110,3 +110,47 @@ def stratified_hash_sample(
         pct = F.when(cond, F.lit(v)) if pct is None else pct.when(cond, F.lit(v))
     pct = F.lit(default_pct) if pct is None else pct.otherwise(F.lit(default_pct))
     return df.filter(hash_bucket(id_col, 100, salt) < pct)
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each group so
+    the surviving corpus matches the ``targets`` proportions, keeping as
+    much data as possible (the group whose target/current ratio is
+    highest is kept whole; every other group is hash-thinned to match).
+    Groups absent from ``targets`` are dropped.
+
+    The acceptance decision is a pure function of (id, salt, the tiny
+    per-group count table), so the same rows survive on every engine,
+    partitioning, and cluster size — the property that makes a 100 TB
+    mixture job restartable and auditable. Plan: one groupBy for counts
+    (map-side combined), a broadcast join of the per-group threshold,
+    and a scan-level hash filter. No global sort, no sampling RNG.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    t_map = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    ratios = (
+        counts.withColumn("_t", t_map[F.col(group_col)].cast("double"))
+        .filter(F.col("_t").isNotNull())
+        .withColumn("_ratio", F.col("_t") / F.col("_n"))
+    )
+    mx = ratios.agg(F.max("_ratio").alias("_mx"))
+    thresholds = ratios.crossJoin(F.broadcast(mx)).select(
+        F.col(group_col),
+        F.floor(F.lit(float(resolution)) * F.col("_ratio") / F.col("_mx"))
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(id_col, resolution, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -16,5 +16,6 @@ from . import streamplans  # noqa: F401
 from . import mediaplans  # noqa: F401
 from . import sampleplans  # noqa: F401
 from . import behavioral  # noqa: F401
+from . import layoutplans  # noqa: F401
 
 __all__ = ["all_queries", "get", "oracle_map", "query_map"]

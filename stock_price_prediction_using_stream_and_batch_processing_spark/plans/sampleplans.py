@@ -183,3 +183,70 @@ def stratified_sample_docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     rates = {"en": 20, "zh": 80, "es": 50, "de": 50, "fr": 50}
     return sampling.stratified_hash_sample(d, "doc_id", "lang", rates).select("doc_id", "lang")
+
+
+@register(
+    "mixture_resample_docs",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t(source, t) AS (VALUES ('src1', CAST(2.0 AS DOUBLE)), ('src2', CAST(1.0 AS DOUBLE)),
+                            ('src3', CAST(1.0 AS DOUBLE)), ('src4', CAST(0.5 AS DOUBLE))),
+    r AS (SELECT c.source, t.t / c.n AS ratio FROM c JOIN t USING (source)),
+    m AS (SELECT MAX(ratio) AS mx FROM r),
+    thr AS (SELECT source, CAST(FLOOR(1000000.0 * ratio / mx) AS BIGINT) AS thr
+            FROM r CROSS JOIN m)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE {_bucket_sql('doc_id', 1000000)} < thr
+    """,
+    tags=("sampling", "mixture", "deterministic"),
+    driver=False,
+)
+def mixture_resample_docs(spark, sf_dir):
+    """Domain-mixture resampling to target weights src1:src2:src3:src4
+    = 2:1:1:0.5 (operators/sampling.mixture_resample): per-source
+    counts -> acceptance thresholds (largest-corpus-preserving) ->
+    deterministic hash filter. Sources outside the target mix drop
+    out."""
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_resample(
+        d, "source", "doc_id", {"src1": 2.0, "src2": 1.0, "src3": 1.0, "src4": 0.5}
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "doc_length_decile_stats",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS n_tokens FROM documents),
+    q AS (SELECT quantile_cont(n_tokens, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr FROM s),
+    b AS (
+      SELECT s.doc_id, s.n_tokens,
+             1 + len(list_filter(q.thr, t -> s.n_tokens > t)) AS decile
+      FROM s CROSS JOIN q
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM b GROUP BY decile
+    """,
+    tags=("sampling", "quantile", "binning"),
+    driver=False,
+)
+def doc_length_decile_stats(spark, sf_dir):
+    """Token-length decile binning WITHOUT a global sort (operators/
+    quality.percentile_bins): exact interpolated decile thresholds from
+    one aggregate, broadcast back, bin = count of thresholds below —
+    vs the naive single-task NTILE() OVER (ORDER BY n). The per-decile
+    stats drive curriculum ordering / packing-capacity choices."""
+    from ..functions import text as tx
+    from ..operators import quality
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", tx.token_count("text").cast("double").alias("n_tokens"))
+    binned = quality.percentile_bins(s, "n_tokens", out="decile")
+    return binned.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
