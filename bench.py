@@ -51,6 +51,14 @@ HEADLINE = [
     "doc_repetition_docs",
     "multi_res_ohlc_events",
     "near_dup_filter_docs",
+    # round-4 (cont.): behavioral analytics, deterministic global
+    # order, corpus collocations, layout + mixture + vector quality
+    "funnel_view_click_purchase",
+    "global_shuffle_docs",
+    "collocation_pmi_docs",
+    "zorder_value_events",
+    "mixture_resample_docs",
+    "embedding_centroid_dispersion",
     # Watermarked APPEND is the scale-safe streaming headline (bounded
     # state); complete-mode stream_hourly_counts stays registry-extended
     # as an oracle-determinism device only.

@@ -71,3 +71,51 @@ def global_row_number(
         .withColumn(out, F.col(off_col) + F.row_number().over(w_in))
         .drop(pid_col, off_col)
     )
+
+
+def hashkey_row_number(
+    df: DataFrame,
+    hex_key_col: str,
+    order_cols: list[Column | str],
+    out: str = "rn",
+    bucket_bits: int = 5,
+) -> DataFrame:
+    """Total-order row number specialized for HASH sort keys (fixed-width
+    lowercase-hex strings, e.g. md5) — the deterministic-global-shuffle
+    case. Hash keys are uniform, so the range boundaries don't need
+    sampling: bucket = top ``bucket_bits`` bits of the key's 32-bit
+    prefix, a MONOTONE function of the key (equal-prefix keys share a
+    bucket, bucket order == key order). That removes BOTH costs of the
+    general ``global_row_number``: no sampling job and no
+    localCheckpoint (recomputing the frame can't move rows between
+    buckets — the assignment is pure column algebra).
+
+    ``order_cols`` must start with the hex key and end with a unique
+    tiebreak. Plan: one count pass (map-side combined on 2^bucket_bits
+    groups), broadcast prefix offsets, one shuffle on the bucket for the
+    per-bucket external-sorted row_number.
+    """
+    from ..functions.hashing import hex32_to_long
+
+    if not 1 <= bucket_bits <= 31:
+        raise ValueError(f"bucket_bits must be in [1, 31], got {bucket_bits}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    b_col = _free_name("_b", df.columns)
+    off_col = _free_name("_off", df.columns)
+
+    bucket = F.shiftright(hex32_to_long(F.col(hex_key_col)), 32 - bucket_bits)
+    keyed = df.withColumn(b_col, bucket)
+
+    counts = keyed.groupBy(b_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy(b_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col(b_col),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias(off_col),
+    )
+
+    w_in = Window.partitionBy(b_col).orderBy(*cols)
+    return (
+        keyed.join(F.broadcast(offsets), b_col)
+        .withColumn(out, F.col(off_col) + F.row_number().over(w_in))
+        .drop(b_col, off_col)
+    )

@@ -120,13 +120,16 @@ def event_transitions_events(spark, sf_dir):
 )
 def global_shuffle_docs(spark, sf_dir):
     """Deterministic global training-order shuffle: every doc ranked by
-    a salted content hash. The rank is computed DISTRIBUTED — range
-    partition + per-partition row_number + broadcast prefix offsets
-    (operators/ordering.global_row_number), never a single-partition
-    ``row_number() OVER (ORDER BY …)``."""
+    a salted content hash. The rank is computed DISTRIBUTED — because
+    the sort key IS a hash (uniform), buckets come from its bit prefix
+    (monotone, no boundary sampling, no checkpoint:
+    operators/ordering.hashkey_row_number) + per-bucket row_number +
+    broadcast prefix offsets. Never a single-partition
+    ``row_number() OVER (ORDER BY …)``; for non-hash sort keys the
+    sampling-based ``ordering.global_row_number`` is the general form."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("shuf:42:"), F.col("doc_id").cast("string")))
-    out = ordering.global_row_number(
-        d.select("doc_id", key.alias("_k")), ["_k", "doc_id"], out="shuffle_rank"
+    out = ordering.hashkey_row_number(
+        d.select("doc_id", key.alias("_k")), "_k", ["_k", "doc_id"], out="shuffle_rank"
     )
     return out.select("doc_id", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))

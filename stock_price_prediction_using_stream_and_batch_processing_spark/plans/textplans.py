@@ -614,34 +614,37 @@ def pii_redact_docs(spark, sf_dir):
 def collocation_pmi_docs(spark, sf_dir):
     """Top-50 bigram collocations by pointwise mutual information —
     the corpus-statistics pass behind phrase mining / tokenizer-merge
-    candidates. Plan: one explode->groupBy for unigram counts
-    (vocabulary-sized), one for bigram counts (the heavy shuffle,
-    map-side combined), two token-keyed joins, TakeOrderedAndProject
-    top-k. PMI arithmetic mirrors the oracle operation-for-operation so
-    the doubles are bit-identical."""
+    candidates. The tokenization regex (the dominant per-row cost) runs
+    in ONE corpus scan: the token-array projection is localCheckpoint'd
+    and unigram counts, bigram counts, and BOTH corpus totals derive
+    from it (totals are sums over the count tables — no rescans).
+    The count tables are checkpointed too, so the final two token-keyed
+    joins and the totals reuse one aggregation each. Top-k is
+    TakeOrderedAndProject. PMI arithmetic mirrors the oracle
+    operation-for-operation so the doubles are bit-identical."""
     d = load_table(spark, sf_dir, "documents")
     from ..functions import text as tx
 
-    toks = tx.tokens(F.col("text"))
-    n = F.size(toks)
+    tokd = d.select(tx.tokens(F.col("text")).alias("t")).localCheckpoint(eager=False)
+    t = F.col("t")
+    n = F.size(t)
     bigram_arr = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(0), n - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    tokd = d.select(toks.alias("t"))
     uni = tokd.select(F.explode("t").alias("token"))
-    uc = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    uc = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    tot = uc.agg(F.sum("c").cast("double").alias("n"))
 
-    bg = d.select(F.explode(bigram_arr).alias("bigram"))
-    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
-    btot = bg.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    bg = tokd.select(F.explode(bigram_arr).alias("bigram"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    btot = bc.agg(F.sum("c").cast("double").alias("m"))
 
     u1 = uc.select(F.col("token").alias("_t1"), F.col("c").alias("_c1"))
     u2 = uc.select(F.col("token").alias("_t2"), F.col("c").alias("_c2"))

@@ -206,3 +206,146 @@ def test_repetition_features_equals_python(spark, docs):
         else:
             dbg = 0.0
         assert got[i] == (dup, top, dbg), f"doc {i}: {got[i]} != {(dup, top, dbg)}"
+
+
+# --- round-4 additions: sequences, ordering, mixing, binning, layout ---
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user
+        st.integers(min_value=0, max_value=50),   # ts offset (collisions allowed)
+        st.integers(min_value=0, max_value=2),    # step index
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@PROP
+@given(rows=EVENT_ROWS)
+def test_ordered_funnel_equals_python(spark, rows):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sequences
+
+    steps = ["s0", "s1", "s2"]
+    data = [
+        (u, BASE_TS + dt.timedelta(seconds=off), i, steps[sidx])
+        for i, (u, off, sidx) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data or [(0, BASE_TS, 0, "s0")][:0],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = sequences.ordered_funnel(df, "user_id", "ts", "event_type", steps, tiebreak="event_id").collect()[0]
+
+    # reference: scan each user's (ts, event_id)-ordered stream with
+    # stage flags; step k counts if it occurs strictly after a row that
+    # completed steps 0..k-1.
+    by_user: dict = {}
+    for u, ts, eid, typ in data:
+        by_user.setdefault(u, []).append((ts, eid, typ))
+    done = [set(), set(), set()]
+    for u, evs in by_user.items():
+        seen = [False, False, False]
+        for _, _, typ in sorted(evs):
+            k = steps.index(typ)
+            prev_ok = True if k == 0 else seen[k - 1]
+            if prev_ok:
+                done[k].add(u)
+                # flag becomes visible only to LATER rows (strictness)
+                seen[k] = True if k == 0 or seen[k - 1] else seen[k]
+    # NOTE on strictness: a row at the same sort position can't qualify
+    # itself; sorted() order above matches the (ts, event_id) tiebreak,
+    # and flags are set as rows pass, so "strictly earlier" holds.
+    assert (got["n_step_1"], got["n_step_2"], got["n_step_3"]) == (
+        len(done[0]), len(done[1]), len(done[2])
+    )
+
+
+@PROP
+@given(rows=EVENT_ROWS)
+def test_transition_matrix_equals_python(spark, rows):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sequences
+
+    types = ["a", "b", "c"]
+    data = [
+        (u, BASE_TS + dt.timedelta(seconds=off), i, types[sidx])
+        for i, (u, off, sidx) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data or [(0, BASE_TS, 0, "a")][:0],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in sequences.transition_matrix(df, "user_id", "ts", "event_type", tiebreak="event_id").collect()
+    }
+    by_user: dict = {}
+    for u, ts, eid, typ in data:
+        by_user.setdefault(u, []).append((ts, eid, typ))
+    want: dict = {}
+    for evs in by_user.values():
+        s = sorted(evs)
+        for (_, _, t1), (_, _, t2) in zip(s, s[1:]):
+            want[(t1, t2)] = want.get((t1, t2), 0) + 1
+    assert got == want
+
+
+@PROP
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000)), min_size=1, max_size=40, unique_by=lambda r: r[1]),
+    targets=st.lists(st.floats(0.1, 5.0, allow_nan=False), min_size=3, max_size=3),
+)
+def test_mixture_resample_equals_python(spark, rows, targets):
+    import hashlib
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sampling
+
+    groups = ["g0", "g1", "g2"]
+    data = [(groups[g], i) for g, i in rows]
+    df = spark.createDataFrame(data, "g string, id long")
+    tmap = dict(zip(groups, targets))
+    got = {r["id"] for r in sampling.mixture_resample(df, "g", "id", tmap, resolution=1000).collect()}
+
+    import math
+    counts: dict = {}
+    for g, _ in data:
+        counts[g] = counts.get(g, 0) + 1
+    ratios = {g: tmap[g] / n for g, n in counts.items()}
+    mx = max(ratios.values())
+    thr = {g: math.floor(1000.0 * r / mx) for g, r in ratios.items()}
+
+    def bucket(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return int(h[:8], 16) % 1000
+
+    want = {i for g, i in data if bucket(i) < thr[g]}
+    assert got == want
+
+
+@PROP
+@given(scores=st.lists(st.integers(0, 1000), min_size=1, max_size=40))
+def test_percentile_bins_order_consistent(spark, scores):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import quality
+
+    df = spark.createDataFrame([(i, float(s)) for i, s in enumerate(scores)], "id long, s double")
+    rows = quality.percentile_bins(df, "s", out="b").collect()
+    assert all(1 <= r["b"] <= 10 for r in rows)
+    # binning must be monotone in the score
+    by_score = sorted((r["s"], r["b"]) for r in rows)
+    for (s1, b1), (s2, b2) in zip(by_score, by_score[1:]):
+        assert b1 <= b2
+        if s1 == s2:
+            assert b1 == b2
+
+
+@PROP
+@given(pts=st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)), min_size=1, max_size=30))
+def test_interleave_bits_roundtrip(spark, pts):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import layout
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    out = df.withColumn("z", layout.interleave_bits([F.col("a"), F.col("b")], 16)).collect()
+    for r in out:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])

@@ -126,3 +126,33 @@ def test_global_row_number_name_collision_safe(spark):
     out = ordering.global_row_number(df, ["k", "id"], out="rn", num_partitions=4)
     assert "_pid" in out.columns
     assert out.filter(F.col("_pid") != "keepme").count() == 0
+
+
+def test_hashkey_row_number_matches_general(spark):
+    """The hash-bucketed fast path must produce the IDENTICAL total
+    order as the sampling-based general operator."""
+    df = spark.range(0, 2000).withColumn("k", F.md5(F.col("id").cast("string")))
+    fast = ordering.hashkey_row_number(df, "k", ["k", "id"], out="rn")
+    general = ordering.global_row_number(df, ["k", "id"], out="rn", num_partitions=8)
+    assert fast.exceptAll(general).count() == 0
+    assert general.exceptAll(fast).count() == 0
+
+
+def test_hashkey_row_number_partitioned_window(spark):
+    import re
+
+    df = spark.range(0, 100).withColumn("k", F.md5(F.col("id").cast("string")))
+    out = ordering.hashkey_row_number(df, "k", ["k", "id"], out="rn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"Window \[row_number\(\)[^\n]*\], \[(.*?)\], \[", plan)
+    assert m and "_b" in m.group(1), plan[:500]
+    # no checkpoint in this path: the scan should still be a FileScan/Range
+    assert "ExistingRDD" not in plan
+
+
+def test_hashkey_row_number_rejects_bad_bits(spark):
+    import pytest as _pytest
+
+    df = spark.range(10).withColumn("k", F.md5(F.col("id").cast("string")))
+    with _pytest.raises(ValueError):
+        ordering.hashkey_row_number(df, "k", ["k", "id"], bucket_bits=0)
