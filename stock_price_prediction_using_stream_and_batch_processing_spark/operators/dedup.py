@@ -69,6 +69,31 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, num_hashes: in
     )
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band_key) rows of the MinHash-LSH banding: the narrow,
+    joinable form of a document's signature. Shared by the one-shot
+    pair finder (``minhash_lsh_pairs``) and the incremental
+    cross-snapshot index (``incremental_near_dup``), which PERSISTS
+    these rows as its store."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled=shingled)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(F.col(id_col), F.array(*band_cols).alias("bands")).select(
+        F.col(id_col), F.explode("bands").alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -92,14 +117,9 @@ def minhash_lsh_pairs(
     band. Capping trades recall on exactly those degenerate groups
     (which exact content-dedup already collapses) for a bounded join.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled=shingled)
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), F.array(*band_cols).alias("bands")).select(
-        F.col(id_col), F.explode("bands").alias("band_key")
+    banded = lsh_band_keys(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, shingled=shingled,
     )
     if max_bucket_size is not None:
         w = Window.partitionBy("band_key")
@@ -451,3 +471,135 @@ def ngram_contamination(
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def incremental_near_dup(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-snapshot NEAR-dup dedup: admit only new-batch documents
+    that are not near-duplicates of anything already admitted, then
+    extend the index — the daily-crawl shape for fuzzy dedup, pairing
+    ``incremental_content_dedup`` (exact) with the MinHash-LSH pipeline.
+
+    The store holds three digest-only tables under ``store_path``
+    (never text — at 100 TB of corpus the index is a small constant
+    fraction): ``bands`` (doc_id, band_key) for candidate generation,
+    ``shingles`` (doc_id, md5 digest) for exact-Jaccard verification of
+    candidates, ``sizes`` (doc_id, n_sh) so verification never
+    recounts the store.
+
+    Per batch: (1) LSH candidates new×store via an equi-join of band
+    keys (``max_bucket_size`` caps boilerplate mega-buckets on BOTH
+    sides) and new×new via the one-shot pair finder; (2) candidates are
+    verified with true digest-set Jaccard; (3) new docs matching the
+    store are dropped, the in-batch survivor set keeps one
+    representative (min id) per verified cluster; (4) survivors' bands
+    + digests + sizes append to the store.
+
+    Semantics note (deliberate, standard for streaming dedup): a new
+    doc is compared against ADMITTED representatives only. A one-shot
+    global pass can additionally drop docs connected only THROUGH an
+    earlier-dropped near-dup (transitive closure across batches); the
+    incremental index is that much more permissive. NOT idempotent
+    across retries of one batch — wrap in the caller's epoch guard
+    (streaming/pipeline.maintain_bars_batch pattern)."""
+    from ..sources.tables import parquet_table_exists
+
+    in_cols = list(new_docs.columns)
+    shingled = exploded_shingles(new_docs, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    new_bands = lsh_band_keys(
+        new_docs, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, shingled=shingled,
+    ).localCheckpoint(eager=False)
+    new_digests = shingled.select(F.col(id_col), F.md5("_sh").alias("sh")).localCheckpoint(
+        eager=False
+    )
+    new_sizes = new_digests.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    bands_path = f"{store_path}/bands"
+    have_store = parquet_table_exists(spark, bands_path)
+    matched_ids = None
+    if have_store:
+        store_bands = spark.read.parquet(bands_path)
+        store_digests = spark.read.parquet(f"{store_path}/shingles")
+        store_sizes = spark.read.parquet(f"{store_path}/sizes")
+        nb, sb = new_bands, store_bands
+        if max_bucket_size is not None:
+            w = Window.partitionBy("band_key")
+            nb = nb.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+                F.col("_bn") <= max_bucket_size
+            ).drop("_bn")
+            sb = sb.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+                F.col("_bn") <= max_bucket_size
+            ).drop("_bn")
+        cross_cands = (
+            nb.select(F.col(id_col).alias("_new_id"), "band_key")
+            .join(sb.select(F.col(id_col).alias("_old_id"), "band_key"), "band_key")
+            .select("_new_id", "_old_id")
+            .distinct()
+        )
+        inter = (
+            cross_cands.join(
+                new_digests.select(F.col(id_col).alias("_new_id"), "sh"), "_new_id"
+            )
+            .join(
+                store_digests.select(F.col(id_col).alias("_old_id"), "sh"),
+                ["_old_id", "sh"],
+            )
+            .groupBy("_new_id", "_old_id")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        verified_cross = (
+            inter.join(new_sizes.select(F.col(id_col).alias("_new_id"), F.col("n_sh").alias("_na")), "_new_id")
+            .join(store_sizes.select(F.col(id_col).alias("_old_id"), F.col("n_sh").alias("_nb")), "_old_id")
+            .withColumn(
+                "_j",
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+            )
+            .filter(F.col("_j") >= threshold)
+        )
+        matched_ids = verified_cross.select(F.col("_new_id").alias(id_col)).distinct()
+
+    survivors = (
+        new_docs.join(matched_ids, id_col, "left_anti") if matched_ids is not None else new_docs
+    )
+
+    # in-batch near-dup collapse among the docs that survived the store
+    # check (candidate pairs were computed over the whole batch; pairs
+    # touching store-matched docs drop out with the anti-join above)
+    batch_cands = minhash_lsh_pairs(
+        new_docs, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size, shingled=shingled,
+    )
+    batch_verified = ngram_jaccard_pairs(
+        new_docs, text_col, id_col, shingle_n=shingle_n, threshold=threshold,
+        candidates=batch_cands, shingled=shingled,
+    )
+    surv_ids = survivors.select(id_col)
+    live_pairs = (
+        batch_verified.join(surv_ids.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(surv_ids.withColumnRenamed(id_col, "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(live_pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    admitted = survivors.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+
+    adm_ids = admitted.select(id_col)
+    new_bands.join(adm_ids, id_col).write.mode("append").parquet(bands_path)
+    new_digests.join(adm_ids, id_col).write.mode("append").parquet(f"{store_path}/shingles")
+    new_sizes.join(adm_ids, id_col).write.mode("append").parquet(f"{store_path}/sizes")
+    return admitted.select(*in_cols)

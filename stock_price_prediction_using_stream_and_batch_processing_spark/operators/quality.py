@@ -88,3 +88,109 @@ def percentile_bins(
         ),
     )
     return binned.drop("_thr")
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: list[str] = (),
+    string_cols: list[str] = (),
+) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with row/null/
+    distinct counts and min/max (numeric as double, strings
+    lexicographic — never a stringified double, whose formatting is
+    engine-specific). Exact distincts so the result is oracle-checkable;
+    Spark plans the multi-column COUNT(DISTINCT) via expand+one shuffle,
+    which multiplies shuffle rows by the column count — at 100 TB swap
+    in ``approx_count_distinct`` (the ``approx_agg_stats`` path) and
+    keep everything else identical."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in list(numeric_cols) + list(string_cols):
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mnn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mxn_{c}"))
+    for c in string_cols:
+        aggs.append(F.min(F.col(c)).alias(f"_mns_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_mxs_{c}"))
+    one = df.agg(*aggs)
+
+    structs = []
+    for c in numeric_cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mnn_{c}").alias("min_num"),
+                F.col(f"_mxn_{c}").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in string_cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"_mns_{c}").alias("min_str"),
+                F.col(f"_mxs_{c}").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    out: str = "bin",
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi): bin = floor((x-lo)/(hi-lo)*n)
+    clamped to [0, n-1]; out-of-range rows clamp into the edge bins (so
+    the counts always sum to the table). The explicit floor formula
+    (not ``width_bucket``) keeps the arithmetic portable across engines
+    for the oracle. One groupBy on the n-value bin key — the cheapest
+    possible distribution snapshot of a 100 TB column."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bin_.alias(out))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def referential_orphans(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity check: for each
+    (name, child, child_key, parent, parent_key), count child rows whose
+    key has no parent — a LEFT ANTI join per relation (broadcast when
+    the parent is a dimension; shuffle-hash otherwise, Catalyst's
+    call). Returns (relation, n_orphans) — the admission gate a
+    warehouse load runs after every batch."""
+    outs = []
+    for name, child, ck, parent, pk in pairs:
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
+        )
+        outs.append(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+                F.lit(name).alias("relation"), "n_orphans"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -658,3 +658,95 @@ def corr_value_props_by_type(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "table_profile_events",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_uid,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_uid,
+             CAST(MIN(user_id) AS DOUBLE) AS mn_uid, CAST(MAX(user_id) AS DOUBLE) AS mx_uid,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_val,
+             CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_val,
+             CAST(MIN(value) AS DOUBLE) AS mn_val, CAST(MAX(value) AS DOUBLE) AS mx_val,
+             CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_et,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_et,
+             MIN(event_type) AS mns_et, MAX(event_type) AS mxs_et
+      FROM events
+    )
+    SELECT 'user_id' AS "column", n AS n_rows, nulls_uid AS n_nulls, nd_uid AS n_distinct,
+           mn_uid AS min_num, mx_uid AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+    UNION ALL
+    SELECT 'value', n, nulls_val, nd_val, mn_val, mx_val, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'event_type', n, nulls_et, nd_et, NULL, NULL, mns_et, mxs_et FROM s
+    """,
+    tags=("quality", "profile", "groupby"),
+    driver=False,
+)
+def table_profile_events(spark, sf_dir):
+    """ANALYZE-style column profile of the events table (operators/
+    quality.profile_table): row/null/exact-distinct counts + typed
+    min/max, one aggregate pass (Spark expands the multi-column
+    distinct; the approx variant is the 100 TB path)."""
+    from ..operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    return quality.profile_table(ev, numeric_cols=["user_id", "value"], string_cols=["event_type"])
+
+
+@register(
+    "histogram_value_events",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 20.0), 0), 19) AS INTEGER) AS bin,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("quality", "histogram", "groupby"),
+    driver=False,
+)
+def histogram_value_events(spark, sf_dir):
+    """Equi-width 20-bin histogram of events.value over [0, 500)
+    (operators/quality.equi_width_histogram): one groupBy on the bin
+    key, out-of-range rows clamped into the edge bins."""
+    from ..operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    return quality.equi_width_histogram(ev, "value", 0.0, 500.0, 20)
+
+
+@register(
+    "referential_orphans_check",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON r.o_custkey = c.c_custkey
+    """,
+    tags=("quality", "join", "anti"),
+    driver=False,
+)
+def referential_orphans_check(spark, sf_dir):
+    """Cross-table referential integrity (operators/quality.
+    referential_orphans): orphaned lineitems / orders counted with one
+    LEFT ANTI join per relation, parents broadcast."""
+    from ..operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return quality.referential_orphans(
+        [
+            ("lineitem->orders", li, "l_orderkey", od, "o_orderkey"),
+            ("orders->customer", od, "o_custkey", cu, "c_custkey"),
+        ]
+    )

@@ -230,3 +230,63 @@ def test_incremental_content_dedup_across_batches(spark, tmp_path):
     )
     out3 = {r.doc_id for r in dedup.incremental_content_dedup(spark, b3, store).collect()}
     assert out3 == {22}
+
+
+def test_incremental_near_dup_across_batches(spark, tmp_path):
+    """The MinHash index must drop new docs that are near-dups of
+    ALREADY-ADMITTED docs (not just exact matches), collapse in-batch
+    families, and accumulate across calls."""
+    store = str(tmp_path / "nd_store")
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, BASE.replace("lazy", "sleepy")), (3, "totally different short text about trains and stations and platforms and schedules running late")],
+        ["doc_id", "text"],
+    )
+    out1 = {r.doc_id for r in dedup.incremental_near_dup(spark, b1, store).collect()}
+    # 1 and 2 are near-dups (one word changed) -> min id 1 kept
+    assert out1 == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, BASE.replace("lazy", "tired")),       # near-dup of ADMITTED doc 1
+            (11, "completely novel content about rivers flowing gently through quiet valleys under morning mist past old stone bridges where fishermen wait patiently at dawn and herons stand watching the shallow water move slowly toward the distant sea"),
+            (12, "completely novel content about rivers flowing gently through quiet valleys under evening mist past old stone bridges where fishermen wait patiently at dawn and herons stand watching the shallow water move slowly toward the distant sea"),  # near-dup of 11 in-batch
+        ],
+        ["doc_id", "text"],
+    )
+    out2 = {r.doc_id for r in dedup.incremental_near_dup(spark, b2, store).collect()}
+    assert out2 == {11}
+
+    b3 = spark.createDataFrame(
+        [
+            (20, BASE.replace("garden", "meadow")),    # near-dup of admitted 1
+            (21, "completely novel content about rivers flowing gently through quiet valleys under morning mist past old wooden bridges where fishermen wait patiently at dawn and herons stand watching the shallow water move slowly toward the distant sea"),  # near-dup of admitted 11
+            (22, "fresh and unrelated writing on kitchens and recipes and slow sunday afternoons with bread baking in warm ovens"),
+        ],
+        ["doc_id", "text"],
+    )
+    out3 = {r.doc_id for r in dedup.incremental_near_dup(spark, b3, store).collect()}
+    assert out3 == {22}
+
+
+def test_incremental_near_dup_store_is_digest_only(spark, tmp_path):
+    store = str(tmp_path / "nd_store2")
+    b1 = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    dedup.incremental_near_dup(spark, b1, store)
+    bands = spark.read.parquet(f"{store}/bands")
+    digests = spark.read.parquet(f"{store}/shingles")
+    sizes = spark.read.parquet(f"{store}/sizes")
+    assert set(bands.columns) == {"doc_id", "band_key"}
+    assert set(digests.columns) == {"doc_id", "sh"}
+    assert set(sizes.columns) == {"doc_id", "n_sh"}
+    # digest values, never shingle text
+    assert all(len(r["sh"]) == 32 for r in digests.limit(5).collect())
+
+
+def test_incremental_near_dup_matches_oneshot_on_single_batch(spark, tmp_path, docs):
+    """On a single batch (empty store) the incremental operator must
+    equal the one-shot near_dup_filter pipeline run with the same
+    parameters."""
+    store = str(tmp_path / "nd_store3")
+    inc = {r.doc_id for r in dedup.incremental_near_dup(spark, docs, store).collect()}
+    one = {r.doc_id for r in dedup.near_dup_filter(docs, "text", "doc_id").collect()}
+    assert inc == one

@@ -141,3 +141,39 @@ def test_percentile_bins_balanced_and_ordered(spark):
     # bins tile the domain in order
     for k in range(1, 10):
         assert stats[k][2] < stats[k + 1][1]
+
+
+def test_equi_width_histogram_clamps_and_totals(spark):
+    df = spark.createDataFrame([(float(v),) for v in [-5, 0, 1, 9.99, 10, 55, 120]], "v double")
+    out = {r["bin"]: r["n"] for r in quality.equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0; 120 clamps into bin 9; 10 lands in bin 1
+    assert out[0] == 4  # -5, 0, 1, 9.99
+    assert out[1] == 1  # 10
+    assert out[5] == 1  # 55
+    assert out[9] == 1  # 120
+    assert sum(out.values()) == 7
+
+
+def test_equi_width_histogram_rejects_bad_range(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        quality.equi_width_histogram(df, "v", 5.0, 5.0, 10)
+
+
+def test_referential_orphans_counts_planted(spark):
+    child = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c"), (98, "d")], "k long, x string")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = quality.referential_orphans([("c->p", child, "k", parent, "k")]).collect()
+    assert out[0]["relation"] == "c->p" and out[0]["n_orphans"] == 2
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (3, 2.0, None), (4, 7.5, "x")],
+        "id long, v double, s string",
+    )
+    rows = {r["column"]: r for r in quality.profile_table(df, ["v"], ["s"]).collect()}
+    v, s = rows["v"], rows["s"]
+    assert (v["n_rows"], v["n_nulls"], v["n_distinct"]) == (4, 1, 2)
+    assert (v["min_num"], v["max_num"]) == (2.0, 7.5)
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "x", "y")
