@@ -17,5 +17,6 @@ from . import mediaplans  # noqa: F401
 from . import sampleplans  # noqa: F401
 from . import behavioral  # noqa: F401
 from . import layoutplans  # noqa: F401
+from . import graphplans  # noqa: F401
 
 __all__ = ["all_queries", "get", "oracle_map", "query_map"]
