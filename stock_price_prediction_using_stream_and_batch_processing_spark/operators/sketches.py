@@ -1,0 +1,53 @@
+"""Mergeable-sketch rollups: the distinct-count analogue of the
+multi-resolution OHLC hypertable (operators/windows.multi_res_ohlc).
+
+Exact COUNT(DISTINCT) cannot roll up — distincts don't add — so a
+hierarchy of time resolutions normally means re-scanning raw data per
+level. HyperLogLog sketches merge losslessly (union of hour sketches
+== sketch of the day, bit-for-bit at the same lgConfigK), so the raw
+table is scanned ONCE into fine-grained sketch partials and every
+coarser level derives from unions of those partials — at 100 TB the
+day/week/month levels read kilobyte sketches, not the corpus. This is
+Spark 4's built-in Apache DataSketches integration
+(``hll_sketch_agg`` / ``hll_union_agg``); a rows-only query face
+(sketch estimates have no DuckDB twin), with the merge-losslessness
+and error-bound properties pinned in tests/test_approx.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_fine_sketches(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    fine: str = "hour",
+    lgk: int = 12,
+) -> DataFrame:
+    """One HLL sketch per fine-grained time bucket — the materialized
+    base of the rollup hierarchy. (bucket_start, sketch) rows: this is
+    what a maintenance job persists; kilobytes per bucket."""
+    bucket = F.date_trunc(fine, F.col(ts_col))
+    return df.groupBy(bucket.alias("bucket_start")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def hll_rollup(
+    fine_sketches: DataFrame,
+    coarse: str = "day",
+) -> DataFrame:
+    """Coarse-level distinct estimates from fine-level sketch partials
+    ONLY — no raw-data rescan. Groups fine buckets into the coarse
+    bucket and unions their sketches; the estimate is identical to one
+    computed directly over raw data at the coarse level."""
+    coarse_bucket = F.date_trunc(coarse, F.col("bucket_start"))
+    return (
+        fine_sketches.groupBy(coarse_bucket.alias("bucket_start"))
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch"))).cast("long").alias("approx_distinct")
+        )
+    )

@@ -529,3 +529,23 @@ def returns_volatility_per_user(spark, sf_dir):
         F.round(F.avg("return_pct"), 4).alias("mean_return"),
         F.count("*").alias("n_returns"),
     )
+
+
+@register(
+    "hll_rollup_daily_users",
+    oracle=None,
+    tags=("sketch", "rollup", "approx", "timeseries"),
+    driver=False,
+)
+def hll_rollup_daily_users(spark, sf_dir):
+    """Daily distinct-user estimates derived from HOURLY HyperLogLog
+    sketch partials (operators/sketches.py): raw events are scanned
+    once into hour sketches; the day level unions kilobyte sketches.
+    Rows-only face (DataSketches has no DuckDB twin); the union ==
+    direct-sketch identity and the error bound vs exact distincts are
+    pinned in tests/test_approx.py."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    fine = sketches.hll_fine_sketches(ev, "ts", "user_id", fine="hour")
+    return sketches.hll_rollup(fine, coarse="day").orderBy("bucket_start")

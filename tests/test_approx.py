@@ -32,3 +32,35 @@ def test_approx_within_bounds(spark):
         assert g.approx_users == pytest.approx(e.users, rel=0.05)  # HLL rsd=0.02
         for approx_q, exact_q in zip((g.value_p50, g.value_p95), e.pcts):
             assert approx_q == pytest.approx(exact_q, rel=0.05)
+
+
+def test_hll_rollup_union_equals_direct_and_bounds(spark):
+    """Union of hourly sketches must give the IDENTICAL estimate as a
+    sketch built directly at the day level (merge losslessness), and
+    land within HLL error bounds of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    fine = sketches.hll_fine_sketches(ev, "ts", "user_id", fine="hour")
+    rolled = {str(r["bucket_start"]): r["approx_distinct"] for r in sketches.hll_rollup(fine, "day").collect()}
+
+    direct = {
+        str(r["bucket_start"]): r["approx_distinct"]
+        for r in sketches.hll_rollup(
+            sketches.hll_fine_sketches(ev, "ts", "user_id", fine="day"), "day"
+        ).collect()
+    }
+    assert rolled == direct  # lossless merge: same sketch algebra
+
+    exact = {
+        str(r["d"]): r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for d, est in rolled.items():
+        assert abs(est - exact[d]) <= max(3, 0.05 * exact[d]), (d, est, exact[d])
