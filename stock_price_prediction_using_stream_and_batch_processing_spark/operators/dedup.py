@@ -603,3 +603,55 @@ def incremental_near_dup(
     new_digests.join(adm_ids, id_col).write.mode("append").parquet(f"{store_path}/shingles")
     new_sizes.join(adm_ids, id_col).write.mode("append").parquet(f"{store_path}/sizes")
     return admitted.select(*in_cols)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    candidates: DataFrame | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: LSH candidate generation
+    followed by an exact Levenshtein check ≤ ``max_dist`` — the
+    character-level verifier for corpora where token-level Jaccard is
+    too coarse (OCR noise, templated spam with small char edits).
+
+    Never all-pairs: candidates come from the banded MinHash equi-join
+    (or a caller-provided ``candidates`` frame), so the O(L·max_dist)
+    DP runs only on pairs that already share a signature band. Two
+    cheap gates bound the expensive step further:
+
+    - a length gate — ``abs(len_a - len_b) > max_dist`` pairs can never
+      pass, so they are dropped BEFORE the texts are compared;
+    - Spark's three-arg ``levenshtein(a, b, threshold)`` computes a
+      BANDED DP (O(L·threshold) instead of O(L²)) and returns -1 the
+      moment the distance provably exceeds the threshold.
+
+    The candidate join carries only (id, text-length) until the final
+    per-pair text fetch, so shuffle volume is O(candidates), not
+    O(candidates × doc-bytes) through every stage.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    a = texts.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"), F.length(text_col).alias("_la")
+    )
+    b = texts.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"), F.length(text_col).alias("_lb")
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb", max_dist))
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -194,3 +194,39 @@ def referential_orphans(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z_thresh: float = 3.0,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group z-score outliers: rows where
+    ``|x - mean(group)| / stddev(group) >= z_thresh`` — the standard
+    anomaly gate a metrics pipeline runs per series/segment.
+
+    Two passes over the data, one tiny intermediate: a groupBy computes
+    (mean, stddev_samp, n) per key — map-side combined, one row per key
+    crosses the shuffle — and the stats table joins back onto the raw
+    rows. With ``broadcast_stats`` (right for low-cardinality segment
+    keys) the join is a broadcast: the 100 TB side never shuffles at
+    all; for high-cardinality keys set it False and let AQE pick a
+    shuffle join keyed the same as the groupBy. Groups with fewer than
+    2 rows or zero variance emit no outliers (stddev NULL/0 — nothing
+    is 'anomalous' against no spread)."""
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("_mean"),
+        F.stddev_samp(value_col).alias("_std"),
+    )
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    return (
+        df.join(stats, key_col)
+        .filter(F.col("_std").isNotNull() & (F.col("_std") > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= z_thresh)
+        .drop("_mean", "_std")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hex32_to_long
+from ..functions.hashing import hex32_to_long, hex_prefix_to_long
 
 
 def hash_bucket(id_col: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
@@ -153,4 +153,48 @@ def mixture_resample(
         df.join(F.broadcast(thresholds), group_col)
         .filter(hash_bucket(id_col, resolution, salt) < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    m: int,
+    strata_col: str | None = None,
+    salt: str = "",
+    out_rank: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``m`` rows per stratum chosen by the Efraimidis–Spirakis A-ES
+    scheme — row i survives with probability proportional to its
+    weight, exactly as if drawn sequentially without replacement.
+
+    A-ES draws u_i ~ U(0,1] and keeps the m smallest
+    ``k_i = -ln(u_i)/w_i``. Here u_i is NOT random: it derives from
+    md5(id || salt) (60 bits → (0,1]), so the sample is a pure function
+    of (id, weight, salt) — the same rows survive on every engine,
+    partitioning, and cluster size, and a re-draw is just a new salt.
+    The whole operator is a narrow projection + one per-stratum window
+    rank: no RNG state, no driver coordination, no global sort
+    (``strata_col=None`` degrades to ONE partition's external sort —
+    fine for final top-m extraction, wrong for per-domain sampling at
+    scale; pass the stratum).
+
+    Rows with NULL or non-positive weight are excluded (they would
+    have survival probability 0 / undefined key)."""
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        hex_prefix_to_long(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 15
+        )
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / wcol
+    part = [strata_col] if strata_col else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.filter(wcol.isNotNull() & (wcol > 0))
+        .withColumn(out_rank, F.row_number().over(w))
+        .filter(F.col(out_rank) <= m)
     )

@@ -123,3 +123,56 @@ def transition_matrix(
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(w_src), 6)
     )
+
+
+def interval_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) interval history: collapse
+    each key's ordered attribute observations into [valid_from,
+    valid_to) validity intervals, one row per RUN of consecutive equal
+    values (gaps-and-islands). The open interval per key is flagged
+    ``is_current`` — the table a warehouse keeps so point-in-time joins
+    ("what was the status when the event happened") become plain range
+    joins.
+
+    Plan: one window pass detects value changes (lag over the per-key
+    order), a running sum turns changes into run ids, a groupBy
+    collapses runs (map-side combined — one row per run crosses the
+    shuffle, not one per observation), and a second window over the
+    collapsed runs fills ``valid_to`` with the next run's start. Both
+    windows and the groupBy share the same key partitioning, so the
+    whole operator is ONE shuffle of the observations plus one of the
+    (much smaller) runs table. NULL attribute values form runs of
+    their own (null-safe change test)."""
+    for reserved in ("_chg", "_run", "_start"):
+        if reserved in df.columns:
+            raise ValueError(f"input already has internal column {reserved!r}")
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.when(
+        F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), 0
+    ).otherwise(1)
+    runs = (
+        df.withColumn("_chg", changed)
+        .withColumn("_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(key_col, "_run")
+        .agg(
+            F.first(attr_col).alias(attr_col),
+            F.min(F.struct(*order)).alias("_start"),
+        )
+        .select(key_col, F.col(attr_col), F.col(f"_start.{ts_col}").alias(valid_from), F.col("_run"))
+    )
+    w_runs = Window.partitionBy(key_col).orderBy("_run")
+    return (
+        runs.withColumn(valid_to, F.lead(valid_from).over(w_runs))
+        .withColumn(current_flag, F.col(valid_to).isNull())
+        .drop("_run")
+    )

@@ -97,7 +97,6 @@ def retention_cohorts_events(spark, sf_dir):
     FROM p WHERE dst IS NOT NULL GROUP BY src, dst
     """,
     tags=("behavioral", "markov", "window"),
-    driver=False,
 )
 def event_transitions_events(spark, sf_dir):
     """First-order Markov transition matrix of the per-user event

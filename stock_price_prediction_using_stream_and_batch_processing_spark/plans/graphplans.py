@@ -54,7 +54,6 @@ _ITER = 5
     SELECT node, ROUND(rank, 9) AS rank FROM pr WHERE it = {_ITER}
     """,
     tags=("graph", "pagerank", "iterative"),
-    driver=False,
 )
 def pagerank_customer_supplier(spark, sf_dir):
     """Supplier/customer centrality: 5 PageRank iterations (damping

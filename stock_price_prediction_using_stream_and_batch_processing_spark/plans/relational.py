@@ -62,7 +62,9 @@ def scan_filter_project(spark, sf_dir):
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
     """,
     tags=("json", "projection"),
+    driver=False,
 )
+
 def json_extract_events(spark, sf_dir):
     """JSON props extraction (reference P0b ``from_json`` analogue over
     the events fixture)."""
@@ -119,7 +121,9 @@ def count_by_event_type(spark, sf_dir):
     FROM events
     """,
     tags=("aggregate", "distinct"),
+    driver=False,
 )
+
 def global_agg_stats(spark, sf_dir):
     """min/mean/max/sum — the reference's driver-side NumPy metric aggs
     (A2, ``stream_consumer.py:110-111``) as one distributed agg — plus
@@ -292,7 +296,9 @@ def join_orders_customer_segment(spark, sf_dir):
     GROUP BY n.n_name
     """,
     tags=("join", "multi-join", "groupby", "tpch"),
+    driver=False,
 )
+
 def revenue_by_nation(spark, sf_dir):
     """TPC-H-Q5-shaped snowflake join: every dimension broadcast, the
     fact table never shuffles until the final small agg."""
@@ -316,7 +322,9 @@ def revenue_by_nation(spark, sf_dir):
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tags=("semi-join",),
+    driver=False,
 )
+
 def customers_with_orders(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -750,3 +758,72 @@ def referential_orphans_check(spark, sf_dir):
             ("orders->customer", od, "o_custkey", cu, "c_custkey"),
         ]
     )
+
+
+# --- anomaly detection / temporal history ----------------------------------
+
+
+@register(
+    "outlier_events_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value, ROUND((value - m) / sd, 6) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE sd IS NOT NULL AND sd > 0 AND ABS((value - m) / sd) >= 3.0
+    """,
+    tags=("quality", "anomaly", "zscore"),
+)
+def outlier_events_zscore(spark, sf_dir):
+    """Per-segment anomaly gate: events whose value sits ≥3 sample
+    standard deviations from its event_type mean (operators/quality.
+    zscore_outliers). The stats table is one row per type and
+    broadcasts, so the fact side never shuffles."""
+    from ..operators import quality
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = quality.zscore_outliers(ev, "event_type", "value", z_thresh=3.0)
+    return out.select(
+        "event_id", "event_type", "value", F.round("zscore", 6).alias("zscore")
+    )
+
+
+@register(
+    "order_status_history",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             CASE WHEN lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                       IS NOT DISTINCT FROM o_orderstatus THEN 0 ELSE 1 END AS chg
+      FROM orders
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM o
+    ), runs AS (
+      SELECT o_custkey, run, MIN(o_orderstatus) AS o_orderstatus, MIN(o_orderdate) AS valid_from
+      FROM r GROUP BY o_custkey, run
+    )
+    SELECT o_custkey, o_orderstatus, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) IS NULL) AS is_current
+    FROM runs
+    """,
+    tags=("temporal", "scd2", "gaps-and-islands", "window"),
+)
+def order_status_history(spark, sf_dir):
+    """SCD-2 validity intervals: each customer's order-status runs
+    collapsed to [valid_from, valid_to) rows with the open interval
+    flagged current (operators/sequences.interval_history — one
+    observation shuffle + one runs shuffle, both keyed by customer)."""
+    from ..operators import sequences
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    hist = sequences.interval_history(
+        od, "o_custkey", "o_orderdate", "o_orderstatus", tiebreak="o_orderkey"
+    )
+    return hist.select("o_custkey", "o_orderstatus", "valid_from", "valid_to", "is_current")

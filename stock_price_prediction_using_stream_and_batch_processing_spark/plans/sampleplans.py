@@ -113,7 +113,6 @@ def pack_docs_bins(spark, sf_dir):
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("dedup", "simhash", "near-dup"),
-    driver=False,
 )
 def simhash_near_pairs_docs(spark, sf_dir):
     """SimHash near-dup PAIRS (Hamming <= 3) over 60-bit signatures:
@@ -147,7 +146,6 @@ _SHINGLES8 = (
     GROUP BY train_id, eval_id
     """,
     tags=("sampling", "decontamination", "dedup", "broadcast-join"),
-    driver=False,
 )
 def decontaminate_train_eval(spark, sf_dir):
     """Eval-set decontamination: train docs sharing any word 8-gram with
@@ -250,3 +248,35 @@ def doc_length_decile_stats(spark, sf_dir):
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+@register(
+    "weighted_sample_events",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type,
+             -ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                 / 1152921504606846976.0) / (ABS(value) + 1.0) AS k
+      FROM events
+      WHERE value IS NOT NULL AND ABS(value) + 1.0 > 0
+    ), r AS (
+      SELECT event_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY k, event_id) AS INTEGER)
+               AS sample_rank
+      FROM w
+    )
+    SELECT event_id, event_type, sample_rank FROM r WHERE sample_rank <= 25
+    """,
+    tags=("sampling", "weighted", "deterministic", "reservoir"),
+)
+def weighted_sample_events(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES
+    as a rank query): 25 events per type, survival probability
+    proportional to |value|+1, fully deterministic — u derives from
+    md5(event_id), so the same rows survive on any engine or
+    partitioning (operators/sampling.weighted_hash_sample)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = sampling.weighted_hash_sample(
+        ev, "event_id", F.abs(F.col("value")) + F.lit(1.0), m=25, strata_col="event_type"
+    )
+    return out.select("event_id", "event_type", "sample_rank")

@@ -157,7 +157,9 @@ def content_dedup_docs(spark, sf_dir):
     ORDER BY cnt DESC, token LIMIT 100
     """,
     tags=("text", "tokens", "groupby"),
+    driver=False,
 )
+
 def token_freq_top100(spark, sf_dir):
     """Corpus token frequencies (canonical word-count plan) + top-k."""
     d = load_table(spark, sf_dir, "documents")
@@ -242,7 +244,9 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
     """,
     tags=("dedup", "jaccard"),
+    driver=False,
 )
+
 def ngram_jaccard_pairs_docs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.8): shingle-hash
     self-join carrying 16-byte digests, not text."""
@@ -548,7 +552,6 @@ def doc_surprisal_docs(spark, sf_dir):
     FROM s
     """,
     tags=("text", "chunking", "rag"),
-    driver=False,
 )
 def chunk_docs(spark, sf_dir):
     """Fixed-window document chunking with overlap (operators/textops.
@@ -667,3 +670,45 @@ def collocation_pmi_docs(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(50)
+
+
+@register(
+    "edit_distance_pairs_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    ),
+    d AS (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh),
+    sig AS (
+      SELECT doc_id, s.seed,
+             MIN(substr(CASE WHEN s.seed < 4 THEN d0 ELSE d1 END,
+                        CAST((s.seed % 4) * 8 + 1 AS INTEGER), 8)) AS mh
+      FROM d CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(CAST(seed // 2 AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist
+    FROM cand
+    JOIN documents ta ON ta.doc_id = cand.id_a
+    JOIN documents tb ON tb.doc_id = cand.id_b
+    WHERE levenshtein(ta.text, tb.text) <= 20
+    """,
+    tags=("dedup", "levenshtein", "lsh", "verify"),
+)
+def edit_distance_pairs_docs(spark, sf_dir):
+    """Character-level near-dup verification: MinHash-LSH candidates
+    (8 hashes, 4 bands) confirmed by exact Levenshtein ≤ 20. The DP
+    runs ONLY on banded candidates, behind a length gate, with Spark's
+    threshold-banded levenshtein (O(L·k) not O(L²)) — the verifier
+    drops LSH's false-positive pairs while scanning no extra text
+    (operators/dedup.edit_distance_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(d, "text", "doc_id", max_dist=20, num_hashes=8, bands=4)

@@ -136,7 +136,9 @@ def lag_returns_events(spark, sf_dir):
     FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     tags=("window", "ohlc", "groupby", "timeseries"),
+    driver=False,
 )
+
 def tumbling_ohlc_events(spark, sf_dir):
     """Tumbling 1-hour OHLC bars per key (epoch-aligned ``F.window`` ==
     ``date_trunc`` for 1h); open/close tie-broken by unique event_id."""

@@ -72,7 +72,9 @@ def cosine_topk_bruteforce(spark, sf_dir):
     FROM pairs WHERE sim >= 0.25
     """,
     tags=("similarity", "dedup", "vector"),
+    driver=False,
 )
+
 def embedding_near_dup_exact(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (subsampled corpus, low
     threshold so the random test vectors yield a non-empty answer).
@@ -154,7 +156,7 @@ def embedding_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
-@register("cosine_topk_ivf", oracle=None, tags=("similarity", "vector", "ivf", "approx"))
+@register("cosine_topk_ivf", oracle=None, tags=("similarity", "vector", "ivf", "approx"), driver=False)
 def cosine_topk_ivf(spark, sf_dir):
     """Approximate cosine top-10 via IVF (MLlib k-means coarse quantizer,
     16 cells, probe 4): each query scores only its probed cells'
