@@ -59,6 +59,15 @@ HEADLINE = [
     "zorder_value_events",
     "mixture_resample_docs",
     "embedding_centroid_dispersion",
+    # round-4 (cont. 2): edit-distance verify, anomaly gate, weighted
+    # A-ES sampling, SCD2 history, gap-fill, rolling corr, bigram LM
+    "edit_distance_pairs_docs",
+    "outlier_events_zscore",
+    "weighted_sample_events",
+    "order_status_history",
+    "gapfill_hourly_events",
+    "rolling_corr_lineitem",
+    "doc_bigram_surprisal",
     # Watermarked APPEND is the scale-safe streaming headline (bounded
     # state); complete-mode stream_hourly_counts stays registry-extended
     # as an oracle-determinism device only.

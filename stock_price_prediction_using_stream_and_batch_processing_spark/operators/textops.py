@@ -348,3 +348,58 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name.lower()}"))
         redacted = F.regexp_replace(redacted, pat, f"[{name}]")
     return df.select(F.col(id_col), redacted.alias("text_redacted"), *counts)
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-document cross-entropy (mean surprisal, nats) under an
+    interpolated bigram language model trained on the corpus itself:
+    P(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}·) + (1-λ)·c(w_i)/N.
+    The context-sensitive upgrade of :func:`unigram_surprisal` — fluent
+    but rare-word text stops being penalized, shuffled/boilerplate text
+    stands out — the KenLM-style quality filter with the LM tables
+    built in-engine.
+
+    Plan: tokens materialize once per doc; the bigram stream explodes
+    from the token ARRAY COLUMN (a column reference, so the tokenizer
+    regex runs once per row, not per element); bigram counts,
+    context totals, and unigram counts are three map-side-combined
+    aggregates of vocabulary-bounded size; the per-doc stream joins
+    them by token keys (AQE broadcasts while the vocab is small) and
+    one per-doc mean closes it. λ-interpolation means unseen bigrams
+    of seen words still score finitely; every bigram in scope appears
+    in the tables by construction (same-corpus training)."""
+    toks = df.select(F.col(id_col), text.tokens(text_col).alias("_t"))
+    idx = F.sequence(F.lit(1), F.size("_t") - 1)
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.try_element_at(F.col("_t"), i).alias("prev"),
+            F.try_element_at(F.col("_t"), i + 1).alias("cur"),
+        ),
+    )
+    pairs = (
+        toks.filter(F.size("_t") >= 2)
+        .select(F.col(id_col), F.explode(pair).alias("_bg"))
+        .select(F.col(id_col), F.col("_bg.prev").alias("prev"), F.col("_bg.cur").alias("cur"))
+    )
+    # vocabulary-sized LM tables, each one aggregate
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2")).localCheckpoint(eager=False)
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c_ctx"))
+    unis = toks.select(F.explode("_t").alias("cur"))
+    uni = unis.groupBy("cur").agg(F.count("*").alias("c1")).localCheckpoint(eager=False)
+    total = uni.groupBy().agg(F.sum("c1").cast("double").alias("_n"))
+    joined = (
+        pairs.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, "cur")
+        .join(F.broadcast(total))
+    )
+    p = F.lit(lam) * F.col("c2") / F.col("c_ctx") + F.lit(1.0 - lam) * F.col("c1") / F.col("_n")
+    return joined.groupBy(id_col).agg(
+        F.round(-F.avg(F.log(p)), 6).alias("bigram_surprisal_nats")
+    )

@@ -484,3 +484,96 @@ def ewma_final(
         lambda acc, x: F.when(acc.isNull(), x).otherwise(F.lit(alpha) * x + F.lit(1.0 - alpha) * acc),
     )
     return grouped.select(F.col(key), fold.alias(out), F.size("_s").alias("n_obs"))
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    bucket_seconds: int,
+    out: str = "value_filled",
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed time grid with
+    last-observation-carried-forward — the hypertable
+    ``time_bucket_gapfill + locf`` shape: one row per (key, bucket) for
+    EVERY bucket between the key's first and last observation, empty
+    buckets filled with the most recent earlier bucket's value and
+    flagged ``gap_filled``.
+
+    Plan: raw rows aggregate to per-(key, bucket) means (map-side
+    combined — the 100 TB side collapses before anything else
+    happens); each key's [min, max] bucket span (one row per key)
+    explodes into its dense grid, LEFT joins the bars, and one per-key
+    window carries values forward. Grid size is span/bucket_seconds
+    rows per key — bounded by time coverage, independent of raw row
+    count, so the explode cannot amplify a dense 100 TB corpus (it
+    only back-fills sparse ones). The bars aggregate, the grid join,
+    and the LOCF window all key on (key[, bucket]) — no global sort,
+    no skew beyond what the raw aggregation already absorbs."""
+    sec = F.col(ts).cast("timestamp").cast("double")
+    bucket = F.floor(sec / F.lit(float(bucket_seconds))).cast("long")
+    bars = df.groupBy(F.col(key), bucket.alias("bucket")).agg(F.avg(value).alias("_v"))
+    spans = bars.groupBy(key).agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+    grid = spans.select(F.col(key), F.explode(F.sequence("_b0", "_b1")).alias("bucket"))
+    joined = grid.join(bars, [key, "bucket"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.withColumn(out, F.last("_v", ignorenulls=True).over(w))
+        .withColumn("gap_filled", F.col("_v").isNull())
+        .withColumn(
+            "bucket_start",
+            F.timestamp_seconds(F.col("bucket") * F.lit(bucket_seconds)),
+        )
+        .drop("_v")
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    x: str,
+    y: str,
+    n: int,
+    out: str = "rolling_corr",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Trailing-``n``-row Pearson correlation of two series per key —
+    co-movement drift detection (price vs volume, metric vs metric).
+    Same distribution shape as ``trailing_mean``: one hash shuffle on
+    the key, an external per-key sort, O(1) state per window step.
+    Windows with < 2 points or zero variance yield NULL.
+
+    Not ``F.corr`` over the frame: under ANSI mode (Spark 4 default) a
+    degenerate frame — every key's FIRST row, or any constant-x run —
+    raises DIVIDE_BY_ZERO and kills the job. Instead the textbook
+    sum-formula runs over the frame with ``try_divide``, made
+    numerically safe by FIRST centering both series on their per-key
+    means (Pearson r is shift-invariant, and centered sums avoid the
+    n·Σxy − Σx·Σy cancellation blow-up that makes the raw formula
+    wrong for large-magnitude series). Both the centering window and
+    the frame share one partitioning + sort. Rows where either series
+    is NULL drop out of the window pairs (pairwise-complete, matching
+    SQL ``corr``)."""
+    w_full = _w(key, ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = _w(key, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    cx = F.when(both, F.col(x) - F.avg(x).over(w_full))
+    cy = F.when(both, F.col(y) - F.avg(y).over(w_full))
+    d = df.withColumn("_cx", cx).withColumn("_cy", cy)
+    cnt = F.count("_cx").over(w)
+    sx, sy = F.sum("_cx").over(w), F.sum("_cy").over(w)
+    sxx = F.sum(F.col("_cx") * F.col("_cx")).over(w)
+    syy = F.sum(F.col("_cy") * F.col("_cy")).over(w)
+    sxy = F.sum(F.col("_cx") * F.col("_cy")).over(w)
+    num = sxy - F.try_divide(sx * sy, cnt)
+    denx = F.greatest(sxx - F.try_divide(sx * sx, cnt), F.lit(0.0))
+    deny = F.greatest(syy - F.try_divide(sy * sy, cnt), F.lit(0.0))
+    return d.withColumn(out, F.try_divide(num, F.sqrt(denx * deny))).drop("_cx", "_cy")

@@ -135,7 +135,9 @@ def doc_fingerprint(spark, sf_dir):
     FROM fp GROUP BY f
     """,
     tags=("dedup", "text"),
+    driver=False,
 )
+
 def content_dedup_docs(spark, sf_dir):
     """Exact content dedup summary: one keeper (min doc_id) per distinct
     normalized content — the 100 TB shape (shuffle carries digests only)."""
@@ -712,3 +714,39 @@ def edit_distance_pairs_docs(spark, sf_dir):
     (operators/dedup.edit_distance_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.edit_distance_pairs(d, "text", "doc_id", max_dist=20, num_hashes=8, bands=4)
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> {{'prev': toks[i], 'cur': toks[i + 1]}}),
+                    recursive := true)
+      FROM t WHERE len(toks) >= 2
+    ),
+    big AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur),
+    ctx AS (SELECT prev, SUM(c2) AS c_ctx FROM big GROUP BY prev),
+    uni AS (SELECT cur, COUNT(*) AS c1
+            FROM (SELECT unnest(toks) AS cur FROM t) GROUP BY cur),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n FROM uni)
+    SELECT doc_id,
+           ROUND(-AVG(ln(0.8 * c2 / c_ctx + 0.2 * c1 / n)), 6) AS bigram_surprisal_nats
+    FROM pairs
+    JOIN big USING (prev, cur)
+    JOIN ctx USING (prev)
+    JOIN uni USING (cur)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm", "perplexity", "quality"),
+)
+def doc_bigram_surprisal(spark, sf_dir):
+    """Interpolated bigram-LM cross-entropy per document (λ=0.8) — the
+    context-sensitive perplexity quality filter
+    (operators/textops.bigram_surprisal); LM tables are built in-engine
+    as vocabulary-bounded aggregates and joined back by token keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.bigram_surprisal(d, "text", "doc_id", lam=0.8)

@@ -450,7 +450,9 @@ def predict_sliding60_events(spark, sf_dir):
     FROM x GROUP BY user_id
     """,
     tags=("regression", "forecast", "timeseries"),
+    driver=False,
 )
+
 def trend_forecast_per_user(spark, sf_dir):
     """Per-key OLS trend + next-step forecast with NATIVE regression
     aggregates (``regr_slope``/``regr_intercept``) — no Python. The
@@ -484,7 +486,9 @@ def trend_forecast_per_user(spark, sf_dir):
     FROM o
     """,
     tags=("ewma", "fold", "timeseries"),
+    driver=False,
 )
+
 def ewma_final_per_user(spark, sf_dir):
     """Final EWMA (alpha=0.2) per key — a RECURSIVE per-key statistic no
     window frame expresses; computed as one ordered fold per key via
@@ -551,3 +555,75 @@ def hll_rollup_daily_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     fine = sketches.hll_fine_sketches(ev, "ts", "user_id", fine="hour")
     return sketches.hll_rollup(fine, coarse="day").orderBy("bucket_start")
+
+
+@register(
+    "gapfill_hourly_events",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM bars GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket, bars.v
+      FROM grid g LEFT JOIN bars ON g.user_id = bars.user_id AND g.bucket = bars.bucket
+    )
+    SELECT user_id,
+           TIMESTAMP '1970-01-01' + (bucket * 3600) * INTERVAL 1 SECOND AS bucket_start,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled,
+           (v IS NULL) AS gap_filled
+    FROM j
+    """,
+    tags=("timeseries", "gapfill", "locf", "resample"),
+)
+def gapfill_hourly_events(spark, sf_dir):
+    """Hourly per-user grid with LOCF gap filling (hypertable
+    ``time_bucket_gapfill`` shape, operators/windows.gapfill_locf):
+    every hour between a user's first and last event gets a row; empty
+    hours carry the last seen hourly mean and are flagged."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.gapfill_locf(ev, "user_id", "ts", "value", bucket_seconds=3600)
+    return out.select(
+        "user_id", "bucket_start", F.round("value_filled", 6).alias("value_filled"), "gap_filled"
+    )
+
+
+@register(
+    "rolling_corr_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey, l_shipdate, l_orderkey * 8 + l_linenumber AS seq,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_suppkey, seq,
+           ROUND(corr(l_quantity, l_extendedprice) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, seq
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS qty_price_corr
+    FROM s
+    """,
+    tags=("timeseries", "window", "correlation"),
+)
+def rolling_corr_lineitem(spark, sf_dir):
+    """Trailing-30 Pearson correlation of quantity vs price per supplier
+    (operators/windows.rolling_corr) — co-movement drift over each
+    supplier's shipment history; one key shuffle, external per-key
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_shipdate",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("seq"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    out = windows.rolling_corr(
+        li, "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice",
+        n=30, out="qty_price_corr", tiebreak="seq",
+    )
+    return out.select(
+        "l_suppkey", "seq", F.round("qty_price_corr", 6).alias("qty_price_corr")
+    )

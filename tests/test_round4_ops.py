@@ -178,3 +178,88 @@ def test_interval_history_single_shuffle_partitioning(spark):
     out = sequences.interval_history(df, "k", "ts", "status", tiebreak="seq")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+# --- gapfill_locf -----------------------------------------------------------
+
+
+def test_gapfill_locf_fills_and_flags(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows as W
+
+    # key "a": observations in buckets 0 and 3 (60s buckets); buckets
+    # 1-2 must be synthesized, carrying bucket 0's mean.
+    df = spark.createDataFrame(
+        [("a", 10.0, 2.0), ("a", 20.0, 4.0), ("a", 190.0, 9.0), ("b", 70.0, 1.0)],
+        ["k", "sec", "v"],
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "v")
+    out = W.gapfill_locf(df, "k", "ts", "v", bucket_seconds=60)
+    rows = {(r["k"], r["bucket"]): (r["value_filled"], r["gap_filled"]) for r in out.collect()}
+    assert rows == {
+        ("a", 0): (3.0, False),
+        ("a", 1): (3.0, True),
+        ("a", 2): (3.0, True),
+        ("a", 3): (9.0, False),
+        ("b", 1): (1.0, False),
+    }
+
+
+# --- rolling_corr -----------------------------------------------------------
+
+
+def test_rolling_corr_matches_statistics(spark):
+    import statistics
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows as W
+
+    xs = [1.0, 3.0, 2.0, 7.0, 5.0, 4.0]
+    ys = [2.0, 5.0, 4.0, 9.0, 9.0, 7.0]
+    df = spark.createDataFrame(
+        [("k", i, xs[i], ys[i]) for i in range(6)], ["k", "t", "x", "y"]
+    )
+    out = W.rolling_corr(df, "k", "t", "x", "y", n=3)
+    got = {r["t"]: r["rolling_corr"] for r in out.collect()}
+    assert got[0] is None  # single-row frame
+    for t in range(2, 6):
+        exp = statistics.correlation(xs[t - 2 : t + 1], ys[t - 2 : t + 1])
+        assert got[t] == pytest.approx(exp, abs=1e-12), t
+
+
+def test_rolling_corr_degenerate_null_not_error(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows as W
+
+    # constant x: zero variance in every frame -> NULL everywhere, and
+    # under ANSI mode the job must not raise DIVIDE_BY_ZERO.
+    df = spark.createDataFrame([("k", i, 5.0, float(i)) for i in range(4)], ["k", "t", "x", "y"])
+    out = W.rolling_corr(df, "k", "t", "x", "y", n=3).collect()
+    assert all(r["rolling_corr"] is None for r in out)
+
+
+# --- bigram_surprisal -------------------------------------------------------
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    import math
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops as T
+
+    # corpus: doc1 "a b a b", doc2 "a b"  (token stream N=6)
+    # bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b)  => c2(a,b)=3? no: per
+    # doc: d1 has (a,b),(b,a),(a,b); d2 has (a,b) -> c2(a,b)=3, c2(b,a)=1
+    # ctx: c(a.)=3, c(b.)=1 ; uni: c(a)=3, c(b)=3, N=6
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["bigram_surprisal_nats"] for r in T.bigram_surprisal(df).collect()}
+    lam = 0.8
+    p_ab = lam * 3 / 3 + (1 - lam) * 3 / 6
+    p_ba = lam * 1 / 1 + (1 - lam) * 3 / 6
+    d1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    d2 = -math.log(p_ab)
+    assert out[1] == pytest.approx(round(d1, 6), abs=2e-6)
+    assert out[2] == pytest.approx(round(d2, 6), abs=2e-6)
+
+
+def test_bigram_surprisal_short_docs_absent(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops as T
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two tokens here")], ["doc_id", "text"])
+    out = T.bigram_surprisal(df).collect()
+    assert {r["doc_id"] for r in out} == {2}  # <2 tokens: no bigram rows
