@@ -51,3 +51,54 @@ def merge_into_parquet(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table — the
+    CDC/audit primitive behind "what changed since yesterday's load":
+    one row per key whose state differs, ``change_type`` in
+    ('added', 'removed', 'changed'). Unchanged keys are dropped.
+
+    Scale shape: each side collapses to (keys, md5-of-compared-columns)
+    BEFORE the join, so the full-outer join shuffles 16-byte digests +
+    keys — never the row payloads — and at 100 TB the diff costs two
+    projected scans plus one key-partitioned join. Column values are
+    joined with a unit-separator (U+001F) delimiter and a NULL sentinel
+    (U+0000) so ("ab", "c") / ("a", "bc") / ("a", NULL) cannot collide.
+    ``compare_cols`` defaults to every non-key column the two snapshots
+    share (schema drift: a column present on one side only raises
+    rather than silently vanishing from the comparison)."""
+    if compare_cols is None:
+        old_non = [c for c in old.columns if c not in key_cols]
+        new_non = [c for c in new.columns if c not in key_cols]
+        if set(old_non) != set(new_non):
+            raise ValueError(
+                f"snapshot schemas differ: only-old={sorted(set(old_non) - set(new_non))}, "
+                f"only-new={sorted(set(new_non) - set(old_non))}; pass compare_cols explicitly"
+            )
+        compare_cols = old_non
+
+    def row_hash(df: DataFrame, alias: str) -> DataFrame:
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0000")) for c in compare_cols
+        ]
+        return df.select(*key_cols, F.md5(F.concat_ws("\u001f", *cells)).alias(alias))
+
+    o = row_hash(old, "_h_old")
+    n2 = row_hash(new, "_h_new")
+    joined = o.join(n2, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -827,3 +827,52 @@ def order_status_history(spark, sf_dir):
         od, "o_custkey", "o_orderdate", "o_orderstatus", tiebreak="o_orderkey"
     )
     return hist.select("o_custkey", "o_orderstatus", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10) AS b
+      FROM orders
+    ),
+    snap_old AS (SELECT * FROM base WHERE b != 0),
+    snap_new AS (
+      SELECT o_orderkey,
+             CASE WHEN b = 2 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice, b
+      FROM base WHERE b != 1
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus != n.o_orderstatus
+                     OR o.o_totalprice != n.o_totalprice THEN 'changed'
+           END AS change_type
+    FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_orderstatus != n.o_orderstatus OR o.o_totalprice != n.o_totalprice
+    """,
+    tags=("cdc", "diff", "maintenance"),
+    driver=False,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC-style snapshot diff (operators/upsert.snapshot_diff): two
+    deterministic hash-carved versions of orders — one bucket present
+    only in the new snapshot (added), one only in the old (removed),
+    one with a mutated status (changed) — diffed by row digest; the
+    join shuffles 16-byte hashes, never rows. The oracle recomputes
+    the same diff value-wise with a FULL OUTER JOIN."""
+    from ..operators import sampling
+    from ..operators.upsert import snapshot_diff
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = sampling.hash_bucket("o_orderkey", 10)
+    old = od.filter(b != 0)
+    new = od.filter(b != 1).withColumn(
+        "o_orderstatus", F.when(b == 2, F.lit("X")).otherwise(F.col("o_orderstatus"))
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
