@@ -1,7 +1,8 @@
 """Similarity-search query corpus over the ``embeddings`` table
-(array<float>, dim 64): exact brute-force cosine top-k (the oracle-
-checked baseline), LSH-bucketed approximate top-k (the scale path,
-rows-only + recall-tested in tests/), and exact cosine near-dup pairs.
+(array<float>, dim 64): exact brute-force cosine top-k (the baseline),
+LSH-bucketed approximate top-k and near-dup (the scale paths — also
+fully oracle-checked, since the seeded hyperplanes are plan literals a
+DuckDB twin can replay; see ``_bits_sql``), and exact near-dup pairs.
 
 The DuckDB oracles compute cosine in EXPLICIT double precision
 (list_zip + ::DOUBLE) because DuckDB's built-in
@@ -78,8 +79,8 @@ def cosine_topk_bruteforce(spark, sf_dir):
 def embedding_near_dup_exact(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (subsampled corpus, low
     threshold so the random test vectors yield a non-empty answer).
-    The LSH-accelerated variant is ``embedding_near_dup_lsh``
-    (rows-only; recall asserted in tests)."""
+    The LSH-accelerated variant is ``embedding_near_dup_lsh`` —
+    itself oracle-checked via replayed buckets."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
@@ -91,18 +92,85 @@ def embedding_near_dup_exact(spark, sf_dir):
     )
 
 
-@register("cosine_topk_lsh", oracle=None, tags=("similarity", "vector", "lsh", "approx"), driver=False)
+
+
+def _bits_sql(vec_expr: str, n_planes: int, seed: int) -> str:
+    """DuckDB twin of functions/vectors.sign_projection_bits for ONE LSH
+    table: the same seeded planes the Spark plan folds in as literals
+    (operators/similarity._planes) are embedded here at full float repr,
+    and each bit is the sign of the identical double-precision dot
+    product. Safe to compare exactly: the smallest |dot| over the sf0.1
+    corpus is ~5e-6 for every plane family used below — nine orders of
+    magnitude above cross-engine summation-order noise — so no sign bit
+    can flip between engines."""
+    from ..operators.similarity import _planes
+
+    parts = []
+    for plane in _planes(_DIM, n_planes, seed):
+        lit = "[" + ",".join(repr(float(v)) for v in plane) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {lit}), "
+            "p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+        parts.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _lsh_topk_oracle() -> str:
+    cb_bits = ", ".join(
+        f"{_bits_sql('embedding', 8, 42 + 1000 * t)} AS b{t}" for t in range(4)
+    )
+    qb_bits = ", ".join(
+        f"{_bits_sql('qv', 8, 42 + 1000 * t)} AS b{t}" for t in range(4)
+    )
+    collide = " OR ".join(f"cb.b{t} = qb.b{t}" for t in range(4))
+    cos = _COS_DOUBLE.format(a="qv", b="embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    qb AS (SELECT q_id, qv, {qb_bits} FROM q),
+    cb AS (SELECT vec_id, embedding, {cb_bits} FROM embeddings),
+    cand AS (
+      SELECT DISTINCT qb.q_id, cb.vec_id, qb.qv, cb.embedding
+      FROM cb JOIN qb ON cb.vec_id <> qb.q_id AND ({collide})
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, {cos} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY {cos} DESC, vec_id) AS rnk
+      FROM cand
+    )
+    SELECT q_id, vec_id, ROUND(sim, 6) AS cosine_sim FROM ranked WHERE rnk <= 10
+    """
+
+
+def _lsh_near_dup_oracle() -> str:
+    bits = ", ".join(
+        f"{_bits_sql('embedding', 10, 7 + 1000 * t)} AS b{t}" for t in range(6)
+    )
+    collide = " OR ".join(f"a.b{t} = bb.b{t}" for t in range(6))
+    cos = _COS_DOUBLE.format(a="a.embedding", b="bb.embedding")
+    return f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    b AS (SELECT vec_id, embedding, {bits} FROM s)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b, ROUND({cos}, 6) AS cosine_sim
+    FROM b a JOIN b bb ON a.vec_id < bb.vec_id AND ({collide})
+    WHERE {cos} >= 0.25
+    """
+
+
+@register("cosine_topk_lsh", oracle=_lsh_topk_oracle(), tags=("similarity", "vector", "lsh"), driver=False)
 def cosine_topk_lsh(spark, sf_dir):
     """Approximate cosine top-10 via sign-projection LSH (4 tables × 8
-    planes): only bucket-colliding pairs are scored. Rows-only driver
-    check; recall vs brute force asserted in tests/test_similarity.py."""
+    planes): only bucket-colliding pairs are scored. Fully
+    oracle-checked — the seeded planes are literals, so the DuckDB twin
+    recomputes the same buckets (see ``_bits_sql``); recall vs brute
+    force additionally asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     out = similarity.lsh_topk(e, q, k=10, dim=_DIM)
     return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-@register("embedding_near_dup_lsh", oracle=None, tags=("similarity", "dedup", "lsh", "approx"))
+@register("embedding_near_dup_lsh", oracle=_lsh_near_dup_oracle(), tags=("similarity", "dedup", "lsh"))
 def embedding_near_dup_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs — the 100 TB path (bucket
     self-join instead of all-pairs)."""
