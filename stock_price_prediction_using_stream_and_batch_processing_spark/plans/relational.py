@@ -10,6 +10,7 @@ tie-breaks every top-k so results are deterministic sets.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, joins, setops, topk
@@ -876,3 +877,101 @@ def snapshot_diff_orders(spark, sf_dir):
         "o_orderstatus", F.when(b == 2, F.lit("X")).otherwise(F.col("o_orderstatus"))
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+    driver=False,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """GROUPING SETS — two independent one-dimension breakdowns plus the
+    grand total from ONE scan (the cube/rollup generalization; Spark
+    expands to a single Expand + hash aggregate, so the fact table is
+    read once, not three times)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "value_rank_distribution_events",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window", "rank", "distribution"),
+    driver=False,
+)
+def value_rank_distribution_events(spark, sf_dir):
+    """Distribution-rank window family per segment — ntile quartiles,
+    percent_rank, cume_dist over one shared (type, value) sort: the
+    score-normalization shape (a training pipeline ranks quality scores
+    within each domain before thresholding). One shuffle, one sort,
+    three rank functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "time_to_conversion_events",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(date_diff('second', v.first_view, p.first_purchase) AS BIGINT)
+             AS seconds_to_convert
+    FROM v JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("behavioral", "conversion", "aggregate"),
+    driver=False,
+)
+def time_to_conversion_events(spark, sf_dir):
+    """Per-user time from first view to first subsequent purchase — the
+    conversion-latency metric: two per-user MIN aggregates (map-side
+    combined) and one key join; no window sort over the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    secs = (
+        F.col("first_purchase").cast("timestamp").cast("long")
+        - F.col("first_view").cast("timestamp").cast("long")
+    )
+    return v.join(p, "user_id").select("user_id", secs.alias("seconds_to_convert"))

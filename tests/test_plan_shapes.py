@@ -7,6 +7,7 @@ aggregation, no accidental cartesian products.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import full_query_map
 
@@ -149,3 +150,49 @@ def test_tiny_batch_coalesce_eliminates_window_exchange(spark):
         ticks_dataframe(spark, 50), "symbol", "timestamp", "price", 5, tiebreak="timestamp"
     )
     assert "Exchange hashpartitioning" in win2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """At 100 TB the win of a selective dim join is pruning the FACT
+    side before the shuffle. Spark's runtime bloom filter does exactly
+    that: a bloom built on the filtered dim keys is pushed into the
+    fact scan as might_contain(...). This pins that (a) the engine
+    injects it for our join shapes under the documented tuning
+    (thresholds sized to the cluster; local data is far below the
+    production defaults, hence the overrides), and (b) the filtered
+    result stays correct."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        pt = load_table(spark, "/root/testdata/sf0.01", "part").filter(F.col("p_size") == 1)
+        j = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select("l_orderkey", "p_name")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # correctness unchanged by the injected filter
+        expected = (
+            li.join(pt.hint("broadcast"), li["l_partkey"] == pt["p_partkey"]).count()
+        )
+        assert j.count() == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -349,3 +349,75 @@ def test_interleave_bits_roundtrip(spark, pts):
         a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r["a"], r["b"])
+
+
+@PROP
+@given(rows=ROWS)
+def test_interval_history_reconstructs_observations(spark, rows):
+    """Collapsing runs then expanding intervals must reproduce every
+    observation's attribute: for each (k, ts) observation, exactly one
+    interval [valid_from, valid_to) contains it and carries its value."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sequences
+
+    data, df = _df(spark, rows)
+    if not data:
+        return
+    # derive a small categorical attribute from the value
+    obs = [(k, ts, "s%d" % (int(v) % 3)) for k, ts, v in data]
+    sdf = spark.createDataFrame(obs, "k long, ts timestamp, status string")
+    hist = sequences.interval_history(sdf, "k", "ts", "status").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ts, status in obs:
+        matches = [
+            r
+            for r in by_key[k]
+            if r["valid_from"] <= ts and (r["valid_to"] is None or ts < r["valid_to"])
+        ]
+        assert len(matches) == 1, (k, ts, matches)
+        assert matches[0]["status"] == status
+    # runs alternate: consecutive intervals never share a status
+    for k, rs in by_key.items():
+        rs = sorted(rs, key=lambda r: r["valid_from"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["status"] != b["status"]
+            assert a["valid_to"] == b["valid_from"]
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+
+
+@PROP
+@given(rows=ROWS)
+def test_gapfill_locf_matches_python_reference(spark, rows):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows as W
+
+    data, df = _df(spark, rows)
+    if not data:
+        return
+    out = W.gapfill_locf(df, "k", "ts", "v", bucket_seconds=600)
+    got = {
+        (r["k"], r["bucket"]): (r["value_filled"], r["gap_filled"])
+        for r in out.collect()
+    }
+    # python reference: bucket means, dense range, carry forward
+    import collections
+    agg = collections.defaultdict(list)
+    for k, ts, v in data:
+        agg[(k, int(ts.timestamp() // 600))].append(v)
+    means = {kb: sum(vs) / len(vs) for kb, vs in agg.items()}
+    exp = {}
+    for k in {kb[0] for kb in means}:
+        bks = sorted(b for kk, b in means if kk == k)
+        last = None
+        for b in range(bks[0], bks[-1] + 1):
+            if (k, b) in means:
+                last = means[(k, b)]
+                exp[(k, b)] = (last, False)
+            else:
+                exp[(k, b)] = (last, True)
+    assert set(got) == set(exp)
+    for kb in exp:
+        ev, eg = exp[kb]
+        gv, gg = got[kb]
+        assert gg == eg, kb
+        assert gv == pytest.approx(ev, abs=1e-9), kb
