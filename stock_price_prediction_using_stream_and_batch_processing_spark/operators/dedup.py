@@ -614,6 +614,7 @@ def edit_distance_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Edit-distance-verified near-dup pairs: LSH candidate generation
     followed by an exact Levenshtein check ≤ ``max_dist`` — the
@@ -634,10 +635,21 @@ def edit_distance_pairs(
     The candidate join carries only (id, text-length) until the final
     per-pair text fetch, so shuffle volume is O(candidates), not
     O(candidates × doc-bytes) through every stage.
+
+    ORDER MATTERS on duplicate-heavy corpora: candidate count grows
+    quadratically in per-content duplicate multiplicity (k exact copies
+    of a doc share every band → k·(k-1)/2 candidates each), so run
+    exact content dedup FIRST — measured at a 10×-replicated sf0.1
+    corpus: 86 s naive vs 7.6 s as dedup→verify (scripts/scale_probe
+    round-4 findings in SCALE.md). ``max_bucket_size`` additionally
+    drops boilerplate mega-buckets before the self-join (it does NOT
+    substitute for dedup-first: uniform low-multiplicity duplication
+    stays under any useful cap).
     """
     if candidates is None:
         candidates = minhash_lsh_pairs(
-            df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, max_bucket_size=max_bucket_size,
         )
     texts = df.select(F.col(id_col), F.col(text_col))
     a = texts.select(
