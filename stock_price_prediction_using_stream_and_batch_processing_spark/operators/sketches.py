@@ -51,3 +51,46 @@ def hll_rollup(
             F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch"))).cast("long").alias("approx_distinct")
         )
     )
+
+
+def refresh_hll_fine(
+    spark,
+    sketch_path: str,
+    new_raw: DataFrame,
+    ts_col: str,
+    value_col: str,
+    fine: str = "hour",
+    lgk: int = 12,
+) -> int:
+    """Incremental maintenance of the MATERIALIZED fine-sketch table —
+    the distinct-count twin of windows.refresh_ohlc_fine: only the new
+    batch's raw rows are sketched; their partials union with the stored
+    sketches of exactly the affected buckets (semi-join pruned) and
+    MERGE back replacing those rows only. Late data takes the same path
+    as new data.
+
+    Replay tolerance comes FREE here, with no epoch marker: HLL union
+    is idempotent at the element level (union(S, P) ∪ P == union(S, P)),
+    so a retried foreachBatch epoch re-merging the same rows cannot
+    change any sketch — strictly stronger than the bar table, whose
+    n_ticks counts would double (hence its marker guard). The remaining
+    non-transactionality (crash between slice read and overwrite) has
+    the same parquet-only bound documented at
+    streaming/pipeline.maintain_bars_batch. Returns sketch rows
+    written."""
+    from ..sources.tables import parquet_table_exists
+    from .upsert import merge_into_parquet
+
+    batch = hll_fine_sketches(new_raw, ts_col, value_col, fine, lgk)
+    if not parquet_table_exists(spark, sketch_path):
+        batch.write.parquet(sketch_path)
+        return spark.read.parquet(sketch_path).count()
+    target = spark.read.parquet(sketch_path)
+    affected = batch.select("bucket_start").distinct()
+    existing = target.join(affected, "bucket_start", "semi")
+    merged = (
+        existing.unionByName(batch)
+        .groupBy("bucket_start")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+    return merge_into_parquet(spark, sketch_path, merged, ["bucket_start"])

@@ -361,3 +361,46 @@ def stream_session_counts(spark, sf_dir):
     )
     name = _run_stream_to_memory(agg, "stream_sess", "append")
     return spark.table(name)
+
+
+@register(
+    "stream_sketch_maintenance",
+    oracle=None,  # sketch estimates have no DuckDB twin; stream==batch
+    # and replay-idempotency are pinned bit-for-bit in test_approx.py
+    tags=("streaming", "sketch", "hll", "continuous-aggregate"),
+    driver=False,
+)
+def stream_sketch_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the materialized distinct-count sketch
+    table (operators/sketches.refresh_hll_fine): the event stream
+    merges each micro-batch's hourly HLL partials into the store —
+    union is lossless AND idempotent, so replayed epochs need no
+    marker guard (unlike the bar table) — then daily distinct-user
+    estimates derive from the kilobyte sketches, never the raw
+    history. Four-file split so the merge path (not just bootstrap)
+    genuinely executes."""
+    import tempfile
+
+    from ..operators import sketches
+
+    work = tempfile.mkdtemp(prefix="stream_sketch_")
+    split_dir = os.path.join(work, "src")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(split_dir)
+    schema = spark.read.parquet(split_dir).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
+    store = os.path.join(work, "sketches")
+
+    def maint(batch_df, epoch_id):
+        sketches.refresh_hll_fine(spark, store, batch_df, "ts", "user_id")
+
+    q = (
+        s.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(maint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sketches.hll_rollup(spark.read.parquet(store), "day").select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), "approx_distinct"
+    )

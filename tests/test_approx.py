@@ -64,3 +64,45 @@ def test_hll_rollup_union_equals_direct_and_bounds(spark):
     assert set(rolled) == set(exact)
     for d, est in rolled.items():
         assert abs(est - exact[d]) <= max(3, 0.05 * exact[d]), (d, est, exact[d])
+
+
+def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
+    """Stream-maintained fine-sketch table == one-shot batch sketching,
+    for an arbitrary micro-batch split — the lossless-merge guarantee —
+    and replaying an epoch changes nothing (HLL union idempotency)."""
+    import os
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    split_dir = os.path.join(tmp_path, "src")
+    ev.repartition(4).write.parquet(split_dir)
+    schema = spark.read.parquet(split_dir).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
+    store = os.path.join(tmp_path, "sketches")
+
+    def maint(batch_df, epoch_id):
+        sketches.refresh_hll_fine(spark, store, batch_df, "ts", "user_id")
+
+    q = (
+        s.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_path, "ckpt"))
+        .foreachBatch(maint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def daily(df):
+        return {
+            (r["bucket_start"], r["approx_distinct"])
+            for r in sketches.hll_rollup(df, "day").collect()
+        }
+
+    streamed = daily(spark.read.parquet(store))
+    direct = daily(sketches.hll_fine_sketches(ev, "ts", "user_id"))
+    assert streamed == direct and streamed
+    # replay: merging the whole input AGAIN must not move any estimate
+    sketches.refresh_hll_fine(spark, store, ev, "ts", "user_id")
+    assert daily(spark.read.parquet(store)) == direct
