@@ -651,18 +651,24 @@ def edit_distance_pairs(
             df, text_col, id_col, num_hashes=num_hashes, bands=bands,
             shingle_n=shingle_n, max_bucket_size=max_bucket_size,
         )
-    texts = df.select(F.col(id_col), F.col(text_col))
-    a = texts.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"), F.length(text_col).alias("_la")
-    )
-    b = texts.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"), F.length(text_col).alias("_lb")
-    )
-    return (
+    # stage 1 — the length gate joins (id, length) ONLY: pairs the gate
+    # discards never shuffle their document bytes anywhere
+    lens = df.select(F.col(id_col), F.length(text_col).alias("_len"))
+    la = lens.select(F.col(id_col).alias("id_a"), F.col("_len").alias("_la"))
+    lb = lens.select(F.col(id_col).alias("id_b"), F.col("_len").alias("_lb"))
+    gated = (
         candidates.select("id_a", "id_b")
-        .join(a, "id_a")
-        .join(b, "id_b")
+        .join(la, "id_a")
+        .join(lb, "id_b")
         .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        .select("id_a", "id_b")
+    )
+    # stage 2 — only surviving pairs fetch their texts for the DP
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        gated.join(ta, "id_a")
+        .join(tb, "id_b")
         .withColumn("edit_dist", F.levenshtein("_ta", "_tb", max_dist))
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")

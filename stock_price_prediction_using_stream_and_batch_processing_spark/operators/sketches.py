@@ -61,13 +61,22 @@ def refresh_hll_fine(
     value_col: str,
     fine: str = "hour",
     lgk: int = 12,
+    partition_col: str | None = "part_date",
 ) -> int:
     """Incremental maintenance of the MATERIALIZED fine-sketch table —
     the distinct-count twin of windows.refresh_ohlc_fine: only the new
     batch's raw rows are sketched; their partials union with the stored
     sketches of exactly the affected buckets (semi-join pruned) and
-    MERGE back replacing those rows only. Late data takes the same path
-    as new data.
+    MERGE back replacing those rows only.
+
+    ``partition_col`` (default on, mirroring refresh_ohlc_fine): the
+    store is laid out partitioned by the bucket's UTC date and the
+    merge-back rewrites ONLY the dates the batch touched (dynamic
+    partition overwrite) — without it every refresh reads and rewrites
+    the WHOLE table, so per-batch cost grows with history instead of
+    staying O(batch + affected dates). ``None`` keeps a flat table —
+    short-lived scratch stores only. Readers should ignore the
+    partition column (``hll_rollup`` groups on bucket_start and does).
 
     Replay tolerance comes FREE here, with no epoch marker: HLL union
     is idempotent at the element level (union(S, P) ∪ P == union(S, P)),
@@ -82,15 +91,41 @@ def refresh_hll_fine(
     from .upsert import merge_into_parquet
 
     batch = hll_fine_sketches(new_raw, ts_col, value_col, fine, lgk)
+    # epoch-days date, not to_date: session-timezone-independent (same
+    # hazard documented at windows.refresh_ohlc_fine)
+    utc_date = F.date_from_unix_date(
+        F.floor(F.col("bucket_start").cast("timestamp").cast("double") / 86400.0).cast("int")
+    )
+    with_part = (
+        (lambda d: d.withColumn(partition_col, utc_date))
+        if partition_col is not None
+        else (lambda d: d)
+    )
     if not parquet_table_exists(spark, sketch_path):
-        batch.write.parquet(sketch_path)
+        writer = with_part(batch).write
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(sketch_path)
         return spark.read.parquet(sketch_path).count()
     target = spark.read.parquet(sketch_path)
+    stored_partitioned = partition_col in target.columns if partition_col is not None else False
+    if partition_col is not None and not stored_partitioned:
+        raise ValueError(
+            f"sketch table at {sketch_path} is flat but partition_col={partition_col!r} was "
+            "requested — refresh with partition_col=None or rebuild the table partitioned"
+        )
+    if partition_col is None and any(c.startswith("part_") for c in target.columns):
+        raise ValueError(
+            f"sketch table at {sketch_path} is partitioned but partition_col=None was "
+            "requested — pass the table's partition column"
+        )
+    if partition_col is not None:
+        target = target.drop(partition_col)
     affected = batch.select("bucket_start").distinct()
     existing = target.join(affected, "bucket_start", "semi")
-    merged = (
+    merged = with_part(
         existing.unionByName(batch)
         .groupBy("bucket_start")
         .agg(F.hll_union_agg("sketch").alias("sketch"))
     )
-    return merge_into_parquet(spark, sketch_path, merged, ["bucket_start"])
+    return merge_into_parquet(spark, sketch_path, merged, ["bucket_start"], partition_col)

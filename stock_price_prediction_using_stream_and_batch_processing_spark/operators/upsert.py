@@ -67,9 +67,14 @@ def snapshot_diff(
     Scale shape: each side collapses to (keys, md5-of-compared-columns)
     BEFORE the join, so the full-outer join shuffles 16-byte digests +
     keys — never the row payloads — and at 100 TB the diff costs two
-    projected scans plus one key-partitioned join. Column values are
-    joined with a unit-separator (U+001F) delimiter and a NULL sentinel
-    (U+0000) so ("ab", "c") / ("a", "bc") / ("a", NULL) cannot collide.
+    projected scans plus one key-partitioned join. Each cell is
+    LENGTH-PREFIXED (``len:value``, NULL → ``N``) before
+    concatenation, which makes the encoding injective for ANY cell
+    contents — delimiter-style schemes collide when values contain the
+    delimiter itself (("a<sep>b", "c") vs ("a", "b<sep>c")), and a
+    NULL sentinel collides with a value equal to the sentinel; a
+    length prefix has neither hole (a non-null encoding always starts
+    with a digit, so it can't collide with ``N`` either).
     ``compare_cols`` defaults to every non-key column the two snapshots
     share (schema drift: a column present on one side only raises
     rather than silently vanishing from the comparison)."""
@@ -84,10 +89,15 @@ def snapshot_diff(
         compare_cols = old_non
 
     def row_hash(df: DataFrame, alias: str) -> DataFrame:
-        cells = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\u0000")) for c in compare_cols
-        ]
-        return df.select(*key_cols, F.md5(F.concat_ws("\u001f", *cells)).alias(alias))
+        def enc(c: str):
+            cs = F.col(c).cast("string")
+            return F.when(cs.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(cs).cast("string"), F.lit(":"), cs)
+            )
+
+        return df.select(
+            *key_cols, F.md5(F.concat(*[enc(c) for c in compare_cols])).alias(alias)
+        )
 
     o = row_hash(old, "_h_old")
     n2 = row_hash(new, "_h_new")

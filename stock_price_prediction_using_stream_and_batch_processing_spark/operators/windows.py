@@ -486,6 +486,11 @@ def ewma_final(
     return grouped.select(F.col(key), fold.alias(out), F.size("_s").alias("n_obs"))
 
 
+# gapfill grid chunk: bounds the per-row F.sequence array so a wide
+# sparse span can't build one giant in-memory array (see gapfill_locf)
+_GRID_CHUNK = 8192
+
+
 def gapfill_locf(
     df: DataFrame,
     key: str,
@@ -505,17 +510,32 @@ def gapfill_locf(
     combined — the 100 TB side collapses before anything else
     happens); each key's [min, max] bucket span (one row per key)
     explodes into its dense grid, LEFT joins the bars, and one per-key
-    window carries values forward. Grid size is span/bucket_seconds
-    rows per key — bounded by time coverage, independent of raw row
-    count, so the explode cannot amplify a dense 100 TB corpus (it
-    only back-fills sparse ones). The bars aggregate, the grid join,
-    and the LOCF window all key on (key[, bucket]) — no global sort,
-    no skew beyond what the raw aggregation already absorbs."""
+    window carries values forward. Grid ROW count is
+    span/bucket_seconds per key — bounded by time coverage,
+    independent of raw row count — and the explode is TWO-LEVEL
+    (chunks of ``_GRID_CHUNK`` buckets, then buckets within the
+    chunk), so no single row ever materializes more than one
+    chunk-sized array: a sparse key spanning 10 years at 1-second
+    buckets (~3.2e8 grid rows) builds ~4e4 chunk ids and 8192-element
+    inner arrays instead of one ~2.5 GB sequence that would OOM the
+    executor or trip Spark's array-length cap. The bars aggregate,
+    the grid join, and the LOCF window all key on (key[, bucket]) —
+    no global sort, no skew beyond what the raw aggregation already
+    absorbs."""
     sec = F.col(ts).cast("timestamp").cast("double")
     bucket = F.floor(sec / F.lit(float(bucket_seconds))).cast("long")
     bars = df.groupBy(F.col(key), bucket.alias("bucket")).agg(F.avg(value).alias("_v"))
     spans = bars.groupBy(key).agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
-    grid = spans.select(F.col(key), F.explode(F.sequence("_b0", "_b1")).alias("bucket"))
+    chunk = F.lit(_GRID_CHUNK)
+    chunks = spans.select(
+        F.col(key),
+        "_b0",
+        "_b1",
+        F.explode(F.sequence(F.floor(F.col("_b0") / chunk), F.floor(F.col("_b1") / chunk))).alias("_ch"),
+    )
+    lo = F.greatest(F.col("_ch") * chunk, F.col("_b0"))
+    hi = F.least(F.col("_ch") * chunk + chunk - 1, F.col("_b1"))
+    grid = chunks.select(F.col(key), F.explode(F.sequence(lo, hi)).alias("bucket"))
     joined = grid.join(bars, [key, "bucket"], "left")
     w = (
         Window.partitionBy(key)

@@ -912,6 +912,7 @@ def grouping_sets_orders(spark, sf_dir):
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist() OVER w, 6) AS cume
     FROM events
+    WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     tags=("window", "rank", "distribution"),
@@ -923,7 +924,10 @@ def value_rank_distribution_events(spark, sf_dir):
     score-normalization shape (a training pipeline ranks quality scores
     within each domain before thresholding). One shuffle, one sort,
     three rank functions."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL guard pins cross-engine semantics: Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST — one NULL value would shift every rank in its
+    # partition between the two engines
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
     return ev.select(
         "event_id",
