@@ -83,6 +83,15 @@ def lsh_band_keys(
     pair finder (``minhash_lsh_pairs``) and the incremental
     cross-snapshot index (``incremental_near_dup``), which PERSISTS
     these rows as its store."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band key a CONSTANT
+        # (rows_per_band=0 → md5('b|') for all docs), turning the band
+        # self-join into an O(n²) all-pairs cross product — the exact
+        # blowup banding exists to avoid; a non-divisible num_hashes
+        # would silently compute-then-discard signature hashes
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingled=shingled)
     band_cols = [
@@ -121,13 +130,9 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, shingled=shingled,
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band_key")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+    from .maintenance import cap_bucket_size
+
+    banded = cap_bucket_size(banded, "band_key", max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -412,13 +417,9 @@ def simhash_near_pairs(
             )
         ).alias("blk"),
     )
-    if max_block_size is not None:
-        w = Window.partitionBy("blk")
-        blocks = (
-            blocks.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_block_size)
-            .drop("_bn")
-        )
+    from .maintenance import cap_bucket_size
+
+    blocks = cap_bucket_size(blocks, "blk", max_block_size)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, F.col("a.blk") == F.col("b.blk"))
@@ -534,15 +535,10 @@ def incremental_near_dup(
         store_bands = spark.read.parquet(bands_path)
         store_digests = spark.read.parquet(f"{store_path}/shingles")
         store_sizes = spark.read.parquet(f"{store_path}/sizes")
-        nb, sb = new_bands, store_bands
-        if max_bucket_size is not None:
-            w = Window.partitionBy("band_key")
-            nb = nb.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
-                F.col("_bn") <= max_bucket_size
-            ).drop("_bn")
-            sb = sb.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
-                F.col("_bn") <= max_bucket_size
-            ).drop("_bn")
+        from .maintenance import cap_bucket_size
+
+        nb = cap_bucket_size(new_bands, "band_key", max_bucket_size)
+        sb = cap_bucket_size(store_bands, "band_key", max_bucket_size)
         cross_cands = (
             nb.select(F.col(id_col).alias("_new_id"), "band_key")
             .join(sb.select(F.col(id_col).alias("_old_id"), "band_key"), "band_key")

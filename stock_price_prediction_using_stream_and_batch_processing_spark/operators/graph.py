@@ -42,6 +42,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. a day with no qualifying edges): empty
+        # result, not a ZeroDivisionError from the teleport term
+        return nodes.withColumn(out, F.lit(0.0))
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
     ed = (
         edges.join(deg, src)

@@ -88,19 +88,35 @@ def asof_join(
 
     Spark has no native as-of join; rather than a range cross-join or a
     per-group ``pd.merge_asof``, we union both sides tagged with a side
-    marker and take ``last(value ignoring nulls)`` over an ordered
+    marker and take ``last(... ignoring nulls)`` over an ordered
     window. One hash shuffle on ``key``, linear work per key, no Python.
-    """
+
+    The right value columns travel as ONE struct, so the window attaches
+    the most recent right ROW atomically (``pd.merge_asof`` semantics):
+    carrying each column independently would let a NULL field in the
+    newest right row fall back to an older row's value — producing a
+    composite row that never existed, and fields mixed across different
+    right rows when several value columns are carried."""
+    from pyspark.sql import types as T
+
+    for reserved in ("_is_left", "_rrow"):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(f"input already has internal column {reserved!r}")
     lcols = left.columns
-    l = left.select(*lcols, F.lit(1).alias("_is_left"), *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_value_cols])
+    row_type = T.StructType([right.schema[c] for c in right_value_cols])
+    l = left.select(
+        *lcols, F.lit(1).alias("_is_left"), F.lit(None).cast(row_type).alias("_rrow")
+    )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in (key, ts) else F.col(c) for c in lcols],
         F.lit(0).alias("_is_left"),
-        *right_value_cols,
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rrow"),
     )
     u = l.unionByName(r)
     # right rows sort before left rows at equal ts => inclusive (<=) match
     w = Window.partitionBy(key).orderBy(F.col(ts), F.col("_is_left")).rowsBetween(Window.unboundedPreceding, 0)
+    u = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
+    out = u.filter(F.col("_is_left") == 1)
     for c in right_value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_is_left") == 1).drop("_is_left")
+        out = out.withColumn(c, F.col(f"_rrow.{c}"))
+    return out.drop("_is_left", "_rrow")

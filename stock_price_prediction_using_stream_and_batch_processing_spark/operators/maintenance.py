@@ -1,0 +1,104 @@
+"""Shared scaffold for incrementally-refreshed materialized
+partial-aggregate tables (the continuous-aggregate pattern).
+
+Two stores use it — the OHLC bar table (windows.refresh_ohlc_fine,
+mergeable via seq-carried open/close) and the HLL sketch table
+(sketches.refresh_hll_fine, mergeable via lossless sketch union). The
+scaffold owns everything that must stay in LOCKSTEP between them:
+date-partitioned layout (epoch-days UTC date, never ``to_date`` — a
+session-timezone change would route the same bucket to a different
+partition and strand the old row outside the merge's pruned slice),
+bootstrap write, flat-vs-partitioned layout guards, the semi-join prune
+to affected rows, and the dynamic-partition merge-back. Only the
+MERGE FUNCTION differs per store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import parquet_table_exists
+from .upsert import merge_into_parquet
+
+
+def free_name(base: str, taken) -> str:
+    """An internal column name guaranteed not to collide with the
+    input's columns (a caller whose data already has e.g. ``_b`` must
+    not silently lose it)."""
+    name = base
+    i = 0
+    while name in taken:
+        i += 1
+        name = f"{base}__{i}"
+    return name
+
+
+def cap_bucket_size(df: DataFrame, bucket_col: str, cap: int | None) -> DataFrame:
+    """Drop rows belonging to buckets with more members than ``cap``
+    (None = no cap) — the mega-bucket guard every LSH band/bucket
+    self-join applies before pairing, since a bucket's pair count is
+    O(members²). One count-over-window, no shuffle beyond the bucket
+    partitioning the join needs anyway."""
+    if cap is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket_col)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= cap)
+        .drop("_bn")
+    )
+
+
+def refresh_partials(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    merge_keys: list[str],
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    partition_col: str | None,
+    table_desc: str = "partials table",
+) -> int:
+    """Merge a batch of partial-aggregate rows into the materialized
+    table at ``path``: bootstrap-write if absent, else semi-join the
+    stored rows down to the batch's affected ``merge_keys``, combine
+    via ``merge_fn(existing, batch)``, and MERGE back replacing those
+    rows only. ``batch`` must carry a ``bucket_start`` timestamp; with
+    ``partition_col`` the table is laid out partitioned by its UTC
+    date and the merge rewrites only the touched dates (refresh cost
+    O(batch + affected dates), not O(history)). Returns rows written."""
+    utc_date = F.date_from_unix_date(
+        F.floor(F.col("bucket_start").cast("timestamp").cast("double") / 86400.0).cast("int")
+    )
+    with_part = (
+        (lambda d: d.withColumn(partition_col, utc_date))
+        if partition_col is not None
+        else (lambda d: d)
+    )
+    if not parquet_table_exists(spark, path):
+        writer = with_part(batch).write
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return spark.read.parquet(path).count()
+    target = spark.read.parquet(path)
+    if partition_col is not None and partition_col not in target.columns:
+        raise ValueError(
+            f"{table_desc} at {path} is flat but partition_col={partition_col!r} was "
+            "requested — refresh with partition_col=None or rebuild the table partitioned"
+        )
+    if partition_col is None and any(c.startswith("part_") for c in target.columns):
+        raise ValueError(
+            f"{table_desc} at {path} is partitioned but partition_col=None was "
+            "requested — pass the table's partition column"
+        )
+    if partition_col is not None:
+        target = target.drop(partition_col)
+    affected = batch.select(*merge_keys).distinct()
+    existing = target.join(affected, merge_keys, "semi")
+    merged = with_part(merge_fn(existing, batch))
+    return merge_into_parquet(spark, path, merged, merge_keys, partition_col)

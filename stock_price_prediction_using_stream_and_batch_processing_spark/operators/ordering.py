@@ -25,13 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _free_name(base: str, taken) -> str:
-    name = base
-    i = 0
-    while name in taken:
-        i += 1
-        name = f"{base}__{i}"
-    return name
+from .maintenance import free_name as _free_name  # shared (also windows.py)
 
 
 def global_row_number(

@@ -79,13 +79,16 @@ def percentile_bins(
     thr = df.agg(
         F.expr(f"percentile({score_col}, array({', '.join(str(q) for q in qs)}))").alias("_thr")
     )
+    bin_idx = F.aggregate(
+        F.col("_thr"),
+        F.lit(1),
+        lambda acc, t: acc + F.when(F.col(score_col) > t, 1).otherwise(0),
+    )
+    # NULL scores stay NULL — `NULL > t` is NULL, so the fold's
+    # otherwise(0) would silently sweep every null-scored row into the
+    # LOWEST bin (a bottom-decile filter would collect them all)
     binned = df.crossJoin(F.broadcast(thr)).withColumn(
-        out,
-        F.aggregate(
-            F.col("_thr"),
-            F.lit(1),
-            lambda acc, t: acc + F.when(F.col(score_col) > t, 1).otherwise(0),
-        ),
+        out, F.when(F.col(score_col).isNull(), F.lit(None)).otherwise(bin_idx)
     )
     return binned.drop("_thr")
 

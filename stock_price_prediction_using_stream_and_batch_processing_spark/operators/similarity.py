@@ -33,12 +33,21 @@ def brute_force_topk(
     corpus_id: str = "vec_id",
     query_id: str = "q_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. ``queries`` must be
     small (it is broadcast); the corpus side streams — no corpus
-    shuffle. Ties broken by corpus id for determinism."""
+    shuffle. Ties broken by corpus id for determinism.
+
+    ``exclude_self`` drops pairs whose ids are EQUAL — correct when the
+    queries are drawn from the corpus and share its id space (the
+    corpus vector is trivially its own nearest neighbor). When query
+    ids live in a DIFFERENT id space, id equality is a coincidence,
+    not identity — pass False or legitimate neighbors silently vanish
+    from the top-k."""
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    joined = corpus.join(F.broadcast(q), F.col(corpus_id) != F.col(query_id))
+    cond = F.col(corpus_id) != F.col(query_id) if exclude_self else F.lit(True)
+    joined = corpus.join(F.broadcast(q), cond)
     scored = joined.select(
         query_id,
         corpus_id,
@@ -76,10 +85,13 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: compare only bucket-colliding (query, corpus)
     pairs across ``n_tables`` tables. Recall grows with tables; cost is
-    the candidate join instead of the full scan."""
+    the candidate join instead of the full scan. ``exclude_self`` as in
+    :func:`brute_force_topk` — only for corpus-drawn queries sharing
+    the corpus id space."""
     cb = with_lsh_buckets(corpus, vec_col, dim, n_planes, n_tables, seed)
     qb = with_lsh_buckets(queries.select(F.col(query_id), F.col(vec_col).alias("_qv")), "_qv", dim, n_planes, n_tables, seed)
     c_long = cb.select(
@@ -88,9 +100,10 @@ def lsh_topk(
     q_long = qb.select(
         query_id, "_qv", F.explode(F.array(*[F.concat_ws(":", F.lit(str(t)), f"lsh_{t}") for t in range(n_tables)])).alias("bkt")
     )
+    self_guard = F.col(corpus_id) != F.col(query_id) if exclude_self else F.lit(True)
     cand = (
         c_long.join(F.broadcast(q_long), "bkt")
-        .filter(F.col(corpus_id) != F.col(query_id))
+        .filter(self_guard)
         .select(query_id, corpus_id, vec_col, "_qv")
         .distinct()
     )
@@ -149,12 +162,15 @@ def ivf_topk(
     query_id: str = "q_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: each query scores only the vectors in its
     ``n_probe`` nearest cells. At 100 TB the corpus is stored
     partitioned/bucketed by cell, so a probe reads n_probe/n_cells of
     the data — the classic inverted-file trade (recall grows with
-    n_probe). Candidate join is an equi-join on cell id."""
+    n_probe). Candidate join is an equi-join on cell id.
+    ``exclude_self`` as in :func:`brute_force_topk` — only for
+    corpus-drawn queries sharing the corpus id space."""
     assigned, centroids = ivf_build(corpus, dim, n_cells, vec_col, seed)
     # per-query distances to every centroid -> n_probe nearest cells
     qcols = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
@@ -180,7 +196,8 @@ def ivf_topk(
             )
         ),
     ).select(query_id, "_qv", F.col("_cell").cast("int"))
-    cand = assigned.join(F.broadcast(qcells), "_cell").filter(F.col(corpus_id) != F.col(query_id))
+    self_guard = F.col(corpus_id) != F.col(query_id) if exclude_self else F.lit(True)
+    cand = assigned.join(F.broadcast(qcells), "_cell").filter(self_guard)
     scored = cand.select(query_id, corpus_id, vectors.cosine(vec_col, "_qv").alias("cosine_sim"))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

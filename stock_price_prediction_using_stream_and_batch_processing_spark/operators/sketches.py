@@ -86,46 +86,20 @@ def refresh_hll_fine(
     non-transactionality (crash between slice read and overwrite) has
     the same parquet-only bound documented at
     streaming/pipeline.maintain_bars_batch. Returns sketch rows
-    written."""
-    from ..sources.tables import parquet_table_exists
-    from .upsert import merge_into_parquet
+    written. Layout/guard/prune scaffolding is shared with the bar
+    table via :func:`operators.maintenance.refresh_partials`; only the
+    sketch-union merge function lives here."""
+    from .maintenance import refresh_partials
 
     batch = hll_fine_sketches(new_raw, ts_col, value_col, fine, lgk)
-    # epoch-days date, not to_date: session-timezone-independent (same
-    # hazard documented at windows.refresh_ohlc_fine)
-    utc_date = F.date_from_unix_date(
-        F.floor(F.col("bucket_start").cast("timestamp").cast("double") / 86400.0).cast("int")
-    )
-    with_part = (
-        (lambda d: d.withColumn(partition_col, utc_date))
-        if partition_col is not None
-        else (lambda d: d)
-    )
-    if not parquet_table_exists(spark, sketch_path):
-        writer = with_part(batch).write
-        if partition_col is not None:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(sketch_path)
-        return spark.read.parquet(sketch_path).count()
-    target = spark.read.parquet(sketch_path)
-    stored_partitioned = partition_col in target.columns if partition_col is not None else False
-    if partition_col is not None and not stored_partitioned:
-        raise ValueError(
-            f"sketch table at {sketch_path} is flat but partition_col={partition_col!r} was "
-            "requested — refresh with partition_col=None or rebuild the table partitioned"
-        )
-    if partition_col is None and any(c.startswith("part_") for c in target.columns):
-        raise ValueError(
-            f"sketch table at {sketch_path} is partitioned but partition_col=None was "
-            "requested — pass the table's partition column"
-        )
-    if partition_col is not None:
-        target = target.drop(partition_col)
-    affected = batch.select("bucket_start").distinct()
-    existing = target.join(affected, "bucket_start", "semi")
-    merged = with_part(
-        existing.unionByName(batch)
+    return refresh_partials(
+        spark,
+        sketch_path,
+        batch,
+        ["bucket_start"],
+        lambda existing, b: existing.unionByName(b)
         .groupBy("bucket_start")
-        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .agg(F.hll_union_agg("sketch").alias("sketch")),
+        partition_col,
+        table_desc="sketch table",
     )
-    return merge_into_parquet(spark, sketch_path, merged, ["bucket_start"], partition_col)

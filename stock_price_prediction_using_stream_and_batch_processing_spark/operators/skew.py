@@ -59,7 +59,19 @@ def salted_join_big_hot(
     and EXPLODE the small side across all salts, so a hot key's rows
     spread over ``n_salts`` reducers instead of one. Use when AQE's
     runtime skew split can't apply (e.g. the join feeds a co-partitioned
-    window). Small side grows ×n_salts — keep it dimension-sized."""
+    window). Small side grows ×n_salts — keep it dimension-sized.
+
+    Only big-side-preserving join types are sound: a right/full outer
+    join would surface every UNMATCHED small-side row once per salt
+    replica (n_salts duplicate null-extended rows), so those are
+    rejected — salt the other side instead if the small side must be
+    preserved."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join_big_hot: how={how!r} would duplicate unmatched small-side "
+            f"rows across {n_salts} salt replicas; allowed: inner/left/semi/anti"
+        )
     b = with_salt(big, unique_col, n_salts)
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -112,7 +112,15 @@ def winnowed_fingerprints(
     from pyspark.sql import Window as W
 
     norm = text.normalize(text_col)
-    d = df.select(F.col(id_col), norm.alias("_norm")).filter(F.length("_norm") >= k)
+    # admission matches the selection gate below: a doc needs at least
+    # ONE full window (>= window k-gram positions, i.e. length >=
+    # k+window-1) to emit any fingerprint — admitting shorter docs (the
+    # old `>= k` filter) just silently produced zero rows for them.
+    # Winnowing's guarantee starts at match length k+window-1 anyway;
+    # shorter docs belong to exact/content dedup.
+    d = df.select(F.col(id_col), norm.alias("_norm")).filter(
+        F.length("_norm") >= k + window - 1
+    )
     grams = d.select(
         id_col,
         F.posexplode(

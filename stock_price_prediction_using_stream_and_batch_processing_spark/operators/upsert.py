@@ -30,6 +30,17 @@ def merge_into_parquet(
     partitions present in ``updates`` are read and rewritten (dynamic
     partition overwrite); untouched partitions' files are not touched.
 
+    CONTRACT with ``partition_col``: a key's partition value must be
+    functionally dependent on ``key_cols`` (or otherwise immutable) —
+    the merge reads ONLY the updated partitions, so an update that
+    moves a key to a different partition value strands the old row in
+    its unread partition and leaves the key duplicated. That is the
+    price of partition-pruned merges on plain parquet (a transactional
+    format's MERGE reads matches table-wide); every internal caller
+    derives the partition from the merge key (bar/sketch stores:
+    part_date from bucket_start). Rewriting moving keys requires
+    ``partition_col=None`` (full-table merge).
+
     The merged slice is MATERIALIZED (localCheckpoint) before the
     overwrite — Spark cannot lazily read a path it is overwriting."""
     target = spark.read.parquet(target_path)
@@ -89,8 +100,24 @@ def snapshot_diff(
         compare_cols = old_non
 
     def row_hash(df: DataFrame, alias: str) -> DataFrame:
+        from pyspark.sql import types as T
+
         def enc(c: str):
-            cs = F.col(c).cast("string")
+            # complex types serialize via to_json (injective thanks to
+            # escaping/quoting) — Spark's display-string cast is NOT:
+            # array(["a, b"]) and array(["a", " b"]) both render
+            # "[a, b]". Maps are rejected: JSON key order is not
+            # canonicalized, so equal maps could hash unequal.
+            dt = df.schema[c].dataType
+            if isinstance(dt, T.MapType):
+                raise ValueError(
+                    f"snapshot_diff: column {c!r} is a map — no canonical encoding; "
+                    "compare map_entries(sort_array(...)) or exclude it via compare_cols"
+                )
+            if isinstance(dt, (T.ArrayType, T.StructType)):
+                cs = F.to_json(F.col(c))
+            else:
+                cs = F.col(c).cast("string")
             return F.when(cs.isNull(), F.lit("N")).otherwise(
                 F.concat(F.length(cs).cast("string"), F.lit(":"), cs)
             )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .maintenance import free_name as _free_name  # shared (also ordering.py)
+
 
 def _w(key: str, ts: str, tiebreak: str | None):
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
@@ -66,18 +68,6 @@ def trailing_collect(
     if full_only:
         res = res.filter(F.size(out) == n)
     return res
-
-
-def _free_name(base: str, taken) -> str:
-    """An internal column name guaranteed not to collide with the
-    input's columns (a caller whose data already has ``_b`` must not
-    silently lose it)."""
-    name = base
-    i = 0
-    while name in taken:
-        i += 1
-        name = f"{base}__{i}"
-    return name
 
 
 def bucketed_trailing_mean(
@@ -374,48 +364,25 @@ def refresh_ohlc_fine(
     short-lived scratch tables. The first refresh writes the same
     layout, so later merges always see a consistently-partitioned
     table. Readers should drop/ignore the partition column.
-    Returns the number of bar rows written by the merge."""
-    from .upsert import merge_into_parquet
+    Returns the number of bar rows written by the merge.
 
-    from ..sources.tables import parquet_table_exists
+    Layout/guard/prune scaffolding lives in
+    :func:`operators.maintenance.refresh_partials` (shared with the
+    HLL sketch store so the lockstep invariants — epoch-days UTC
+    partition date, layout-mismatch errors — have one home); only the
+    bar-specific merge function is supplied here."""
+    from .maintenance import refresh_partials
 
     batch = ohlc_partials(new_raw, key, ts, value, seq, duration)
-    # partition date derived from epoch days, NOT to_date (which is
-    # session-timezone-dependent: a job restarted under a different tz
-    # would route the same bucket to a different partition, stranding
-    # the old row outside the merge's pruned slice)
-    utc_date = F.date_from_unix_date(
-        F.floor(F.col("bucket_start").cast("timestamp").cast("double") / 86400.0).cast("int")
+    return refresh_partials(
+        spark,
+        fine_path,
+        batch,
+        [key, "bucket_start"],
+        lambda existing, b: merge_ohlc_bars(existing.unionByName(b), key),
+        partition_col,
+        table_desc="bar table",
     )
-    with_part = (
-        (lambda d: d.withColumn(partition_col, utc_date))
-        if partition_col is not None
-        else (lambda d: d)
-    )
-    if not parquet_table_exists(spark, fine_path):
-        writer = with_part(batch).write
-        if partition_col is not None:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(fine_path)
-        return spark.read.parquet(fine_path).count()
-    target = spark.read.parquet(fine_path)
-    stored_partitioned = partition_col in target.columns if partition_col is not None else False
-    if partition_col is not None and not stored_partitioned:
-        raise ValueError(
-            f"bar table at {fine_path} is flat but partition_col={partition_col!r} was "
-            "requested — refresh with partition_col=None or rebuild the table partitioned"
-        )
-    if partition_col is None and any(c.startswith("part_") for c in target.columns):
-        raise ValueError(
-            f"bar table at {fine_path} is partitioned but partition_col=None was "
-            "requested — pass the table's partition column"
-        )
-    if partition_col is not None:
-        target = target.drop(partition_col)
-    affected_keys = batch.select(key, "bucket_start").distinct()
-    existing = target.join(affected_keys, [key, "bucket_start"], "semi")
-    merged = with_part(merge_ohlc_bars(existing.unionByName(batch), key))
-    return merge_into_parquet(spark, fine_path, merged, [key, "bucket_start"], partition_col)
 
 
 def vwap(

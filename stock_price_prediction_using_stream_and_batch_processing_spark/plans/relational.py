@@ -979,3 +979,27 @@ def time_to_conversion_events(spark, sf_dir):
         - F.col("first_view").cast("timestamp").cast("long")
     )
     return v.join(p, "user_id").select("user_id", secs.alias("seconds_to_convert"))
+
+
+@register(
+    "unpivot_user_event_counts",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("unpivot", "melt", "pivot"),
+    driver=False,
+)
+def unpivot_user_event_counts(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-user count matrix from the PIVOT
+    query melted back to long (user, event_type, n) rows via
+    ``DataFrame.unpivot`` — wide→long is how feature matrices re-enter
+    relational pipelines. Zero-count cells (pivot fill) are dropped so
+    the round trip is exactly the original long aggregate, which is
+    the oracle: unpivot ∘ pivot ≡ groupBy. Expand-based — one pass over
+    the wide rows, no shuffle beyond the pivot's own aggregate."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    long = wide.unpivot("user_id", types, "event_type", "n")
+    return long.filter(F.col("n") > 0).select("user_id", "event_type", "n")

@@ -1,0 +1,109 @@
+"""Regression tests for the second review pass: as-of row atomicity,
+salted-join how validation, LSH banding validation, empty-graph
+pagerank, NULL-score binning, cross-id-space similarity, complex-type
+snapshot diffing, and the winnowing admission filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import (
+    dedup,
+    graph,
+    joins,
+    quality,
+    similarity,
+    skew,
+    textops,
+)
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators.upsert import snapshot_diff
+
+
+def test_asof_join_attaches_whole_row_atomically(spark):
+    """A NULL field in the newest right row must NOT fall back to an
+    older row's value (that would synthesize a composite row that never
+    existed)."""
+    left = spark.createDataFrame([("k", 30, 0)], "key string, ts long, seq long")
+    right = spark.createDataFrame(
+        [("k", 10, 10.0, 11.0), ("k", 20, None, 5.0)],
+        "key string, ts long, bid double, ask double",
+    )
+    out = joins.asof_join(left, right, "key", "ts", ["bid", "ask"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bid"] is None and r["ask"] == 5.0  # the t=20 ROW, as-is
+
+
+def test_asof_join_reserved_column_guard(spark):
+    left = spark.createDataFrame([("k", 1, True)], "key string, ts long, _is_left boolean")
+    right = spark.createDataFrame([("k", 1, 1.0)], "key string, ts long, v double")
+    with pytest.raises(ValueError, match="_is_left"):
+        joins.asof_join(left, right, "key", "ts", ["v"])
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    big = spark.createDataFrame([(1, "k", 1.0)], "id long, k string, v double")
+    small = spark.createDataFrame([("k", "dim")], "k string, d string")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        skew.salted_join_big_hot(big, small, "k", "id", n_salts=4, how="full")
+    assert skew.salted_join_big_hot(big, small, "k", "id", n_salts=4, how="left").count() == 1
+
+
+def test_lsh_band_keys_validates_shape(spark):
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=5)
+
+
+def test_pagerank_empty_graph(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert graph.pagerank(edges).count() == 0
+
+
+def test_percentile_bins_null_scores_stay_null(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "score double"
+    )
+    out = quality.percentile_bins(df, "score")
+    nulls = out.filter(F.col("score").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["bin"] is None
+    assert out.filter(F.col("bin") == 1).filter(F.col("score").isNull()).count() == 0
+
+
+def test_similarity_separate_id_space(spark):
+    # query id 7 must still score corpus id 7 when exclude_self=False
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(7, rows[3][1])], "q_id long, embedding array<float>")
+    with_self = similarity.brute_force_topk(corpus, q, k=20, exclude_self=False)
+    assert {r["vec_id"] for r in with_self.collect()} == set(range(20))
+    without = similarity.brute_force_topk(corpus, q, k=20)  # default True
+    assert 7 not in {r["vec_id"] for r in without.collect()}
+
+
+def test_snapshot_diff_complex_types(spark):
+    # array whose display-string rendering collides must still diff
+    old = spark.createDataFrame([(1, ["a, b"])], "k long, a array<string>")
+    new = spark.createDataFrame([(1, ["a", " b"])], "k long, a array<string>")
+    assert [r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()] == ["changed"]
+    m_old = spark.createDataFrame([(1, {"x": 1})], "k long, m map<string,int>")
+    with pytest.raises(ValueError, match="map"):
+        snapshot_diff(m_old, m_old, ["k"])
+
+
+def test_winnow_admission_matches_selection(spark):
+    # k=8, window=4: docs shorter than k+window-1=11 normalized chars
+    # produce no full window and are excluded up front; an 11-char doc
+    # emits exactly one fingerprint window's min.
+    df = spark.createDataFrame(
+        [(1, "abcdefghi"), (2, "abcdefghijk")], "doc_id long, text string"
+    )
+    out = textops.winnowed_fingerprints(df, "text", "doc_id", k=8, window=4)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {2}
