@@ -32,7 +32,10 @@ def per_key_linear_forecast(
     ``trend_forecast_per_user``."""
     key_type = dict(df.dtypes)[key]
     schema = f"{key} {key_type}, slope double, intercept double, forecast_next double, n_obs long"
-    sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+    # dedupe: tiebreak == ts (the repo's common tiebreak="timestamp"
+    # convention) would ship duplicate pandas column labels, which
+    # pdf.sort_values rejects inside applyInPandas
+    sort_cols = list(dict.fromkeys([ts] + ([tiebreak] if tiebreak else [])))
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols)
@@ -52,4 +55,5 @@ def per_key_linear_forecast(
             }
         )
 
-    return df.select(key, *sort_cols, value).groupBy(key).applyInPandas(fit, schema)
+    cols = list(dict.fromkeys([key, *sort_cols, value]))
+    return df.select(*cols).groupBy(key).applyInPandas(fit, schema)

@@ -44,7 +44,11 @@ def make_predict_udf(seq_len: int, keras_path: str | None = None):
         full = np.fromiter((len(a) == seq_len for a in arrs), dtype=bool, count=len(arrs))
         out = np.full(len(arrs), np.nan)
         if full.any():
-            x = np.stack(arrs[full])
+            # (batch, seq_len, 1): the 3-D layout the reference LSTM
+            # artifact requires (LSTM layers reject 2-D input);
+            # LinearWindowModel.predict handles ndim==3 explicitly, so
+            # BOTH model paths get the same tensor shape
+            x = np.stack(arrs[full])[:, :, None]
             out[full] = np.asarray(state["model"].predict(x), dtype=np.float64).reshape(-1)
         return pd.Series(out)
 

@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 from .maintenance import free_name as _free_name  # shared (also ordering.py)
 
 
-def _w(key: str, ts: str, tiebreak: str | None):
-    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+def _w(key: str, ts: str, tiebreak: str | list[str] | None):
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    order = [F.col(ts)] + [F.col(c) for c in tb]
     return Window.partitionBy(key).orderBy(*order)
 
 

@@ -31,10 +31,14 @@ def write_partitioned_ticks(
     ``repartition(to_date(ts))`` puts each day in few shuffle partitions
     (avoiding the many-small-files explosion of one file per task per
     day), and ``sortWithinPartitions`` gives row groups monotone
-    (key, ts) ranges for min/max skipping."""
+    (key, ts) ranges for min/max skipping. ``target_file_rows`` caps
+    rows per output file (``maxRecordsPerFile``) so a hot day still
+    splits into scan-parallel files."""
     out = df.withColumn("date", F.to_date(F.col(ts)))
     out = out.repartition(F.col("date")).sortWithinPartitions(key, ts)
     writer = out.write.mode(mode).partitionBy("date")
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
     writer.parquet(path)
 
 
@@ -62,17 +66,40 @@ def compact(spark: SparkSession, path: str, partition_col: str | None = None, ta
     return n
 
 
-def expire_partitions(spark: SparkSession, path: str, partition_col: str, keep_values: list) -> list:
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_values: list,
+    allow_drop_all: bool = False,
+) -> list:
     """Retention (TTL): drop partitions whose value is NOT in
     ``keep_values``. The partitionBy layout is path-addressable
     (``col=value/`` dirs), so expiry is a directory delete per expired
     partition — surviving partitions' files are untouched and no data
-    is rewritten. Returns the partition values dropped."""
+    is rewritten. Returns the partition values dropped.
+
+    Values are compared as STRINGS (the same text the directory names
+    carry): the column reads back typed (datetime.date for a DateType
+    partition) while callers naturally pass the directory text, and a
+    raw Python ``in`` across those types matches NOTHING — which would
+    silently expire every partition. Same-typed values stringify
+    identically, so the normalization is semantics-preserving. As a
+    second fence, dropping EVERY present partition (keep_values matched
+    nothing) raises unless ``allow_drop_all=True`` — a full wipe is far
+    more likely a mis-typed keep list than intent."""
     import shutil
 
     df = spark.read.parquet(path)
     present = [r[0] for r in df.select(partition_col).distinct().collect()]
-    drop = [v for v in present if v not in set(keep_values)]
+    keep = {str(v) for v in keep_values}
+    drop = [v for v in present if str(v) not in keep]
+    if drop and len(drop) == len(present) and not allow_drop_all:
+        raise ValueError(
+            f"expire_partitions would drop ALL {len(present)} partitions of {path} "
+            f"(keep_values matched none of the present values, e.g. {present[:3]!r}); "
+            "pass allow_drop_all=True if a full wipe is intended"
+        )
     for v in drop:
         # path-addressable layout (partitionBy writes value-named dirs)
         d = os.path.join(path, f"{partition_col}={v}")

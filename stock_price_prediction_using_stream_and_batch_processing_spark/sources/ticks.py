@@ -69,7 +69,12 @@ def ticks_json_lines(n: int, seed: int = 42, **kw) -> list[str]:
         json.dumps(
             {
                 "symbol": r["symbol"],
-                "timestamp": r["timestamp"].replace(tzinfo=None).isoformat(),
+                # explicit +00:00 offset: a naive ISO string parses in
+                # the SESSION timezone, so a non-UTC driver session would
+                # land streamed ticks hours away from ticks_dataframe's
+                # tz-aware rows; the offset makes parsing tz-independent
+                # (still ISO-8601, the reference's wire format family)
+                "timestamp": r["timestamp"].isoformat(),
                 "price": r["price"],
                 "volume": r["volume"],
             }

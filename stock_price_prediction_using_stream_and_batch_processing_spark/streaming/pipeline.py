@@ -113,18 +113,21 @@ def idempotent_epoch_write_arrow(df: DataFrame, path: str, epoch_id: int) -> Non
     d = f"{path.rstrip('/')}/_epoch={int(epoch_id)}"
     os.makedirs(d, exist_ok=True)
     target = "part-0.parquet"
-    # A replayed epoch may have been written by the DISTRIBUTED writer
-    # before the crash (multiple part-* files) — remove every file
-    # EXCEPT our target so the retry replaces the epoch's output under
-    # either writer. The target itself is only ever swapped via
-    # os.replace, so a concurrent reader always sees old-or-new rows,
-    # never an empty epoch.
-    for name in os.listdir(d):
-        if name != target:
-            os.remove(os.path.join(d, name))
+    # Order matters for replayed epochs previously written by the
+    # DISTRIBUTED writer (multiple part-* files, none named our
+    # target): the new file lands ATOMICALLY first (temp + os.replace),
+    # THEN stale files are removed — so a concurrent reader never sees
+    # an empty epoch. The worst transient during that cleanup instant
+    # (or after a crash mid-cleanup, until the retry finishes) is
+    # old+new rows together — duplicates, healed by the replay itself;
+    # the reverse order (delete-then-write, the previous code) exposed
+    # a MISSING-rows window, which no retry can excuse to a reader.
     tmp = os.path.join(d, f"._{target}.tmp")
     pq.write_table(df.toArrow(), tmp)
     os.replace(tmp, os.path.join(d, target))
+    for name in os.listdir(d):
+        if name != target and not name.startswith("."):
+            os.remove(os.path.join(d, name))
 
 
 def run_tick_stream(
@@ -207,8 +210,15 @@ def run_tick_stream(
             return
         if small_batch_coalesce:
             batch_df = batch_df.coalesce(small_batch_coalesce)
+        # tiebreak (price, volume) — matching streaming/stateful.py's
+        # deliberate tied-timestamp order: tiebreak="timestamp" (the old
+        # value) duplicated the ORDER key, leaving equal-ts ticks in
+        # nondeterministic order, so predictions could differ between a
+        # run and its epoch replay and between this path and the
+        # stateful one
         win = windows.trailing_collect(
-            batch_df, "symbol", "timestamp", "price", seq_len, tiebreak="timestamp", full_only=False
+            batch_df, "symbol", "timestamp", "price", seq_len,
+            tiebreak=["price", "volume"], full_only=False,
         )
         if mllib_model_path is not None:
             # MLlib transform can't see partial windows (null features
@@ -233,6 +243,12 @@ def run_tick_stream(
         else:
             idempotent_epoch_write(out, sink_path, epoch_id)
 
+    if async_progress and available_now:
+        raise ValueError(
+            "async_progress requires a processing-time trigger: Spark rejects "
+            "asyncProgressTrackingEnabled under trigger(availableNow=True) — "
+            "pass available_now=False"
+        )
     writer = (
         parsed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)

@@ -46,6 +46,38 @@ def _gather_sorted(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
     return pdf.sort_values(by, kind="mergesort", ignore_index=True)
 
 
+def _fold_windows(
+    key, tail: np.ndarray, pdf: pd.DataFrame, seq_len: int
+) -> tuple[pd.DataFrame | None, list[float]]:
+    """The ONE trailing-window fold both stateful APIs share: given the
+    carried tail (last seq_len-1 prices) and a sorted batch frame,
+    return (full-window output rows or None, new tail). Extracted so a
+    change to the window math cannot silently diverge the
+    applyInPandasWithState and transformWithState paths (tests assert
+    them equivalent)."""
+    prices = pdf["price"].to_numpy(dtype=float)
+    allp = np.concatenate([tail, prices])
+    n_carry = len(tail)
+    # window for batch row j ends at allp index n_carry + j and is
+    # full once that index >= seq_len - 1
+    first_full = max(seq_len - 1 - n_carry, 0)
+    out = None
+    if first_full < len(prices):
+        wins = np.lib.stride_tricks.sliding_window_view(allp, seq_len)
+        # batch row j (j >= first_full) -> window starting at
+        # n_carry + j - (seq_len - 1)
+        starts = n_carry + np.arange(first_full, len(prices)) - (seq_len - 1)
+        out = pd.DataFrame(
+            {
+                "symbol": key[0],
+                "timestamp": pdf["timestamp"].iloc[first_full:].reset_index(drop=True),
+                "price": prices[first_full:],
+                "window_values": list(wins[starts]),
+            }
+        )
+    return out, allp[-seq_len:].tolist()
+
+
 def continuous_trailing_windows(parsed: DataFrame, seq_len: int = 5) -> DataFrame:
     """parsed (symbol, timestamp, price, ...) -> rows with full
     trailing-``seq_len`` windows that SPAN micro-batches."""
@@ -57,28 +89,8 @@ def continuous_trailing_windows(parsed: DataFrame, seq_len: int = 5) -> DataFram
         if len(pdf) == 0:
             state.update((list(tail),))
             return
-        prices = pdf["price"].to_numpy(dtype=float)
-        allp = np.concatenate([tail, prices])
-        n_carry = len(tail)
-        # window for batch row j ends at allp index n_carry + j and is
-        # full once that index >= seq_len - 1
-        first_full = max(seq_len - 1 - n_carry, 0)
-        if first_full < len(prices):
-            wins = np.lib.stride_tricks.sliding_window_view(allp, seq_len)
-            # batch row j (j >= first_full) -> window starting at
-            # n_carry + j - (seq_len - 1)
-            starts = n_carry + np.arange(first_full, len(prices)) - (seq_len - 1)
-            out = pd.DataFrame(
-                {
-                    "symbol": key[0],
-                    "timestamp": pdf["timestamp"].iloc[first_full:].reset_index(drop=True),
-                    "price": prices[first_full:],
-                    "window_values": list(wins[starts]),
-                }
-            )
-        else:
-            out = None
-        state.update((allp[-seq_len:].tolist(),))
+        out, new_tail = _fold_windows(key, tail, pdf, seq_len)
+        state.update((new_tail,))
         if out is not None and len(out):
             yield out
 
@@ -143,29 +155,16 @@ class _TrailingWindowProcessor(StatefulProcessor):
         self.tail = handle.getValueState("tail", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
-        seq_len = self.seq_len
         (tail,) = self.tail.get() if self.tail.exists() else ([],)
         tail = np.asarray(tail, dtype=float)
         pdf = _gather_sorted(rows)
         if len(pdf) == 0:
             self.tail.update((list(tail),))
             return
-        prices = pdf["price"].to_numpy(dtype=float)
-        allp = np.concatenate([tail, prices])
-        n_carry = len(tail)
-        first_full = max(seq_len - 1 - n_carry, 0)
-        if first_full < len(prices):
-            wins = np.lib.stride_tricks.sliding_window_view(allp, seq_len)
-            starts = n_carry + np.arange(first_full, len(prices)) - (seq_len - 1)
-            yield pd.DataFrame(
-                {
-                    "symbol": key[0],
-                    "timestamp": pdf["timestamp"].iloc[first_full:].reset_index(drop=True),
-                    "price": prices[first_full:],
-                    "window_values": list(wins[starts]),
-                }
-            )
-        self.tail.update((allp[-seq_len:].tolist(),))
+        out, new_tail = _fold_windows(key, tail, pdf, self.seq_len)
+        self.tail.update((new_tail,))
+        if out is not None and len(out):
+            yield out
 
     def handleInitialState(self, key, initialState, timer_values) -> None:  # pragma: no cover
         pass

@@ -97,6 +97,69 @@ def test_snapshot_diff_complex_types(spark):
         snapshot_diff(m_old, m_old, ["k"])
 
 
+def test_expire_partitions_type_safe_and_wipe_guard(spark, tmp_path):
+    """Typed (date) partition values vs string keep_values must match by
+    their directory text — and a keep list matching NOTHING must raise,
+    not silently delete the whole table."""
+    import datetime as dt
+    import os
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources import sinks
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1), (dt.date(2024, 1, 2), 2)], "d date, v int"
+    )
+    df.write.partitionBy("d").parquet(path)
+    dropped = sinks.expire_partitions(spark, path, "d", ["2024-01-02"])
+    assert [str(v) for v in dropped] == ["2024-01-01"]
+    assert os.path.isdir(os.path.join(path, "d=2024-01-02"))
+    with pytest.raises(ValueError, match="ALL"):
+        sinks.expire_partitions(spark, path, "d", ["1999-01-01"])
+
+
+def test_grouped_forecast_tiebreak_equals_ts(spark):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.ml.grouped import per_key_linear_forecast
+
+    df = spark.createDataFrame(
+        [("s", float(i), float(i) * 2.0) for i in range(5)], "symbol string, timestamp double, price double"
+    )
+    out = per_key_linear_forecast(df, "symbol", "timestamp", "price", tiebreak="timestamp").collect()
+    assert len(out) == 1 and out[0]["slope"] == pytest.approx(2.0)
+
+
+def test_tick_stream_rejects_async_with_available_now(spark, tmp_path):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import run_tick_stream
+
+    with pytest.raises(ValueError, match="processing-time"):
+        run_tick_stream(
+            spark, spark.range(1).selectExpr("CAST(null AS binary) AS value"),
+            str(tmp_path / "s"), str(tmp_path / "c"), async_progress=True,
+        )
+
+
+def test_ticks_wire_format_timezone_robust(spark):
+    """The JSON wire timestamps carry an explicit UTC offset, so they
+    parse identically under ANY session timezone (a naive string would
+    land hours away from ticks_dataframe under a non-UTC driver)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.ticks import ticks_dataframe, ticks_json_lines
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import parse_ticks
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        lines = ticks_json_lines(5)
+        raw = spark.createDataFrame([(l.encode(),) for l in lines], "value binary")
+        parsed = parse_ticks(raw).select("symbol", "timestamp", "price").collect()
+        expected = {
+            (r["symbol"], r["timestamp"], r["price"])
+            for r in ticks_dataframe(spark, 5).select("symbol", "timestamp", "price").collect()
+        }
+        assert {(r["symbol"], r["timestamp"], r["price"]) for r in parsed} == expected
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_winnow_admission_matches_selection(spark):
     # k=8, window=4: docs shorter than k+window-1=11 normalized chars
     # produce no full window and are excluded up front; an 11-char doc
