@@ -17,6 +17,11 @@ from ..operators import dedup, joins, setops, topk
 from ..sources.tables import load_table
 from .core import register
 
+# The events fixture's closed type set — shared by the pivot/unpivot
+# pair so the two plans (and their hand-written oracle column lists)
+# can't drift independently if the fixture ever grows a type.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
 # --- scans / projections / filters -----------------------------------------
 
 
@@ -569,13 +574,11 @@ def pivot_user_event_counts(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = (
         ev.groupBy("user_id")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .pivot("event_type", _EVENT_TYPES)
         .count()
         .na.fill(0)
     )
-    return out.select(
-        "user_id", *[F.col(c).alias(c) for c in ["click", "error", "purchase", "signup", "view"]]
-    )
+    return out.select("user_id", *[F.col(c).alias(c) for c in _EVENT_TYPES])
 
 
 @register(
@@ -998,8 +1001,7 @@ def unpivot_user_event_counts(spark, sf_dir):
     the round trip is exactly the original long aggregate, which is
     the oracle: unpivot ∘ pivot ≡ groupBy. Expand-based — one pass over
     the wide rows, no shuffle beyond the pivot's own aggregate."""
-    types = ["click", "error", "purchase", "signup", "view"]
     ev = load_table(spark, sf_dir, "events")
-    wide = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
-    long = wide.unpivot("user_id", types, "event_type", "n")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    long = wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
     return long.filter(F.col("n") > 0).select("user_id", "event_type", "n")

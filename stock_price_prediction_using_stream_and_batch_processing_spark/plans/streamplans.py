@@ -243,6 +243,50 @@ def stream_enrich_user_segment(spark, sf_dir):
     return spark.table(name)
 
 
+def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
+    """Shared scaffold for the streaming-maintenance queries: split the
+    events table into FOUR files (so maxFilesPerTrigger=1 genuinely
+    exercises the per-epoch merge path, not just the bootstrap write),
+    stream them through ``maint_fn(batch_df, store_path)``, and return
+    the store path. The work dir is DETERMINISTIC per (sf_dir, query) —
+    the split source is built once and reused across runs (the old
+    per-run mkdtemp rewrote the whole fixture every invocation and
+    leaked it forever), while the store + checkpoint reset each run
+    (the query's semantics are a from-scratch maintenance run). Shuffle
+    partitions are pinned small for the per-epoch merge jobs, mirroring
+    _run_stream_to_memory."""
+    import hashlib
+    import shutil
+
+    from ..sources.tables import parquet_table_exists
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join("/tmp", "spark_graft_maint", key, name)
+    split_dir = os.path.join(work, "src")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    for d in (store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    if not parquet_table_exists(spark, split_dir):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(split_dir)
+    schema = spark.read.parquet(split_dir).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda batch_df, epoch_id: maint_fn(batch_df, store))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return store
+
+
 @register(
     "stream_ohlc_maintenance",
     oracle="""
@@ -274,32 +318,16 @@ def stream_ohlc_maintenance(spark, sf_dir):
     the merge path — an arbitrary row split where most (key, hour)
     buckets receive bars from several epochs — not just the bootstrap
     write a single-batch stream would take."""
-    import tempfile
-
     from ..operators.windows import refresh_ohlc_fine
 
-    work = tempfile.mkdtemp(prefix="stream_bars_")
-    split_dir = os.path.join(work, "src")
-    load_table(spark, sf_dir, "events").repartition(4).write.parquet(split_dir)
-    schema = spark.read.parquet(split_dir).schema
-    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
-    bars = os.path.join(work, "bars")
-
-    def maint(batch_df, epoch_id):
+    def maint(batch_df, store):
         refresh_ohlc_fine(
-            spark, bars, batch_df,
+            spark, store, batch_df,
             key="user_id", ts="ts", value="value", seq="event_id", duration="1 hour",
         )
 
-    q = (
-        s.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(maint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(bars).select(
+    bars = _run_maintenance_stream(spark, sf_dir, "ohlc", maint)
+    return spark.read.parquet(bars).drop("part_date").select(
         "user_id",
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
         "open",
@@ -379,28 +407,12 @@ def stream_sketch_maintenance(spark, sf_dir):
     estimates derive from the kilobyte sketches, never the raw
     history. Four-file split so the merge path (not just bootstrap)
     genuinely executes."""
-    import tempfile
-
     from ..operators import sketches
 
-    work = tempfile.mkdtemp(prefix="stream_sketch_")
-    split_dir = os.path.join(work, "src")
-    load_table(spark, sf_dir, "events").repartition(4).write.parquet(split_dir)
-    schema = spark.read.parquet(split_dir).schema
-    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
-    store = os.path.join(work, "sketches")
-
-    def maint(batch_df, epoch_id):
+    def maint(batch_df, store):
         sketches.refresh_hll_fine(spark, store, batch_df, "ts", "user_id")
 
-    q = (
-        s.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(maint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    store = _run_maintenance_stream(spark, sf_dir, "sketch", maint)
     return sketches.hll_rollup(spark.read.parquet(store), "day").select(
         F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), "approx_distinct"
     )
