@@ -750,3 +750,32 @@ def doc_bigram_surprisal(spark, sf_dir):
     as vocabulary-bounded aggregates and joined back by token keys."""
     d = load_table(spark, sf_dir, "documents")
     return textops.bigram_surprisal(d, "text", "doc_id", lam=0.8)
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM freq)
+    SELECT token, cnt, ROUND(cnt / n, 6) AS share
+    FROM freq CROSS JOIN tot
+    WHERE cnt / n >= 0.005
+    """,
+    tags=("text", "frequent-items", "heavy-hitters"),
+    driver=False,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Frequent-items gate: tokens holding ≥0.5% of the corpus token
+    mass, with their share — the support-threshold face of the token
+    frequency table (stopword discovery / boilerplate detection). One
+    map-side-combined aggregate; the corpus total rides along as a
+    broadcast single-row aggregate, so no second scan."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = textops.token_frequencies(d).localCheckpoint(eager=False)
+    total = freq.groupBy().agg(F.sum("cnt").cast("double").alias("_n"))
+    return (
+        freq.join(F.broadcast(total))
+        .filter(F.col("cnt") / F.col("_n") >= 0.005)
+        .select("token", "cnt", F.round(F.col("cnt") / F.col("_n"), 6).alias("share"))
+    )
