@@ -118,5 +118,7 @@ def asof_join(
     u = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
     out = u.filter(F.col("_is_left") == 1)
     for c in right_value_cols:
-        out = out.withColumn(c, F.col(f"_rrow.{c}"))
+        # getField, not F.col(f"_rrow.{c}"): dotted-path parsing would
+        # split a value-column name that itself contains a dot.
+        out = out.withColumn(c, F.col("_rrow").getField(c))
     return out.drop("_is_left", "_rrow")

@@ -47,10 +47,11 @@ def cap_bucket_size(df: DataFrame, bucket_col: str, cap: int | None) -> DataFram
     from pyspark.sql import Window
 
     w = Window.partitionBy(bucket_col)
+    bn = free_name("_bn", df.columns)
     return (
-        df.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bn") <= cap)
-        .drop("_bn")
+        df.withColumn(bn, F.count(F.lit(1)).over(w))
+        .filter(F.col(bn) <= cap)
+        .drop(bn)
     )
 
 

@@ -37,7 +37,7 @@ def trailing_mean(
     value: str,
     n: int,
     out: str = "trailing_mean",
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
     full_only: bool = False,
 ) -> DataFrame:
     """Trailing-``n``-row mean of ``value`` per ``key`` ordered by ``ts``
@@ -58,7 +58,7 @@ def trailing_collect(
     value: str,
     n: int,
     out: str = "window_values",
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
     full_only: bool = True,
 ) -> DataFrame:
     """Trailing-``n`` ordered value arrays per key — the input shape for
@@ -78,7 +78,7 @@ def bucketed_trailing_mean(
     value: str,
     n: int,
     bucket_seconds: int,
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
     out: str = "trailing_mean",
 ) -> DataFrame:
     """Trailing-``n`` mean for the one shape a plain row window can't
@@ -188,7 +188,7 @@ def lag_returns(
     value: str,
     lag: int = 1,
     out: str = "return_pct",
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Per-key lag-``lag`` percent return: (v - lag(v)) / lag(v) * 100.
     NULL when there is no previous value OR it is exactly 0 — under
@@ -408,7 +408,7 @@ def sessionize(
     key: str,
     ts: str,
     gap_minutes: float,
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Assign session ids per key: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``. Classic lag + running-sum
@@ -432,7 +432,7 @@ def ewma_final(
     ts: str,
     value: str,
     alpha: float,
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
     out: str = "ewma",
 ) -> DataFrame:
     """Final EWMA per key: ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded
@@ -529,7 +529,7 @@ def rolling_corr(
     y: str,
     n: int,
     out: str = "rolling_corr",
-    tiebreak: str | None = None,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Trailing-``n``-row Pearson correlation of two series per key —
     co-movement drift detection (price vs volume, metric vs metric).

@@ -248,25 +248,50 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     events table into FOUR files (so maxFilesPerTrigger=1 genuinely
     exercises the per-epoch merge path, not just the bootstrap write),
     stream them through ``maint_fn(batch_df, store_path)``, and return
-    the store path. The work dir is DETERMINISTIC per (sf_dir, query) —
-    the split source is built once and reused across runs (the old
-    per-run mkdtemp rewrote the whole fixture every invocation and
-    leaked it forever), while the store + checkpoint reset each run
-    (the query's semantics are a from-scratch maintenance run). Shuffle
-    partitions are pinned small for the per-epoch merge jobs, mirroring
-    _run_stream_to_memory."""
+    the store path. The split-source cache dir is keyed by
+    (sf_dir, FIXTURE FINGERPRINT, query) — the fingerprint (mtime+size
+    of every parquet part under events/) means a regenerated fixture
+    invalidates the cached split instead of silently feeding the stream
+    stale data that diverges from the oracle (which reads the live
+    fixture). The store + checkpoint live under a per-run tempdir so
+    concurrent runs of the same query can't clobber each other (the
+    query's semantics are a from-scratch maintenance run; the caller's
+    read of the returned store happens before this process exits).
+    Shuffle partitions are pinned small for the per-epoch merge jobs,
+    mirroring _run_stream_to_memory."""
     import hashlib
-    import shutil
+    import tempfile
 
     from ..sources.tables import parquet_table_exists
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join("/tmp", "spark_graft_maint", key, name)
-    split_dir = os.path.join(work, "src")
-    store = os.path.join(work, "store")
-    ckpt = os.path.join(work, "ckpt")
-    for d in (store, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
+    fp = hashlib.md5(sf_dir.encode())
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    paths = [ev_path] if os.path.isfile(ev_path) else sorted(
+        os.path.join(ev_path, f) for f in os.listdir(ev_path)
+    ) if os.path.isdir(ev_path) else []
+    for p in paths:
+        st = os.stat(p)
+        fp.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};".encode())
+    key = fp.hexdigest()[:12]
+    split_dir = os.path.join("/tmp", "spark_graft_maint", key, "src")
+    # Per-run store/ckpt (concurrent runs must not clobber each other);
+    # sweep sibling run dirs older than an hour so they don't pile up.
+    runs_root = os.path.join("/tmp", "spark_graft_maint", "runs")
+    os.makedirs(runs_root, exist_ok=True)
+    import shutil
+    import time
+
+    cutoff = time.time() - 3600
+    for d in os.listdir(runs_root):
+        p = os.path.join(runs_root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    run_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=runs_root)
+    store = os.path.join(run_dir, "store")
+    ckpt = os.path.join(run_dir, "ckpt")
     if not parquet_table_exists(spark, split_dir):
         load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(split_dir)
     schema = spark.read.parquet(split_dir).schema
