@@ -72,6 +72,10 @@ HEADLINE = [
     # state); complete-mode stream_hourly_counts stays registry-extended
     # as an oracle-determinism device only.
     "stream_watermark_hourly_append",
+    # round-5 additions: runtime bloom-filter fact-scan pruning and the
+    # batch face of incremental continuous-aggregate maintenance
+    "bloom_pruned_join_part_lineitem",
+    "ohlc_incremental_refresh_events",
 ]
 
 

@@ -73,7 +73,6 @@ def funnel_view_click_purchase(spark, sf_dir):
     GROUP BY 1, 2
     """,
     tags=("behavioral", "retention", "groupby"),
-    driver=False,
 )
 def retention_cohorts_events(spark, sf_dir):
     """Cohort-retention grid (first-active day × day offset ≤ 7):

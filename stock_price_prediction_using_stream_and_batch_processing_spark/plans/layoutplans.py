@@ -51,7 +51,6 @@ def _interleave_sql(us: list[str], bits: int) -> str:
     FROM u
     """,
     tags=("layout", "zorder", "skipping"),
-    driver=False,
 )
 def zorder_value_events(spark, sf_dir):
     """Morton code over (user_id, value): min/max-normalized 16-bit

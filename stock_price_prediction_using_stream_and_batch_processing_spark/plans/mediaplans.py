@@ -31,6 +31,7 @@ def _media(spark, sf_dir, kind="image"):
     FROM documents
     """,
     tags=("multimodal", "binary", "mapinpandas"),
+    driver=False,
 )
 def media_feature_stats(spark, sf_dir):
     """Byte-level stats computed INSIDE the mapInPandas feature
@@ -40,9 +41,7 @@ def media_feature_stats(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes")
 
 
-@register("media_feature_extract", oracle=None, tags=("multimodal", "binary", "mapinpandas"),
-    driver=False,
-)
+@register("media_feature_extract", oracle=None, tags=("multimodal", "binary", "mapinpandas"))
 def media_feature_extract(spark, sf_dir):
     """Full fake-decode feature extraction (deterministic byte-histogram
     moments — not SQL-expressible; rows-only check + exact value tests
@@ -58,7 +57,6 @@ def media_feature_extract(spark, sf_dir):
     FROM documents
     """,
     tags=("multimodal", "video", "explode"),
-    driver=False,
 )
 def media_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: one row per sampled frame index,

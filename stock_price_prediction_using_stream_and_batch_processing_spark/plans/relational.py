@@ -35,6 +35,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
       AND l_quantity > 25
     """,
     tags=("scan", "filter", "projection"),
+    driver=False,
 )
 def scan_filter_project(spark, sf_dir):
     """Filter + arithmetic projection; predicate and column pruning push
@@ -86,6 +87,7 @@ def json_extract_events(spark, sf_dir):
     FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
     """,
     tags=("sort", "limit", "topk"),
+    driver=False,
 )
 def latest_k_events(spark, sf_dir):
     """The reference's 'last 10 000 ticks' fetch (S3/O2,
@@ -161,6 +163,7 @@ def global_agg_stats(spark, sf_dir):
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("groupby", "aggregate", "tpch"),
+    driver=False,
 )
 def pricing_summary(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: one hash-agg with map-side
@@ -278,6 +281,7 @@ def case_when_price_bands(spark, sf_dir):
     GROUP BY c.c_mktsegment
     """,
     tags=("join", "groupby"),
+    driver=False,
 )
 def join_orders_customer_segment(spark, sf_dir):
     """Fact ⋈ broadcast-dim join + agg: customer is catalog-sized, so
@@ -363,6 +367,7 @@ def customers_without_orders(spark, sf_dir):
     ORDER BY revenue DESC, p.p_partkey LIMIT 20
     """,
     tags=("join", "groupby", "topk"),
+    driver=False,
 )
 def top_parts_by_revenue(spark, sf_dir):
     """Join + agg + deterministic top-k (TakeOrderedAndProject)."""
@@ -450,6 +455,7 @@ def dedup_exact_events(spark, sf_dir):
     FROM events GROUP BY event_type
     """,
     tags=("groupby", "skew", "salting"),
+    driver=False,
 )
 def salted_agg_by_type(spark, sf_dir):
     """Skew-proof aggregation on a LOW-cardinality key (event_type — the
@@ -618,6 +624,7 @@ def cube_status_priority(spark, sf_dir):
     FROM c UNPIVOT (n_violations FOR rule IN (value_positive, user_id_present, known_event_type, props_is_json))
     """,
     tags=("quality", "expectations"),
+    driver=False,
 )
 def data_quality_events(spark, sf_dir):
     """Declarative data-quality gate (operators/quality.check): all
@@ -697,7 +704,6 @@ def corr_value_props_by_type(spark, sf_dir):
     SELECT 'event_type', n, nulls_et, nd_et, NULL, NULL, mns_et, mxs_et FROM s
     """,
     tags=("quality", "profile", "groupby"),
-    driver=False,
 )
 def table_profile_events(spark, sf_dir):
     """ANALYZE-style column profile of the events table (operators/
@@ -719,7 +725,6 @@ def table_profile_events(spark, sf_dir):
     GROUP BY 1
     """,
     tags=("quality", "histogram", "groupby"),
-    driver=False,
 )
 def histogram_value_events(spark, sf_dir):
     """Equi-width 20-bin histogram of events.value over [0, 500)
@@ -745,7 +750,6 @@ def histogram_value_events(spark, sf_dir):
       ON r.o_custkey = c.c_custkey
     """,
     tags=("quality", "join", "anti"),
-    driver=False,
 )
 def referential_orphans_check(spark, sf_dir):
     """Cross-table referential integrity (operators/quality.
@@ -859,7 +863,6 @@ def order_status_history(spark, sf_dir):
           OR o.o_orderstatus != n.o_orderstatus OR o.o_totalprice != n.o_totalprice
     """,
     tags=("cdc", "diff", "maintenance"),
-    driver=False,
 )
 def snapshot_diff_orders(spark, sf_dir):
     """CDC-style snapshot diff (operators/upsert.snapshot_diff): two
@@ -891,7 +894,6 @@ def snapshot_diff_orders(spark, sf_dir):
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
     tags=("aggregate", "grouping-sets"),
-    driver=False,
 )
 def grouping_sets_orders(spark, sf_dir):
     """GROUPING SETS — two independent one-dimension breakdowns plus the
@@ -919,7 +921,6 @@ def grouping_sets_orders(spark, sf_dir):
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     tags=("window", "rank", "distribution"),
-    driver=False,
 )
 def value_rank_distribution_events(spark, sf_dir):
     """Distribution-rank window family per segment — ntile quartiles,
@@ -960,7 +961,6 @@ def value_rank_distribution_events(spark, sf_dir):
     FROM v JOIN p ON v.user_id = p.user_id
     """,
     tags=("behavioral", "conversion", "aggregate"),
-    driver=False,
 )
 def time_to_conversion_events(spark, sf_dir):
     """Per-user time from first view to first subsequent purchase — the
@@ -991,7 +991,6 @@ def time_to_conversion_events(spark, sf_dir):
     FROM events GROUP BY user_id, event_type
     """,
     tags=("unpivot", "melt", "pivot"),
-    driver=False,
 )
 def unpivot_user_event_counts(spark, sf_dir):
     """UNPIVOT (melt): the wide per-user count matrix from the PIVOT
@@ -1005,3 +1004,61 @@ def unpivot_user_event_counts(spark, sf_dir):
     wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
     long = wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
     return long.filter(F.col("n") > 0).select("user_id", "event_type", "n")
+
+
+@register(
+    "bloom_pruned_join_part_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, p_name
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    """,
+    tags=("join", "runtime-filter", "bloom", "scan-pruning"),
+)
+def bloom_pruned_join_part_lineitem(spark, sf_dir):
+    """Selective dim-filtered fact join executed WITH a runtime bloom
+    filter injected into the fact scan — the 100 TB shape where the win
+    is pruning lineitem rows BEFORE the join shuffle, not after it.
+    Catalyst builds a bloom over the filtered part keys and rewrites the
+    fact side to ``might_contain(l_partkey)``; the function ASSERTS the
+    rewrite is present in the executed plan (so a silent regression to
+    an unpruned shuffle join fails the row, it doesn't just get slow)
+    and materializes the result under those confs (the thresholds are
+    production-sized, so the local fixture needs explicit overrides;
+    broadcast is disabled because a broadcast join already prunes at
+    the probe — the bloom path is for the dim-too-big-to-broadcast
+    case). Conf changes are scoped and restored; the result re-reads
+    from a spilled parquet so the returned plan is conf-independent."""
+    import shutil
+    import tempfile
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    out_dir = tempfile.mkdtemp(prefix="bloom_join_")
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+        j = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+            "l_orderkey", "l_linenumber", "p_partkey", "p_name"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the fact scan:\n" + plan
+            )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        j.write.mode("overwrite").parquet(out_dir)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out_dir)

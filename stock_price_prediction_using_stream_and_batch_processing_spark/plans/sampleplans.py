@@ -30,7 +30,6 @@ def _bucket_sql(expr: str, n: int, salt: str = "") -> str:
     WHERE {_bucket_sql('doc_id', 100)} < 5
     """,
     tags=("sampling", "deterministic", "filter"),
-    driver=False,
 )
 def hash_sample_docs(spark, sf_dir):
     """Deterministic 5% corpus sample — a pure hash filter (no shuffle,
@@ -50,7 +49,6 @@ def hash_sample_docs(spark, sf_dir):
     FROM documents
     """,
     tags=("sampling", "split", "deterministic"),
-    driver=False,
 )
 def train_val_test_split_docs(spark, sf_dir):
     """Stable 90/5/5 train/val/test assignment by id hash — rows never
@@ -75,7 +73,6 @@ def train_val_test_split_docs(spark, sf_dir):
     WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
     """,
     tags=("sampling", "packing", "window"),
-    driver=False,
 )
 def pack_docs_bins(spark, sf_dir):
     """Context-window packing: shard by id hash, pack each shard's docs
@@ -171,7 +168,6 @@ def decontaminate_train_eval(spark, sf_dir):
                     ELSE 0 END
     """,
     tags=("sampling", "stratified", "deterministic"),
-    driver=False,
 )
 def stratified_sample_docs(spark, sf_dir):
     """Corpus-mixture re-balancing: per-language deterministic sampling
@@ -198,7 +194,6 @@ def stratified_sample_docs(spark, sf_dir):
     WHERE {_bucket_sql('doc_id', 1000000)} < thr
     """,
     tags=("sampling", "mixture", "deterministic"),
-    driver=False,
 )
 def mixture_resample_docs(spark, sf_dir):
     """Domain-mixture resampling to target weights src1:src2:src3:src4
@@ -229,7 +224,6 @@ def mixture_resample_docs(spark, sf_dir):
     FROM b GROUP BY decile
     """,
     tags=("sampling", "quantile", "binning"),
-    driver=False,
 )
 def doc_length_decile_stats(spark, sf_dir):
     """Token-length decile binning WITHOUT a global sort (operators/

@@ -74,6 +74,7 @@ def _stream_events(spark, sf_dir):
     FROM events WHERE event_type = 'purchase' AND value > 100
     """,
     tags=("streaming", "filter", "projection"),
+    driver=False,
 )
 def stream_filter_project_events(spark, sf_dir):
     """Stateless streaming filter+project (reference P0 path under
@@ -95,6 +96,7 @@ def stream_filter_project_events(spark, sf_dir):
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window-agg", "groupby"),
+    driver=False,
 )
 def stream_hourly_counts(spark, sf_dir):
     """Streaming tumbling-window aggregation (complete mode): the
@@ -126,6 +128,7 @@ def stream_hourly_counts(spark, sf_dir):
     GROUP BY 1, 2
     """,
     tags=("streaming", "watermark", "late-data"),
+    driver=False,
 )
 def stream_watermark_hourly_append(spark, sf_dir):
     """Watermarked hourly counts in APPEND mode: only windows the
@@ -148,6 +151,7 @@ def stream_watermark_hourly_append(spark, sf_dir):
     "stream_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup", "watermark"),
+    driver=False,
 )
 def stream_dedup_within_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state
@@ -180,6 +184,7 @@ def stream_dedup_within_watermark(spark, sf_dir):
      AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE
     """,
     tags=("streaming", "join", "stream-stream"),
+    driver=False,
 )
 def stream_join_purchase_error(spark, sf_dir):
     """STREAM-STREAM inner join: errors within 30 minutes after a
@@ -324,7 +329,6 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     tags=("streaming", "ohlc", "rollup", "continuous-aggregate"),
-    driver=False,
 )
 def stream_ohlc_maintenance(spark, sf_dir):
     """STREAMING continuous-aggregate maintenance, oracle-checked: the
@@ -389,7 +393,6 @@ def stream_ohlc_maintenance(spark, sf_dir):
            <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
     """,
     tags=("streaming", "session-window", "watermark"),
-    driver=False,
 )
 def stream_session_counts(spark, sf_dir):
     """STREAMING session windows (30-minute gap per user, 10-minute
@@ -421,7 +424,6 @@ def stream_session_counts(spark, sf_dir):
     oracle=None,  # sketch estimates have no DuckDB twin; stream==batch
     # and replay-idempotency are pinned bit-for-bit in test_approx.py
     tags=("streaming", "sketch", "hll", "continuous-aggregate"),
-    driver=False,
 )
 def stream_sketch_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized distinct-count sketch

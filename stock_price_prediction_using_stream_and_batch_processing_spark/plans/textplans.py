@@ -217,6 +217,7 @@ def minhash_signatures_docs(spark, sf_dir):
     FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
     tags=("dedup", "minhash", "lsh"),
+    driver=False,
 )
 def minhash_lsh_pairs_docs(spark, sf_dir):
     """MinHash-LSH near-dup candidates: 8 hashes banded 4×2; pairs share
@@ -336,6 +337,7 @@ def near_dup_filter_docs(spark, sf_dir):
     FROM votes GROUP BY doc_id
     """,
     tags=("dedup", "simhash"),
+    driver=False,
 )
 def simhash_docs(spark, sf_dir):
     """32-bit SimHash per doc — bitwise majority vote over token hashes,
@@ -373,6 +375,7 @@ def simhash_docs(spark, sf_dir):
     FROM r
     """,
     tags=("text", "profile"),
+    driver=False,
 )
 def doc_profile(spark, sf_dir):
     """The one-pass document profile (operators/textops.text_profile):
@@ -406,6 +409,7 @@ def doc_profile(spark, sf_dir):
     SELECT DISTINCT doc_id, fp FROM sel
     """,
     tags=("text", "fingerprint", "winnowing", "dedup"),
+    driver=False,
 )
 def doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprints, k=8 char-grams, window 4
@@ -469,6 +473,7 @@ def doc_repetition_docs(spark, sf_dir):
     FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN n
     """,
     tags=("text", "tfidf", "ranking"),
+    driver=False,
 )
 def tf_idf_docs(spark, sf_dir):
     """TF-IDF weights per (doc, token) with smoothed idf
@@ -531,7 +536,6 @@ def bm25_topk_docs(spark, sf_dir):
     GROUP BY doc_id
     """,
     tags=("text", "quality", "language-model"),
-    driver=False,
 )
 def doc_surprisal_docs(spark, sf_dir):
     """Mean unigram surprisal per document under the corpus's own
@@ -554,6 +558,7 @@ def doc_surprisal_docs(spark, sf_dir):
     FROM s
     """,
     tags=("text", "chunking", "rag"),
+    driver=False,
 )
 def chunk_docs(spark, sf_dir):
     """Fixed-window document chunking with overlap (operators/textops.
@@ -578,7 +583,6 @@ def chunk_docs(spark, sf_dir):
     FROM documents
     """,
     tags=("text", "pii", "redaction"),
-    driver=False,
 )
 def pii_redact_docs(spark, sf_dir):
     """PII scrub over the corpus: email/phone/IPv4 -> typed placeholders
@@ -763,7 +767,6 @@ def doc_bigram_surprisal(spark, sf_dir):
     WHERE cnt / n >= 0.005
     """,
     tags=("text", "frequent-items", "heavy-hitters"),
-    driver=False,
 )
 def heavy_hitter_tokens(spark, sf_dir):
     """Frequent-items gate: tokens holding ≥0.5% of the corpus token

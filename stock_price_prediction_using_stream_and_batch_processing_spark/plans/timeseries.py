@@ -43,6 +43,7 @@ FROM w WHERE rn >= 5
     FROM events
     """,
     tags=("window", "timeseries"),
+    driver=False,
 )
 def trailing_mean_events(spark, sf_dir):
     """Reference W1 (trailing-5 over the ordered series,
@@ -247,6 +248,7 @@ def hopping_counts_events(spark, sf_dir):
     GROUP BY iv.iv_id
     """,
     tags=("join", "range", "timeseries"),
+    driver=False,
 )
 def range_join_purchase_windows(spark, sf_dir):
     """Pure range join (no equi key): all activity inside the 30 minutes
@@ -281,6 +283,7 @@ def range_join_purchase_windows(spark, sf_dir):
     FROM lineitem GROUP BY l_partkey
     """,
     tags=("vwap", "groupby", "timeseries"),
+    driver=False,
 )
 def vwap_lineitem(spark, sf_dir):
     """Volume-weighted average price per key — one shuffle, map-side
@@ -332,6 +335,7 @@ def sessionize_events(spark, sf_dir):
     FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
     """,
     tags=("asof-join", "timeseries"),
+    driver=False,
 )
 def asof_join_purchase_error(spark, sf_dir):
     """As-of (backward) join: each purchase picks up the most recent
@@ -384,6 +388,7 @@ def predict_next_events(spark, sf_dir):
     FROM s GROUP BY user_id, session_id
     """,
     tags=("session", "window", "groupby", "timeseries"),
+    driver=False,
 )
 def session_window_stats(spark, sf_dir):
     """Native ``F.session_window`` gap sessions (30 min) — Spark's
@@ -421,6 +426,7 @@ def session_window_stats(spark, sf_dir):
     FROM w WHERE rn >= 60
     """,
     tags=("inference", "window", "timeseries"),
+    driver=False,
 )
 def predict_sliding60_events(spark, sf_dir):
     """The reference's BATCH inference length (W2: sliding-60 windows,
@@ -541,7 +547,6 @@ def returns_volatility_per_user(spark, sf_dir):
     "hll_rollup_daily_users",
     oracle=None,
     tags=("sketch", "rollup", "approx", "timeseries"),
-    driver=False,
 )
 def hll_rollup_daily_users(spark, sf_dir):
     """Daily distinct-user estimates derived from HOURLY HyperLogLog
@@ -626,4 +631,64 @@ def rolling_corr_lineitem(spark, sf_dir):
     )
     return out.select(
         "l_suppkey", "seq", F.round("qty_price_corr", 6).alias("qty_price_corr")
+    )
+
+
+@register(
+    "ohlc_incremental_refresh_events",
+    oracle="""
+    SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           COUNT(*) AS n_ticks
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    tags=("maintenance", "ohlc", "continuous-aggregate", "incremental-refresh"),
+)
+def ohlc_incremental_refresh_events(spark, sf_dir):
+    """BATCH incremental continuous-aggregate refresh, oracle-checked:
+    the events table arrives as THREE deterministic batches (split by
+    ``event_id % 3`` — an adversarial interleave where nearly every
+    (user, hour) bar receives rows from all three refreshes, and batch
+    order is NOT time order, i.e. every refresh after the first is a
+    late-data merge). Each batch drives
+    ``operators.windows.refresh_ohlc_fine`` against a materialized
+    hourly-bar store: only the batch's partial bars are computed, only
+    the affected (key, bucket) bars are merged, and only the touched
+    date partitions are rewritten. Because bars are exactly mergeable
+    (seq-carried open/close), the final store is IDENTICAL to the
+    one-shot tumbling aggregation the oracle computes — for ANY split
+    of the input. This is the batch face of the maintenance surface
+    whose streaming face is ``stream_ohlc_maintenance``; refresh cost
+    at 100 TB is O(batch + affected partitions), never O(history)."""
+    import shutil
+    import tempfile
+
+    from ..operators.windows import refresh_ohlc_fine
+
+    ev = load_table(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="ohlc_refresh_")
+    shutil.rmtree(store, ignore_errors=True)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for b in range(3):
+            batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+            refresh_ohlc_fine(
+                spark, store, batch,
+                key="user_id", ts="ts", value="value", seq="event_id",
+                duration="1 hour",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(store).select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
     )

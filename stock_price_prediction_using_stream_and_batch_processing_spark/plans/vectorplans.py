@@ -46,6 +46,7 @@ _COS_DOUBLE = (
     FROM ranked WHERE rank <= 10
     """,
     tags=("similarity", "vector", "topk"),
+    driver=False,
 )
 def cosine_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for 5 query vectors against the full corpus:
@@ -201,6 +202,7 @@ def embedding_near_dup_lsh(spark, sf_dir):
     SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
     """,
     tags=("dedup", "clusters", "vector", "iterative"),
+    driver=False,
 )
 def embedding_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
