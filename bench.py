@@ -201,6 +201,7 @@ def reference_parity_bench(spark) -> dict:
                     sink_path=f"{src}_sink",
                     checkpoint_path=f"{src}_ckpt",
                     driver_arrow_sink=driver_arrow,
+                    driver_arrow_compute=driver_arrow,
                 )
                 q.awaitTermination(300)
                 deadline = time.time() + 10
@@ -231,11 +232,17 @@ def reference_parity_bench(spark) -> dict:
         # mean after a 5-batch warmup (first batches pay codegen +
         # file-index setup that a long-running stream amortizes away).
         # Untimed stream warmup, mirroring the untimed warmup run each
-        # batch query gets: the first stream in a JVM pays whole-stage
-        # codegen + Arrow serializer init across its early batches,
-        # which a 5-batch steady-state exclusion doesn't fully cover.
-        src_warm = write_batches("stream_warm", [2] * 12)
-        run_stream(src_warm, 12, "1", driver_arrow=True)
+        # batch query gets. The streaming machinery's hot paths are
+        # JIT-compiled per BATCH, not per stream — measured in-session:
+        # stream 1 mean ~194 ms, stream 2 ~166 ms, stream 3+ ~148-155 ms
+        # at an unchanged ~132-138 ms floor — so a 12-batch warmup left
+        # r4's headline ~80 ms above steady state (276.5 ms recorded vs
+        # the ~235-260 ms A/B in SCALE.md, the discrepancy VERDICT r4
+        # flagged). Two 40-batch warm streams reach C2-compiled steady
+        # state before anything is timed.
+        for wname in ("stream_warm_a", "stream_warm_b"):
+            src_warm = write_batches(wname, [1 + (i % 3) for i in range(40)])
+            run_stream(src_warm, 40, "1", driver_arrow=True)
 
         # Tick-scale shapes use the driver-side Arrow epoch sink (same
         # layout + exactly-once contract, none of the committer tax —
@@ -265,6 +272,7 @@ def reference_parity_bench(spark) -> dict:
                 checkpoint_path=f"{src_live}_ckpt",
                 available_now=False,
                 driver_arrow_sink=True,
+                driver_arrow_compute=True,
             )
             deadline = time.time() + 240
             while time.time() < deadline:
@@ -331,6 +339,11 @@ def reference_parity_bench(spark) -> dict:
             "stream_live_mean_ms": round(live_mean, 1) if live_mean else None,
             # empty-foreachBatch machinery floor at the same load shape
             "stream_floor_mean_ms": round(floor_mean, 1) if floor_mean else None,
+            # the r4-verdict acceptance metric: pipeline mean over the
+            # same-run machinery floor (target <= ~1.3)
+            "stream_mean_over_floor": (
+                round(ref_mean / floor_mean, 2) if ref_mean and floor_mean else None
+            ),
             # 50-tick-batch throughput
             "stream_tp_mean_ms": round(mean_ms, 1) if mean_ms else None,
             "stream_ms_per_tick": round(mean_ms / 50.0, 2) if mean_ms else None,

@@ -108,6 +108,13 @@ def idempotent_epoch_write_arrow(df: DataFrame, path: str, epoch_id: int) -> Non
     ``stream_consumer.py:61-69``). Bulk backfills keep the distributed
     writer. The temp name starts with ``.`` so Spark's reader ignores a
     crash-orphaned partial file."""
+    _write_epoch_arrow_table(df.toArrow(), path, epoch_id)
+
+
+def _write_epoch_arrow_table(tbl, path: str, epoch_id: int) -> None:
+    """Shared atomic epoch write for an in-hand Arrow table (the tail of
+    :func:`idempotent_epoch_write_arrow`, also fed directly by the
+    driver compute fast path)."""
     import pyarrow.parquet as pq
 
     d = f"{path.rstrip('/')}/_epoch={int(epoch_id)}"
@@ -123,11 +130,75 @@ def idempotent_epoch_write_arrow(df: DataFrame, path: str, epoch_id: int) -> Non
     # the reverse order (delete-then-write, the previous code) exposed
     # a MISSING-rows window, which no retry can excuse to a reader.
     tmp = os.path.join(d, f"._{target}.tmp")
-    pq.write_table(df.toArrow(), tmp)
+    pq.write_table(tbl, tmp)
     os.replace(tmp, os.path.join(d, target))
     for name in os.listdir(d):
         if name != target and not name.startswith("."):
             os.remove(os.path.join(d, name))
+
+
+def predict_ticks_arrow(tbl, seq_len: int, mn: float | None = None, mx: float | None = None):
+    """Driver-side Arrow twin of the per-batch window+predict plan, for
+    TICK-SCALE micro-batches: trailing-``seq_len`` recency-weighted
+    linear prediction computed directly on the collected Arrow table —
+    BIT-FOR-BIT identical to the distributed
+    ``trailing_collect(tiebreak=[price, volume]) -> linear_predict_column``
+    path (same sort keys and null placement as Spark's window sort,
+    same IEEE operation order as the ``zip_with``/``aggregate`` fold:
+    scale, multiply, left-fold accumulate, unscale — pinned by
+    tests/test_streaming.py's fast-path≡distributed differential).
+
+    Why it exists: at 1-3 rows per micro-batch the distributed plan's
+    cost is ~100% per-batch Catalyst analysis + job scheduling, not
+    compute. Collecting the parsed batch once (``toArrow`` — the single
+    job the batch pays) and folding 5 floats per row on the driver
+    removes the window/predict plan entirely from the hot path. Strictly
+    size-gated, same contract as :func:`idempotent_epoch_write_arrow`
+    (the reference itself predicted driver-side per batch,
+    ``stream_consumer.py:50-54``); bulk backfills keep the distributed
+    plan, which is the same declarative operator the batch job uses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.scaling import REFERENCE_SCALER_MAX, REFERENCE_SCALER_MIN
+    from ..ml.predictor import LinearWindowModel
+
+    mn = REFERENCE_SCALER_MIN if mn is None else mn
+    mx = REFERENCE_SCALER_MAX if mx is None else mx
+    if tbl.num_rows:
+        # Spark window sort order: (partition key, ORDER BY keys) with
+        # ascending NULLS FIRST — match it exactly.
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("symbol", "ascending"),
+                ("timestamp", "ascending"),
+                ("price", "ascending"),
+                ("volume", "ascending"),
+            ],
+            null_placement="at_start",
+        )
+        tbl = tbl.take(idx)
+    weights = [float(w) for w in LinearWindowModel(seq_len).weights]
+    span = mx - mn
+    symbols = tbl.column("symbol").to_pylist()
+    prices = tbl.column("price").to_pylist()
+    preds: list[float | None] = []
+    hist: list[float] = []
+    prev: object = object()
+    for s, p in zip(symbols, prices):
+        if s != prev:
+            hist = []
+            prev = s
+        hist.append(p)
+        if len(hist) >= seq_len:
+            acc = 0.0
+            for v, w in zip(hist[-seq_len:], weights):
+                acc += ((v - mn) / span) * w
+            preds.append(acc * span + mn)
+        else:
+            preds.append(None)  # partial window -> NULL, like zip_with padding
+    return tbl.append_column("predicted_price", pa.array(preds, type=pa.float64()))
 
 
 def run_tick_stream(
@@ -143,6 +214,7 @@ def run_tick_stream(
     guard_empty_batches: bool = False,
     async_progress: bool = False,
     driver_arrow_sink: bool = False,
+    driver_arrow_compute: bool = False,
 ):
     """Parse -> persist + predict in ONE sink write per micro-batch, via
     ``foreachBatch`` (reference S4 with the imperative body re-expressed
@@ -193,12 +265,25 @@ def run_tick_stream(
     tick-scale load shapes only; see that function's docstring for the
     size-gating rationale.
 
+    ``driver_arrow_compute``: also compute the per-batch window+predict
+    on the driver (:func:`predict_ticks_arrow` — one ``toArrow`` job on
+    the parsed batch, then a 5-float fold per row), removing per-batch
+    Catalyst analysis of the window plan from the hot path. Implies the
+    Arrow sink; linear predictor only (raises with an MLlib/Keras
+    model — real-model inference belongs in the distributed plan).
+    Output is bit-for-bit identical to the distributed path.
+
     ``mllib_model_path`` swaps the default predictor for a saved MLlib
     pipeline (ml/training.save_model) scored JVM-side; ``keras_path``
     swaps in a Keras artifact via the Arrow UDF — the engine's
     retrained-model hot-swap, mirroring the reference loading
     ``lstm_model.keras`` at startup (``stream_consumer.py:43-45``).
     """
+    if driver_arrow_compute and (mllib_model_path is not None or keras_path is not None):
+        raise ValueError(
+            "driver_arrow_compute supports only the linear fallback predictor; "
+            "model-artifact inference runs in the distributed plan"
+        )
     parsed = parse_ticks(source)
     if mllib_model_path is not None:
         from ..ml.training import load_saved_model, score_windows
@@ -207,6 +292,12 @@ def run_tick_stream(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if guard_empty_batches and batch_df.isEmpty():  # reference P0d guard
+            return
+        if driver_arrow_compute:
+            # one job (collect the parsed batch), zero chained plans
+            _write_epoch_arrow_table(
+                predict_ticks_arrow(batch_df.toArrow(), seq_len), sink_path, epoch_id
+            )
             return
         if small_batch_coalesce:
             batch_df = batch_df.coalesce(small_batch_coalesce)

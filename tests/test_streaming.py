@@ -594,3 +594,86 @@ def test_bar_maintenance_stream_equals_batch(spark, tmp_path):
     merged = maintain_bars_batch(spark, bars_root, all_ticks, last_epoch, marker_root=ckpt)
     assert merged is False
     assert spark.read.parquet(f"{bars_root}/bars").agg({"n_ticks": "sum"}).collect()[0][0] == n
+
+
+def test_driver_arrow_compute_equals_distributed(spark, tmp_path):
+    # The driver compute fast path (predict_ticks_arrow: toArrow +
+    # driver-side window/predict fold) must be BIT-FOR-BIT identical to
+    # the distributed window+linear_predict plan — rows, schema, and
+    # exact double predictions, including tied timestamps (tiebreak
+    # price, volume) and partial windows (NULL predictions).
+    n = 23
+    path = _write_tick_files(tmp_path, n, 5)
+    out = {}
+    for mode, flag in (("dist", False), ("fast", True)):
+        sink = str(tmp_path / f"raw_c_{mode}")
+        q = run_tick_stream(
+            spark,
+            file_tick_source(spark, path, max_files_per_trigger=1),
+            sink_path=sink,
+            checkpoint_path=str(tmp_path / f"ckpt_c_{mode}"),
+            seq_len=5,
+            driver_arrow_sink=flag,
+            driver_arrow_compute=flag,
+        )
+        q.awaitTermination(120)
+        df = read_stream_output(spark, sink)
+        assert df.count() == n
+        out[mode] = sorted(
+            df.collect(), key=lambda r: (r.symbol, r.timestamp, r.price, r.volume)
+        )
+    dist = [r.asDict() for r in out["dist"]]
+    fast = [r.asDict() for r in out["fast"]]
+    assert dist == fast  # exact equality, doubles included
+
+    # model-artifact inference must refuse the fast path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="linear fallback"):
+        run_tick_stream(
+            spark,
+            file_tick_source(spark, path),
+            sink_path=str(tmp_path / "x"),
+            checkpoint_path=str(tmp_path / "xc"),
+            driver_arrow_compute=True,
+            mllib_model_path="/nonexistent",
+        )
+
+
+def test_predict_ticks_arrow_edge_shapes(spark):
+    # Empty batch and all-partial-window batch keep the schema and NULL
+    # semantics of the distributed path.
+    import pyarrow as pa
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        predict_ticks_arrow,
+    )
+
+    schema = pa.schema(
+        [
+            ("symbol", pa.string()),
+            ("timestamp", pa.timestamp("us")),
+            ("price", pa.float64()),
+            ("volume", pa.int64()),
+        ]
+    )
+    empty = pa.table(
+        {"symbol": [], "timestamp": [], "price": [], "volume": []}, schema=schema
+    )
+    out = predict_ticks_arrow(empty, 5)
+    assert out.num_rows == 0 and out.column_names[-1] == "predicted_price"
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    small = pa.table(
+        {
+            "symbol": ["A", "A", "B"],
+            "timestamp": [t0, t0, t0],
+            "price": [1.0, 2.0, 3.0],
+            "volume": [1, 2, 3],
+        },
+        schema=schema,
+    )
+    out = predict_ticks_arrow(small, 5)
+    assert out.column("predicted_price").to_pylist() == [None, None, None]
