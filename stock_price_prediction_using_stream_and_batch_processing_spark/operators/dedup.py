@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing, text
+from .maintenance import free_name as _free_name
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -296,12 +297,13 @@ def near_dup_filter(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    dedup_exact_first: bool = True,
 ) -> DataFrame:
     """The canonical end-to-end LLM-corpus near-dup REMOVAL pipeline as
-    one operator: MinHash-LSH candidate pairs → exact-Jaccard
-    verification restricted to the candidates → connected components
-    over the verified pair graph → keep one representative (min id)
-    per cluster → return the surviving corpus rows.
+    one operator: exact-copy collapse → MinHash-LSH candidate pairs →
+    exact-Jaccard verification restricted to the candidates → connected
+    components over the verified pair graph → keep one representative
+    (min id) per cluster → return the surviving corpus rows.
 
     Every stage is the bounded-at-scale variant: candidates come from
     band-bucket equi-joins (never all-pairs; ``max_bucket_size`` caps
@@ -311,10 +313,45 @@ def near_dup_filter(
     broadcast-friendly left anti join (the drop list is one row per
     NON-representative near-dup — tiny relative to the corpus).
 
+    ``dedup_exact_first`` (DEFAULT — the ordering requirement measured
+    in SCALE.md): collapse exact copies to their min-id representative
+    BEFORE the LSH stages. k exact copies of one document share every
+    band key, so the uncollapsed pipeline generates k²/2 candidate
+    pairs and k²/2 full-Jaccard verifications per copy family — the
+    quadratic term that made the 10×-replicated probe corpus 40×
+    slower. The collapse is RESULT-IDENTICAL, not an approximation:
+    exact copies have Jaccard 1 ≥ any threshold and always share all
+    bands, so the full pipeline connects each copy family into one
+    cluster whose representative is the family min id — exactly the
+    row the collapse keeps (docs whose normalized text yields no
+    shingles never enter the LSH graph at all and are therefore NOT
+    collapsed — two identical empty docs both survive either path).
+    It also strictly dominates ``max_bucket_size`` for this hazard: the
+    cap would DROP the copy family's buckets (losing the dedup), the
+    collapse removes them while keeping the dedup exact.
+
     False negatives are the LSH recall trade documented on
     ``minhash_lsh_pairs``; every SURVIVOR≁SURVIVOR relation is still
     exact because verification recomputes true Jaccard on candidates.
     """
+    if dedup_exact_first:
+        has_sh = F.size(text.tokens(text_col)) > 0
+        fp_col = _free_name("_ndf_fp", df.columns)
+        # unique fp for no-shingle docs: they bypass the LSH graph in
+        # the uncollapsed pipeline, so they must not be collapsed here
+        fp = df.withColumn(
+            fp_col,
+            F.when(has_sh, F.md5(F.col(text_col))).otherwise(
+                F.concat(F.lit("u:"), F.col(id_col).cast("string"))
+            ),
+        )
+        # one corpus shuffle by fingerprint (exact_dedup's window), not
+        # aggregate + join back — measured ~2x cheaper at sf0.1
+        reps = exact_dedup(fp, [fp_col], id_col).drop(fp_col)
+        return near_dup_filter(
+            reps, text_col, id_col, shingle_n, threshold, num_hashes,
+            bands, max_bucket_size, dedup_exact_first=False,
+        )
     # the shingle projection is the pipeline's dominant cost and feeds
     # BOTH the signature and verification stages with different
     # downstream keys — materialize it once instead of 3 corpus passes
