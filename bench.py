@@ -325,6 +325,12 @@ def reference_parity_bench(spark) -> dict:
         # --- stream B, throughput shape: 20 micro-batches of 50 ticks
         # through the same parse -> combined sink (persist + window +
         # predict in one write) pipeline.
+        # The tick-scale warm streams above run the driver-Arrow fast
+        # path, which leaves the DISTRIBUTED window+predict plan cold —
+        # give stream B its own untimed warm stream at its own shape so
+        # stream_tp_mean_ms stays comparable across rounds.
+        src_tp_warm = write_batches("stream_tp_warm", [50] * 6)
+        run_stream(src_tp_warm, 6, "4")
         src_tp = write_batches("stream_tp", [50] * 20)
         s = run_stream(src_tp, 20, "4").summary()
         mean_ms = s["mean_ms"]

@@ -62,21 +62,9 @@ def mega_family(spark, df, copies: int):
 
 
 def collapse_reps(d):
-    """The dedup-first pre-stage in isolation (mirrors the operator)."""
-    has_sh = F.size(
-        __import__(
-            "stock_price_prediction_using_stream_and_batch_processing_spark.functions.text",
-            fromlist=["tokens"],
-        ).tokens("text")
-    ) > 0
-    fp = d.withColumn(
-        "_fp",
-        F.when(has_sh, F.md5(F.col("text"))).otherwise(
-            F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
-        ),
-    )
-    rep_ids = fp.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-    return fp.join(rep_ids, ["_fp", "doc_id"], "left_semi").drop("_fp")
+    """The dedup-first pre-stage — the SHIPPED one, so the probe stays
+    in lockstep with the operator."""
+    return dedup.exact_rep_collapse(d, "text", "doc_id")
 
 
 def candidates_count(d) -> int:

@@ -78,7 +78,7 @@ def bucketed_trailing_mean(
     value: str,
     n: int,
     bucket_seconds: int,
-    tiebreak: str | list[str] | None = None,
+    tiebreak: str | None = None,
     out: str = "trailing_mean",
 ) -> DataFrame:
     """Trailing-``n`` mean for the one shape a plain row window can't
@@ -432,7 +432,7 @@ def ewma_final(
     ts: str,
     value: str,
     alpha: float,
-    tiebreak: str | list[str] | None = None,
+    tiebreak: str | None = None,
     out: str = "ewma",
 ) -> DataFrame:
     """Final EWMA per key: ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded

@@ -10,6 +10,8 @@ tie-breaks every top-k so results are deterministic sets.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1028,9 +1030,10 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
     broadcast is disabled because a broadcast join already prunes at
     the probe — the bloom path is for the dim-too-big-to-broadcast
     case). Conf changes are scoped and restored; the result re-reads
-    from a spilled parquet so the returned plan is conf-independent."""
-    import shutil
-    import tempfile
+    from a spilled parquet so the returned plan is conf-independent.
+    The spill dir is deterministic per sf_dir and overwritten each run
+    (repeated bench/oracle sweeps must not accumulate /tmp copies)."""
+    import hashlib
 
     keys = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
@@ -1039,7 +1042,10 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     saved = {k: spark.conf.get(k, None) for k in keys}
-    out_dir = tempfile.mkdtemp(prefix="bloom_join_")
+    out_dir = os.path.join(
+        "/tmp", "spark_graft_results",
+        f"bloom_join_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
     try:
         for k, v in keys.items():
             spark.conf.set(k, v)
@@ -1053,7 +1059,6 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
             raise AssertionError(
                 "runtime bloom filter was not injected into the fact scan:\n" + plan
             )
-        shutil.rmtree(out_dir, ignore_errors=True)
         j.write.mode("overwrite").parquet(out_dir)
     finally:
         for k, v in saved.items():

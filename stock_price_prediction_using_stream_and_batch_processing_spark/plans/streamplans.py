@@ -253,19 +253,23 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     events table into FOUR files (so maxFilesPerTrigger=1 genuinely
     exercises the per-epoch merge path, not just the bootstrap write),
     stream them through ``maint_fn(batch_df, store_path)``, and return
-    the store path. The split-source cache dir is keyed by
-    (sf_dir, FIXTURE FINGERPRINT, query) — the fingerprint (mtime+size
-    of every parquet part under events/) means a regenerated fixture
-    invalidates the cached split instead of silently feeding the stream
-    stale data that diverges from the oracle (which reads the live
-    fixture). The store + checkpoint live under a per-run tempdir so
-    concurrent runs of the same query can't clobber each other (the
-    query's semantics are a from-scratch maintenance run; the caller's
-    read of the returned store happens before this process exits).
-    Shuffle partitions are pinned small for the per-epoch merge jobs,
-    mirroring _run_stream_to_memory."""
+    the store path. The split-source cache dir is keyed by the FIXTURE
+    FINGERPRINT (sf_dir path + mtime+size of every parquet part under
+    events/) and SHARED across queries and runs — a regenerated fixture
+    changes the key, so a stale split can never silently feed the
+    stream data that diverges from the oracle (which reads the live
+    fixture). Stale fingerprint dirs and finished per-run dirs are both
+    swept here (nothing else cleans /tmp), with a generous age cutoff
+    so a concurrent or long-running invocation is never swept mid-run.
+    The store + checkpoint live under a per-run tempdir so concurrent
+    runs of the same query can't clobber each other (the query's
+    semantics are a from-scratch maintenance run). Shuffle partitions
+    are pinned small for the per-epoch merge jobs, mirroring
+    _run_stream_to_memory."""
     import hashlib
+    import shutil
     import tempfile
+    import time
 
     from ..sources.tables import parquet_table_exists
 
@@ -278,27 +282,45 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
         st = os.stat(p)
         fp.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};".encode())
     key = fp.hexdigest()[:12]
-    split_dir = os.path.join("/tmp", "spark_graft_maint", key, "src")
-    # Per-run store/ckpt (concurrent runs must not clobber each other);
-    # sweep sibling run dirs older than an hour so they don't pile up.
-    runs_root = os.path.join("/tmp", "spark_graft_maint", "runs")
+    root = os.path.join("/tmp", "spark_graft_maint")
+    split_dir = os.path.join(root, key, "src")
+    runs_root = os.path.join(root, "runs")
     os.makedirs(runs_root, exist_ok=True)
-    import shutil
-    import time
-
-    cutoff = time.time() - 3600
-    for d in os.listdir(runs_root):
-        p = os.path.join(runs_root, d)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
+    # Sweep: per-run dirs (store/ckpt) and stale fingerprint dirs (full
+    # event-table splits orphaned by fixture regeneration). mtime of a
+    # run dir does NOT advance while the stream writes into nested
+    # store/ckpt, so the cutoff is 6h — far beyond any driver-scale
+    # availableNow run — rather than "since last write".
+    cutoff = time.time() - 6 * 3600
+    for parent, skip in ((runs_root, None), (root, {key, "runs"})):
+        for d in os.listdir(parent):
+            if skip is not None and d in skip:
+                continue
+            p = os.path.join(parent, d)
+            if p == runs_root:
+                continue
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     run_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=runs_root)
     store = os.path.join(run_dir, "store")
     ckpt = os.path.join(run_dir, "ckpt")
     if not parquet_table_exists(spark, split_dir):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(split_dir)
+        # Concurrent-bootstrap safety: build the split in a private tmp
+        # dir, then atomically rename into place; the loser of the race
+        # keeps the winner's (identical) split.
+        build = tempfile.mkdtemp(prefix="src_build_", dir=runs_root)
+        load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+            os.path.join(build, "src")
+        )
+        os.makedirs(os.path.dirname(split_dir), exist_ok=True)
+        try:
+            os.rename(os.path.join(build, "src"), split_dir)
+        except OSError:
+            pass  # another run won the race; its split is identical
+        shutil.rmtree(build, ignore_errors=True)
     schema = spark.read.parquet(split_dir).schema
     src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")

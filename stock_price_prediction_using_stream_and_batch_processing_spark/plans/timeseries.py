@@ -662,14 +662,21 @@ def ohlc_incremental_refresh_events(spark, sf_dir):
     one-shot tumbling aggregation the oracle computes — for ANY split
     of the input. This is the batch face of the maintenance surface
     whose streaming face is ``stream_ohlc_maintenance``; refresh cost
-    at 100 TB is O(batch + affected partitions), never O(history)."""
+    at 100 TB is O(batch + affected partitions), never O(history).
+    The store is deterministic per sf_dir and rebuilt from scratch each
+    run (repeated bench/oracle sweeps must not accumulate /tmp copies;
+    a fresh store is the query's semantics anyway)."""
+    import hashlib
+    import os
     import shutil
-    import tempfile
 
     from ..operators.windows import refresh_ohlc_fine
 
     ev = load_table(spark, sf_dir, "events")
-    store = tempfile.mkdtemp(prefix="ohlc_refresh_")
+    store = os.path.join(
+        "/tmp", "spark_graft_results",
+        f"ohlc_refresh_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
     shutil.rmtree(store, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
