@@ -782,3 +782,52 @@ def heavy_hitter_tokens(spark, sf_dir):
         .filter(F.col("cnt") / F.col("_n") >= 0.005)
         .select("token", "cnt", F.round(F.col("cnt") / F.col("_n"), 6).alias("share"))
     )
+
+
+@register(
+    "incremental_content_dedup_docs",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             doc_id % 3 AS bid, md5({_NORM}) AS fp
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY bid, doc_id) AS rn
+      FROM f
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1
+    """,
+    tags=("dedup", "incremental", "maintenance", "cross-snapshot"),
+    driver=False,
+)
+def incremental_content_dedup_docs(spark, sf_dir):
+    """CROSS-SNAPSHOT exact dedup, oracle-checked end to end: the
+    corpus arrives as THREE batches (``doc_id % 3`` — batch order is
+    not id order, so later batches genuinely collide with the store),
+    each filtered against the fingerprint store of everything admitted
+    so far (operators/dedup.incremental_content_dedup — the
+    daily-crawl-lands-on-an-existing-corpus shape; the store holds
+    16-byte digests, never text). A document survives iff no
+    earlier-batch document — or same-batch document with a smaller
+    id — shares its content fingerprint, which is exactly the
+    row_number-over-(batch, id) oracle. Store cost at 100 TB is ~0.02%
+    of corpus; each batch's check is one digest anti-join."""
+    import hashlib
+    import os
+    import shutil
+
+    store = os.path.join(
+        "/tmp", "spark_graft_results",
+        f"inc_dedup_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for b in range(3):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        parts.append(dedup.incremental_content_dedup(spark, batch, store))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
