@@ -201,14 +201,14 @@ def minhash_signatures_docs(spark, sf_dir):
       SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
     ),
     d AS (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id, s.seed,
              MIN(substr(CASE WHEN s.seed < 4 THEN d0 ELSE d1 END,
                         CAST((s.seed % 4) * 8 + 1 AS INTEGER), 8)) AS mh
       FROM d CROSS JOIN (SELECT unnest(range(8)) AS seed) s
       GROUP BY doc_id, s.seed
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
              md5(CAST(seed // 2 AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY seed)) AS band_key
       FROM sig GROUP BY doc_id, seed // 2
@@ -233,7 +233,7 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
       SELECT DISTINCT doc_id, md5(unnest({_SHINGLES})) AS sh
       FROM documents WHERE len({_TOKS}) > 0
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -282,7 +282,7 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    shd AS (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
     inter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -827,6 +827,160 @@ def incremental_content_dedup_docs(spark, sf_dir):
     for b in range(3):
         batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
         parts.append(dedup.incremental_content_dedup(spark, batch, store))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# Per-batch building blocks of the incremental near-dup oracle (bands /
+# shingle digests shared with the near_dup_filter oracle prelude).
+_INC_PRELUDE = f"""
+    sh AS MATERIALIZED (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    ),
+    dg AS MATERIALIZED (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh),
+    sig AS MATERIALIZED (
+      SELECT doc_id, s.seed,
+             MIN(substr(CASE WHEN s.seed < 4 THEN d0 ELSE d1 END,
+                        CAST((s.seed % 4) * 8 + 1 AS INTEGER), 8)) AS mh
+      FROM dg CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(CAST(seed // 2 AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    batched AS MATERIALIZED (SELECT doc_id, doc_id % 3 AS bid FROM documents)
+"""
+
+
+def _inc_batch_sql(b: int, admitted_union: str | None) -> str:
+    """The CTE block for batch ``b``: cross-match against the admitted
+    set (None for the bootstrap batch), then in-batch LSH → Jaccard →
+    components → min-id representative."""
+    if admitted_union is None:
+        live = f"live{b} AS MATERIALIZED (SELECT doc_id FROM batched WHERE bid = {b})"
+    else:
+        live = f"""
+    cross{b} AS MATERIALIZED (
+      SELECT DISTINCT nb.doc_id AS nid, ob.doc_id AS oid
+      FROM bands nb
+      JOIN batched dn ON dn.doc_id = nb.doc_id AND dn.bid = {b}
+      JOIN bands ob ON ob.band_key = nb.band_key
+      JOIN ({admitted_union}) adm ON adm.doc_id = ob.doc_id
+    ),
+    xver{b} AS MATERIALIZED (
+      SELECT DISTINCT i.nid AS doc_id FROM (
+        SELECT c.nid, c.oid, COUNT(*) AS ninter
+        FROM cross{b} c
+        JOIN shd na ON na.doc_id = c.nid
+        JOIN shd ob ON ob.doc_id = c.oid AND ob.s = na.s
+        GROUP BY c.nid, c.oid
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.nid
+      JOIN sizes sb ON sb.doc_id = i.oid
+      WHERE CAST(i.ninter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.ninter) >= 0.8
+    ),
+    live{b} AS MATERIALIZED (
+      SELECT doc_id FROM batched WHERE bid = {b}
+        AND doc_id NOT IN (SELECT doc_id FROM xver{b})
+    )"""
+    return f"""{live},
+    cand{b} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN live{b} la ON la.doc_id = a.doc_id
+      JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN live{b} lb ON lb.doc_id = b.doc_id
+    ),
+    ver{b} AS MATERIALIZED (
+      SELECT i.id_a, i.id_b FROM (
+        SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+        FROM cand{b} c
+        JOIN shd a ON a.doc_id = c.id_a
+        JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY c.id_a, c.id_b
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(i.ninter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.ninter) >= 0.8
+    ),
+    edges{b} AS (
+      SELECT id_a AS s, id_b AS t FROM ver{b} UNION SELECT id_b, id_a FROM ver{b}
+    ),
+    reach{b}(node, lab) AS (
+      SELECT s, s FROM edges{b}
+      UNION
+      SELECT e.s, r.lab FROM edges{b} e JOIN reach{b} r ON e.t = r.node
+    ),
+    comp{b} AS MATERIALIZED (SELECT node, MIN(lab) AS lab FROM reach{b} GROUP BY node),
+    adm{b} AS MATERIALIZED (
+      SELECT doc_id FROM live{b}
+      WHERE doc_id NOT IN (SELECT node FROM comp{b} WHERE lab < node)
+    )"""
+
+
+_INC_NEAR_DUP_ORACLE = (
+    "WITH RECURSIVE "
+    + _INC_PRELUDE
+    + ","
+    + _inc_batch_sql(0, None)
+    + ","
+    + _inc_batch_sql(1, "SELECT doc_id FROM adm0")
+    + ","
+    + _inc_batch_sql(2, "SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1")
+    + """
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+          UNION ALL SELECT doc_id FROM adm2) a ON a.doc_id = d.doc_id
+    """
+)
+
+
+@register(
+    "incremental_near_dup_docs",
+    oracle=_INC_NEAR_DUP_ORACLE,
+    tags=("dedup", "incremental", "minhash", "lsh", "maintenance", "cross-snapshot"),
+    driver=False,
+)
+def incremental_near_dup_docs(spark, sf_dir):
+    """CROSS-SNAPSHOT near-dup dedup, oracle-checked end to end: the
+    corpus arrives as THREE batches (``doc_id % 3``); each batch is
+    admitted only if not a near-duplicate (MinHash-LSH candidates →
+    exact Jaccard ≥ 0.8) of anything ALREADY ADMITTED, then collapsed
+    in-batch (components → min-id representative) and its digests
+    appended to the store (operators/dedup.incremental_near_dup — the
+    store holds band keys + shingle digests + sizes, never text). The
+    oracle replays the full three-batch evolution in SQL — per batch: a
+    cross-match against the admitted union, the in-batch LSH/Jaccard
+    pipeline, and a recursive-CTE component collapse — so the
+    differential checks the admitted-set EVOLUTION, not one pass.
+    Deliberate semantics (docstring of the operator): a new doc is
+    compared against admitted representatives only, so the incremental
+    result can admit docs a one-shot global pass would drop via
+    transitive closure — which is why this query's oracle is NOT
+    near_dup_filter's."""
+    import hashlib
+    import os
+    import shutil
+
+    store = os.path.join(
+        "/tmp", "spark_graft_results",
+        f"inc_near_dup_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for b in range(3):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        parts.append(
+            dedup.incremental_near_dup(spark, batch, store, num_hashes=8, bands=4)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
