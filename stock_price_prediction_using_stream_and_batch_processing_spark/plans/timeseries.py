@@ -602,12 +602,13 @@ def gapfill_hourly_events(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT l_suppkey, l_shipdate, l_orderkey * 8 + l_linenumber AS seq,
-             l_quantity, l_extendedprice
+             l_quantity, l_extendedprice, l_discount
       FROM lineitem
     )
     SELECT l_suppkey, seq,
            ROUND(corr(l_quantity, l_extendedprice) OVER (
-             PARTITION BY l_suppkey ORDER BY l_shipdate, seq
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, seq, l_quantity, l_extendedprice, l_discount
              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS qty_price_corr
     FROM s
     """,
@@ -617,17 +618,28 @@ def rolling_corr_lineitem(spark, sf_dir):
     """Trailing-30 Pearson correlation of quantity vs price per supplier
     (operators/windows.rolling_corr) — co-movement drift over each
     supplier's shipment history; one key shuffle, external per-key
-    sort."""
+    sort.
+
+    Tiebreak note: the fixture's lineitem carries DUPLICATE
+    (l_orderkey, l_linenumber) pairs (up to 6 copies with different
+    values at sf0.1), so ``seq`` alone does not totalize the window
+    order — engines were free to order tied rows differently and the
+    trailing frames diverged (~350 rows at sf0.1). The order therefore
+    extends through the value columns; rows still tied after that are
+    identical in every column the window reads, which makes the
+    remaining ambiguity value-invariant."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         "l_shipdate",
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("seq"),
         "l_quantity",
         "l_extendedprice",
+        "l_discount",
     )
     out = windows.rolling_corr(
         li, "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice",
-        n=30, out="qty_price_corr", tiebreak="seq",
+        n=30, out="qty_price_corr",
+        tiebreak=["seq", "l_quantity", "l_extendedprice", "l_discount"],
     )
     return out.select(
         "l_suppkey", "seq", F.round("qty_price_corr", 6).alias("qty_price_corr")
