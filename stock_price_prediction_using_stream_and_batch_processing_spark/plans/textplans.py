@@ -447,6 +447,7 @@ def doc_winnow_fingerprints(spark, sf_dir):
     FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
     """,
     tags=("text", "quality", "repetition"),
+    driver=False,
 )
 def doc_repetition_docs(spark, sf_dir):
     """Within-doc repetition filters (operators/textops.
@@ -514,6 +515,7 @@ _BM25_TERMS_SQL = "['" + "','".join(_BM25_TERMS) + "']"
     LIMIT 100
     """,
     tags=("text", "bm25", "ranking", "topk"),
+    driver=False,
 )
 def bm25_topk_docs(spark, sf_dir):
     """Top-100 documents by BM25 relevance to a fixed query-term bag
@@ -799,7 +801,6 @@ def heavy_hitter_tokens(spark, sf_dir):
     SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1
     """,
     tags=("dedup", "incremental", "maintenance", "cross-snapshot"),
-    driver=False,
 )
 def incremental_content_dedup_docs(spark, sf_dir):
     """CROSS-SNAPSHOT exact dedup, oracle-checked end to end: the
@@ -946,7 +947,6 @@ _INC_NEAR_DUP_ORACLE = (
     "incremental_near_dup_docs",
     oracle=_INC_NEAR_DUP_ORACLE,
     tags=("dedup", "incremental", "minhash", "lsh", "maintenance", "cross-snapshot"),
-    driver=False,
 )
 def incremental_near_dup_docs(spark, sf_dir):
     """CROSS-SNAPSHOT near-dup dedup, oracle-checked end to end: the
