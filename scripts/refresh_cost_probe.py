@@ -42,14 +42,16 @@ from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tabl
 
 
 def synth_ticks(spark, n_days: int, per_day: int = 20_000, symbols: int = 50, day0: int = 0):
-    """Deterministic ticks: per_day rows/day across `symbols` keys."""
+    """Deterministic ticks: per_day rows/day across `symbols` keys.
+    Epoch anchor 1_699_920_000 is midnight-UTC-aligned so a synthetic
+    day maps to exactly one calendar date partition."""
     n = n_days * per_day
     return (
         spark.range(n)
         .select(
             F.concat(F.lit("S"), (F.col("id") % symbols).cast("string")).alias("symbol"),
             F.timestamp_seconds(
-                F.lit(1_700_000_000) + (F.lit(day0) + F.col("id") / per_day).cast("long") * 86_400
+                F.lit(1_699_920_000) + (F.lit(day0) + F.col("id") / per_day).cast("long") * 86_400
                 + (F.col("id") % per_day) * (86_400 // per_day)
             ).alias("timestamp"),
             (F.pmod(F.hash("id") / 1e6, F.lit(100.0)) + 100.0).alias("price"),

@@ -31,7 +31,8 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def content_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact content dedup on the normalized-text fingerprint."""
-    return exact_dedup(df.withColumn("_fp", hashing.fingerprint(text_col)), ["_fp"], id_col).drop("_fp")
+    fp = _free_name("_fp", df.columns)
+    return exact_dedup(df.withColumn(fp, hashing.fingerprint(text_col)), [fp], id_col).drop(fp)
 
 
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
@@ -402,17 +403,20 @@ def incremental_content_dedup(
     from ..functions import hashing
 
     in_cols = list(new_docs.columns)
-    fp = new_docs.withColumn("_fp", hashing.fingerprint(text_col))
+    fp_col = _free_name("_fp", in_cols)
+    kfp_col = _free_name("_kfp", in_cols)
+    keep_col = _free_name("_keep_id", in_cols)
+    fp = new_docs.withColumn(fp_col, hashing.fingerprint(text_col))
     # one keeper per fingerprint WITHIN the batch (min id), exact shape;
     # keeper columns renamed to dodge self-join ambiguity (keeper
     # derives from fp)
-    keeper = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id")).select(
-        F.col("_fp").alias("_kfp"), "_keep_id"
+    keeper = fp.groupBy(fp_col).agg(F.min(id_col).alias(keep_col)).select(
+        F.col(fp_col).alias(kfp_col), keep_col
     )
     batch_unique = fp.join(
         keeper,
-        (F.col("_fp") == F.col("_kfp")) & (F.col(id_col) == F.col("_keep_id")),
-    ).select(*in_cols, "_fp")
+        (F.col(fp_col) == F.col(kfp_col)) & (F.col(id_col) == F.col(keep_col)),
+    ).select(*in_cols, fp_col)
     # explicit existence check, not a bare except around the read: a
     # TRANSIENT failure reading an existing store must raise (treating
     # it as 'first batch' would admit duplicates permanently)
@@ -420,11 +424,11 @@ def incremental_content_dedup(
 
     if parquet_table_exists(spark, store_path):
         store = spark.read.parquet(store_path)
-        fresh = batch_unique.join(store, batch_unique["_fp"] == store["fp"], "left_anti")
+        fresh = batch_unique.join(store, batch_unique[fp_col] == store["fp"], "left_anti")
     else:  # first batch: bootstrap the store
         fresh = batch_unique
     fresh = fresh.localCheckpoint(eager=True)  # materialize before the store append
-    fresh.select(F.col("_fp").alias("fp")).write.mode("append").parquet(store_path)
+    fresh.select(F.col(fp_col).alias("fp")).write.mode("append").parquet(store_path)
     return fresh.select(*in_cols)
 
 

@@ -1031,9 +1031,10 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
     the probe — the bloom path is for the dim-too-big-to-broadcast
     case). Conf changes are scoped and restored; the result re-reads
     from a spilled parquet so the returned plan is conf-independent.
-    The spill dir is deterministic per sf_dir and overwritten each run
-    (repeated bench/oracle sweeps must not accumulate /tmp copies)."""
-    import hashlib
+    The spill dir is private per invocation (plans/workdirs.py —
+    concurrent runs must not clobber each other; stale dirs are swept
+    there)."""
+    from .workdirs import fresh_result_dir
 
     keys = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
@@ -1042,10 +1043,7 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     saved = {k: spark.conf.get(k, None) for k in keys}
-    out_dir = os.path.join(
-        "/tmp", "spark_graft_results",
-        f"bloom_join_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out_dir = fresh_result_dir("bloom_join")
     try:
         for k, v in keys.items():
             spark.conf.set(k, v)

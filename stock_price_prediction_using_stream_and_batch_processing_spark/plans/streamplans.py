@@ -273,7 +273,8 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
 
     from ..sources.tables import parquet_table_exists
 
-    fp = hashlib.md5(sf_dir.encode())
+    dir_hash = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = hashlib.md5()
     ev_path = os.path.join(sf_dir, "events.parquet")
     paths = [ev_path] if os.path.isfile(ev_path) else sorted(
         os.path.join(ev_path, f) for f in os.listdir(ev_path)
@@ -281,29 +282,33 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     for p in paths:
         st = os.stat(p)
         fp.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};".encode())
-    key = fp.hexdigest()[:12]
+    key = f"{dir_hash}-{fp.hexdigest()[:12]}"
     root = os.path.join("/tmp", "spark_graft_maint")
     split_dir = os.path.join(root, key, "src")
     runs_root = os.path.join(root, "runs")
     os.makedirs(runs_root, exist_ok=True)
-    # Sweep: per-run dirs (store/ckpt) and stale fingerprint dirs (full
-    # event-table splits orphaned by fixture regeneration). mtime of a
-    # run dir does NOT advance while the stream writes into nested
-    # store/ckpt, so the cutoff is 6h — far beyond any driver-scale
-    # availableNow run — rather than "since last write".
+    # Two sweeps with DIFFERENT staleness definitions:
+    # - run dirs (store/ckpt) are transient by construction, so AGE
+    #   implies staleness — 6h cutoff, far beyond any driver-scale
+    #   availableNow run (a run dir's mtime doesn't advance while the
+    #   stream writes into nested store/ckpt, hence the generous bound).
+    # - split-cache dirs are long-lived and content-keyed; age does NOT
+    #   imply staleness (a days-old cache for another fixture may be in
+    #   active use by a concurrent run). Provably stale = same sf_dir
+    #   hash, different fingerprint (the fixture was regenerated in
+    #   place) — only those are removed, and never the current key.
     cutoff = time.time() - 6 * 3600
-    for parent, skip in ((runs_root, None), (root, {key, "runs"})):
-        for d in os.listdir(parent):
-            if skip is not None and d in skip:
-                continue
-            p = os.path.join(parent, d)
-            if p == runs_root:
-                continue
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+    for d in os.listdir(runs_root):
+        p = os.path.join(runs_root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    for d in os.listdir(root):
+        if d == "runs" or d == key or not d.startswith(f"{dir_hash}-"):
+            continue
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=runs_root)
     store = os.path.join(run_dir, "store")
     ckpt = os.path.join(run_dir, "ckpt")

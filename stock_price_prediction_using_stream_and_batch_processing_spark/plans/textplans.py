@@ -786,6 +786,28 @@ def heavy_hitter_tokens(spark, sf_dir):
     )
 
 
+def _run_incremental_batches(spark, sf_dir, prefix, admit_fn, n_batches=3):
+    """Shared scaffold of the incremental cross-snapshot dedup queries:
+    split documents into ``n_batches`` by ``doc_id % n`` (batch order is
+    NOT id order, so later batches genuinely collide with the store),
+    feed each through ``admit_fn(batch_df, store_path)`` in sequence,
+    and return the union of the admitted rows. The store is private per
+    invocation (plans/workdirs.py — concurrent runs must not share a
+    store mid-evolution)."""
+    from .workdirs import fresh_result_dir
+
+    store = fresh_result_dir(prefix)
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for b in range(n_batches):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+        parts.append(admit_fn(batch, store))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register(
     "incremental_content_dedup_docs",
     oracle=f"""
@@ -814,24 +836,10 @@ def incremental_content_dedup_docs(spark, sf_dir):
     id — shares its content fingerprint, which is exactly the
     row_number-over-(batch, id) oracle. Store cost at 100 TB is ~0.02%
     of corpus; each batch's check is one digest anti-join."""
-    import hashlib
-    import os
-    import shutil
-
-    store = os.path.join(
-        "/tmp", "spark_graft_results",
-        f"inc_dedup_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    return _run_incremental_batches(
+        spark, sf_dir, "inc_dedup",
+        lambda batch, store: dedup.incremental_content_dedup(spark, batch, store),
     )
-    shutil.rmtree(store, ignore_errors=True)
-    d = load_table(spark, sf_dir, "documents")
-    parts = []
-    for b in range(3):
-        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
-        parts.append(dedup.incremental_content_dedup(spark, batch, store))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 # Per-batch building blocks of the incremental near-dup oracle (bands /
@@ -965,23 +973,9 @@ def incremental_near_dup_docs(spark, sf_dir):
     result can admit docs a one-shot global pass would drop via
     transitive closure — which is why this query's oracle is NOT
     near_dup_filter's."""
-    import hashlib
-    import os
-    import shutil
-
-    store = os.path.join(
-        "/tmp", "spark_graft_results",
-        f"inc_near_dup_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    return _run_incremental_batches(
+        spark, sf_dir, "inc_near_dup",
+        lambda batch, store: dedup.incremental_near_dup(
+            spark, batch, store, num_hashes=8, bands=4
+        ),
     )
-    shutil.rmtree(store, ignore_errors=True)
-    d = load_table(spark, sf_dir, "documents")
-    parts = []
-    for b in range(3):
-        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
-        parts.append(
-            dedup.incremental_near_dup(spark, batch, store, num_hashes=8, bands=4)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out

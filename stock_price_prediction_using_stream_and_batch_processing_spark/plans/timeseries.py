@@ -675,21 +675,15 @@ def ohlc_incremental_refresh_events(spark, sf_dir):
     of the input. This is the batch face of the maintenance surface
     whose streaming face is ``stream_ohlc_maintenance``; refresh cost
     at 100 TB is O(batch + affected partitions), never O(history).
-    The store is deterministic per sf_dir and rebuilt from scratch each
-    run (repeated bench/oracle sweeps must not accumulate /tmp copies;
-    a fresh store is the query's semantics anyway)."""
-    import hashlib
-    import os
-    import shutil
-
+    The store is private per invocation (plans/workdirs.py — a
+    deterministic shared path would let a concurrent run's bootstrap
+    rmtree land between this run's refreshes, silently losing bars;
+    stale run dirs are swept there)."""
     from ..operators.windows import refresh_ohlc_fine
+    from .workdirs import fresh_result_dir
 
     ev = load_table(spark, sf_dir, "events")
-    store = os.path.join(
-        "/tmp", "spark_graft_results",
-        f"ohlc_refresh_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(store, ignore_errors=True)
+    store = fresh_result_dir("ohlc_refresh")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -170,3 +170,48 @@ def test_winnow_admission_matches_selection(spark):
     out = textops.winnowed_fingerprints(df, "text", "doc_id", k=8, window=4)
     got = {r["doc_id"] for r in out.collect()}
     assert got == {2}
+
+
+def test_content_dedup_preserves_caller_underscore_columns(spark):
+    # content_dedup / incremental_content_dedup use free_name for their
+    # helper columns, so a caller frame already carrying _fp/_rn/_keep_id
+    # keeps them (round-5 review finding).
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text", "a"), (2, "same text", "b"), (3, "other", "c")],
+        ["doc_id", "text", "_fp"],
+    ).withColumn("_rn", F.lit("keepme"))
+    out = dedup.content_dedup(df, "text", "doc_id")
+    rows = {r.doc_id: (r._fp, r._rn) for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1] == ("a", "keepme")
+
+
+def test_incremental_content_dedup_with_fp_column(spark, tmp_path):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha", "x"), (2, "alpha", "y")], ["doc_id", "text", "_fp"]
+    )
+    b2 = spark.createDataFrame([(3, "alpha", "z"), (4, "beta", "w")], ["doc_id", "text", "_fp"])
+    store = str(tmp_path / "fpstore")
+    out1 = dedup.incremental_content_dedup(spark, b1, store)
+    assert {(r.doc_id, r._fp) for r in out1.collect()} == {(1, "x")}
+    out2 = dedup.incremental_content_dedup(spark, b2, store)
+    assert {(r.doc_id, r._fp) for r in out2.collect()} == {(4, "w")}
+
+
+def test_fresh_result_dir_is_private_per_call(tmp_path):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.plans.workdirs import (
+        fresh_result_dir,
+    )
+
+    a, b = fresh_result_dir("t"), fresh_result_dir("t")
+    assert a != b
+    import os
+
+    assert not os.path.exists(a) and not os.path.exists(b)  # writer creates
+    assert os.path.isdir(os.path.dirname(a)) and os.path.isdir(os.path.dirname(b))
