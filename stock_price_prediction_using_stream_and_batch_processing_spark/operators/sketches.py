@@ -103,3 +103,61 @@ def refresh_hll_fine(
         partition_col,
         table_desc="sketch table",
     )
+
+
+def cms_table(
+    tokens: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of a token stream as a (row, bucket, n) table —
+    depth×width counters, built with ONE aggregate over the exploded
+    tokens (each occurrence contributes to ``depth`` counters via an
+    explode of its row indexes; map-side combine ships at most
+    depth×width partial rows per partition regardless of corpus size).
+
+    Unlike the HLL family, every counter is DETERMINISTIC given the
+    md5-derived hash functions — h_i(t) = int(md5(i ‖ ':' ‖ t)[:8hex])
+    mod width — so the sketch, and any estimate read from it, has an
+    exact engine-portable SQL twin: the first sketch in the engine with
+    a full value-level oracle rather than an invariant-only check.
+
+    Scale: the sketch is O(depth×width) — kilobytes — independent of
+    corpus size; counters are mergeable by addition, so partials roll
+    up across partitions, days, or snapshots like the OHLC/HLL stores
+    (a maintenance job appends partial tables and sums on read)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    t = tokens.select(F.col(token_col).alias("_tok"), rows)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("row"), F.col("_tok"))), 1, 8), 16, 10).cast("long"),
+        F.lit(width),
+    )
+    return (
+        t.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimates(
+    cms: DataFrame,
+    probes: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each probe token against the sketch: min over the
+    ``depth`` counters the token hashes into (the count-min guarantee:
+    estimate ≥ true count always; ≤ true + εN with prob 1−δ for
+    ε=e/width, δ=e^−depth — pinned in tests/test_approx.py). The
+    sketch side is tiny, so the probe join broadcasts it."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    p = probes.select(F.col(token_col), rows)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("row"), F.col(token_col))), 1, 8), 16, 10).cast("long"),
+        F.lit(width),
+    )
+    p = p.select(F.col(token_col), F.col("row"), bucket.alias("bucket"))
+    joined = p.join(F.broadcast(cms), ["row", "bucket"], "left").na.fill({"n": 0})
+    return joined.groupBy(token_col).agg(F.min("n").alias("cms_count"))

@@ -979,3 +979,63 @@ def incremental_near_dup_docs(spark, sf_dir):
             spark, batch, store, num_hashes=8, bands=4
         ),
     )
+
+
+@register(
+    "cms_token_counts_docs",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    ex AS MATERIALIZED (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    probes AS MATERIALIZED (SELECT tok, n FROM ex ORDER BY n DESC, tok LIMIT 20),
+    hrows AS (SELECT unnest(range(4)) AS hrow),
+    cms AS MATERIALIZED (
+      SELECT hrow,
+             ('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 1024 AS bucket,
+             COUNT(*) AS n
+      FROM toks CROSS JOIN hrows GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT p.tok, p.n AS exact_count, r.hrow,
+             ('0x' || substr(md5(CAST(r.hrow AS VARCHAR) || ':' || p.tok), 1, 8))::BIGINT % 1024 AS bucket
+      FROM probes p CROSS JOIN hrows r
+    )
+    SELECT pb.tok AS token,
+           CAST(MIN(pb.exact_count) AS BIGINT) AS exact_count,
+           CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS cms_count
+    FROM pb LEFT JOIN cms c ON c.hrow = pb.hrow AND c.bucket = pb.bucket
+    GROUP BY pb.tok
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "approx"),
+    driver=False,
+)
+def cms_token_counts_docs(spark, sf_dir):
+    """Count-min sketch point estimates vs exact counts for the
+    corpus's top-20 tokens (operators/sketches.cms_table /
+    cms_estimates, depth 4 × width 1024). Every counter derives from
+    md5 — deterministic and engine-portable — so unlike the HLL/KLL
+    family this sketch has a FULL value-level oracle: DuckDB rebuilds
+    the identical d×w counter table and reads the identical minima.
+    The count-min guarantee (estimate ≥ exact; ≤ exact + εN w.h.p.) is
+    additionally pinned as an invariant in tests/test_approx.py. At
+    100 TB the sketch is still depth×width counters — kilobytes — and
+    counters merge by addition, so partials roll up across partitions
+    and snapshots like the OHLC/HLL stores."""
+    from ..functions import text as textfn
+    from ..operators import sketches
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(textfn.tokens("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(F.col("exact_count").desc(), F.col("tok")).limit(20)
+    cms = sketches.cms_table(toks, "tok", depth=4, width=1024)
+    est = sketches.cms_estimates(cms, probes.select("tok"), "tok", depth=4, width=1024)
+    return (
+        probes.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cms_count").cast("long").alias("cms_count"),
+        )
+    )

@@ -106,3 +106,39 @@ def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
     # replay: merging the whole input AGAIN must not move any estimate
     sketches.refresh_hll_fine(spark, store, ev, "ts", "user_id")
     assert daily(spark.read.parquet(store)) == direct
+
+
+def test_cms_guarantees_and_mergeability(spark):
+    # Count-min invariants on a corpus with known counts: estimate >= exact
+    # for EVERY token (not just probes), the overestimate is bounded by
+    # eps*N with eps = e/width at the default width, and sketch partials
+    # merge by addition (sum of per-half counters == full-corpus sketch).
+    import math
+
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(i, words[i % 5]) for i in range(2000)] + [(9000 + i, "alpha") for i in range(500)]
+    toks = spark.createDataFrame(rows, ["i", "tok"])
+    depth, width = 4, 256
+    cms = sketches.cms_table(toks, "tok", depth=depth, width=width)
+    probes = toks.select("tok").distinct()
+    est = {r.tok: r.cms_count for r in sketches.cms_estimates(cms, probes, "tok", depth, width).collect()}
+    exact = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    eps = math.e / width
+    for t, n in exact.items():
+        assert est[t] >= n, (t, est[t], n)
+        assert est[t] <= n + eps * n_total * 3, (t, est[t], n)  # generous slack
+
+    # mergeability: counters of the halves sum to the full sketch
+    h1 = sketches.cms_table(toks.filter(F.col("i") % 2 == 0), "tok", depth, width)
+    h2 = sketches.cms_table(toks.filter(F.col("i") % 2 == 1), "tok", depth, width)
+    merged = (
+        h1.unionByName(h2).groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    )
+    full = {(r.row, r.bucket): r.n for r in cms.collect()}
+    got = {(r.row, r.bucket): r.n for r in merged.collect()}
+    assert got == full
