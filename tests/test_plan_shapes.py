@@ -196,3 +196,52 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cms_table_partial_aggregation(spark):
+    # The count-min counter build must map-side combine: the shuffle
+    # carries at most depth*width partial rows per partition, never the
+    # token stream. Two HashAggregates (partial + final) around one
+    # Exchange is the required shape.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+    from stock_price_prediction_using_stream_and_batch_processing_spark.functions import text as textfn
+
+    toks = load_table(spark, SF, "documents").select(
+        F.explode(textfn.tokens("text")).alias("tok")
+    )
+    cms = sketches.cms_table(toks, "tok", depth=4, width=256)
+    plan = cms._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_exact_rep_collapse_single_shuffle(spark):
+    # The dedup-first pre-stage must cost ONE corpus shuffle (window by
+    # fingerprint), not an aggregate + join-back pair.
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    reps = dedup.exact_rep_collapse(d, "text", "doc_id")
+    plan = reps._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_incremental_dedup_store_is_digest_only(spark, tmp_path):
+    # The scale claim of the cross-snapshot dedup: the persisted store
+    # carries ONLY 32-hex-char fingerprints — never document text — so
+    # at 100 TB of corpus the store (and the anti-join's store side) is
+    # a tiny constant fraction. (The join plan itself is behind the
+    # pre-append localCheckpoint, so the durable artifact is the
+    # checkable surface.)
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    store = str(tmp_path / "fp_store")
+    dedup.incremental_content_dedup(spark, d.limit(50), store)
+    stored = spark.read.parquet(store)
+    assert [f.name for f in stored.schema.fields] == ["fp"]
+    assert stored.filter(F.length("fp") != 32).count() == 0
