@@ -161,3 +161,74 @@ def cms_estimates(
     p = p.select(F.col(token_col), F.col("row"), bucket.alias("bucket"))
     joined = p.join(F.broadcast(cms), ["row", "bucket"], "left").na.fill({"n": 0})
     return joined.groupBy(token_col).agg(F.min("n").alias("cms_count"))
+
+
+def cms_fine_tables(
+    df: DataFrame,
+    ts_col: str,
+    token_col: str,
+    fine: str = "hour",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """One count-min counter table PER fine time bucket —
+    (bucket_start, hrow, bucket, n) rows, the CMS analogue of
+    ``hll_fine_sketches``: what a maintenance job persists, and what
+    coarser resolutions derive from by SUMMING counters (addition is
+    the CMS merge). One aggregate, map-side combined; at most
+    depth×width non-zero counters per bucket regardless of traffic."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hrow")
+    t = df.select(
+        F.date_trunc(fine, F.col(ts_col)).alias("bucket_start"),
+        F.col(token_col).alias("_tok"),
+        rows,
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("hrow"), F.col("_tok"))), 1, 8), 16, 10).cast("long"),
+        F.lit(width),
+    )
+    return (
+        t.select("bucket_start", "hrow", bucket.alias("bucket"))
+        .groupBy("bucket_start", "hrow", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def refresh_cms_fine(
+    spark,
+    cms_path: str,
+    new_raw: DataFrame,
+    ts_col: str,
+    token_col: str,
+    fine: str = "hour",
+    depth: int = 4,
+    width: int = 1024,
+    partition_col: str | None = "part_date",
+) -> int:
+    """Incremental maintenance of the MATERIALIZED per-bucket CMS table:
+    only the new batch's rows are counted; their partial counters ADD
+    into the stored counters of exactly the affected
+    (bucket_start, hrow, bucket) keys, and only touched date partitions
+    rewrite (operators/maintenance.refresh_partials scaffolding, shared
+    with the bar and HLL stores).
+
+    Addition commutes and associates, so the final table is IDENTICAL
+    to a one-shot aggregation for ANY split of the input — including
+    late data. UNLIKE the HLL store, a replayed foreachBatch epoch
+    would DOUBLE-COUNT (addition is not idempotent): stream drivers
+    must wrap calls in an epoch-marker guard, exactly like the bar
+    table (streaming/pipeline.maintain_bars_batch pattern)."""
+    from .maintenance import refresh_partials
+
+    batch = cms_fine_tables(new_raw, ts_col, token_col, fine, depth, width)
+    return refresh_partials(
+        spark,
+        cms_path,
+        batch,
+        ["bucket_start", "hrow", "bucket"],
+        lambda existing, b: existing.unionByName(b)
+        .groupBy("bucket_start", "hrow", "bucket")
+        .agg(F.sum("n").alias("n")),
+        partition_col,
+        table_desc="cms table",
+    )

@@ -334,7 +334,7 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
         q = (
             src.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
-            .foreachBatch(lambda batch_df, epoch_id: maint_fn(batch_df, store))
+            .foreachBatch(lambda batch_df, epoch_id: maint_fn(batch_df, store, epoch_id))
             .trigger(availableNow=True)
             .start()
         )
@@ -376,7 +376,7 @@ def stream_ohlc_maintenance(spark, sf_dir):
     write a single-batch stream would take."""
     from ..operators.windows import refresh_ohlc_fine
 
-    def maint(batch_df, store):
+    def maint(batch_df, store, epoch_id):
         refresh_ohlc_fine(
             spark, store, batch_df,
             key="user_id", ts="ts", value="value", seq="event_id", duration="1 hour",
@@ -463,10 +463,63 @@ def stream_sketch_maintenance(spark, sf_dir):
     genuinely executes."""
     from ..operators import sketches
 
-    def maint(batch_df, store):
+    def maint(batch_df, store, epoch_id):
         sketches.refresh_hll_fine(spark, store, batch_df, "ts", "user_id")
 
     store = _run_maintenance_stream(spark, sf_dir, "sketch", maint)
     return sketches.hll_rollup(spark.read.parquet(store), "day").select(
         F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), "approx_distinct"
+    )
+
+
+@register(
+    "stream_cms_maintenance",
+    oracle="""
+    WITH hrows AS (SELECT unnest(range(4)) AS hrow)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(h.hrow AS INTEGER) AS hrow,
+           ('0x' || substr(md5(CAST(h.hrow AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket,
+           COUNT(*) AS n
+    FROM events CROSS JOIN hrows h
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "sketch", "count-min", "continuous-aggregate"),
+    driver=False,
+)
+def stream_cms_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the materialized per-hour count-min
+    table (operators/sketches.refresh_cms_fine), VALUE-ORACLE-CHECKED —
+    the first streaming sketch row with a full differential rather than
+    rows-only: CMS counters are md5-deterministic and merge by
+    addition, so the final table is IDENTICAL to the one-shot SQL
+    aggregation for ANY micro-batch split of the stream. Addition is
+    NOT replay-idempotent (unlike the HLL union), so each epoch merge
+    sits behind an epoch-marker guard, exactly the bar-table pattern
+    (streaming/pipeline.maintain_bars_batch). Four-file split so the
+    counter-ADD merge path (not just bootstrap) genuinely executes."""
+    from ..operators import sketches
+
+    def maint(batch_df, store, epoch_id):
+        marker = store + "_last_epoch"
+        try:
+            with open(marker) as f:
+                last = int(f.read().strip())
+        except (OSError, ValueError):
+            last = -1
+        if epoch_id <= last:
+            return
+        sketches.refresh_cms_fine(
+            spark, store, batch_df, "ts", "user_id", fine="hour", depth=4, width=256
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(epoch_id)))
+        os.replace(tmp, marker)
+
+    store = _run_maintenance_stream(spark, sf_dir, "cms", maint)
+    return spark.read.parquet(store).select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("hrow").cast("int").alias("hrow"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
     )
