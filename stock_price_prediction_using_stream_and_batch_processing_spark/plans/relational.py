@@ -1065,3 +1065,62 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "upsert_latest_order_per_customer",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+             o_orderkey % 3 AS bid,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderkey % 3 DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+    FROM u WHERE rn = 1
+    """,
+    tags=("upsert", "merge", "maintenance", "storage"),
+    driver=False,
+)
+def upsert_latest_order_per_customer(spark, sf_dir):
+    """Batch MERGE/upsert into a keyed parquet table of record
+    (operators/upsert.merge_into_parquet), oracle-checked end to end:
+    the orders table arrives as THREE update batches (``o_orderkey %
+    3`` — later batches REPLACE earlier rows for customers they touch),
+    each deduped to its newest order per customer and merged into a
+    customer-keyed store (matching keys replaced, new keys inserted).
+    The final store is exactly "each customer's newest order from the
+    LAST batch that mentioned them" — the row_number oracle. This is
+    the plain-parquet MERGE pattern every materialized store here
+    builds on (anti-join out replaced keys → union → materialize →
+    overwrite); at scale the time-partitioned variant rewrites only
+    touched partitions (pinned in tests/test_upsert.py), while this
+    keyed-store shape exercises the flat full-table path."""
+    from ..operators.upsert import merge_into_parquet
+    from .workdirs import fresh_result_dir
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    store = fresh_result_dir("upsert_orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for b in range(3):
+            upd = (
+                o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == b)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if b == 0:
+                upd.write.parquet(store)
+            else:
+                merge_into_parquet(spark, store, upd, ["o_custkey"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(store)
