@@ -60,3 +60,55 @@ def zorder_value_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = layout.zorder_value(ev, ["user_id", "value"], bits=_BITS)
     return out.select("event_id", "zval")
+
+
+@register(
+    "storage_lifecycle_events",
+    oracle="""
+    WITH keep AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+      ORDER BY d DESC LIMIT 5
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM events WHERE CAST(ts AS DATE) IN (SELECT d FROM keep)
+    """,
+    tags=("storage", "retention", "compaction", "layout", "maintenance"),
+    driver=False,
+)
+def storage_lifecycle_events(spark, sf_dir):
+    """The storage-lifecycle pipeline end to end, oracle-checked: write
+    events to the date-partitioned, (key, ts)-clustered table layout
+    (sources/sinks.write_partitioned_ticks), EXPIRE all but the newest
+    five date partitions (retention as directory deletes — surviving
+    partitions untouched, zero rewrite), then COMPACT the survivors
+    (one file per partition — streaming sinks accrete per-epoch small
+    files; compaction restores big-file scans). The surviving rows must
+    equal the oracle's newest-five-dates filter exactly — pinning that
+    retention deletes whole partitions and only the right ones, and
+    that compaction is a pure rewrite. At 100 TB: retention cost is
+    O(dropped dirs), compaction cost is O(surviving data), and neither
+    touches row content."""
+    from ..sources.sinks import compact, expire_partitions, read_ticks, write_partitioned_ticks
+    from .workdirs import fresh_result_dir
+
+    store = fresh_result_dir("storage_lifecycle")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_partitioned_ticks(ev, store, ts="ts", key="user_id", mode="overwrite")
+        # newest 5 dates; tiny driver list — the same partition-value
+        # listing every dynamic-overwrite caller does
+        dates = [
+            r.d for r in ev.select(F.to_date("ts").alias("d")).distinct()
+            .orderBy(F.col("d").desc()).limit(5).collect()
+        ]
+        expire_partitions(spark, store, "date", dates)
+        compact(spark, store, "date")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_ticks(spark, store).select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"), "value",
+    )
