@@ -76,6 +76,13 @@ HEADLINE = [
     # batch face of incremental continuous-aggregate maintenance
     "bloom_pruned_join_part_lineitem",
     "ohlc_incremental_refresh_events",
+    # round-5 (cont.): cross-snapshot incremental near-dup (3-batch
+    # store evolution), count-min estimates, keyed MERGE/upsert, and
+    # the storage lifecycle (partitioned write -> expiry -> compaction)
+    "incremental_near_dup_docs",
+    "cms_token_counts_docs",
+    "upsert_latest_order_per_customer",
+    "storage_lifecycle_events",
 ]
 
 

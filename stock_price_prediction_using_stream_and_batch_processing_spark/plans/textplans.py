@@ -798,10 +798,20 @@ def _run_incremental_batches(spark, sf_dir, prefix, admit_fn, n_batches=3):
 
     store = fresh_result_dir(prefix)
     d = load_table(spark, sf_dir, "documents")
-    parts = []
-    for b in range(n_batches):
-        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
-        parts.append(admit_fn(batch, store))
+    # per-batch stores are tiny; a session-sized shuffle count (32/200)
+    # makes every store join/aggregate pay empty-partition overhead —
+    # pin small while the batches run (same rationale as the streaming
+    # maintenance scaffold). The admitted frames are localCheckpointed
+    # inside the operators, so restoring afterwards is safe.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        parts = []
+        for b in range(n_batches):
+            batch = d.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+            parts.append(admit_fn(batch, store))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
