@@ -105,6 +105,20 @@ def refresh_hll_fine(
     )
 
 
+def _cms_bucket(row_col, tok_col, width: int):
+    """The CMS hash: h_row(tok) = int(md5(row ‖ ':' ‖ tok)[:8 hex]) mod
+    width. ONE definition shared by build (``cms_table`` /
+    ``cms_fine_tables``) and probe (``cms_estimates``) — estimate
+    correctness and every SQL oracle depend on all sites computing the
+    identical expression, so there is exactly one."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(row_col), F.col(tok_col))), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
 def cms_table(
     tokens: DataFrame,
     token_col: str,
@@ -129,10 +143,7 @@ def cms_table(
     (a maintenance job appends partial tables and sums on read)."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     t = tokens.select(F.col(token_col).alias("_tok"), rows)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("row"), F.col("_tok"))), 1, 8), 16, 10).cast("long"),
-        F.lit(width),
-    )
+    bucket = _cms_bucket("row", "_tok", width)
     return (
         t.select("row", bucket.alias("bucket"))
         .groupBy("row", "bucket")
@@ -154,11 +165,7 @@ def cms_estimates(
     sketch side is tiny, so the probe join broadcasts it."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     p = probes.select(F.col(token_col), rows)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("row"), F.col(token_col))), 1, 8), 16, 10).cast("long"),
-        F.lit(width),
-    )
-    p = p.select(F.col(token_col), F.col("row"), bucket.alias("bucket"))
+    p = p.select(F.col(token_col), F.col("row"), _cms_bucket("row", token_col, width).alias("bucket"))
     joined = p.join(F.broadcast(cms), ["row", "bucket"], "left").na.fill({"n": 0})
     return joined.groupBy(token_col).agg(F.min("n").alias("cms_count"))
 
@@ -183,12 +190,8 @@ def cms_fine_tables(
         F.col(token_col).alias("_tok"),
         rows,
     )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("hrow"), F.col("_tok"))), 1, 8), 16, 10).cast("long"),
-        F.lit(width),
-    )
     return (
-        t.select("bucket_start", "hrow", bucket.alias("bucket"))
+        t.select("bucket_start", "hrow", _cms_bucket("hrow", "_tok", width).alias("bucket"))
         .groupBy("bucket_start", "hrow", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -252,8 +252,13 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     """Shared scaffold for the streaming-maintenance queries: split the
     events table into FOUR files (so maxFilesPerTrigger=1 genuinely
     exercises the per-epoch merge path, not just the bootstrap write),
-    stream them through ``maint_fn(batch_df, store_path)``, and return
-    the store path. The split-source cache dir is keyed by the FIXTURE
+    stream them through ``maint_fn(batch_df, store_path, epoch_id)``,
+    and return the store path. Session confs (UTC timezone, nanos
+    handling) are pinned HERE explicitly: on a warm split cache this
+    scaffold never calls ``load_table``, so a hostile driver session
+    (non-UTC tz) reaching a maintenance query first would otherwise
+    render every bucket_start shifted — reproduced as a full-query
+    mismatch before the explicit pin. The split-source cache dir is keyed by the FIXTURE
     FINGERPRINT (sf_dir path + mtime+size of every parquet part under
     events/) and SHARED across queries and runs — a regenerated fixture
     changes the key, so a stale split can never silently feed the
@@ -271,7 +276,9 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     import tempfile
     import time
 
-    from ..sources.tables import parquet_table_exists
+    from ..sources.tables import ensure_session_confs, parquet_table_exists
+
+    ensure_session_confs(spark)
 
     dir_hash = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fp = hashlib.md5()
@@ -499,22 +506,16 @@ def stream_cms_maintenance(spark, sf_dir):
     counter-ADD merge path (not just bootstrap) genuinely executes."""
     from ..operators import sketches
 
+    from ..streaming.pipeline import advance_epoch_marker, read_epoch_marker
+
     def maint(batch_df, store, epoch_id):
-        marker = store + "_last_epoch"
-        try:
-            with open(marker) as f:
-                last = int(f.read().strip())
-        except (OSError, ValueError):
-            last = -1
-        if epoch_id <= last:
+        marker_root = store + "_marker"
+        if epoch_id <= read_epoch_marker(marker_root):
             return
         sketches.refresh_cms_fine(
             spark, store, batch_df, "ts", "user_id", fine="hour", depth=4, width=256
         )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(epoch_id)))
-        os.replace(tmp, marker)
+        advance_epoch_marker(marker_root, epoch_id)
 
     store = _run_maintenance_stream(spark, sf_dir, "cms", maint)
     return spark.read.parquet(store).select(

@@ -377,6 +377,33 @@ def read_stream_predictions(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_epoch_marker(root: str) -> int:
+    """Last merged epoch id recorded at ``root`` (the replay fence for
+    NON-idempotent foreachBatch merges — bar counters, CMS addition).
+    -1 when absent/unreadable. Local filesystem paths only — see
+    :func:`maintain_bars_batch` for the URI hazard."""
+    if "://" in root:
+        raise ValueError(f"epoch marker requires a local path, got {root!r}")
+    try:
+        with open(os.path.join(root, "_last_epoch")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def advance_epoch_marker(root: str, epoch_id: int) -> None:
+    """Atomically record ``epoch_id`` as merged (temp + ``os.replace``).
+    MUST be called only after the epoch's merge completed; a crash
+    between merge and marker re-merges one epoch on restart — the
+    documented parquet-only bound."""
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, "_last_epoch")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(epoch_id)))
+    os.replace(tmp, marker)
+
+
 def maintain_bars_batch(
     spark: SparkSession,
     bars_root: str,
@@ -419,24 +446,14 @@ def maintain_bars_batch(
         raise ValueError(
             f"maintain_bars_batch requires a local marker/checkpoint path, got {root!r}"
         )
-    marker = os.path.join(root, "_last_epoch")
-    os.makedirs(root, exist_ok=True)
-    try:
-        with open(marker) as f:
-            last = int(f.read().strip())
-    except (OSError, ValueError):
-        last = -1
-    if epoch_id <= last:
+    if epoch_id <= read_epoch_marker(root):
         return False
     os.makedirs(bars_root, exist_ok=True)
     refresh_ohlc_fine(
         spark, os.path.join(bars_root, "bars"), batch_df,
         key="symbol", ts="timestamp", value="price", seq="timestamp", duration=duration,
     )
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(int(epoch_id)))
-    os.replace(tmp, marker)
+    advance_epoch_marker(root, epoch_id)
     return True
 
 
