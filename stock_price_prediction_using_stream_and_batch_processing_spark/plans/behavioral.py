@@ -46,6 +46,9 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
     FROM s3
     """,
     tags=("behavioral", "funnel", "window"),
+    # rotation r6: driver-green r4+r5; event_transitions +
+    # retention_cohorts keep the behavioral family's driver evidence
+    driver=False,
 )
 def funnel_view_click_purchase(spark, sf_dir):
     """Strict ordered funnel view → click → purchase: chained
@@ -115,6 +118,9 @@ def event_transitions_events(spark, sf_dir):
     FROM documents
     """,
     tags=("sampling", "ordering", "shuffle"),
+    # rotation r6: driver-green r4+r5; hash_sample_docs keeps the
+    # md5-deterministic-ordering family's driver evidence
+    driver=False,
 )
 def global_shuffle_docs(spark, sf_dir):
     """Deterministic global training-order shuffle: every doc ranked by

@@ -74,7 +74,6 @@ def zorder_value_events(spark, sf_dir):
     FROM events WHERE CAST(ts AS DATE) IN (SELECT d FROM keep)
     """,
     tags=("storage", "retention", "compaction", "layout", "maintenance"),
-    driver=False,
 )
 def storage_lifecycle_events(spark, sf_dir):
     """The storage-lifecycle pipeline end to end, oracle-checked: write

@@ -41,7 +41,9 @@ def media_feature_stats(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes")
 
 
-@register("media_feature_extract", oracle=None, tags=("multimodal", "binary", "mapinpandas"))
+# rotation r6: rows-only row banked in r5; media_frame_sample /
+# media_feature_stats (full oracles) carry the multimodal driver slots
+@register("media_feature_extract", oracle=None, tags=("multimodal", "binary", "mapinpandas"), driver=False)
 def media_feature_extract(spark, sf_dir):
     """Full fake-decode feature extraction (deterministic byte-histogram
     moments — not SQL-expressible; rows-only check + exact value tests

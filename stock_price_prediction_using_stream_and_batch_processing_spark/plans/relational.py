@@ -785,6 +785,9 @@ def referential_orphans_check(spark, sf_dir):
     WHERE sd IS NOT NULL AND sd > 0 AND ABS((value - m) / sd) >= 3.0
     """,
     tags=("quality", "anomaly", "zscore"),
+    # rotation r6: driver-green r4+r5; table_profile/histogram keep the
+    # quality family's driver evidence
+    driver=False,
 )
 def outlier_events_zscore(spark, sf_dir):
     """Per-segment anomaly gate: events whose value sits ≥3 sample
@@ -1083,7 +1086,6 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
     FROM u WHERE rn = 1
     """,
     tags=("upsert", "merge", "maintenance", "storage"),
-    driver=False,
 )
 def upsert_latest_order_per_customer(spark, sf_dir):
     """Batch MERGE/upsert into a keyed parquet table of record

@@ -458,6 +458,9 @@ def stream_session_counts(spark, sf_dir):
     oracle=None,  # sketch estimates have no DuckDB twin; stream==batch
     # and replay-idempotency are pinned bit-for-bit in test_approx.py
     tags=("streaming", "sketch", "hll", "continuous-aggregate"),
+    # rotation r6: rows-only row banked in r5; stream_cms_maintenance
+    # (full value oracle) carries the streaming-sketch driver slot
+    driver=False,
 )
 def stream_sketch_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized distinct-count sketch
@@ -491,7 +494,6 @@ def stream_sketch_maintenance(spark, sf_dir):
     GROUP BY 1, 2, 3
     """,
     tags=("streaming", "sketch", "count-min", "continuous-aggregate"),
-    driver=False,
 )
 def stream_cms_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized per-hour count-min
