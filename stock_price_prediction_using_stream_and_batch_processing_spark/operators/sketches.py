@@ -197,6 +197,51 @@ def cms_fine_tables(
     )
 
 
+def cms_rollup_tables(fine: DataFrame, coarse: str = "day") -> DataFrame:
+    """Coarse-resolution CMS counter tables from fine-level partials
+    ONLY — no raw-data rescan (the count-min analogue of
+    ``hll_rollup``): counters merge by ADDITION, which commutes and
+    associates, so summing each (hrow, bucket) across the fine buckets
+    inside a coarse bucket yields a table IDENTICAL to one built
+    directly over raw data at the coarse resolution. At 100 TB the
+    day/week levels read kilobyte counter tables, not the corpus; and
+    unlike HLL the identity is value-exact, so it carries a full SQL
+    oracle (plans/timeseries.cms_rollup_daily_tokens)."""
+    coarse_bucket = F.date_trunc(coarse, F.col("bucket_start"))
+    return (
+        fine.groupBy(coarse_bucket.alias("bucket_start"), "hrow", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_bucket_estimates(
+    cms_tables: DataFrame,
+    probes: DataFrame,
+    token_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-(bucket_start, token) point estimates against a PER-BUCKET
+    CMS table (``cms_fine_tables`` / ``cms_rollup_tables`` output):
+    min over the ``depth`` counters each probe token hashes into,
+    within every time bucket. A probe token absent from a bucket's
+    counters reads 0 — the left join + fill keeps the count-min
+    guarantee (estimate ≥ true count) per bucket. The probe grid is
+    |buckets| × |probes| × depth rows — both factors are tiny by
+    construction (probes are a curated token list; buckets are time
+    resolutions), so the crossJoin broadcasts and never touches the
+    corpus."""
+    buckets = cms_tables.select("bucket_start").distinct()
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hrow")
+    p = probes.select(F.col(token_col), rows)
+    p = p.select(
+        F.col(token_col), F.col("hrow"), _cms_bucket("hrow", token_col, width).alias("bucket")
+    )
+    grid = buckets.crossJoin(F.broadcast(p))
+    joined = grid.join(cms_tables, ["bucket_start", "hrow", "bucket"], "left").na.fill({"n": 0})
+    return joined.groupBy("bucket_start", token_col).agg(F.min("n").alias("cms_count"))
+
+
 def refresh_cms_fine(
     spark,
     cms_path: str,

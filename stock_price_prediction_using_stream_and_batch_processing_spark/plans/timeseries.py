@@ -547,6 +547,9 @@ def returns_volatility_per_user(spark, sf_dir):
     "hll_rollup_daily_users",
     oracle=None,
     tags=("sketch", "rollup", "approx", "timeseries"),
+    # rotation r6: rows-only row banked in r5; the value-checkable CMS
+    # rollup twin carries the driver slot now (cms_rollup_daily_tokens)
+    driver=False,
 )
 def hll_rollup_daily_users(spark, sf_dir):
     """Daily distinct-user estimates derived from HOURLY HyperLogLog
@@ -560,6 +563,84 @@ def hll_rollup_daily_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     fine = sketches.hll_fine_sketches(ev, "ts", "user_id", fine="hour")
     return sketches.hll_rollup(fine, coarse="day").orderBy("bucket_start")
+
+
+@register(
+    "cms_rollup_daily_tokens",
+    oracle="""
+    WITH hrows AS (SELECT unnest(range(4)) AS hrow),
+    ex AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS token,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT token, SUM(n) AS tn FROM ex GROUP BY token),
+    probes AS (SELECT token FROM tot ORDER BY tn DESC, token LIMIT 10),
+    cms AS MATERIALIZED (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, hrow,
+             ('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket,
+             COUNT(*) AS n
+      FROM events CROSS JOIN hrows GROUP BY 1, 2, 3
+    ),
+    pb AS (
+      SELECT p.token, r.hrow,
+             ('0x' || substr(md5(CAST(r.hrow AS VARCHAR) || ':' || p.token), 1, 8))::BIGINT % 256 AS bucket
+      FROM probes p CROSS JOIN hrows r
+    ),
+    est AS (
+      SELECT d.day, pb.token, MIN(COALESCE(c.n, 0)) AS cms_count
+      FROM (SELECT DISTINCT day FROM cms) d
+      CROSS JOIN pb
+      LEFT JOIN cms c ON c.day = d.day AND c.hrow = pb.hrow AND c.bucket = pb.bucket
+      GROUP BY d.day, pb.token
+    )
+    SELECT e.day, e.token, CAST(e.n AS BIGINT) AS exact_count,
+           CAST(est.cms_count AS BIGINT) AS cms_count
+    FROM ex e
+    JOIN est ON est.day = e.day AND est.token = e.token
+    """,
+    tags=("sketch", "count-min", "rollup", "timeseries"),
+)
+def cms_rollup_daily_tokens(spark, sf_dir):
+    """DAILY count-min point estimates derived from HOURLY CMS counter
+    partials (operators/sketches.cms_fine_tables → cms_rollup_tables →
+    cms_bucket_estimates) — the value-oracled twin of
+    ``hll_rollup_daily_users``: raw events are scanned ONCE into hourly
+    d×w counter tables; the day level SUMS counters (addition is the
+    CMS merge, exact for any split), so the coarse estimates are
+    bit-identical to a direct day-level build — which is exactly what
+    the DuckDB oracle computes. Probes are the global top-10 users
+    (tie-broken by token); output compares each probe's per-day exact
+    count with its rolled-up CMS estimate. At 100 TB the rollup reads
+    kilobyte partials, never the raw history."""
+    from ..operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("token")
+    )
+    exact_day = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "token"
+    ).agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = (
+        ev.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_tn"))
+        .orderBy(F.col("_tn").desc(), "token")
+        .limit(10)
+        .select("token")
+    )
+    fine = sketches.cms_fine_tables(ev, "ts", "token", fine="hour", depth=4, width=256)
+    daily = sketches.cms_rollup_tables(fine, coarse="day")
+    est = sketches.cms_bucket_estimates(daily, probes, "token", depth=4, width=256)
+    est = est.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), "token", "cms_count"
+    )
+    return exact_day.join(est, ["day", "token"]).select(
+        "day",
+        "token",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("cms_count").cast("long").alias("cms_count"),
+    )
 
 
 @register(
