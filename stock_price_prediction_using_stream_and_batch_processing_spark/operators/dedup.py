@@ -525,6 +525,36 @@ def ngram_contamination(
     )
 
 
+def store_cross_candidates(
+    new_bands: DataFrame,
+    store_bands: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The new×store LSH candidate join of :func:`incremental_near_dup`:
+    (_new_id, _old_id) pairs of new-batch docs sharing a band key with
+    an ADMITTED doc. ``max_bucket_size`` caps band buckets on BOTH
+    sides before the join — the guard for the one cost term that grows
+    with store size: per-bucket fan-in is |new ∩ bucket| × |store ∩
+    bucket|, so a boilerplate band key accumulating members across
+    snapshots turns one bucket into an unbounded cross product (a
+    planted 5k-member store bucket × 100 new docs is 500k candidates
+    from ONE key — tests/test_dedup.py pins the bound). Capping loses
+    recall only on those degenerate keys, where LSH carries no signal
+    anyway — the same trade ``minhash_lsh_pairs`` makes in-batch.
+    Factored out of the operator so the bound is directly testable."""
+    from .maintenance import cap_bucket_size
+
+    nb = cap_bucket_size(new_bands, "band_key", max_bucket_size)
+    sb = cap_bucket_size(store_bands, "band_key", max_bucket_size)
+    return (
+        nb.select(F.col(id_col).alias("_new_id"), "band_key")
+        .join(sb.select(F.col(id_col).alias("_old_id"), "band_key"), "band_key")
+        .select("_new_id", "_old_id")
+        .distinct()
+    )
+
+
 def incremental_near_dup(
     spark,
     new_docs: DataFrame,
@@ -586,15 +616,8 @@ def incremental_near_dup(
         store_bands = spark.read.parquet(bands_path)
         store_digests = spark.read.parquet(f"{store_path}/shingles")
         store_sizes = spark.read.parquet(f"{store_path}/sizes")
-        from .maintenance import cap_bucket_size
-
-        nb = cap_bucket_size(new_bands, "band_key", max_bucket_size)
-        sb = cap_bucket_size(store_bands, "band_key", max_bucket_size)
-        cross_cands = (
-            nb.select(F.col(id_col).alias("_new_id"), "band_key")
-            .join(sb.select(F.col(id_col).alias("_old_id"), "band_key"), "band_key")
-            .select("_new_id", "_old_id")
-            .distinct()
+        cross_cands = store_cross_candidates(
+            new_bands, store_bands, id_col, max_bucket_size
         )
         inter = (
             cross_cands.join(

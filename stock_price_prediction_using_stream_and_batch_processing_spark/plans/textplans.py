@@ -985,8 +985,17 @@ def incremental_near_dup_docs(spark, sf_dir):
     near_dup_filter's."""
     return _run_incremental_batches(
         spark, sf_dir, "inc_near_dup",
+        # max_bucket_size=64 wires the store-join fan-in guard
+        # (operators/dedup.store_cross_candidates): the ONE cost term
+        # that grows with the admitted store is per-band-bucket
+        # membership, and the cap bounds it. 64 is >5× the densest
+        # band bucket either fixture produces (measured max 12 at
+        # sf0.1, 3 at sf0.01), so the cap cannot trigger here and the
+        # oracle is unaffected — it exists to bound degenerate
+        # boilerplate keys at corpus scale (adversarial-store bound
+        # pinned in tests/test_dedup.py).
         lambda batch, store: dedup.incremental_near_dup(
-            spark, batch, store, num_hashes=8, bands=4
+            spark, batch, store, num_hashes=8, bands=4, max_bucket_size=64
         ),
     )
 
@@ -1018,7 +1027,6 @@ def incremental_near_dup_docs(spark, sf_dir):
     GROUP BY pb.tok
     """,
     tags=("sketch", "count-min", "heavy-hitters", "approx"),
-    driver=False,
 )
 def cms_token_counts_docs(spark, sf_dir):
     """Count-min sketch point estimates vs exact counts for the

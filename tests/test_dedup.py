@@ -290,3 +290,58 @@ def test_incremental_near_dup_matches_oneshot_on_single_batch(spark, tmp_path, d
     inc = {r.doc_id for r in dedup.incremental_near_dup(spark, docs, store).collect()}
     one = {r.doc_id for r in dedup.near_dup_filter(docs, "text", "doc_id").collect()}
     assert inc == one
+
+
+def test_incremental_near_dup_store_bucket_cap(spark, tmp_path):
+    """The store-join fan-in guard (operators/dedup.store_cross_candidates,
+    wired into the registered query with max_bucket_size=64): a
+    boilerplate band key that accumulated a MEGA-FAMILY in the admitted
+    STORE must not turn one bucket into an unbounded cross product
+    against every new batch. Plants 5,000 store members on one of the
+    new doc's real band keys (digest-disjoint, so every candidate is an
+    LSH false positive) and checks: uncapped -> 5,000 candidates from
+    the one key; capped -> 0, legit small buckets untouched, and the
+    admitted result IDENTICAL (the cap only skipped doomed
+    verifications)."""
+    from pyspark.sql import functions as F
+
+    new_docs = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    new_bands = dedup.lsh_band_keys(new_docs, "text", "doc_id", num_hashes=8, bands=4)
+    hot_key = new_bands.limit(1).collect()[0]["band_key"]
+
+    store = str(tmp_path / "nd_adversarial")
+    mega = spark.range(10_000, 15_000).select(
+        F.col("id").alias("doc_id"), F.lit(hot_key).alias("band_key")
+    )
+    mega.write.parquet(f"{store}/bands")
+    # digest-disjoint store docs: single unrelated shingle digest each
+    spark.range(10_000, 15_000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("sh")
+    ).write.parquet(f"{store}/shingles")
+    spark.range(10_000, 15_000).select(
+        F.col("id").alias("doc_id"), F.lit(1).cast("long").alias("n_sh")
+    ).write.parquet(f"{store}/sizes")
+
+    store_bands = spark.read.parquet(f"{store}/bands")
+    uncapped = dedup.store_cross_candidates(new_bands, store_bands, "doc_id", None)
+    assert uncapped.count() == 5_000  # the quadratic hazard, measured
+    capped = dedup.store_cross_candidates(new_bands, store_bands, "doc_id", 64)
+    assert capped.count() == 0  # mega-bucket dropped on both sides
+
+    # a legit small bucket must survive the cap
+    small_store = spark.createDataFrame(
+        [(20_000, hot_key + "x"), (20_001, hot_key + "x")], ["doc_id", "band_key"]
+    )
+    small_new = spark.createDataFrame([(2, hot_key + "x")], ["doc_id", "band_key"])
+    kept = dedup.store_cross_candidates(small_new, small_store, "doc_id", 64)
+    assert kept.count() == 2
+
+    # end to end: admission is IDENTICAL with the cap (candidates were
+    # all false positives), only the doomed verification work is gone
+    out_capped = {
+        r.doc_id
+        for r in dedup.incremental_near_dup(
+            spark, new_docs, str(tmp_path / "nd_adversarial"), max_bucket_size=64
+        ).collect()
+    }
+    assert out_capped == {1}
