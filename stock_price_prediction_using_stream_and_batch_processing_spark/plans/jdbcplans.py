@@ -1,0 +1,94 @@
+"""JDBC interop queries — a LIVE external-database round-trip through
+Spark's JDBC source/sink, oracle-checked.
+
+The reference's table of record was MySQL: every micro-batch appended
+over JDBC (``/root/reference/stream_consumer.py:61-69``) and the batch
+job read the latest-k back with the sort+limit pushed into the database
+as a derived table (``/root/reference/batch_processor.py:72-79``).
+``sources/jdbc.py`` ships that surface; until round 6 it was seam-tested
+only (option plumbing). These queries execute it against a REAL
+database: embedded Apache Derby, which Spark itself ships (its Hive
+metastore engine), running in-process in the Spark JVM — a genuine
+CREATE TABLE / batched INSERT / pushed-down SELECT through the exact
+code path a MySQL deployment would use (swap url+driver, nothing else).
+
+Scale notes: the top-k never crosses the wire (ORDER BY + FETCH FIRST
+runs in the database); the write batches INSERTs per partition
+(connection fan-in == partition count); a big-table read would add the
+partitioned-read contract (partition_column/bounds — exercised against
+live Derby in tests/test_jdbc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import jdbc
+from ..sources.tables import load_table
+from .core import register
+from .workdirs import fresh_result_dir
+
+
+@register(
+    "jdbc_roundtrip_orders_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders ORDER BY o_orderkey DESC LIMIT 200
+    """,
+    tags=("jdbc", "interop", "sink", "source", "pushdown"),
+)
+def jdbc_roundtrip_orders_topk(spark, sf_dir):
+    """Orders → RDBMS → top-k back, end to end through Spark's JDBC
+    source/sink against a live embedded Derby database: write the
+    orders slice (``sources/jdbc.write_jdbc`` — the reference's S2
+    append path, with the table created by the write), then read the
+    top-200 by order key back with the sort+limit PUSHED INTO the
+    database as a derived table (``read_jdbc_latest_k`` — the
+    reference's S3 shape, ``batch_processor.py:76``; ANSI
+    ``FETCH FIRST`` + quoted identifiers because Derby case-folds
+    unquoted names while Spark's writer creates them case-exact).
+    The DuckDB oracle computes the same top-k directly from parquet, so
+    the differential verifies every value SURVIVED the round-trip:
+    bigint keys, DOUBLE prices, CHAR status, DATE dates. o_orderdate is
+    written as DATE (not timestamp) so the comparison is
+    timezone-free under any driver session timezone."""
+    jdbc.quiet_derby_log(spark)
+    db_dir = fresh_result_dir("jdbc_rt")
+    url = jdbc.derby_url(db_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    jdbc.write_jdbc(
+        src,
+        url,
+        "orders_rt",
+        user="app",
+        password="",
+        driver=jdbc.DERBY_DRIVER,
+        mode="overwrite",
+        createTableColumnTypes="o_orderstatus VARCHAR(1)",
+    )
+    back = jdbc.read_jdbc_latest_k(
+        spark,
+        url,
+        "orders_rt",
+        user="app",
+        password="",
+        driver=jdbc.DERBY_DRIVER,
+        ts_col="o_orderkey",
+        k=200,
+        limit_style="fetch",
+        ident_quote='"',
+    )
+    return back.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )

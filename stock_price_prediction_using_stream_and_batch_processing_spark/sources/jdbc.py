@@ -66,17 +66,59 @@ def pushdown_subquery(
     order_by: str | None = None,
     descending: bool = True,
     limit: int | None = None,
+    limit_style: str = "limit",
+    ident_quote: str = "",
 ) -> str:
     """Derived-table string that pushes sort+limit into the database —
     the reference's latest-k fetch shape
     (``batch_processor.py:76``: ``(SELECT * FROM stock_ticks_raw ORDER
-    BY timestamp DESC LIMIT 10000) as tmp``)."""
+    BY timestamp DESC LIMIT 10000) as tmp``).
+
+    ``limit_style``: ``"limit"`` (MySQL/Postgres/SQLite ``LIMIT n``) or
+    ``"fetch"`` (ANSI/Derby/Oracle/SQLServer ``FETCH FIRST n ROWS
+    ONLY``). ``ident_quote`` wraps the order-by column for databases
+    that fold unquoted identifiers (Derby/Postgres uppercase/lowercase
+    them, but Spark's JDBC writer CREATEs columns quoted, so the stored
+    names are case-exact): pass ``'"'`` for ANSI double quotes,
+    ``'`'`` for MySQL backticks, default unquoted."""
+    if limit_style not in ("limit", "fetch"):
+        raise ValueError(f"limit_style must be 'limit' or 'fetch', got {limit_style!r}")
     q = f"SELECT * FROM {table}"
     if order_by is not None:
-        q += f" ORDER BY {order_by} {'DESC' if descending else 'ASC'}"
+        q += f" ORDER BY {ident_quote}{order_by}{ident_quote} {'DESC' if descending else 'ASC'}"
     if limit is not None:
-        q += f" LIMIT {int(limit)}"
+        n = int(limit)
+        q += f" LIMIT {n}" if limit_style == "limit" else f" FETCH FIRST {n} ROWS ONLY"
     return f"({q}) as tmp"
+
+
+# Embedded Derby — the JDBC engine Spark itself ships (its Hive
+# metastore default), so the sandbox can run a REAL database round-trip
+# (live CREATE/INSERT/partitioned-SELECT through Spark's JDBC source)
+# with zero extra jars. Everything below is plain public Derby/Spark
+# surface; swapping url+driver for MySQL reproduces the reference's
+# exact deployment (stream_consumer.py:34-40).
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str, create: bool = True) -> str:
+    """Embedded-Derby JDBC URL for a database directory (created on
+    first connect with ``create=True``). Runs inside the Spark JVM —
+    in-process, no server — which is what makes JDBC interop testable
+    in a sandbox with no network database."""
+    suffix = ";create=true" if create else ""
+    return f"jdbc:derby:{db_dir}{suffix}"
+
+
+def quiet_derby_log(spark: SparkSession, path: str = "/tmp/derby.log") -> None:
+    """Point Derby's engine log away from the process CWD (it writes
+    ``derby.log`` wherever the JVM started, polluting the repo). Must
+    run before the first Derby class loads in the JVM; harmless if
+    Derby is already initialized or the JVM is unreachable (Connect)."""
+    try:
+        spark._jvm.java.lang.System.setProperty("derby.stream.error.file", path)
+    except AttributeError:
+        pass
 
 
 def jdbc_reader(
@@ -130,13 +172,18 @@ def read_jdbc_latest_k(
     password: str,
     ts_col: str = "timestamp",
     k: int = 10_000,
+    limit_style: str = "limit",
+    ident_quote: str = "",
     **kw,
 ) -> DataFrame:
     """Reference S3: last-k rows by timestamp with the top-k pushed into
     the database, re-sorted ascending Spark-side (folding the
     reference's client-side Pandas re-sort, ``batch_processor.py:114``,
     into the plan)."""
-    sub = pushdown_subquery(table, order_by=ts_col, descending=True, limit=k)
+    sub = pushdown_subquery(
+        table, order_by=ts_col, descending=True, limit=k,
+        limit_style=limit_style, ident_quote=ident_quote,
+    )
     df = read_jdbc(spark, url, sub, user, password, **kw)
     return df.orderBy(ts_col)
 
