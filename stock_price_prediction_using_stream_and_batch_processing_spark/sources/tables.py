@@ -85,10 +85,68 @@ def parquet_table_exists(spark: SparkSession, path: str) -> bool:
             raise
 
 
+# Fixture invariants the query corpus SILENTLY depends on — asserted
+# once per (sf_dir, table) per process so regenerated driver data that
+# drifts fails LOUDLY at first load instead of as an oracle mismatch
+# hours later (round-5 precedent: a regeneration added duplicate
+# lineitem (l_orderkey, l_linenumber) rows and broke rolling_corr's
+# window order mid-round; the fix totalized through the value columns,
+# and THIS preflight now pins the totalized key those windows assume).
+# Each entry: tuple of columns that must be row-unique in the table.
+FIXTURE_UNIQUE_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    # lineitem's (l_orderkey, l_linenumber) is NOT unique by fixture
+    # design (up to 6 copies with different values); every window ORDER
+    # BY over lineitem totalizes through the value columns, which is
+    # only deterministic if THIS widened key is unique:
+    "lineitem": (
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+    ),
+}
+
+_PREFLIGHTED: set[tuple[str, str]] = set()
+
+
+def fixture_preflight(df: DataFrame, sf_dir: str, name: str) -> None:
+    """One aggregate per (sf_dir, table) per process: assert the
+    table's declared unique key actually is unique. Disable with
+    SPARK_GRAFT_SKIP_PREFLIGHT=1 (perf experiments on huge ad-hoc
+    dirs). Cost is one count/count-distinct scan at first touch —
+    milliseconds at driver SFs, and amortized to zero after."""
+    key = FIXTURE_UNIQUE_KEYS.get(name)
+    if key is None or (sf_dir, name) in _PREFLIGHTED:
+        return
+    if os.environ.get("SPARK_GRAFT_SKIP_PREFLIGHT") == "1":
+        return
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in key]).alias("d"),
+    ).collect()[0]
+    if row["n"] != row["d"]:
+        raise AssertionError(
+            f"fixture preflight: {name} at {sf_dir} has {row['n'] - row['d']} "
+            f"duplicate rows over supposedly-unique key {key} — the driver "
+            "testdata generation drifted; queries whose window orders / joins "
+            "assume this key would return silently wrong answers. Fix the "
+            "assumption (sources/tables.FIXTURE_UNIQUE_KEYS) or the data."
+        )
+    _PREFLIGHTED.add((sf_dir, name))
+
+
 def raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table as stored (ns-timestamp cols still long)."""
     ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fixture_preflight(df, sf_dir, name)
+    return df
 
 
 def normalize_ns(df: DataFrame, name: str) -> DataFrame:

@@ -82,3 +82,41 @@ def test_driver_testdata_ts_is_timestamp(spark):
     df = load_table(spark, SF_SMALL, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
     df.withWatermark("ts", "10 minutes")
+
+
+def test_fixture_preflight_catches_duplicate_keys(spark, tmp_path):
+    """The per-table preflight (sources/tables.fixture_preflight) must
+    fail LOUDLY at first load when a regenerated fixture violates a
+    uniqueness invariant the corpus depends on — not hours later as an
+    oracle mismatch (the round-5 rolling_corr incident)."""
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources import tables
+
+    sf = str(tmp_path / "sfbad")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "o_orderkey long, o_comment string"
+    ).write.parquet(os.path.join(sf, "orders.parquet"))
+    with pytest.raises(AssertionError, match="duplicate rows over supposedly-unique key"):
+        tables.load_table(spark, sf, "orders")
+
+    # a clean table passes and the check is cached per (sf_dir, table)
+    sf2 = str(tmp_path / "sfok")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "o_orderkey long, o_comment string"
+    ).write.parquet(os.path.join(sf2, "orders.parquet"))
+    tables.load_table(spark, sf2, "orders")
+    assert (sf2, "orders") in tables._PREFLIGHTED
+
+
+def test_fixture_preflight_accepts_driver_fixtures(spark):
+    """Every declared invariant holds on the real driver testdata —
+    including lineitem's TOTALIZED key (its (l_orderkey, l_linenumber)
+    alone is duplicated by design)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources import tables
+
+    for name in tables.TABLES:
+        tables.load_table(spark, "/root/testdata/sf0.01", name)
+        assert ("/root/testdata/sf0.01", name) in tables._PREFLIGHTED
