@@ -9,7 +9,7 @@ job for all rules.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,6 +171,119 @@ def equi_width_histogram(
         df.filter(x.isNotNull())
         .groupBy(bin_.alias(out))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def binned_histogram_tables(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    fine: str = "hour",
+) -> DataFrame:
+    """One equi-width histogram PER fine time bucket — (bucket_start,
+    bin, n) rows, the quantile-sketch analogue of the OHLC/HLL/CMS
+    partial stores: what a maintenance job persists, and what coarser
+    resolutions derive from by SUMMING counts (bin counts merge by
+    addition — exact for any split of the input). Bounded at n_bins
+    rows per bucket regardless of traffic; same portable clamped-floor
+    bin formula as :func:`equi_width_histogram`, so every level has an
+    exact SQL twin."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(
+            F.date_trunc(fine, F.col(ts_col)).alias("bucket_start"), bin_.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_rollup(fine: DataFrame, coarse: str = "day") -> DataFrame:
+    """Coarse-resolution histogram tables from fine partials ONLY — no
+    raw-data rescan: counts add, so the rolled-up table is IDENTICAL to
+    one built directly at the coarse level. At 100 TB the day/week
+    quantile levels read n_bins-row partials, never the corpus."""
+    coarse_bucket = F.date_trunc(coarse, F.col("bucket_start"))
+    return (
+        fine.groupBy(coarse_bucket.alias("bucket_start"), "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def binned_quantiles(
+    hists: DataFrame,
+    qs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-bucket quantile ESTIMATES read from a binned histogram
+    table: for each q, the lower edge of the first bin whose cumulative
+    count reaches q×total — deterministic integer+literal arithmetic,
+    so unlike t-digest/KLL the estimate is value-identical across
+    engines and carries a full SQL oracle. Error bound is the bin width
+    by construction ((hi-lo)/n_bins — pinned vs exact percentiles in
+    tests/test_rollup.py). One window pass per bucket over ≤ n_bins
+    rows; the corpus is never touched."""
+    width = (hi - lo) / n_bins
+    wb = Window.partitionBy("bucket_start").orderBy("bin")
+    wt = Window.partitionBy("bucket_start")
+    h = hists.withColumn("_cum", F.sum("n").over(wb)).withColumn(
+        "_total", F.sum("n").over(wt)
+    )
+    aggs = [F.max("_total").cast("long").alias("n_rows")]
+    for q in qs:
+        b = F.min(F.when(F.col("_cum") >= F.lit(float(q)) * F.col("_total"), F.col("bin")))
+        aggs.append(
+            (F.lit(float(lo)) + b * F.lit(float(width))).alias(f"p{int(round(q * 100))}_est")
+        )
+    return h.groupBy("bucket_start").agg(*aggs)
+
+
+def refresh_histogram_fine(
+    spark,
+    hist_path: str,
+    new_raw: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    fine: str = "hour",
+    partition_col: str | None = "part_date",
+) -> int:
+    """Incremental maintenance of the MATERIALIZED per-bucket histogram
+    table — the quantile family's maintenance face, completing the
+    symmetry with the bar/HLL/CMS stores (operators/maintenance.
+    refresh_partials scaffolding shared by all four): only the new
+    batch's rows are binned; their partial counts ADD into the stored
+    counts of exactly the affected (bucket_start, bin) keys, and only
+    touched date partitions rewrite. Addition commutes and associates,
+    so the final table is IDENTICAL to a one-shot build for ANY split
+    of the input, late data included. Like the CMS store (and unlike
+    HLL's idempotent union), a replayed foreachBatch epoch would
+    DOUBLE-COUNT — stream drivers wrap calls in the epoch-marker guard
+    (streaming/pipeline.maintain_bars_batch pattern)."""
+    from .maintenance import refresh_partials
+
+    batch = binned_histogram_tables(new_raw, ts_col, value_col, lo, hi, n_bins, fine)
+    return refresh_partials(
+        spark,
+        hist_path,
+        batch,
+        ["bucket_start", "bin"],
+        lambda existing, b: existing.unionByName(b)
+        .groupBy("bucket_start", "bin")
+        .agg(F.sum("n").alias("n")),
+        partition_col,
+        table_desc="histogram table",
     )
 
 

@@ -644,6 +644,126 @@ def cms_rollup_daily_tokens(spark, sf_dir):
 
 
 @register(
+    "quantile_rollup_daily_values",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 200.0), 0), 199) AS INTEGER) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT day, bin, n,
+             SUM(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY day) AS total
+      FROM b
+    )
+    SELECT day,
+           CAST(MAX(total) AS BIGINT) AS n_events,
+           0.0 + MIN(CASE WHEN cum >= 0.5 * total THEN bin END) * 2.5 AS p50_est,
+           0.0 + MIN(CASE WHEN cum >= 0.95 * total THEN bin END) * 2.5 AS p95_est
+    FROM c GROUP BY day
+    """,
+    tags=("sketch", "quantile", "histogram", "rollup", "timeseries"),
+)
+def quantile_rollup_daily_values(spark, sf_dir):
+    """DAILY quantile estimates (p50/p95 of events.value) derived from
+    HOURLY binned-histogram partials (operators/quality.
+    binned_histogram_tables → histogram_rollup → binned_quantiles) —
+    the fourth mergeable-partial family after OHLC bars, HLL sketches,
+    and CMS counters: exact COUNT-based quantiles cannot roll up, but
+    fixed-bin histogram counts merge by ADDITION, so one raw scan
+    builds hourly 200-bin tables and every coarser level reads
+    kilobyte partials. The estimate (lower edge of the first bin whose
+    cumulative count reaches q×total; error ≤ bin width 2.5, pinned in
+    tests/test_rollup.py) is deterministic integer+literal arithmetic —
+    unlike t-digest/KLL it hash-matches an exact SQL twin, which
+    rebuilds the day level directly and must agree because addition is
+    exact for any split."""
+    from ..operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    fine = quality.binned_histogram_tables(
+        ev, "ts", "value", lo=0.0, hi=500.0, n_bins=200, fine="hour"
+    )
+    daily = quality.histogram_rollup(fine, coarse="day")
+    est = quality.binned_quantiles(daily, (0.5, 0.95), lo=0.0, hi=500.0, n_bins=200)
+    return est.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        F.col("n_rows").alias("n_events"),
+        "p50_est",
+        "p95_est",
+    )
+
+
+@register(
+    "histogram_incremental_refresh_events",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 200.0), 0), 199) AS INTEGER) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT day, bin, n,
+             SUM(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY day) AS total
+      FROM b
+    )
+    SELECT day,
+           CAST(MAX(total) AS BIGINT) AS n_events,
+           0.0 + MIN(CASE WHEN cum >= 0.5 * total THEN bin END) * 2.5 AS p50_est,
+           0.0 + MIN(CASE WHEN cum >= 0.95 * total THEN bin END) * 2.5 AS p95_est
+    FROM c GROUP BY day
+    """,
+    tags=("maintenance", "quantile", "histogram", "continuous-aggregate", "incremental-refresh"),
+    driver=False,  # extended: same oracle as quantile_rollup_daily_values,
+    # which holds the family's driver slot; this face proves the store
+    # REFRESH path (3-batch adversarial interleave) reaches the identical
+    # answer — locally and in the sf0.1 sweep
+)
+def histogram_incremental_refresh_events(spark, sf_dir):
+    """BATCH incremental refresh of the binned-histogram store
+    (operators/quality.refresh_histogram_fine), oracle-checked: events
+    arrive as THREE batches (``event_id % 3`` — adversarial interleave,
+    so nearly every (day, bin) cell receives counts from all three
+    refreshes and every refresh after the first is a late-data merge);
+    each batch's hourly bin counts ADD into exactly the affected
+    (bucket_start, bin) rows of the materialized store, rewriting only
+    touched date partitions. Counts merge exactly for any split, so the
+    daily quantile estimates read from the refreshed store are
+    IDENTICAL to the one-shot build the oracle computes — the fourth
+    store on the shared maintenance scaffold (bars, HLL, CMS,
+    histograms)."""
+    from ..operators import quality
+    from .workdirs import fresh_result_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    store = fresh_result_dir("hist_refresh")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for b in range(3):
+            batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+            quality.refresh_histogram_fine(
+                spark, store, batch, "ts", "value", lo=0.0, hi=500.0, n_bins=200,
+                fine="hour",
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    fine = spark.read.parquet(store).drop("part_date")
+    daily = quality.histogram_rollup(fine, coarse="day")
+    est = quality.binned_quantiles(daily, (0.5, 0.95), lo=0.0, hi=500.0, n_bins=200)
+    return est.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        F.col("n_rows").alias("n_events"),
+        "p50_est",
+        "p95_est",
+    )
+
+
+@register(
     "gapfill_hourly_events",
     oracle="""
     WITH bars AS (

@@ -82,3 +82,32 @@ def test_quality_violations_rows(spark):
     assert report == {"v_pos": 2, "s_present": 2}
     bad = {r.id: sorted(r.failed_rules) for r in quality.violations(df, rules).collect()}
     assert bad == {2: ["v_pos"], 3: ["s_present"], 4: ["s_present", "v_pos"]}
+
+
+def test_refresh_histogram_fine_equals_oneshot(spark, tmp_path):
+    """The histogram store's incremental refresh (operators/quality.
+    refresh_histogram_fine) must reach the one-shot build for any split
+    of the input — counts merge by addition — and rewrite only the
+    date-partitioned layout it declares."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import (
+        quality as q,
+    )
+
+    ev = spark.range(3_000).select(
+        F.timestamp_seconds(F.lit(1_700_006_400) + F.col("id") * 60).alias("ts"),
+        F.pmod(F.hash("id").cast("double"), F.lit(100.0)).alias("v"),
+        F.col("id"),
+    )
+    store = str(tmp_path / "hist_store")
+    # adversarial interleave: batch order is not time order
+    for b in range(3):
+        batch = ev.filter(F.pmod(F.col("id"), F.lit(3)) == b)
+        q.refresh_histogram_fine(spark, store, batch, "ts", "v", 0.0, 100.0, 50)
+    refreshed = spark.read.parquet(store).drop("part_date")
+    oneshot = q.binned_histogram_tables(ev, "ts", "v", 0.0, 100.0, 50, fine="hour")
+    assert refreshed.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(refreshed).count() == 0
+    # layout: store is date-partitioned
+    import os as _os
+
+    assert any(d.startswith("part_date=") for d in _os.listdir(store))

@@ -111,3 +111,44 @@ def test_incremental_fine_refresh_equals_full_recompute(spark, tmp_path):
     hour_from_fine = windows.merge_ohlc_bars(maintained, "k", "1 hour")
     hour_direct = windows.ohlc_partials(spark.createDataFrame(all_rows, schema), "k", "ts", "v", "seq", "1 hour")
     assert sorted(hour_from_fine.collect(), key=key_fn) == sorted(hour_direct.collect(), key=key_fn)
+
+
+def test_histogram_rollup_equals_direct_and_bounds_error(spark):
+    """The binned-quantile family (operators/quality): (1) day-level
+    histograms rolled up from hourly partials must EQUAL a direct
+    day-level build (counts add exactly for any split); (2) the
+    quantile estimate read from the bins must sit within one bin width
+    of the exact percentile."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import quality
+
+    ev = (
+        spark.range(20_000)
+        .select(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 7).alias("ts"),
+            # mass inside [10, 490): the within-one-bin error bound only
+            # holds for quantiles INSIDE [lo, hi) — clamped out-of-range
+            # mass pins its bin to the edge (edge behavior is covered by
+            # the rollup-equality check, which includes the clamp bins)
+            (F.pmod(F.hash("id").cast("double"), F.lit(480.0)) + 10.0).alias("value"),
+        )
+    )
+    fine = quality.binned_histogram_tables(ev, "ts", "value", 0.0, 500.0, 200, fine="hour")
+    rolled = quality.histogram_rollup(fine, coarse="day")
+    direct = quality.binned_histogram_tables(ev, "ts", "value", 0.0, 500.0, 200, fine="day")
+    assert rolled.exceptAll(direct).count() == 0 and direct.exceptAll(rolled).count() == 0
+
+    est = quality.binned_quantiles(rolled, (0.5, 0.95), 0.0, 500.0, 200).collect()
+    exact = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    )
+    exact_by_day = {r["bucket_start"]: r for r in exact}
+    width = 500.0 / 200
+    for r in est:
+        ex = exact_by_day[r["bucket_start"]]
+        assert abs(r["p50_est"] - ex["p50"]) <= width, (r, ex["p50"])
+        assert abs(r["p95_est"] - ex["p95"]) <= width, (r, ex["p95"])
