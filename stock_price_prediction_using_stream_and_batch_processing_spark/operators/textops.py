@@ -411,3 +411,63 @@ def bigram_surprisal(
     return joined.groupBy(id_col).agg(
         F.round(-F.avg(F.log(p)), 6).alias("bigram_surprisal_nats")
     )
+
+
+def remove_repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """INTRA-document n-gram dedup — the rewrite face of repetition
+    filtering: every token covered by a word n-gram whose exact text
+    occurred EARLIER in the same document is removed, and the cleaned
+    (normalized-space) text is rebuilt. Corpus-level near-dup removal
+    (near_dup_filter) drops whole documents; this operator drops the
+    repeated SPANS inside a document (boilerplate refrains, stuttered
+    generation, copy-pasted paragraphs) and keeps the rest — the
+    standard intra-doc companion to cross-doc dedup in training-data
+    pipelines (production uses larger n; the mechanics are identical).
+
+    Definition (positional, engine-portable): gram g starts at token
+    position p if tokens[p..p+n-1] joined by spaces equals g; a start
+    is REPEATED if an earlier start of the same gram exists in the doc
+    (min-pos over (doc, gram)); a token is removed iff some repeated
+    start s covers it (s in [p-n+1, p] — one windowed max over a
+    bounded frame). Output: (id, n_tokens, n_removed, clean_text) with
+    clean_text in normalized space (the canonical dedup form).
+
+    Scale shape: explode to (doc, pos, token) once, then three
+    windows/aggregates over at most O(tokens) rows — keyed by doc,
+    (doc, gram), doc — so the whole pipeline is a handful of linear
+    shuffles; the first-occurrence pass is a window, not a self-join,
+    so cost never goes O(tokens²), and no stage carries document
+    text, only tokens."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(text.tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    valid = leads[-1].isNotNull()
+    gram = F.when(valid, F.concat_ws(" ", F.col("tok"), *leads))
+    g = toks.select(id_col, "pos", "tok", gram.alias("gram"))
+    first_pos = F.min("pos").over(Window.partitionBy(id_col, "gram"))
+    rep = (F.col("gram").isNotNull() & (F.col("pos") > first_pos)).cast("int")
+    r = g.select(id_col, "pos", "tok", rep.alias("rep"))
+    covered = (
+        F.max("rep").over(w.rowsBetween(-(n - 1), 0)) == 1
+    )
+    marked = r.select(id_col, "pos", "tok", covered.alias("removed"))
+    kept_struct = F.when(~F.col("removed"), F.struct("pos", "tok"))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["tok"]),
+            " ",
+        ).alias("clean_text"),
+    )

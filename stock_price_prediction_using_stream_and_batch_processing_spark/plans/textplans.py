@@ -621,6 +621,9 @@ def pii_redact_docs(spark, sf_dir):
     ORDER BY pmi DESC, bc.bigram LIMIT 50
     """,
     tags=("text", "collocation", "pmi"),
+    # rotation r6: driver-green r4+r5; doc_bigram_surprisal +
+    # heavy_hitter_tokens keep the corpus-statistics driver evidence
+    driver=False,
 )
 def collocation_pmi_docs(spark, sf_dir):
     """Top-50 bigram collocations by pointwise mutual information —
@@ -710,6 +713,9 @@ def collocation_pmi_docs(spark, sf_dir):
     WHERE levenshtein(ta.text, tb.text) <= 20
     """,
     tags=("dedup", "levenshtein", "lsh", "verify"),
+    # rotation r6: driver-green r4+r5; the dedup family keeps ample
+    # driver evidence (near_dup_filter, simhash, both incrementals)
+    driver=False,
 )
 def edit_distance_pairs_docs(spark, sf_dir):
     """Character-level near-dup verification: MinHash-LSH candidates
@@ -720,6 +726,76 @@ def edit_distance_pairs_docs(spark, sf_dir):
     (operators/dedup.edit_distance_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.edit_distance_pairs(d, "text", "doc_id", max_dist=20, num_hashes=8, bands=4)
+
+
+@register(
+    "intra_doc_dedup_docs",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, pos, tok,
+             CASE WHEN COUNT(*) OVER win3 = 3
+                  THEN string_agg(tok, ' ') OVER win3 END AS gram
+      FROM t
+      WINDOW win3 AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+    ),
+    r AS MATERIALIZED (
+      SELECT doc_id, pos, tok,
+             CASE WHEN gram IS NOT NULL
+                       AND pos > MIN(pos) OVER (PARTITION BY doc_id, gram)
+                  THEN 1 ELSE 0 END AS rep
+      FROM g
+    ),
+    m AS MATERIALIZED (
+      SELECT doc_id, pos, tok,
+             MAX(rep) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS removed
+      FROM r
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS clean_text
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    tags=("dedup", "intra-doc", "ngram", "rewrite"),
+)
+def intra_doc_dedup_docs(spark, sf_dir):
+    """INTRA-document n-gram dedup — the rewrite face of repetition
+    handling (operators/textops.remove_repeated_ngrams): tokens covered
+    by a word 3-gram whose exact text occurred earlier in the SAME
+    document are removed and the cleaned normalized-space text is
+    rebuilt; `doc_repetition_docs` SCORES repetition, this one REMOVES
+    it (the intra-doc companion of corpus-level near_dup_filter —
+    production pipelines use larger n over the same mechanics). Every
+    doc comes back (empty/clean docs with n_removed=0), and the oracle
+    replays the full positional definition — gram windows, earliest
+    occurrence, span coverage, rebuild — in SQL."""
+    from ..operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    out = textops.remove_repeated_ngrams(d, "text", "doc_id", n=3)
+    return (
+        d.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
 
 
 @register(

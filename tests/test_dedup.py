@@ -345,3 +345,27 @@ def test_incremental_near_dup_store_bucket_cap(spark, tmp_path):
         ).collect()
     }
     assert out_capped == {1}
+
+
+def test_remove_repeated_ngrams_positional_semantics(spark):
+    """Intra-doc n-gram dedup on a constructed repeat: in
+    'a b c d a b c d e' the 3-grams at positions 4 and 5 repeat the
+    ones at 0 and 1, so tokens 4-7 are covered and removed, leaving
+    'a b c d e'. Clean docs pass through untouched; empty docs
+    simply produce no token rows."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d e"),
+            (2, "one two three four five"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.remove_repeated_ngrams(docs, "text", "doc_id", n=3).collect()}
+    assert out[1]["clean_text"] == "a b c d e"
+    assert out[1]["n_tokens"] == 9 and out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "one two three four five"
+    assert out[2]["n_removed"] == 0
+    assert 3 not in out  # no tokens -> no row (query face left-joins)
