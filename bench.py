@@ -83,6 +83,15 @@ HEADLINE = [
     "cms_token_counts_docs",
     "upsert_latest_order_per_customer",
     "storage_lifecycle_events",
+    # round-6 additions: the two partial-rollup families reading coarse
+    # levels from fine partials (CMS counters, binned-quantile
+    # histograms), intra-document n-gram span removal, and the live
+    # embedded-Derby JDBC round-trip (timed INSERT+pushdown-SELECT —
+    # the reference's actual source/sink shape)
+    "cms_rollup_daily_tokens",
+    "quantile_rollup_daily_values",
+    "intra_doc_dedup_docs",
+    "jdbc_roundtrip_orders_topk",
 ]
 
 
