@@ -176,3 +176,53 @@ def interval_history(
         .withColumn(current_flag, F.col(valid_to).isNull())
         .drop("_run")
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, credit (a) the user's FIRST preceding
+    non-conversion touch ever, and (b) the LAST touch strictly before
+    the conversion — the two standard channel-credit models. Output is
+    the credit matrix (attribution ∈ {'first','last'}, touch_type,
+    n_conversions); conversions with no preceding touch earn no row.
+
+    One window pass: per-user (ts, id)-ordered frame carrying
+    first/last non-null touch type over [unbounded, -1] (ignorenulls —
+    conversion rows don't reset the carry), then one tiny aggregate
+    over the conversion rows. The single shuffle is keyed on
+    ``user_col``; the result grid is (2 × |event types|) rows, so at
+    100 TB the cost is the one per-user sort the behavioral family
+    already shares. Ordering is totalized through ``id_col`` so
+    same-timestamp events attribute deterministically on any engine."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    flagged = df.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col(type_col) == conversion)
+    first = (
+        flagged.filter(F.col("first_touch").isNotNull())
+        .select(F.lit("first").alias("attribution"), F.col("first_touch").alias("touch_type"))
+    )
+    last = (
+        flagged.filter(F.col("last_touch").isNotNull())
+        .select(F.lit("last").alias("attribution"), F.col("last_touch").alias("touch_type"))
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("attribution", "touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )

@@ -99,6 +99,10 @@ def retention_cohorts_events(spark, sf_dir):
     FROM p WHERE dst IS NOT NULL GROUP BY src, dst
     """,
     tags=("behavioral", "markov", "window"),
+    # rotation r6: driver-green r4+r5; retention_cohorts +
+    # time_to_conversion + the new attribution query keep the
+    # behavioral family's driver evidence
+    driver=False,
 )
 def event_transitions_events(spark, sf_dir):
     """First-order Markov transition matrix of the per-user event
@@ -137,3 +141,41 @@ def global_shuffle_docs(spark, sf_dir):
         d.select("doc_id", key.alias("_k")), "_k", ["_k", "doc_id"], out="shuffle_rank"
     )
     return out.select("doc_id", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+
+
+@register(
+    "touch_attribution_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM events
+    ),
+    p AS (SELECT * FROM o WHERE event_type = 'purchase')
+    SELECT attribution, touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM (
+      SELECT 'first' AS attribution, first_touch AS touch_type FROM p WHERE first_touch IS NOT NULL
+      UNION ALL
+      SELECT 'last', last_touch FROM p WHERE last_touch IS NOT NULL
+    ) GROUP BY 1, 2
+    """,
+    tags=("behavioral", "attribution", "window"),
+)
+def touch_attribution_events(spark, sf_dir):
+    """First-touch / last-touch purchase attribution
+    (operators/sequences.touch_attribution): every purchase credits the
+    user's first preceding non-purchase touch ever AND the last touch
+    strictly before it — the two standard channel-credit models the
+    funnel/retention/conversion family was missing. One per-user
+    window pass (the shuffle the family already shares), ordering
+    totalized through event_id; the oracle replays the identical
+    ignorenulls frame carry."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequences.touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id", conversion="purchase"
+    )

@@ -156,3 +156,29 @@ def test_hashkey_row_number_rejects_bad_bits(spark):
     df = spark.range(10).withColumn("k", F.md5(F.col("id").cast("string")))
     with _pytest.raises(ValueError):
         ordering.hashkey_row_number(df, "k", ["k", "id"], bucket_bits=0)
+
+
+def test_touch_attribution_first_last_semantics(spark):
+    """Constructed journey: view -> click -> PURCHASE -> email ->
+    PURCHASE. First-touch credits 'view' for both conversions; last
+    touch is 'click' then 'email'. A user whose only event is a
+    purchase earns no credit rows."""
+    import datetime as dt
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sequences
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "click"),
+        (1, t0 + dt.timedelta(minutes=2), 3, "purchase"),
+        (1, t0 + dt.timedelta(minutes=3), 4, "email"),
+        (1, t0 + dt.timedelta(minutes=4), 5, "purchase"),
+        (2, t0, 6, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {
+        (r["attribution"], r["touch_type"]): r["n_conversions"]
+        for r in sequences.touch_attribution(ev).collect()
+    }
+    assert out == {("first", "view"): 2, ("last", "click"): 1, ("last", "email"): 1}
