@@ -92,6 +92,7 @@ HEADLINE = [
     "quantile_rollup_daily_values",
     "intra_doc_dedup_docs",
     "jdbc_roundtrip_orders_topk",
+    "touch_attribution_events",
 ]
 
 

@@ -245,3 +245,25 @@ def test_incremental_dedup_store_is_digest_only(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert [f.name for f in stored.schema.fields] == ["fp"]
     assert stored.filter(F.length("fp") != 32).count() == 0
+
+
+def test_quantile_rollup_single_scan_pushed_filter(spark):
+    # The rollup family's whole point: ONE raw scan builds the fine
+    # partials; the day level and the quantile windows read partials
+    # only. A second corpus scan or a lost IsNotNull pushdown would
+    # silently double the 100 TB cost.
+    plan = _plan(spark, "quantile_rollup_daily_values")
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters: [IsNotNull(value)]" in plan
+
+
+def test_intra_doc_dedup_prunes_base_scan(spark):
+    # Two scans by design: the token pipeline reads (doc_id, text); the
+    # base row-preserving side must be pruned to doc_id ONLY (dragging
+    # text through the left join would double the corpus bytes moved).
+    plan = _plan(spark, "intra_doc_dedup_docs")
+    assert plan.count("Scan parquet") == 2
+    import re
+
+    scan_cols = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("text" not in cols for cols in scan_cols), scan_cols
