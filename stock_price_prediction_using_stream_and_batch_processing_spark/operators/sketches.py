@@ -151,6 +151,22 @@ def cms_table(
     )
 
 
+def _probe_buckets(
+    probes: DataFrame, token_col: str, depth: int, width: int, row_col: str = "row"
+) -> DataFrame:
+    """Expand probe tokens to their (token, row, bucket) counter
+    addresses — the probe half of every estimate read. ONE definition
+    (like ``_cms_bucket``) shared by the flat and per-time-bucket
+    estimators, so a change to probe expansion cannot diverge between
+    read paths. ``row_col`` matches the build side's row-index column
+    name ("row" for ``cms_table``, "hrow" for ``cms_fine_tables``)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(row_col)
+    p = probes.select(F.col(token_col), rows)
+    return p.select(
+        F.col(token_col), F.col(row_col), _cms_bucket(row_col, token_col, width).alias("bucket")
+    )
+
+
 def cms_estimates(
     cms: DataFrame,
     probes: DataFrame,
@@ -163,9 +179,7 @@ def cms_estimates(
     estimate ≥ true count always; ≤ true + εN with prob 1−δ for
     ε=e/width, δ=e^−depth — pinned in tests/test_approx.py). The
     sketch side is tiny, so the probe join broadcasts it."""
-    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
-    p = probes.select(F.col(token_col), rows)
-    p = p.select(F.col(token_col), F.col("row"), _cms_bucket("row", token_col, width).alias("bucket"))
+    p = _probe_buckets(probes, token_col, depth, width, row_col="row")
     joined = p.join(F.broadcast(cms), ["row", "bucket"], "left").na.fill({"n": 0})
     return joined.groupBy(token_col).agg(F.min("n").alias("cms_count"))
 
@@ -232,11 +246,7 @@ def cms_bucket_estimates(
     resolutions), so the crossJoin broadcasts and never touches the
     corpus."""
     buckets = cms_tables.select("bucket_start").distinct()
-    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hrow")
-    p = probes.select(F.col(token_col), rows)
-    p = p.select(
-        F.col(token_col), F.col("hrow"), _cms_bucket("hrow", token_col, width).alias("bucket")
-    )
+    p = _probe_buckets(probes, token_col, depth, width, row_col="hrow")
     grid = buckets.crossJoin(F.broadcast(p))
     joined = grid.join(cms_tables, ["bucket_start", "hrow", "bucket"], "left").na.fill({"n": 0})
     return joined.groupBy("bucket_start", token_col).agg(F.min("n").alias("cms_count"))

@@ -46,8 +46,9 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
     FROM s3
     """,
     tags=("behavioral", "funnel", "window"),
-    # rotation r6: driver-green r4+r5; event_transitions +
-    # retention_cohorts keep the behavioral family's driver evidence
+    # rotation r6: driver-green r4+r5; retention_cohorts +
+    # time_to_conversion + touch_attribution keep the behavioral
+    # family's driver evidence (event_transitions is demoted too)
     driver=False,
 )
 def funnel_view_click_purchase(spark, sf_dir):

@@ -21,12 +21,30 @@ live Derby in tests/test_jdbc.py).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from ..sources import jdbc
 from ..sources.tables import load_table
 from .core import register
 from .workdirs import fresh_result_dir
+
+# ONE booted Derby database per process: embedded Derby keeps every
+# booted database's page cache and background threads alive in the JVM
+# until an explicit shutdown, so a per-invocation database would
+# accumulate across a bench sweep's repeated runs. Invocations instead
+# share the boot and isolate via per-invocation TABLE names (the
+# workdirs no-clobber contract holds: concurrent runs never touch each
+# other's tables).
+_DERBY_DIR: list[str] = []
+
+
+def _shared_derby_url(spark) -> str:
+    if not _DERBY_DIR:
+        jdbc.quiet_derby_log(spark)
+        _DERBY_DIR.append(fresh_result_dir("jdbc_rt_db"))
+    return jdbc.derby_url(_DERBY_DIR[0])
 
 
 @register(
@@ -53,9 +71,8 @@ def jdbc_roundtrip_orders_topk(spark, sf_dir):
     bigint keys, DOUBLE prices, CHAR status, DATE dates. o_orderdate is
     written as DATE (not timestamp) so the comparison is
     timezone-free under any driver session timezone."""
-    jdbc.quiet_derby_log(spark)
-    db_dir = fresh_result_dir("jdbc_rt")
-    url = jdbc.derby_url(db_dir)
+    url = _shared_derby_url(spark)
+    table = f"orders_rt_{uuid.uuid4().hex[:8]}"
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -66,7 +83,7 @@ def jdbc_roundtrip_orders_topk(spark, sf_dir):
     jdbc.write_jdbc(
         src,
         url,
-        "orders_rt",
+        table,
         user="app",
         password="",
         driver=jdbc.DERBY_DRIVER,
@@ -76,7 +93,7 @@ def jdbc_roundtrip_orders_topk(spark, sf_dir):
     back = jdbc.read_jdbc_latest_k(
         spark,
         url,
-        "orders_rt",
+        table,
         user="app",
         password="",
         driver=jdbc.DERBY_DRIVER,

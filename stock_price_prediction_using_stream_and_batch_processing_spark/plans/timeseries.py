@@ -613,7 +613,11 @@ def cms_rollup_daily_tokens(spark, sf_dir):
     the DuckDB oracle computes. Probes are the global top-10 users
     (tie-broken by token); output compares each probe's per-day exact
     count with its rolled-up CMS estimate. At 100 TB the rollup reads
-    kilobyte partials, never the raw history."""
+    kilobyte partials, never the raw history; the query face scans raw
+    events twice (exact per-day counts — the comparison column — and
+    the fine counter build), with the probe list RE-aggregated from the
+    per-day exact counts rather than a third corpus scan, exactly as
+    the oracle's ``tot`` derives from ``ex``."""
     from ..operators import sketches
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -623,8 +627,8 @@ def cms_rollup_daily_tokens(spark, sf_dir):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "token"
     ).agg(F.count(F.lit(1)).alias("exact_count"))
     probes = (
-        ev.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_tn"))
+        exact_day.groupBy("token")
+        .agg(F.sum("exact_count").alias("_tn"))
         .orderBy(F.col("_tn").desc(), "token")
         .limit(10)
         .select("token")
@@ -643,9 +647,11 @@ def cms_rollup_daily_tokens(spark, sf_dir):
     )
 
 
-@register(
-    "quantile_rollup_daily_values",
-    oracle="""
+# ONE quantile-rollup oracle + ONE Spark read-out tail, shared by the
+# one-shot rollup query and the incremental-refresh face: both must
+# verify against the IDENTICAL definition (same bins, same q×total
+# rule), so — like _INC_NEAR_DUP_ORACLE — there is exactly one copy.
+_QUANTILE_ROLLUP_ORACLE = """
     WITH b AS (
       SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
              CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 200.0), 0), 199) AS INTEGER) AS bin,
@@ -663,7 +669,28 @@ def cms_rollup_daily_tokens(spark, sf_dir):
            0.0 + MIN(CASE WHEN cum >= 0.5 * total THEN bin END) * 2.5 AS p50_est,
            0.0 + MIN(CASE WHEN cum >= 0.95 * total THEN bin END) * 2.5 AS p95_est
     FROM c GROUP BY day
-    """,
+    """
+
+
+def _daily_quantiles_from_fine(fine):
+    """Day rollup + p50/p95 read-out of an hourly histogram table, with
+    the output shape both quantile queries share (parameters here are
+    the literals baked into _QUANTILE_ROLLUP_ORACLE)."""
+    from ..operators import quality
+
+    daily = quality.histogram_rollup(fine, coarse="day")
+    est = quality.binned_quantiles(daily, (0.5, 0.95), lo=0.0, hi=500.0, n_bins=200)
+    return est.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        F.col("n_rows").alias("n_events"),
+        "p50_est",
+        "p95_est",
+    )
+
+
+@register(
+    "quantile_rollup_daily_values",
+    oracle=_QUANTILE_ROLLUP_ORACLE,
     tags=("sketch", "quantile", "histogram", "rollup", "timeseries"),
 )
 def quantile_rollup_daily_values(spark, sf_dir):
@@ -686,37 +713,12 @@ def quantile_rollup_daily_values(spark, sf_dir):
     fine = quality.binned_histogram_tables(
         ev, "ts", "value", lo=0.0, hi=500.0, n_bins=200, fine="hour"
     )
-    daily = quality.histogram_rollup(fine, coarse="day")
-    est = quality.binned_quantiles(daily, (0.5, 0.95), lo=0.0, hi=500.0, n_bins=200)
-    return est.select(
-        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
-        F.col("n_rows").alias("n_events"),
-        "p50_est",
-        "p95_est",
-    )
+    return _daily_quantiles_from_fine(fine)
 
 
 @register(
     "histogram_incremental_refresh_events",
-    oracle="""
-    WITH b AS (
-      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-             CAST(LEAST(GREATEST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 200.0), 0), 199) AS INTEGER) AS bin,
-             COUNT(*) AS n
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    ),
-    c AS (
-      SELECT day, bin, n,
-             SUM(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
-             SUM(n) OVER (PARTITION BY day) AS total
-      FROM b
-    )
-    SELECT day,
-           CAST(MAX(total) AS BIGINT) AS n_events,
-           0.0 + MIN(CASE WHEN cum >= 0.5 * total THEN bin END) * 2.5 AS p50_est,
-           0.0 + MIN(CASE WHEN cum >= 0.95 * total THEN bin END) * 2.5 AS p95_est
-    FROM c GROUP BY day
-    """,
+    oracle=_QUANTILE_ROLLUP_ORACLE,
     tags=("maintenance", "quantile", "histogram", "continuous-aggregate", "incremental-refresh"),
     driver=False,  # extended: same oracle as quantile_rollup_daily_values,
     # which holds the family's driver slot; this face proves the store
@@ -753,14 +755,7 @@ def histogram_incremental_refresh_events(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     fine = spark.read.parquet(store).drop("part_date")
-    daily = quality.histogram_rollup(fine, coarse="day")
-    est = quality.binned_quantiles(daily, (0.5, 0.95), lo=0.0, hi=500.0, n_bins=200)
-    return est.select(
-        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
-        F.col("n_rows").alias("n_events"),
-        "p50_est",
-        "p95_est",
-    )
+    return _daily_quantiles_from_fine(fine)
 
 
 @register(

@@ -126,10 +126,24 @@ def fixture_preflight(df: DataFrame, sf_dir: str, name: str) -> None:
         return
     if os.environ.get("SPARK_GRAFT_SKIP_PREFLIGHT") == "1":
         return
+    any_null = None
+    for c in key:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(c) for c in key]).alias("d"),
+        F.sum(any_null.cast("long")).alias("nulls"),
     ).collect()[0]
+    # count_distinct drops NULL-key rows, so report nulls as their own
+    # defect instead of conflating them with duplicates
+    if row["nulls"]:
+        raise AssertionError(
+            f"fixture preflight: {name} at {sf_dir} has {row['nulls']} rows "
+            f"with NULL in supposedly-unique key {key} — the driver testdata "
+            "generation drifted; fix the assumption "
+            "(sources/tables.FIXTURE_UNIQUE_KEYS) or the data."
+        )
     if row["n"] != row["d"]:
         raise AssertionError(
             f"fixture preflight: {name} at {sf_dir} has {row['n'] - row['d']} "

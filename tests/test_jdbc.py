@@ -65,3 +65,40 @@ def test_writer_options_reach_spark_jdbc_source(spark):
     with pytest.raises(Exception) as exc:
         writer.save()
     assert "com.mysql.cj.jdbc.Driver" in str(exc.value)
+
+
+def test_pushdown_subquery_fetch_style_and_quoting():
+    """The ANSI variant the live Derby round-trip depends on: FETCH
+    FIRST must come AFTER the ORDER BY and identifiers must quote
+    (Derby case-folds unquoted names while Spark's writer creates them
+    case-exact)."""
+    sub = jdbc.pushdown_subquery(
+        "orders_rt", order_by="o_orderkey", descending=True, limit=200,
+        limit_style="fetch", ident_quote='"',
+    )
+    assert sub == '(SELECT * FROM orders_rt ORDER BY "o_orderkey" DESC FETCH FIRST 200 ROWS ONLY) as tmp'
+    with pytest.raises(ValueError, match="limit_style"):
+        jdbc.pushdown_subquery("t", limit=5, limit_style="top")
+
+
+def test_live_derby_partitioned_read_equals_single(spark, tmp_path):
+    """The partitioned-read contract against a LIVE database (embedded
+    Derby): a partition_column/bounds/numPartitions read must fan out
+    to multiple tasks and return exactly the rows of the plain read."""
+    from pyspark.sql import functions as F
+
+    jdbc.quiet_derby_log(spark)
+    url = jdbc.derby_url(str(tmp_path / "derby_part"))
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    jdbc.write_jdbc(df, url, "t_part", user="app", password="", driver=jdbc.DERBY_DRIVER)
+    single = jdbc.read_jdbc(spark, url, "t_part", "app", "", driver=jdbc.DERBY_DRIVER)
+    parted = jdbc.read_jdbc(
+        spark, url, "t_part", "app", "", driver=jdbc.DERBY_DRIVER,
+        partition_column='"k"', lower_bound=0, upper_bound=1_000, num_partitions=4,
+    )
+    assert parted.rdd.getNumPartitions() == 4
+    assert parted.count() == 1_000
+    assert parted.exceptAll(single).count() == 0
+    assert single.exceptAll(parted).count() == 0

@@ -117,6 +117,8 @@ def test_fixture_preflight_accepts_driver_fixtures(spark):
     alone is duplicated by design)."""
     from stock_price_prediction_using_stream_and_batch_processing_spark.sources import tables
 
+    from tests.conftest import SF_MED
+
     for name in tables.TABLES:
-        tables.load_table(spark, "/root/testdata/sf0.01", name)
-        assert ("/root/testdata/sf0.01", name) in tables._PREFLIGHTED
+        tables.load_table(spark, SF_MED, name)
+        assert (SF_MED, name) in tables._PREFLIGHTED
