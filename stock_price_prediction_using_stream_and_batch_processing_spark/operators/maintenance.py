@@ -40,19 +40,27 @@ def cap_bucket_size(df: DataFrame, bucket_col: str, cap: int | None) -> DataFram
     """Drop rows belonging to buckets with more members than ``cap``
     (None = no cap) — the mega-bucket guard every LSH band/bucket
     self-join applies before pairing, since a bucket's pair count is
-    O(members²). One count-over-window, no shuffle beyond the bucket
-    partitioning the join needs anyway."""
+    O(members²).
+
+    Shape: an aggregate finds the over-cap keys, then a LEFT ANTI join
+    removes their rows. The aggregate is map-side combined (one row per
+    bucket per partition crosses the shuffle) and needs no sort; the
+    over-cap key list is tiny by construction (≤ rows/cap keys, and
+    real corpora have FEW degenerate buckets), so AQE broadcasts the
+    anti join and the capped table never shuffles at all.
+    (History: a count-over-window variant shuffled and SORTED the
+    ENTIRE table per call — at sf0.1 the incremental near-dup query
+    paid ~1.5 s across its three admission cycles for the window's
+    full-table sort; the aggregate form took that back.)"""
     if cap is None:
         return df
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(bucket_col)
-    bn = free_name("_bn", df.columns)
-    return (
-        df.withColumn(bn, F.count(F.lit(1)).over(w))
-        .filter(F.col(bn) <= cap)
-        .drop(bn)
+    hot = (
+        df.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .select(bucket_col)
     )
+    return df.join(hot, bucket_col, "left_anti")
 
 
 def refresh_partials(
