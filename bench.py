@@ -93,6 +93,7 @@ HEADLINE = [
     "intra_doc_dedup_docs",
     "jdbc_roundtrip_orders_topk",
     "touch_attribution_events",
+    "hard_negative_pairs_docs",
 ]
 
 

@@ -675,6 +675,46 @@ def incremental_near_dup(
     return admitted.select(*in_cols)
 
 
+def hard_negative_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    max_jaccard: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive/embedding training: pairs
+    of documents that are lexically ADJACENT (share a MinHash band —
+    some real overlap) but NOT near-duplicates (exact Jaccard in
+    [min_jaccard, max_jaccard)) — exactly the "similar but distinct"
+    pairs a retrieval or embedding model learns the most from, and the
+    complement of the near-dup REMOVAL band the dedup pipeline drops.
+
+    Defaults use single-hash bands (num_hashes == bands): a single
+    MinHash collides with probability J exactly, so 1-hash bands recall
+    moderately-similar pairs that the dedup pipeline's multi-row bands
+    (designed to fire only near J≥0.8) would never surface. Candidate
+    generation stays the bounded band-bucket equi-join — never
+    all-pairs; unrelated docs (J≈0) almost never collide, so candidate
+    count tracks the corpus's true overlap structure. Verification is
+    the same candidates-only exact-Jaccard join as the dedup pipeline
+    (digests, not text, in every shuffle). Output:
+    (id_a, id_b, jaccard); pairs with zero shingle overlap never form
+    (a shared band implies a shared argmin shingle)."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+    )
+    j = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, threshold=min_jaccard,
+        candidates=cands,
+    )
+    return j.filter(F.col("jaccard") < max_jaccard).select("id_a", "id_b", "jaccard")
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

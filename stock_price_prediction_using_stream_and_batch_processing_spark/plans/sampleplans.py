@@ -143,6 +143,9 @@ _SHINGLES8 = (
     GROUP BY train_id, eval_id
     """,
     tags=("sampling", "decontamination", "dedup", "broadcast-join"),
+    # rotation r6: driver-green r4+r5; the sampling family keeps six
+    # driver rows (hash/split/pack/stratified/mixture/weighted)
+    driver=False,
 )
 def decontaminate_train_eval(spark, sf_dir):
     """Eval-set decontamination: train docs sharing any word 8-gram with

@@ -799,6 +799,66 @@ def intra_doc_dedup_docs(spark, sf_dir):
 
 
 @register(
+    "hard_negative_pairs_docs",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    ),
+    dg AS MATERIALIZED (SELECT doc_id, md5('0:' || sh) AS d0 FROM sh),
+    sig AS MATERIALIZED (
+      SELECT doc_id, s.seed,
+             MIN(substr(d0, CAST(s.seed * 8 + 1 AS INTEGER), 8)) AS mh
+      FROM dg CROSS JOIN (SELECT unnest(range(4)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, md5(CAST(seed AS VARCHAR) || '|' || mh) AS band_key FROM sig
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.ninter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.ninter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.0 AND jaccard < 0.8
+    """,
+    tags=("training-data", "hard-negatives", "minhash", "lsh", "contrastive"),
+)
+def hard_negative_pairs_docs(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (operators/dedup.hard_negative_pairs): document pairs that share a
+    single-hash MinHash band (lexically adjacent — a single MinHash
+    collides with probability exactly J, so 1-hash bands surface the
+    moderate-overlap pairs the dedup pipeline's J≥0.8-tuned bands never
+    fire on) but whose exact shingle Jaccard is BELOW the near-dup
+    threshold — the "similar but distinct" pairs an embedding model
+    learns the most from, and the exact complement of what
+    near_dup_filter removes. The oracle replays signatures, banding,
+    the candidate equi-join, and the verification Jaccard; the raw
+    jaccard column is a single integer division, bit-identical across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.hard_negative_pairs(
+        d, "text", "doc_id", num_hashes=4, bands=4,
+        min_jaccard=0.0, max_jaccard=0.8,
+    )
+
+
+@register(
     "doc_bigram_surprisal",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

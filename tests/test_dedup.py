@@ -369,3 +369,25 @@ def test_remove_repeated_ngrams_positional_semantics(spark):
     assert out[2]["clean_text"] == "one two three four five"
     assert out[2]["n_removed"] == 0
     assert 3 not in out  # no tokens -> no row (query face left-joins)
+
+
+def test_hard_negative_pairs_band_semantics(spark):
+    """Hard negatives = band-adjacent AND sub-threshold: a
+    moderate-overlap pair is surfaced with its exact Jaccard, a
+    near-identical pair (J >= 0.8) is excluded, unrelated docs never
+    pair."""
+    words = BASE.split()
+    half = " ".join(words[: len(words) // 2])
+    docs = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, half + " " + " ".join(f"zz{i}" for i in range(20))),  # moderate overlap w/ 1
+            (3, BASE.replace("lazy", "sleepy")),                       # near-dup of 1 (J>=0.8)
+            (4, " ".join(f"qq{i}" for i in range(40))),                # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.hard_negative_pairs(docs).collect()}
+    assert (1, 2) in out and 0.0 < out[(1, 2)] < 0.8
+    assert (1, 3) not in out  # near-dup band excluded
+    assert all(4 not in pair for pair in out)
