@@ -111,3 +111,44 @@ def storage_lifecycle_events(spark, sf_dir):
         "event_id", "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"), "value",
     )
+
+
+@register(
+    "schema_evolution_read_events",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 1 THEN 'v2' END AS source_tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("storage", "schema-evolution", "mergeschema"),
+    driver=False,  # extended: the lifecycle family's driver slot is
+    # storage_lifecycle_events; this face proves append-only column
+    # evolution reads correctly (old files surface NULLs)
+)
+def schema_evolution_read_events(spark, sf_dir):
+    """APPEND-ONLY SCHEMA EVOLUTION, oracle-checked end to end: the
+    events table lands in two generations — v1 files without a
+    ``source_tag`` column, v2 files (odd event_ids) WITH it — and a
+    ``mergeSchema`` read surfaces the union schema with NULLs for the
+    v1 rows, exactly what a long-lived 100 TB table looks like after a
+    producer upgrade (no rewrite of history, ever). The aggregate over
+    the evolved column verifies the NULL/value split row-for-row
+    against the oracle's modular reconstruction. File-level mechanics
+    (union schema, per-file NULLs) are additionally pinned in
+    tests/test_maintenance.py."""
+    from .workdirs import fresh_result_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    store = fresh_result_dir("schema_evo")
+    v1 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    v2 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).withColumn(
+        "source_tag", F.lit("v2")
+    )
+    v1.write.mode("append").parquet(store)
+    v2.write.mode("append").parquet(store)
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    return merged.groupBy("source_tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, normalize_ns, raw_table
 from .core import register
+from .timeseries import _QUANTILE_ROLLUP_ORACLE
 
 
 def _run_stream_to_memory(sdf, name_prefix: str, output_mode: str):
@@ -526,3 +527,42 @@ def stream_cms_maintenance(spark, sf_dir):
         F.col("bucket").cast("long").alias("bucket"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "stream_quantile_maintenance",
+    # same definition as the batch rollup faces, shared constant — the
+    # stream-maintained store must reach the identical daily quantiles
+    oracle=_QUANTILE_ROLLUP_ORACLE,
+    tags=("streaming", "quantile", "histogram", "continuous-aggregate"),
+    driver=False,  # extended: quantile_rollup_daily_values holds the
+    # family's driver slot; this face proves the STREAMING refresh path
+    # (epoch-marker-guarded counter adds) reaches the identical answer
+)
+def stream_quantile_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the materialized per-hour binned
+    histogram table (operators/quality.refresh_histogram_fine) — the
+    4th and final stream face of the mergeable-partial stores (bars,
+    HLL, CMS, histograms), VALUE-ORACLE-CHECKED: bin counts merge by
+    addition, so the stream-maintained store's daily p50/p95 read-out
+    is IDENTICAL to the one-shot build for ANY micro-batch split.
+    Addition is not replay-idempotent, so each epoch merge sits behind
+    the epoch-marker guard (the bar/CMS-table pattern). Four-file split
+    so the counter-ADD merge path genuinely executes."""
+    from ..operators import quality
+    from ..streaming.pipeline import advance_epoch_marker, read_epoch_marker
+    from .timeseries import _daily_quantiles_from_fine
+
+    def maint(batch_df, store, epoch_id):
+        marker_root = store + "_marker"
+        if epoch_id <= read_epoch_marker(marker_root):
+            return
+        quality.refresh_histogram_fine(
+            spark, store, batch_df, "ts", "value", lo=0.0, hi=500.0, n_bins=200,
+            fine="hour",
+        )
+        advance_epoch_marker(marker_root, epoch_id)
+
+    store = _run_maintenance_stream(spark, sf_dir, "qhist", maint)
+    fine = spark.read.parquet(store).drop("part_date")
+    return _daily_quantiles_from_fine(fine)
