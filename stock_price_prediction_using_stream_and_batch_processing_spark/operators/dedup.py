@@ -701,16 +701,24 @@ def hard_negative_pairs(
     all-pairs; unrelated docs (J≈0) almost never collide, so candidate
     count tracks the corpus's true overlap structure. Verification is
     the same candidates-only exact-Jaccard join as the dedup pipeline
-    (digests, not text, in every shuffle). Output:
-    (id_a, id_b, jaccard); pairs with zero shingle overlap never form
-    (a shared band implies a shared argmin shingle)."""
+    (digests, not text, in every shuffle), over ONE materialized
+    shingle projection shared by both stages (the pipeline's dominant
+    cost — same sharing as near_dup_filter). Output:
+    (id_a, id_b, jaccard). A shared band normally implies a shared
+    argmin shingle; the rare exception is a 32-bit digest-prefix
+    collision between DISTINCT argmin shingles, whose zero-overlap
+    candidate is then dropped by the verification join (no shared
+    digest → no intersection row) — identically on both engines."""
+    shingled = exploded_shingles(df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
     cands = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size, shingled=shingled,
     )
     j = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n, threshold=min_jaccard,
-        candidates=cands,
+        candidates=cands, shingled=shingled,
     )
     return j.filter(F.col("jaccard") < max_jaccard).select("id_a", "id_b", "jaccard")
 

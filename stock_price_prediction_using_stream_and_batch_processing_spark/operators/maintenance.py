@@ -54,13 +54,20 @@ def cap_bucket_size(df: DataFrame, bucket_col: str, cap: int | None) -> DataFram
     full-table sort; the aggregate form took that back.)"""
     if cap is None:
         return df
+    hot_key = free_name("_hot_key", df.columns)
     hot = (
         df.groupBy(bucket_col)
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > cap)
-        .select(bucket_col)
+        .select(F.col(bucket_col).alias(hot_key))
     )
-    return df.join(hot, bucket_col, "left_anti")
+    # null-safe equality: groupBy collects NULL keys into a group, and
+    # an over-cap NULL bucket must drop like any other — a plain
+    # equality anti join would KEEP every NULL row (NULL != NULL) and
+    # re-expose the O(members²) blowup the cap exists to prevent
+    return df.join(
+        hot, F.col(bucket_col).eqNullSafe(F.col(hot_key)), "left_anti"
+    )
 
 
 def refresh_partials(

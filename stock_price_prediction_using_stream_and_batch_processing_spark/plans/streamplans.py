@@ -508,17 +508,16 @@ def stream_cms_maintenance(spark, sf_dir):
     (streaming/pipeline.maintain_bars_batch). Four-file split so the
     counter-ADD merge path (not just bootstrap) genuinely executes."""
     from ..operators import sketches
-
-    from ..streaming.pipeline import advance_epoch_marker, read_epoch_marker
+    from ..streaming.pipeline import epoch_guarded
 
     def maint(batch_df, store, epoch_id):
-        marker_root = store + "_marker"
-        if epoch_id <= read_epoch_marker(marker_root):
-            return
-        sketches.refresh_cms_fine(
-            spark, store, batch_df, "ts", "user_id", fine="hour", depth=4, width=256
+        epoch_guarded(
+            store,
+            epoch_id,
+            lambda: sketches.refresh_cms_fine(
+                spark, store, batch_df, "ts", "user_id", fine="hour", depth=4, width=256
+            ),
         )
-        advance_epoch_marker(marker_root, epoch_id)
 
     store = _run_maintenance_stream(spark, sf_dir, "cms", maint)
     return spark.read.parquet(store).select(
@@ -550,18 +549,18 @@ def stream_quantile_maintenance(spark, sf_dir):
     the epoch-marker guard (the bar/CMS-table pattern). Four-file split
     so the counter-ADD merge path genuinely executes."""
     from ..operators import quality
-    from ..streaming.pipeline import advance_epoch_marker, read_epoch_marker
+    from ..streaming.pipeline import epoch_guarded
     from .timeseries import _daily_quantiles_from_fine
 
     def maint(batch_df, store, epoch_id):
-        marker_root = store + "_marker"
-        if epoch_id <= read_epoch_marker(marker_root):
-            return
-        quality.refresh_histogram_fine(
-            spark, store, batch_df, "ts", "value", lo=0.0, hi=500.0, n_bins=200,
-            fine="hour",
+        epoch_guarded(
+            store,
+            epoch_id,
+            lambda: quality.refresh_histogram_fine(
+                spark, store, batch_df, "ts", "value", lo=0.0, hi=500.0, n_bins=200,
+                fine="hour",
+            ),
         )
-        advance_epoch_marker(marker_root, epoch_id)
 
     store = _run_maintenance_stream(spark, sf_dir, "qhist", maint)
     fine = spark.read.parquet(store).drop("part_date")

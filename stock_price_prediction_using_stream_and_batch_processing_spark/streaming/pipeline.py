@@ -404,6 +404,25 @@ def advance_epoch_marker(root: str, epoch_id: int) -> None:
     os.replace(tmp, marker)
 
 
+def epoch_guarded(store: str, epoch_id: int, refresh_fn) -> bool:
+    """Run ``refresh_fn()`` exactly once per epoch: skip if the marker
+    at ``store + "_marker"`` already covers ``epoch_id`` (foreachBatch
+    replay), else refresh then advance the marker. THE shared fence for
+    non-idempotent merges (counter ADDs: CMS, histograms) — one copy of
+    the skip/refresh/advance protocol instead of one per maintenance
+    face. Returns True if the refresh ran. Same non-transactionality
+    bound as :func:`maintain_bars_batch` (crash between refresh and
+    marker re-merges one epoch), and the same marker-lifecycle rule:
+    the marker must reset together with the stream's checkpoint and the
+    store."""
+    marker_root = store + "_marker"
+    if epoch_id <= read_epoch_marker(marker_root):
+        return False
+    refresh_fn()
+    advance_epoch_marker(marker_root, epoch_id)
+    return True
+
+
 def maintain_bars_batch(
     spark: SparkSession,
     bars_root: str,

@@ -391,3 +391,20 @@ def test_hard_negative_pairs_band_semantics(spark):
     assert (1, 2) in out and 0.0 < out[(1, 2)] < 0.8
     assert (1, 3) not in out  # near-dup band excluded
     assert all(4 not in pair for pair in out)
+
+
+def test_cap_bucket_size_drops_null_buckets(spark):
+    """NULL bucket keys group together and an over-cap NULL bucket must
+    drop like any other (the anti join is null-safe); under-cap rows —
+    NULL or not — survive."""
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.maintenance import (
+        cap_bucket_size,
+    )
+
+    rows = [(i, None) for i in range(10)] + [(100, "a"), (101, "a"), (102, "b")]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    out = cap_bucket_size(df, "bucket", cap=5)
+    kept = {r.id for r in out.collect()}
+    assert kept == {100, 101, 102}  # the 10-row NULL bucket is gone
