@@ -852,9 +852,16 @@ def hard_negative_pairs_docs(spark, sf_dir):
     jaccard column is a single integer division, bit-identical across
     engines."""
     d = load_table(spark, sf_dir, "documents")
+    # max_bucket_size=64: single-hash bands are the most
+    # boilerplate-sensitive banding (every doc whose argmin shingle is
+    # a template's lands in one bucket), so the mega-bucket guard is
+    # wired here exactly as in the incremental near-dup store join.
+    # 64 is ~3× the densest bucket either fixture produces (measured
+    # max 22 at sf0.1, 5 at sf0.01), so the cap cannot trigger at test
+    # scales and the oracle is unaffected.
     return dedup.hard_negative_pairs(
         d, "text", "doc_id", num_hashes=4, bands=4,
-        min_jaccard=0.0, max_jaccard=0.8,
+        min_jaccard=0.0, max_jaccard=0.8, max_bucket_size=64,
     )
 
 

@@ -267,3 +267,23 @@ def test_intra_doc_dedup_prunes_base_scan(spark):
 
     scan_cols = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any("text" not in cols for cols in scan_cols), scan_cols
+
+
+def test_bucket_cap_is_aggregate_not_window(spark):
+    # The cap guards every LSH band self-join; as a count-over-window
+    # it shuffled AND SORTED the entire band table per call. The
+    # aggregate + null-safe anti-join form must not regress: no Window
+    # operator in the capped frame's plan, and the hot-key side is an
+    # aggregate feeding a join.
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.maintenance import (
+        cap_bucket_size,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 50).cast("string").alias("bucket")
+    )
+    plan = cap_bucket_size(df, "bucket", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
