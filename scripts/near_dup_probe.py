@@ -119,3 +119,39 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def probe_hard_negative_cap(spark) -> None:
+    """Round-6: the hard-negative query's single-hash bands are the
+    most boilerplate-sensitive banding — every doc whose argmin shingle
+    belongs to a shared template lands in ONE bucket. Plant a
+    5,000-copy boilerplate family into the sf0.1 corpus and measure
+    candidate volume with and without the registered cap (64)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    boiler = spark.range(5_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("standard license header all rights reserved redistribution permitted "
+                  "under the terms of the agreement see attached notice for details copy "),
+            (F.col("id") % 7).cast("string"),  # 7 variants -> near-identical family
+        ).alias("text"),
+    )
+    corpus = d.unionByName(boiler).localCheckpoint()
+    print("\n### hard_negative_pairs: planted 5k-doc boilerplate family (sf0.1 + 5000)\n")
+    print("| cap | candidate pairs | wall (s) |")
+    print("|---|---|---|")
+    for cap in (None, 64):
+        t0 = time.time()
+        n = dedup.minhash_lsh_pairs(
+            corpus, "text", "doc_id", num_hashes=4, bands=4, max_bucket_size=cap
+        ).count()
+        print(f"| {cap} | {n:,} | {time.time() - t0:.1f} |", flush=True)

@@ -102,3 +102,22 @@ def test_live_derby_partitioned_read_equals_single(spark, tmp_path):
     assert parted.count() == 1_000
     assert parted.exceptAll(single).count() == 0
     assert single.exceptAll(parted).count() == 0
+
+
+def test_shared_derby_concurrent_invocations_no_clobber(spark, tmp_path, monkeypatch):
+    """The per-process shared Derby boot isolates invocations by TABLE
+    name: two interleaved round-trip invocations must each read back
+    their own rows (the workdirs no-clobber contract)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.plans import jdbcplans
+
+    monkeypatch.setattr(jdbcplans, "_DERBY_DIR", [str(tmp_path / "shared_db")])
+    url = jdbc.derby_url(str(tmp_path / "shared_db"))
+    from pyspark.sql import functions as F
+
+    a = spark.range(10).select(F.col("id").alias("k"))
+    b = spark.range(100, 105).select(F.col("id").alias("k"))
+    jdbc.write_jdbc(a, url, "t_a", user="app", password="", driver=jdbc.DERBY_DRIVER)
+    jdbc.write_jdbc(b, url, "t_b", user="app", password="", driver=jdbc.DERBY_DRIVER)
+    ra = {r.k for r in jdbc.read_jdbc(spark, url, "t_a", "app", "", driver=jdbc.DERBY_DRIVER).collect()}
+    rb = {r.k for r in jdbc.read_jdbc(spark, url, "t_b", "app", "", driver=jdbc.DERBY_DRIVER).collect()}
+    assert ra == set(range(10)) and rb == set(range(100, 105))
