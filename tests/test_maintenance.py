@@ -111,3 +111,22 @@ def test_refresh_histogram_fine_equals_oneshot(spark, tmp_path):
     import os as _os
 
     assert any(d.startswith("part_date=") for d in _os.listdir(store))
+
+
+def test_epoch_guarded_skips_replays_and_advances(tmp_path):
+    """The shared replay fence for non-idempotent merges: a new epoch
+    runs and advances the marker; replaying the same (or an older)
+    epoch never re-runs the refresh."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        epoch_guarded,
+        read_epoch_marker,
+    )
+
+    store = str(tmp_path / "store")
+    runs = []
+    assert epoch_guarded(store, 0, lambda: runs.append(0)) is True
+    assert epoch_guarded(store, 0, lambda: runs.append("replay")) is False
+    assert epoch_guarded(store, 1, lambda: runs.append(1)) is True
+    assert epoch_guarded(store, 0, lambda: runs.append("stale")) is False
+    assert runs == [0, 1]
+    assert read_epoch_marker(store + "_marker") == 1
