@@ -127,9 +127,18 @@ def main() -> None:
     for name in HEADLINE:
         try:
             q = plans.get(name)
+            t0 = time.time()
             materialize(q.fn(spark, sf_dir))  # warmup (untimed)
+            warm_s = time.time() - t0
+            # Cheap queries are the most noise-dominated (a single
+            # stolen scheduler quantum is a large fraction of a 0.5 s
+            # query): give sub-3 s queries a third timed run. Min-of-N
+            # is the steady-state estimator; the extra run costs the
+            # sweep ~30 s total and took the r6 driver-vs-solo spread
+            # (uniform ~1.14x drift + outliers) out of the artifact.
+            runs = 3 if warm_s < 3.0 else 2
             best = None
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.time()
                 materialize(q.fn(spark, sf_dir))
                 el = time.time() - t0
@@ -157,6 +166,25 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Driver stdout-tail safety: the full line above now spans 50+
+    # queries (~3.4 KB) and the grading driver keeps only a ~2 KB tail
+    # of stdout, so the full line's HEAD (metric/value) gets truncated
+    # and the parse fails (BENCH_r06 recorded "parsed": null). Emit a
+    # second, COMPACT record LAST — headline value + query count +
+    # reference parity only — so the tail always ends in one short
+    # parseable JSON line. Consumers wanting per-query times read the
+    # full line (kept first, intact, for local runs / SCALE.md).
+    compact = {
+        "metric": "headline_corpus_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": sf,
+        "reference_parity": parity,
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact))
 
 
 def reference_parity_bench(spark) -> dict:

@@ -200,10 +200,13 @@ def touch_attribution(
     ``user_col``; the result grid is (2 × |event types|) rows, so at
     100 TB the cost is the one per-user sort the behavioral family
     already shares. Ordering is totalized through ``id_col`` so
-    same-timestamp events attribute deterministically on any engine."""
+    same-timestamp events attribute deterministically on any engine,
+    and NULLS LAST is explicit (Spark's ASC default is nulls-first,
+    most SQL engines' is nulls-last — pinning it makes the frame carry
+    engine-portable even if a fixture ever grows NULL timestamps)."""
     w = (
         Window.partitionBy(user_col)
-        .orderBy(F.col(ts_col), F.col(id_col))
+        .orderBy(F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     touch = F.when(F.col(type_col) != conversion, F.col(type_col))

@@ -21,6 +21,9 @@ live Derby in tests/test_jdbc.py).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import threading
 import uuid
 
 from pyspark.sql import functions as F
@@ -28,22 +31,29 @@ from pyspark.sql import functions as F
 from ..sources import jdbc
 from ..sources.tables import load_table
 from .core import register
-from .workdirs import fresh_result_dir
 
 # ONE booted Derby database per process: embedded Derby keeps every
 # booted database's page cache and background threads alive in the JVM
 # until an explicit shutdown, so a per-invocation database would
 # accumulate across a bench sweep's repeated runs. Invocations instead
-# share the boot and isolate via per-invocation TABLE names (the
-# workdirs no-clobber contract holds: concurrent runs never touch each
-# other's tables).
+# share the boot and isolate via per-invocation TABLE names.
+#
+# The database dir deliberately does NOT come from workdirs
+# (fresh_result_dir): that root is swept by age, and a process-lifetime
+# database whose top-level mtime stays at boot time would be rmtree'd
+# out from under the live JVM by any other query's sweep in a process
+# alive past the cutoff. A plain mkdtemp under the system temp root is
+# never swept by us; one small Derby dir per process is the accepted
+# footprint (the OS temp reaper owns it after the process dies).
+_DERBY_LOCK = threading.Lock()
 _DERBY_DIR: list[str] = []
 
 
 def _shared_derby_url(spark) -> str:
-    if not _DERBY_DIR:
-        jdbc.quiet_derby_log(spark)
-        _DERBY_DIR.append(fresh_result_dir("jdbc_rt_db"))
+    with _DERBY_LOCK:  # double-boot under concurrency would leak a dir
+        if not _DERBY_DIR:
+            jdbc.quiet_derby_log(spark)
+            _DERBY_DIR.append(os.path.join(tempfile.mkdtemp(prefix="spark_graft_derby_"), "db"))
     return jdbc.derby_url(_DERBY_DIR[0])
 
 

@@ -116,7 +116,7 @@ def storage_lifecycle_events(spark, sf_dir):
 @register(
     "schema_evolution_read_events",
     oracle="""
-    SELECT CASE WHEN event_id % 2 = 1 THEN 'v2' END AS source_tag,
+    SELECT CASE WHEN abs(event_id) % 2 = 1 THEN 'v2' END AS source_tag,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 2) AS sum_value
     FROM events GROUP BY 1

@@ -814,9 +814,17 @@ def intra_doc_dedup_docs(spark, sf_dir):
     bands AS MATERIALIZED (
       SELECT doc_id, md5(CAST(seed AS VARCHAR) || '|' || mh) AS band_key FROM sig
     ),
+    capped AS MATERIALIZED (
+      -- replay of the Spark-side max_bucket_size=64 guard
+      -- (operators/maintenance.cap_bucket_size): drop over-cap band
+      -- buckets entirely, so the two engines agree for ANY fixture,
+      -- including a regenerated one with a >64-member bucket
+      SELECT * FROM bands WHERE band_key NOT IN (
+        SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) > 64)
+    ),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     shd AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
@@ -856,9 +864,9 @@ def hard_negative_pairs_docs(spark, sf_dir):
     # boilerplate-sensitive banding (every doc whose argmin shingle is
     # a template's lands in one bucket), so the mega-bucket guard is
     # wired here exactly as in the incremental near-dup store join.
-    # 64 is ~3× the densest bucket either fixture produces (measured
-    # max 22 at sf0.1, 5 at sf0.01), so the cap cannot trigger at test
-    # scales and the oracle is unaffected.
+    # The oracle replays the SAME cap (capped CTE), so the differential
+    # stays valid even for a regenerated fixture whose densest bucket
+    # crosses 64 (measured max 22 at sf0.1, 5 at sf0.01 today).
     return dedup.hard_negative_pairs(
         d, "text", "doc_id", num_hashes=4, bands=4,
         min_jaccard=0.0, max_jaccard=0.8, max_bucket_size=64,

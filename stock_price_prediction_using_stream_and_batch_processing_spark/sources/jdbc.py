@@ -85,7 +85,20 @@ def pushdown_subquery(
         raise ValueError(f"limit_style must be 'limit' or 'fetch', got {limit_style!r}")
     q = f"SELECT * FROM {table}"
     if order_by is not None:
-        q += f" ORDER BY {ident_quote}{order_by}{ident_quote} {'DESC' if descending else 'ASC'}"
+        # Identifiers interpolate into SQL: double any embedded quote
+        # character (the standard escape) so an adversarial/odd column
+        # name can't break out of the quoting; unquoted mode only admits
+        # plain identifier characters at all.
+        if ident_quote:
+            ob = order_by.replace(ident_quote, ident_quote * 2)
+        else:
+            if not order_by.replace("_", "").isalnum():
+                raise ValueError(
+                    f"unquoted order_by must be a plain identifier, got {order_by!r} "
+                    "(pass ident_quote to quote it)"
+                )
+            ob = order_by
+        q += f" ORDER BY {ident_quote}{ob}{ident_quote} {'DESC' if descending else 'ASC'}"
     if limit is not None:
         n = int(limit)
         q += f" LIMIT {n}" if limit_style == "limit" else f" FETCH FIRST {n} ROWS ONLY"

@@ -10,6 +10,8 @@ import pytest
 
 from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
 
+from .conftest import SF_MED
+
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
     "windowsill and the birds sing in the garden as morning light spreads slowly over town"
@@ -408,3 +410,32 @@ def test_cap_bucket_size_drops_null_buckets(spark):
     out = cap_bucket_size(df, "bucket", cap=5)
     kept = {r.id for r in out.collect()}
     assert kept == {100, 101, 102}  # the 10-row NULL bucket is gone
+
+
+def test_fixture_band_buckets_stay_under_cap(spark):
+    """LOUD fixture invariant for the max_bucket_size=64 caps wired into
+    incremental_near_dup_docs and hard_negative_pairs_docs: the driver
+    regenerates /root/testdata each round, and a regenerated documents
+    fixture whose densest band bucket crossed the cap would silently
+    drop pairs on the Spark side of incremental_near_dup (whose
+    recursive 3-batch oracle does NOT replay the cap — hard_negative's
+    oracle does) and surface hours later as an opaque hash mismatch.
+    This pins the headroom at the driver's correctness SF: densest
+    bucket must stay <= cap/2 for BOTH cap-bearing parameterizations.
+    If this fires: regenerated fixture got a mega-bucket — replay the
+    cap in the incremental oracle or raise the cap in both engines."""
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    for num_hashes, bands in ((8, 4), (4, 4)):  # incremental / hard-negative
+        banded = dedup.lsh_band_keys(docs, "text", "doc_id", num_hashes=num_hashes, bands=bands)
+        densest = (
+            banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m")).collect()[0]["m"]
+        )
+        assert densest <= 32, (
+            f"fixture band bucket {densest} > 32 for num_hashes={num_hashes}: "
+            "within 2x of the wired max_bucket_size=64 cap — see docstring"
+        )
