@@ -41,6 +41,58 @@ def to_media_table(df: DataFrame, id_col: str, text_col: str, kind: str = "image
     )
 
 
+HEADER_MAGIC = "IMG1"
+HEADER_BYTES = 12  # 4-byte magic + 4 hex digits width + 4 hex digits height
+
+
+def add_media_header(media: DataFrame, magic: str = HEADER_MAGIC) -> DataFrame:
+    """Prepend a deterministic 12-byte ASCII header to each payload —
+    ``magic`` (4 bytes) + zero-padded 4-hex-digit width + 4-hex-digit
+    height — mirroring how real container formats carry dimensions in
+    their leading bytes (PNG IHDR, BMP DIB, WAV fmt). Width/height are
+    derived from ``media_id`` (16 + id·{1,7} mod 240), so the header is
+    reproducible from the row alone and an external oracle can replay
+    the exact byte arithmetic. The concat stays binary end to end; the
+    metadata columns are set to the same values the header encodes so
+    parse-vs-metadata agreement is checkable."""
+    width = (F.lit(16) + F.pmod(F.abs(F.col("media_id")), F.lit(240))).cast("int")
+    height = (F.lit(16) + F.pmod(F.abs(F.col("media_id") * 7), F.lit(240))).cast("int")
+    header = F.concat(
+        F.lit(magic),
+        F.lpad(F.hex(width), 4, "0"),
+        F.lpad(F.hex(height), 4, "0"),
+    )
+    return (
+        media.withColumn("width", width)
+        .withColumn("height", height)
+        .withColumn("payload", F.concat(F.encode(header, "UTF-8"), F.col("payload")))
+    )
+
+
+def parse_media_header(media: DataFrame) -> DataFrame:
+    """Parse magic bytes + dimensions straight off the BINARY payload
+    column with native column algebra (substring slices the binary,
+    decode/conv turn the hex digits into ints) — NO UDF, so the parse
+    rides whole-stage codegen and the payload body is never touched
+    (Parquet reads only the leading bytes' column pages it needs).
+    Output: (media_id, magic, width, height, body_bytes, aspect);
+    ``aspect`` is a single int/int division (bit-identical across
+    engines). This is the value-oracled face of the decode step: the
+    header IS decoded, byte for byte; only pixel/sample decode beyond
+    the header remains stubbed (no media libs in the container)."""
+    b = F.col("payload")
+    width = F.conv(F.decode(F.substring(b, 5, 4), "UTF-8"), 16, 10).cast("int")
+    height = F.conv(F.decode(F.substring(b, 9, 4), "UTF-8"), 16, 10).cast("int")
+    return media.select(
+        "media_id",
+        F.decode(F.substring(b, 1, 4), "UTF-8").alias("magic"),
+        width.alias("width"),
+        height.alias("height"),
+        (F.octet_length(b) - F.lit(HEADER_BYTES)).cast("long").alias("body_bytes"),
+        (width.cast("double") / height).alias("aspect"),
+    )
+
+
 def _fake_decode(payload: bytes, feat_dim: int) -> list[float]:
     # Deterministic fake "pixel features": byte histogram moments.
     if payload is None or len(payload) == 0:

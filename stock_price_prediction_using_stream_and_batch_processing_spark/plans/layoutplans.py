@@ -122,9 +122,8 @@ def storage_lifecycle_events(spark, sf_dir):
     FROM events GROUP BY 1
     """,
     tags=("storage", "schema-evolution", "mergeschema"),
-    driver=False,  # extended: the lifecycle family's driver slot is
-    # storage_lifecycle_events; this face proves append-only column
-    # evolution reads correctly (old files surface NULLs)
+    # rotation r7: promoted for a first driver row (the evolution face
+    # had only local + sf0.1-sweep evidence through r6)
 )
 def schema_evolution_read_events(spark, sf_dir):
     """APPEND-ONLY SCHEMA EVOLUTION, oracle-checked end to end: the

@@ -41,14 +41,46 @@ def media_feature_stats(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes")
 
 
-# rotation r6: rows-only row banked in r5; media_frame_sample /
-# media_feature_stats (full oracles) carry the multimodal driver slots
-@register("media_feature_extract", oracle=None, tags=("multimodal", "binary", "mapinpandas"), driver=False)
+@register(
+    "media_feature_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             'IMG1' || lpad(to_hex(16 + abs(doc_id) % 240), 4, '0')
+                    || lpad(to_hex(16 + abs(doc_id * 7) % 240), 4, '0')
+                    || text AS payload
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id AS media_id,
+             substr(payload, 1, 4) AS magic,
+             CAST(('0x' || substr(payload, 5, 4))::BIGINT AS INTEGER) AS width,
+             CAST(('0x' || substr(payload, 9, 4))::BIGINT AS INTEGER) AS height,
+             CAST(octet_length(encode(payload)) - 12 AS BIGINT) AS body_bytes
+      FROM m
+    )
+    SELECT media_id, magic, width, height, body_bytes,
+           CAST(width AS DOUBLE) / height AS aspect
+    FROM p
+    """,
+    tags=("multimodal", "binary", "decode", "header-parse"),
+)
 def media_feature_extract(spark, sf_dir):
-    """Full fake-decode feature extraction (deterministic byte-histogram
-    moments — not SQL-expressible; rows-only check + exact value tests
-    in tests/test_multimodal.py)."""
-    return multimodal.extract_features(_media(spark, sf_dir), feat_dim=8)
+    """Media decode, value-oracled: payloads carry a deterministic
+    12-byte binary header (magic + hex-encoded dimensions — the shape
+    real containers use: PNG IHDR, BMP DIB, WAV fmt), and the query
+    parses magic/width/height/body size straight off the BINARY column
+    with native substring/decode/conv algebra — no UDF, whole-stage
+    codegen end to end (operators/multimodal.add_media_header /
+    parse_media_header). The DuckDB oracle replays the identical byte
+    construction AND parse, so every decoded value is differentially
+    checked. This retires the rows-only status this name carried
+    through r6 (the fake byte-histogram decoder now lives only in
+    media_feature_stats' Arrow-plumbing differential and the
+    test_multimodal value pins); only pixel/sample decode beyond the
+    header remains honestly stubbed (no media libs in the container)."""
+    media = multimodal.add_media_header(_media(spark, sf_dir))
+    return multimodal.parse_media_header(media)
 
 
 @register(

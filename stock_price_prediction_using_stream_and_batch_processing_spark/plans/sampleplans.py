@@ -110,6 +110,7 @@ def pack_docs_bins(spark, sf_dir):
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("dedup", "simhash", "near-dup"),
+    driver=False,  # rotation r7: driver-green r4-r6; family keeps other driver rows
 )
 def simhash_near_pairs_docs(spark, sf_dir):
     """SimHash near-dup PAIRS (Hamming <= 3) over 60-bit signatures:

@@ -534,9 +534,8 @@ def stream_cms_maintenance(spark, sf_dir):
     # stream-maintained store must reach the identical daily quantiles
     oracle=_QUANTILE_ROLLUP_ORACLE,
     tags=("streaming", "quantile", "histogram", "continuous-aggregate"),
-    driver=False,  # extended: quantile_rollup_daily_values holds the
-    # family's driver slot; this face proves the STREAMING refresh path
-    # (epoch-marker-guarded counter adds) reaches the identical answer
+    # rotation r7: promoted for a first driver row (this streaming face
+    # had only local + sf0.1-sweep evidence through r6)
 )
 def stream_quantile_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized per-hour binned
@@ -565,3 +564,104 @@ def stream_quantile_maintenance(spark, sf_dir):
     store = _run_maintenance_stream(spark, sf_dir, "qhist", maint)
     fine = spark.read.parquet(store).drop("part_date")
     return _daily_quantiles_from_fine(fine)
+
+
+@register(
+    "kafka_wire_parse_events",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, user_id, event_type, ts,
+             abs(event_id * 37 + 11) % 100000 AS cents
+      FROM events
+    ),
+    j AS (
+      SELECT event_id,
+             'stock_ticks' AS topic,
+             CAST(abs(user_id) % 8 AS INTEGER) AS part_id,
+             CAST(event_id AS BIGINT) AS msg_offset,
+             CAST(user_id AS VARCHAR) AS user_key,
+             CASE WHEN abs(event_id) % 97 = 0 THEN '{"symbol":'
+                  ELSE '{"symbol":"' || event_type || '","timestamp":"'
+                       || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '","price":'
+                       || CAST(cents // 100 AS VARCHAR) || '.'
+                       || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+                       || ',"volume":' || CAST(event_id AS VARCHAR) || '}'
+             END AS value_str
+      FROM k
+    )
+    SELECT topic, part_id, msg_offset, user_key,
+           json_extract_string(value_str, '$.symbol') AS symbol,
+           strftime(strptime(json_extract_string(value_str, '$.timestamp'),
+                             '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(json_extract(value_str, '$.price') AS DOUBLE) AS price,
+           CAST(json_extract(value_str, '$.volume') AS BIGINT) AS volume
+    FROM j
+    WHERE abs(event_id) % 97 <> 0
+    """,
+    tags=("streaming", "kafka", "wire-schema", "from_json", "malformed"),
+)
+def kafka_wire_parse_events(spark, sf_dir):
+    """The Kafka WIRE SCHEMA, differentially checked the way JDBC got
+    Derby: a fixture is framed into the EXACT source schema Spark's
+    Kafka reader emits (binary key/value, topic, partition, offset,
+    timestamp, timestampType — ``stream_consumer.py:89-98``'s input),
+    streamed through a real Structured Streaming query, and parsed by
+    the pipeline's OWN ``parse_ticks`` (cast binary→string → from_json
+    → ``data.*`` — the reference's parse verbatim), with Kafka
+    provenance (topic/partition/offset/key) carried alongside. Every
+    97th message is a malformed JSON frame; the drop-malformed guard
+    must remove exactly those. The DuckDB oracle builds the identical
+    JSON bytes and decodes them with its own JSON engine, so symbol /
+    timestamp / price / volume survive the full encode→wire→parse
+    round-trip value-for-value. Prices are integer-derived decimal
+    strings (never a formatted double): both engines parse the same
+    literal to the same IEEE double. After this, S1's untested surface
+    is the network client alone (no broker in the container)."""
+    from ..streaming.pipeline import parse_ticks
+    from .workdirs import fresh_result_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.pmod(F.abs(F.col("event_id") * 37 + 11), F.lit(100000))
+    price_str = F.concat(
+        F.floor(cents / F.lit(100)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+    )
+    good = F.concat(
+        F.lit('{"symbol":"'), F.col("event_type"),
+        F.lit('","timestamp":"'), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit('","price":'), price_str,
+        F.lit(',"volume":'), F.col("event_id").cast("string"),
+        F.lit("}"),
+    )
+    value_str = F.when(
+        F.pmod(F.abs(F.col("event_id")), F.lit(97)) == 0, F.lit('{"symbol":')
+    ).otherwise(good)
+    framed = ev.select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(value_str, "UTF-8").alias("value"),
+        F.lit("stock_ticks").alias("topic"),
+        F.pmod(F.abs(F.col("user_id")), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    # Land the framed messages, then replay them through a REAL
+    # streaming query — the same execution mode the Kafka source runs
+    # in; format("kafka") swaps in with zero parse changes.
+    wire_dir = fresh_result_dir("kafka_wire")
+    framed.write.parquet(wire_dir)
+    raw = spark.readStream.schema(framed.schema).parquet(wire_dir)
+    parsed = parse_ticks(raw, keep_cols=("topic", "partition", "offset", "key"))
+    name = _run_stream_to_memory(parsed, "kafka_wire", "append")
+    out = spark.table(name)
+    return out.select(
+        "topic",
+        F.col("partition").cast("int").alias("part_id"),
+        F.col("offset").cast("long").alias("msg_offset"),
+        F.decode("key", "UTF-8").alias("user_key"),
+        "symbol",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "price",
+        F.col("volume").cast("long").alias("volume"),
+    )

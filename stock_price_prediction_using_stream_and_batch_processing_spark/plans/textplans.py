@@ -899,6 +899,7 @@ def hard_negative_pairs_docs(spark, sf_dir):
     GROUP BY doc_id
     """,
     tags=("text", "lm", "perplexity", "quality"),
+    driver=False,  # rotation r7: driver-green r4-r6; family keeps other driver rows
 )
 def doc_bigram_surprisal(spark, sf_dir):
     """Interpolated bigram-LM cross-entropy per document (λ=0.8) — the

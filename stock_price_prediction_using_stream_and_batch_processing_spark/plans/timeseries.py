@@ -179,6 +179,7 @@ def tumbling_ohlc_events(spark, sf_dir):
     FROM events GROUP BY user_id, date_trunc('day', ts)
     """,
     tags=("window", "ohlc", "rollup", "timeseries"),
+    driver=False,  # rotation r7: driver-green r4-r6; family keeps other driver rows
 )
 def multi_res_ohlc_events(spark, sf_dir):
     """Minute/hour/day OHLC bars where each coarser level rolls up the
@@ -720,10 +721,8 @@ def quantile_rollup_daily_values(spark, sf_dir):
     "histogram_incremental_refresh_events",
     oracle=_QUANTILE_ROLLUP_ORACLE,
     tags=("maintenance", "quantile", "histogram", "continuous-aggregate", "incremental-refresh"),
-    driver=False,  # extended: same oracle as quantile_rollup_daily_values,
-    # which holds the family's driver slot; this face proves the store
-    # REFRESH path (3-batch adversarial interleave) reaches the identical
-    # answer — locally and in the sf0.1 sweep
+    # rotation r7: promoted for a first driver row (the refresh face was
+    # the only member of its family never driver-checked)
 )
 def histogram_incremental_refresh_events(spark, sf_dir):
     """BATCH incremental refresh of the binned-histogram store
@@ -780,6 +779,7 @@ def histogram_incremental_refresh_events(spark, sf_dir):
     FROM j
     """,
     tags=("timeseries", "gapfill", "locf", "resample"),
+    driver=False,  # rotation r7: driver-green r4-r6; family keeps other driver rows
 )
 def gapfill_hourly_events(spark, sf_dir):
     """Hourly per-user grid with LOCF gap filling (hypertable

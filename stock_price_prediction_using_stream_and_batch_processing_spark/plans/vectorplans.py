@@ -259,6 +259,7 @@ def cosine_topk_ivf(spark, sf_dir):
     FROM d GROUP BY label
     """,
     tags=("vector", "clustering", "quality"),
+    driver=False,  # rotation r7: driver-green r4-r6; family keeps other driver rows
 )
 def embedding_centroid_dispersion(spark, sf_dir):
     """Per-label centroid + intra-cluster dispersion (the embedding-

@@ -28,7 +28,12 @@ from ..sources.ticks import tick_schema
 from .stateful import continuous_trailing_windows
 
 
-def parse_ticks(raw: DataFrame, value_col: str = "value", drop_malformed: bool = True) -> DataFrame:
+def parse_ticks(
+    raw: DataFrame,
+    value_col: str = "value",
+    drop_malformed: bool = True,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Kafka-wire parse: binary/string JSON value -> typed tick columns
     (reference P0a-P0c, ``stream_consumer.py:96-98``).
 
@@ -37,10 +42,17 @@ def parse_ticks(raw: DataFrame, value_col: str = "value", drop_malformed: bool =
     messages become null-timestamp rows that poison the raw table and
     sort first in every window. (The reference had no handling at all:
     a malformed message yields nulls via ``from_json`` and is written
-    to MySQL as-is.)"""
+    to MySQL as-is.)
+
+    ``keep_cols`` carries source metadata columns (Kafka's topic /
+    partition / offset / key) through the parse unchanged — the
+    reference dropped them; an auditable pipeline wants the provenance
+    next to the payload (plans/streamplans.kafka_wire_parse_events
+    differentially checks this full wire surface)."""
+    kept = [F.col(c) for c in keep_cols]
     parsed = (
-        raw.select(F.from_json(F.col(value_col).cast("string"), tick_schema).alias("data"))
-        .select("data.*")
+        raw.select(*kept, F.from_json(F.col(value_col).cast("string"), tick_schema).alias("data"))
+        .select(*keep_cols, "data.*")
     )
     if drop_malformed:
         parsed = parsed.filter(

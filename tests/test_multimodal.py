@@ -72,3 +72,28 @@ def test_frame_sample_plan(spark):
     # media 1: ceil-ish (950/100 + 1)=10 frames -> idx 0,4,8; media 2: 1 frame -> idx 0
     got = {(r.media_id, r.frame_idx) for r in out}
     assert got == {(1, 0), (1, 4), (1, 8), (2, 0)}
+
+
+def test_media_header_roundtrip(spark):
+    """add_media_header -> parse_media_header recovers exactly what the
+    header encodes: magic, the width/height written into the metadata
+    columns, the original payload's byte count, and the single-division
+    aspect — all via native binary column algebra (no UDF)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.multimodal import (
+        add_media_header,
+        parse_media_header,
+        to_media_table,
+    )
+
+    rows = [(7, "héllo wörld"), (250, "x" * 300), (0, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = add_media_header(to_media_table(docs, "doc_id", "text"))
+    meta = {r.media_id: (r.width, r.height) for r in media.select("media_id", "width", "height").collect()}
+    out = {r.media_id: r for r in parse_media_header(media).collect()}
+    raw_bytes = {i: len(t.encode("utf-8")) for i, t in rows}
+    for mid, (w, h) in meta.items():
+        r = out[mid]
+        assert r.magic == "IMG1"
+        assert (r.width, r.height) == (w, h) == (16 + mid % 240, 16 + (mid * 7) % 240)
+        assert r.body_bytes == raw_bytes[mid]  # multibyte text counted in BYTES
+        assert r.aspect == w / h

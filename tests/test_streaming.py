@@ -677,3 +677,23 @@ def test_predict_ticks_arrow_edge_shapes(spark):
     )
     out = predict_ticks_arrow(small, 5)
     assert out.column("predicted_price").to_pylist() == [None, None, None]
+
+
+def test_parse_ticks_keeps_kafka_metadata_columns(spark):
+    """keep_cols carries Kafka provenance (topic/partition/offset/key)
+    through the verbatim cast->from_json->data.* parse unchanged, and
+    drop-malformed still removes broken frames WITH their metadata."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("t", 0, 1, b"k1", b'{"symbol":"AAPL","timestamp":"2024-01-01T00:00:00","price":1.5,"volume":10}'),
+        ("t", 1, 2, b"k2", b'{"symbol":'),  # malformed frame
+    ]
+    raw = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, key binary, value binary"
+    )
+    out = parse_ticks(raw, keep_cols=("topic", "partition", "offset", "key")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.topic, r.partition, r.offset, bytes(r.key)) == ("t", 0, 1, b"k1")
+    assert (r.symbol, r.price, r.volume) == ("AAPL", 1.5, 10)
