@@ -94,6 +94,15 @@ HEADLINE = [
     "jdbc_roundtrip_orders_topk",
     "touch_attribution_events",
     "hard_negative_pairs_docs",
+    # round-7 additions: the Kafka wire-schema differential (framed
+    # binary messages through a real streaming parse), native binary
+    # header decode, the two-phase distributed prefix scan behind
+    # peak-concurrency, market-basket lift, and CDC tombstone compaction
+    "kafka_wire_parse_events",
+    "media_feature_extract",
+    "concurrent_sessions_events",
+    "copurchase_lift_parts",
+    "cdc_apply_orders",
 ]
 
 

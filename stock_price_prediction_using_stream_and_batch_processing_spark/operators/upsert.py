@@ -11,7 +11,7 @@ rewrites a day, not 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -138,4 +138,37 @@ def snapshot_diff(
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type")
+    )
+
+
+def apply_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog compaction with tombstones: collapse an
+    insert/update/delete event stream to final table state — per key,
+    the LAST change in ``order_cols`` order wins, and a key whose last
+    change is a ``delete_op`` disappears entirely (Kafka
+    log-compaction / Debezium-snapshot semantics; the piece
+    ``merge_into_parquet``'s upsert deliberately lacks).
+
+    One keyed window (row_number over the per-key sort — the shuffle is
+    on ``key_cols``, the per-key frame is however many changes a key
+    accumulated between compactions, typically small) and a filter; the
+    tombstone check happens AFTER last-wins, so D → re-insert sequences
+    resurrect the key with the newer row, and U → D sequences delete it,
+    in any interleaving. ``order_cols`` must totalize per key (pass the
+    changelog's sequence/offset as the last column) or last-wins is
+    nondeterministic."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    rn = "_rn"
+    while rn in df.columns:
+        rn = "_" + rn
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter((F.col(rn) == 1) & (F.col(op_col) != delete_op))
+        .drop(rn)
     )

@@ -180,3 +180,146 @@ def touch_attribution_events(spark, sf_dir):
     return sequences.touch_attribution(
         ev, "user_id", "ts", "event_type", "event_id", conversion="purchase"
     )
+
+
+@register(
+    "concurrent_sessions_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER win IS NULL
+                       OR ts - LAG(ts) OVER win > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM g
+    ),
+    b AS (
+      SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+      FROM s GROUP BY user_id, session_id
+    ),
+    bd AS (
+      SELECT st AS ts, 1 AS delta, user_id, session_id FROM b
+      UNION ALL
+      SELECT en, -1, user_id, session_id FROM b
+    ),
+    r AS (
+      SELECT ts, SUM(delta) OVER (ORDER BY ts, -delta, user_id, session_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM bd
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM r GROUP BY 1
+    """,
+    tags=("behavioral", "sweep-line", "prefix-scan", "session", "concurrency"),
+)
+def concurrent_sessions_events(spark, sf_dir):
+    """Peak concurrent sessions per hour — the sweep-line/prefix-scan
+    operator: 30-min-gap sessions become (+1 at start, -1 at end)
+    boundary events, globally scanned in (ts, starts-first, session)
+    total order, max of the running concurrency per hour. The scan is
+    the TWO-PHASE distributed prefix sum (operators/prefix.py): range
+    partitioning → parallel per-partition scans → broadcast cumulative
+    offsets — never the single-partition sort a bare
+    ``SUM() OVER (ORDER BY)`` would plan, so at 100 TB the wall-clock
+    follows the widest partition, not the table. The oracle replays
+    sessionization, the boundary sweep, and the scan in the identical
+    total order (integer deltas — sums are order-exact)."""
+    from ..operators import prefix, windows
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = windows.sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    conc = prefix.interval_concurrency(
+        bounds, "session_start", "session_end", ["user_id", "session_id"], out="concurrent"
+    )
+    return conc.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+    ).agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent"),
+        F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+    )
+
+
+@register(
+    "copurchase_lift_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+    ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY l_partkey),
+    p AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab AS DOUBLE) / n.n_orders AS support,
+           CAST(n_ab AS DOUBLE) / ia.n_item AS confidence_a_b,
+           CAST(n_ab * n.n_orders AS DOUBLE) / (ia.n_item * ib.n_item) AS lift
+    FROM p CROSS JOIN n
+    JOIN ic ia ON ia.l_partkey = p.part_a
+    JOIN ic ib ON ib.l_partkey = p.part_b
+    """,
+    tags=("behavioral", "market-basket", "association-rules", "self-join"),
+)
+def copurchase_lift_parts(spark, sf_dir):
+    """Market-basket association mining over lineitem baskets: parts
+    co-occurring in >= 2 orders, with support / confidence / lift. The
+    pair generation is the basket self-join keyed on the ORDER — the
+    per-basket item count bounds the blowup (a k-item order emits
+    k·(k-1)/2 pairs; retail baskets are small, and a degenerate
+    mega-basket would be capped the way LSH buckets are), so the one
+    shuffle is on orderkey and the candidate count tracks Σk² over
+    baskets, never |parts|². Item marginals (|parts| rows) and the
+    single-row basket total BROADCAST onto the pair aggregate. Lift =
+    (n_ab·N)/(n_a·n_b): exact-integer products, ONE division —
+    bit-identical on both engines, no rounding."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item_counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(
+            F.broadcast(item_counts.select(F.col("l_partkey").alias("part_a"),
+                                           F.col("n_item").alias("_na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("l_partkey").alias("part_b"),
+                                           F.col("n_item").alias("_nb"))),
+            "part_b",
+        )
+    )
+    return out.select(
+        "part_a", "part_b", "n_ab",
+        (F.col("n_ab").cast("double") / F.col("n_orders")).alias("support"),
+        (F.col("n_ab").cast("double") / F.col("_na")).alias("confidence_a_b"),
+        ((F.col("n_ab") * F.col("n_orders")).cast("double")
+         / (F.col("_na") * F.col("_nb"))).alias("lift"),
+    )

@@ -1126,3 +1126,47 @@ def upsert_latest_order_per_customer(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(store)
+
+
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             o_totalprice,
+             CASE WHEN abs(o_orderkey) % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM ch WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("cdc", "changelog", "tombstone", "compaction", "maintenance"),
+)
+def cdc_apply_orders(spark, sf_dir):
+    """CDC changelog compaction with TOMBSTONES
+    (operators/upsert.apply_changelog): each customer's order stream is
+    read as a keyed change log ordered by (date, orderkey); every 11th
+    orderkey is a synthetic delete event. Final state = last change per
+    key, with a key whose last change is a tombstone ABSENT from the
+    result — Kafka log-compaction / Debezium semantics, the deletion
+    half the plain last-writer-wins upsert (upsert_latest_order_per_
+    customer) doesn't model. One keyed window over the per-customer
+    frame; the oracle replays the identical last-wins + tombstone
+    filter."""
+    from ..operators.upsert import apply_changelog
+
+    ch = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+        F.when(F.pmod(F.abs(F.col("o_orderkey")), F.lit(11)) == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    state = apply_changelog(
+        ch, ["o_custkey"], ["o_orderdate", "o_orderkey"], "op", delete_op="D"
+    )
+    return state.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -30,6 +30,7 @@ def _bucket_sql(expr: str, n: int, salt: str = "") -> str:
     WHERE {_bucket_sql('doc_id', 100)} < 5
     """,
     tags=("sampling", "deterministic", "filter"),
+    driver=False,  # rotation r7: driver-green r5+r6; mixture/pack/split/deciles keep the sampling family's driver evidence
 )
 def hash_sample_docs(spark, sf_dir):
     """Deterministic 5% corpus sample — a pure hash filter (no shuffle,
@@ -172,6 +173,7 @@ def decontaminate_train_eval(spark, sf_dir):
                     ELSE 0 END
     """,
     tags=("sampling", "stratified", "deterministic"),
+    driver=False,  # rotation r7: driver-green r5+r6; mixture/pack/split/deciles keep the sampling family's driver evidence
 )
 def stratified_sample_docs(spark, sf_dir):
     """Corpus-mixture re-balancing: per-language deterministic sampling
@@ -266,6 +268,7 @@ def doc_length_decile_stats(spark, sf_dir):
     SELECT event_id, event_type, sample_rank FROM r WHERE sample_rank <= 25
     """,
     tags=("sampling", "weighted", "deterministic", "reservoir"),
+    driver=False,  # rotation r7: driver-green r5+r6; mixture/pack/split/deciles keep the sampling family's driver evidence
 )
 def weighted_sample_events(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis–Spirakis A-ES
