@@ -48,3 +48,55 @@ def test_salt_is_deterministic(hot):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     salts = {r._salt for r in a}
     assert salts == set(range(8))  # every reducer bucket actually used
+
+
+def test_aqe_skew_split_fires_on_planted_hot_key(spark):
+    """Every shuffle-join query assumes AQE splits a skewed partition at
+    runtime; this pins it. A planted power-law key (30% of fact rows on
+    one custkey, the join_orders_customer_segment shape) under
+    test-scale skew thresholds must produce SortMergeJoin(skew=true)
+    with a skewed AQEShuffleRead in the FINAL adaptive plan — and the
+    salted fallback (operators/skew.py) must spread the same hot key
+    across all salt buckets within 2x of even."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # test-scale thresholds: the defaults (256MB) never trip on a
+        # 400k-row fixture; factor/threshold scaled so a 30% partition
+        # is seen as skewed exactly like a 30% partition of 100 TB
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(400_000).select(
+            F.col("id"),
+            F.when(F.pmod(F.col("id"), F.lit(10)) < 3, F.lit(7))
+            .otherwise(F.pmod(F.col("id"), F.lit(5000)))
+            .alias("custkey"),
+        )
+        dim = spark.range(5000).select(
+            F.col("id").alias("custkey"),
+            F.concat(F.lit("seg"), F.pmod(F.col("id"), F.lit(5))).alias("segment"),
+        )
+        j = fact.join(dim, "custkey").groupBy("segment").count()
+        got = {r.segment: r["count"] for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead skewed
+        # value sanity: the split must not change results — totals hold
+        # and seg2 (custkey 7's segment) carries the 120k hot rows on
+        # top of its uniform share
+        assert sum(got.values()) == 400_000
+        assert got["seg2"] >= 120_000 + 30_000
+        # salted fallback bounds the hot key's per-reducer share
+        salted = skew.with_salt(fact.filter(F.col("custkey") == 7), "id", 8)
+        per_salt = [r.n for r in salted.groupBy("_salt").agg(F.count("*").alias("n")).collect()]
+        assert len(per_salt) == 8 and max(per_salt) <= 2 * (120_000 // 8)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -697,3 +697,64 @@ def test_parse_ticks_keeps_kafka_metadata_columns(spark):
     r = out[0]
     assert (r.topic, r.partition, r.offset, bytes(r.key)) == ("t", 0, 1, b"k1")
     assert (r.symbol, r.price, r.volume) == ("AAPL", 1.5, 10)
+
+
+def test_watermark_bounds_state_rows(spark, tmp_path):
+    """State cleanup under watermark advance, pinned via the engine's
+    own stateOperators progress: driving the watermarked hourly agg
+    over 6 one-hour batches must (a) evict closed windows (rows
+    removed > 0), (b) plateau state at ~keys x live-windows while
+    cumulative input grows 6x — bounded by (keys x window horizon),
+    never by stream length. The probe at 10k->1M keys
+    (scripts/state_store_probe.py) shows the same 2.07x-keys plateau."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    n_keys, n_batches = 300, 6
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(n_batches):
+        df = spark.range(n_keys).select(
+            F.col("id").alias("user_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000 + b * 3600) + F.pmod(F.col("id"), F.lit(3000))).alias("ts"),
+        )
+        p = str(src / f"part-{b:02d}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + "_tmp")
+        import os as _os
+        import shutil as _shutil
+
+        f = next(x for x in _os.listdir(p + "_tmp") if x.endswith(".parquet"))
+        _shutil.move(_os.path.join(p + "_tmp", f), p)
+        _shutil.rmtree(p + "_tmp", ignore_errors=True)
+        _os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    states, removed = [], 0
+    for p in q.recentProgress:
+        d = json.loads(p.json)
+        so = (d.get("stateOperators") or [{}])[0]
+        if so.get("numRowsTotal") is not None:
+            states.append(so["numRowsTotal"])
+            removed += so.get("numRowsRemoved") or 0
+    assert removed > 0, states  # eviction actually ran
+    assert max(states) <= 3 * n_keys, states  # bounded by keys x live windows
+    # plateau: once the horizon fills (batch 3+), state stops growing
+    plateau = states[3:-1] if len(states) > 4 else states[3:]
+    assert plateau and max(plateau) == min(plateau), states
