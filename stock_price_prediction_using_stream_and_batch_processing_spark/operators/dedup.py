@@ -129,10 +129,21 @@ def minhash_lsh_pairs(
     band. Capping trades recall on exactly those degenerate groups
     (which exact content-dedup already collapses) for a bounded join.
     """
+    # The banded table is consumed at least twice (both self-join
+    # sides) and up to four times with a cap (count aggregate +
+    # anti-join + a + b); without a lineage cut each consumer re-runs
+    # the signature min-aggregation over every shingle. The lazy
+    # localCheckpoint makes it compute once. (Profiled at sf0.1: the
+    # cap's remaining ~1.5 s across incremental_near_dup's three
+    # admission cycles is NOT this recompute — it is the fixed
+    # scheduling cost of the extra aggregate+anti-join stage pairs,
+    # constant per batch and independent of data size, i.e. amortized
+    # at scale; the checkpoint still removes the recompute term, which
+    # GROWS with batch size.)
     banded = lsh_band_keys(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, shingled=shingled,
-    )
+    ).localCheckpoint(eager=False)
     from .maintenance import cap_bucket_size
 
     banded = cap_bucket_size(banded, "band_key", max_bucket_size)
