@@ -103,6 +103,11 @@ HEADLINE = [
     "concurrent_sessions_events",
     "copurchase_lift_parts",
     "cdc_apply_orders",
+    # round-7 (cont.): incremental JOIN-view maintenance (delta algebra,
+    # never a full recompute) and the left-outer stream-stream join
+    # (watermark-gated null emission + state eviction)
+    "incremental_join_refresh_orders",
+    "stream_outer_join_purchase_error",
 ]
 
 

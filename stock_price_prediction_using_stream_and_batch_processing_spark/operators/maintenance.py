@@ -118,3 +118,60 @@ def refresh_partials(
     existing = target.join(affected, merge_keys, "semi")
     merged = with_part(merge_fn(existing, batch))
     return merge_into_parquet(spark, path, merged, merge_keys, partition_col)
+
+
+def incremental_join_refresh(
+    spark: SparkSession,
+    store_path: str,
+    key: str,
+    delta_a: DataFrame | None = None,
+    delta_b: DataFrame | None = None,
+) -> None:
+    """Incremental view maintenance for an INNER-JOIN view — the join
+    half of the IVM family (the aggregate half is the mergeable-partial
+    stores). The classic delta algebra: when batch deltas ΔA / ΔB
+    arrive,
+
+        Δ(A ⋈ B) = ΔA ⋈ B_prev  ∪  A_prev ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    and ONLY those delta rows append to the materialized view — the
+    standing join is never recomputed. Each (a, b) match is emitted
+    exactly once: in ΔA⋈B_prev if a arrives after b, in A_prev⋈ΔB if b
+    arrives after a, in ΔA⋈ΔB if they land together.
+
+    Store layout: ``a_acc`` / ``b_acc`` (the accumulated sides, digested
+    to the join-relevant columns) + ``view``. Per-batch cost is
+    O(|Δ| × join fan-out) keyed shuffles; AQE broadcasts a small delta
+    against the big accumulator. At 100 TB, bucketing the accumulators
+    on ``key`` would make the Δ-joins co-located — the layout knob, not
+    a plan change.
+
+    Write ordering is load-bearing: the view delta MATERIALIZES (write)
+    before the deltas append to the accumulators — parquet reads list
+    files at execution time, so appending first would let ΔA⋈B_prev see
+    ΔB's rows and double-count the ΔA⋈ΔB term. NOT idempotent across
+    retries of one batch — wrap in the caller's epoch guard, like every
+    addition-based store."""
+    a_path, b_path, v_path = (
+        f"{store_path}/a_acc",
+        f"{store_path}/b_acc",
+        f"{store_path}/view",
+    )
+    a_prev = spark.read.parquet(a_path) if parquet_table_exists(spark, a_path) else None
+    b_prev = spark.read.parquet(b_path) if parquet_table_exists(spark, b_path) else None
+    parts = []
+    if delta_a is not None and b_prev is not None:
+        parts.append(delta_a.join(b_prev, key))
+    if delta_b is not None and a_prev is not None:
+        parts.append(a_prev.join(delta_b, key))
+    if delta_a is not None and delta_b is not None:
+        parts.append(delta_a.join(delta_b, key))
+    if parts:
+        delta_view = parts[0]
+        for p in parts[1:]:
+            delta_view = delta_view.unionByName(p)
+        delta_view.write.mode("append").parquet(v_path)
+    if delta_a is not None:
+        delta_a.write.mode("append").parquet(a_path)
+    if delta_b is not None:
+        delta_b.write.mode("append").parquet(b_path)

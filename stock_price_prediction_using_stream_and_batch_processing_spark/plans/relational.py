@@ -825,6 +825,7 @@ def outlier_events_zscore(spark, sf_dir):
     FROM runs
     """,
     tags=("temporal", "scd2", "gaps-and-islands", "window"),
+    driver=False,  # rotation r7: driver-green r4-r6; snapshot_diff/upsert/cdc_apply keep the temporal-maintenance driver evidence
 )
 def order_status_history(spark, sf_dir):
     """SCD-2 validity intervals: each customer's order-status runs
@@ -1170,3 +1171,55 @@ def cdc_apply_orders(spark, sf_dir):
         ch, ["o_custkey"], ["o_orderdate", "o_orderkey"], "op", delete_op="D"
     )
     return state.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "incremental_join_refresh_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("maintenance", "ivm", "join", "incremental-refresh", "delta-propagation"),
+)
+def incremental_join_refresh_orders(spark, sf_dir):
+    """Incremental JOIN-view maintenance, oracle-checked end to end
+    (operators/maintenance.incremental_join_refresh): the materialized
+    orders⋈customer view is built from INTERLEAVED batch deltas on BOTH
+    sides (orders in thirds, customers in halves — so every delta-
+    algebra term ΔA⋈B_prev, A_prev⋈ΔB, ΔA⋈ΔB genuinely executes,
+    including a final orders-only batch against the full customer
+    accumulator), appending only delta rows per batch, never
+    recomputing the standing join. The differential pins that the
+    evolved view equals the one-shot join row-for-row — the
+    exactly-once emission argument of the delta algebra, checked, and
+    the join-side counterpart of the four mergeable-partial aggregate
+    stores."""
+    from ..operators.maintenance import incremental_join_refresh
+    from .workdirs import fresh_result_dir
+
+    store = fresh_result_dir("ivm_join")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        steps = [
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) == 0, F.pmod(F.col("o_custkey"), F.lit(2)) == 0),
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) == 1, F.pmod(F.col("o_custkey"), F.lit(2)) == 1),
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) == 2, None),
+        ]
+        for oa, cb in steps:
+            incremental_join_refresh(
+                spark, store, "o_custkey",
+                delta_a=orders.filter(oa),
+                delta_b=cust.filter(cb) if cb is not None else None,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{store}/view").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )

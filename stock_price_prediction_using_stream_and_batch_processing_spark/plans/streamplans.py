@@ -665,3 +665,74 @@ def kafka_wire_parse_events(spark, sf_dir):
         "price",
         F.col("volume").cast("long").alias("volume"),
     )
+
+
+@register(
+    "stream_outer_join_purchase_error",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS e_ts
+               FROM events WHERE event_type = 'error'),
+         wm AS (SELECT least((SELECT MAX(p_ts) FROM p), (SELECT MAX(e_ts) FROM e))
+                       - INTERVAL 1 HOUR AS w),
+         m AS (
+           SELECT p.user_id, p.purchase_id, e.error_id,
+                  CAST(date_diff('second', p.p_ts, e.e_ts) AS BIGINT) AS gap_s
+           FROM p JOIN e ON p.user_id = e.user_id
+            AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE
+         ),
+         unmatched AS (
+           SELECT p.user_id, p.purchase_id,
+                  CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS gap_s
+           FROM p CROSS JOIN wm
+           WHERE NOT EXISTS (
+             SELECT 1 FROM e WHERE e.user_id = p.user_id
+              AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE)
+             AND p.p_ts + INTERVAL 30 MINUTE < wm.w
+         )
+    SELECT * FROM m UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "stream-stream", "outer", "watermark"),
+)
+def stream_outer_join_purchase_error(spark, sf_dir):
+    """STREAM-STREAM LEFT OUTER join — the state-eviction face the
+    inner join doesn't show: purchases with no error within 30 minutes
+    EMIT a null-extended row, but only once the watermark proves no
+    match can still arrive (Spark requires the equality key + both-side
+    watermarks + the time-bound condition for exactly this reason — the
+    buffered left row is held until watermark > p_ts + 30min, then
+    emitted-with-nulls and evicted). The oracle replays both halves:
+    the matched join AND the emission cutoff — an unmatched purchase
+    appears iff p_ts + 30min is inside the final watermark,
+    min(max purchase ts, max error ts) − 1h, which availableNow's
+    finalization batch leaves as the last state advance. Fixture
+    timestamps carry microsecond noise, so the cutoff comparison never
+    lands on an exact tie (where engine-internal ±1 ms eviction
+    adjustments could differ)."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    )
+    e = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("e_user"), F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))
+    )
+    j = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
+    )
+    name = _run_stream_to_memory(j, "ssoj", "append")
+    return spark.table(name)

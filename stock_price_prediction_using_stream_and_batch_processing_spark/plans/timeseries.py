@@ -809,6 +809,7 @@ def gapfill_hourly_events(spark, sf_dir):
     FROM s
     """,
     tags=("timeseries", "window", "correlation"),
+    driver=False,  # rotation r7: driver-green r4-r6; the timeseries window family keeps ample driver evidence
 )
 def rolling_corr_lineitem(spark, sf_dir):
     """Trailing-30 Pearson correlation of quantity vs price per supplier

