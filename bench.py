@@ -108,6 +108,7 @@ HEADLINE = [
     # (watermark-gated null emission + state eviction)
     "incremental_join_refresh_orders",
     "stream_outer_join_purchase_error",
+    "stream_jdbc_serving_append",
 ]
 
 

@@ -62,6 +62,7 @@ def trailing_mean_events(spark, sf_dir):
     FROM events
     """,
     tags=("window", "timeseries", "skew"),
+    driver=False,  # rotation r7: driver-green r4-r6; predict_next_events keeps the window family's driver evidence
 )
 def trailing_mean_events_bucketed(spark, sf_dir):
     """The giant-key window strategy (operators/windows.py
