@@ -109,6 +109,7 @@ HEADLINE = [
     "incremental_join_refresh_orders",
     "stream_outer_join_purchase_error",
     "stream_jdbc_serving_append",
+    "triangle_counts_parts",
 ]
 
 

@@ -73,3 +73,80 @@ def pagerank_customer_supplier(spark, sf_dir):
     )
     out = graph.pagerank(edges, damping=0.85, n_iter=_ITER)
     return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "triangle_counts_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tnode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_tri, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+    FROM deg d LEFT JOIN tnode t ON t.node = d.node
+    """,
+    tags=("graph", "triangles", "clustering-coefficient", "self-join", "skew"),
+)
+def triangle_counts_parts(spark, sf_dir):
+    """Per-part triangle counts + local clustering coefficient over the
+    part co-purchase graph (distinct same-order part pairs — the edge
+    derivation ``copurchase_lift_parts`` uses, here unthresholded:
+    ~116k edges / ~414k triangles at sf0.01). The Spark side enumerates
+    via DEGREE-ORDERED orientation (operators/graph.triangle_counts):
+    wedge fan-out is bounded by the O(sqrt(m)) oriented out-degree, so
+    a power-law hub can't explode the join the way the oracle's simpler
+    id-ordered enumeration would on a skewed graph — both count each
+    triangle exactly once, which is what the differential pins.
+    Clustering coefficient = 2T / (d(d-1)): exact-integer product, ONE
+    division — bit-identical on both engines, no rounding."""
+    from ..operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+    )
+    out = triangle_counts(edges)
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

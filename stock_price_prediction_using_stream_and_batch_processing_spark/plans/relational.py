@@ -706,6 +706,7 @@ def corr_value_props_by_type(spark, sf_dir):
     SELECT 'event_type', n, nulls_et, nd_et, NULL, NULL, mns_et, mxs_et FROM s
     """,
     tags=("quality", "profile", "groupby"),
+    driver=False,  # rotation r7: driver-green r5-r6; histogram_value_events + data_quality keep the profiling family's evidence
 )
 def table_profile_events(spark, sf_dir):
     """ANALYZE-style column profile of the events table (operators/

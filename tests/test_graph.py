@@ -48,3 +48,37 @@ def test_pagerank_rejects_bad_iter(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         graph.pagerank(df, n_iter=0)
+
+
+def test_triangle_counts_planted(spark):
+    """K4 on {1,2,3,4} (4 triangles; every node in 3), one pendant edge
+    4-5 (node 5: degree 1, no triangles), one triangle {6,7,8} hanging
+    off nothing else. Both orientations of the operator (broadcast and
+    shuffle closing join) must agree exactly."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (6, 7), (6, 8), (7, 8)]
+    edges = spark.createDataFrame(k4 + extra, "a long, b long")
+    want = {
+        1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3),
+        5: (1, 0), 6: (2, 1), 7: (2, 1), 8: (2, 1),
+    }
+    for bc in (True, False):
+        got = {
+            r.node: (r.degree, r.n_triangles)
+            for r in graph.triangle_counts(edges, broadcast_edges=bc).collect()
+        }
+        assert got == want, f"broadcast_edges={bc}"
+
+
+def test_triangle_counts_hub_skew(spark):
+    """A star hub (node 0 joined to 1..40) with a single rim edge 1-2:
+    exactly one triangle {0,1,2}; the hub's degree-41 fan must NOT
+    produce hub-pivot wedges (the degree orientation points every star
+    edge INTO the hub, so the hub pivots zero wedges — the skew bound).
+    Also checks isolated-from-triangles nodes report 0."""
+    edges = [(0, i) for i in range(1, 41)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: (r.degree, r.n_triangles) for r in graph.triangle_counts(df).collect()}
+    assert out[0] == (40, 1)
+    assert out[1] == (2, 1) and out[2] == (2, 1)
+    assert all(out[i] == (1, 0) for i in range(3, 41))
