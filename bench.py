@@ -110,6 +110,7 @@ HEADLINE = [
     "stream_outer_join_purchase_error",
     "stream_jdbc_serving_append",
     "triangle_counts_parts",
+    "hierarchy_flatten_parts",
 ]
 
 

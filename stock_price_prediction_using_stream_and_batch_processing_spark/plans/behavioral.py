@@ -77,6 +77,7 @@ def funnel_view_click_purchase(spark, sf_dir):
     GROUP BY 1, 2
     """,
     tags=("behavioral", "retention", "groupby"),
+    driver=False,  # rotation r7: driver-green r4+r6; touch_attribution + time_to_conversion keep the behavioral family's driver evidence
 )
 def retention_cohorts_events(spark, sf_dir):
     """Cohort-retention grid (first-active day × day offset ≤ 7):

@@ -150,3 +150,51 @@ def triangle_counts_parts(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+@register(
+    "hierarchy_flatten_parts",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT p_partkey AS node,
+             CASE WHEN p_partkey // 8 >= 1 THEN p_partkey // 8 END AS parent
+      FROM part
+    ),
+    w AS (
+      SELECT node, parent AS cur, 1 AS depth FROM h WHERE parent IS NOT NULL
+      UNION ALL
+      SELECT w.node, h2.parent, w.depth + 1
+      FROM w JOIN h h2 ON h2.node = w.cur
+      WHERE h2.parent IS NOT NULL
+    )
+    SELECT node, node AS root, CAST(0 AS BIGINT) AS depth
+    FROM h WHERE parent IS NULL
+    UNION ALL
+    SELECT w.node, w.cur AS root, CAST(w.depth AS BIGINT) AS depth
+    FROM w JOIN h h3 ON h3.node = w.cur
+    WHERE h3.parent IS NULL
+    """,
+    tags=("graph", "recursive", "transitive-closure", "pointer-doubling", "hierarchy"),
+)
+def hierarchy_flatten_parts(spark, sf_dir):
+    """Hierarchy flattening — the recursive-CTE workload Spark has no
+    native recursion for, re-expressed as POINTER DOUBLING
+    (operators/graph.ancestor_closure): each of 5 fixed rounds composes
+    the ancestor map with itself, so covered depth doubles per round
+    and a chain 2^5 deep resolves in 5 keyed shuffles where per-level
+    BFS would pay one per LEVEL. The forest is derived deterministically
+    from the part table (parent = p_partkey div 8, root when that
+    reaches 0 — ~5 levels at sf0.1, every node's chain replayed by the
+    oracle's genuinely recursive DuckDB CTE). Output: every part with
+    its flattened root and exact depth — the (dimension-table
+    denormalization) shape BOM/org-chart queries need."""
+    from ..operators.graph import ancestor_closure
+
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(
+            F.expr("p_partkey div 8") >= 1, F.expr("p_partkey div 8")
+        ).alias("parent"),
+    )
+    out = ancestor_closure(parts, n_iter=5)
+    return out.select("node", "root", F.col("depth").cast("long").alias("depth"))

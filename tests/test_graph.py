@@ -82,3 +82,18 @@ def test_triangle_counts_hub_skew(spark):
     assert out[0] == (40, 1)
     assert out[1] == (2, 1) and out[2] == (2, 1)
     assert all(out[i] == (1, 0) for i in range(3, 41))
+
+
+def test_ancestor_closure_deep_chain_and_forest(spark):
+    """A 20-deep chain (needs the doubling: 5 rounds cover 2^5=32,
+    while 20 > 2^4 proves round 5 genuinely fires), a second 2-node
+    tree, and an isolated root. Exact (root, depth) for every node;
+    extra rounds must saturate, not overshoot."""
+    rows = [(i, i - 1 if i > 1 else None) for i in range(1, 21)]  # chain 1<-2<-...<-20
+    rows += [(100, None), (101, 100), (200, None)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    for n_iter in (5, 7):  # 7: saturation is a no-op
+        out = {r.node: (r.root, r.depth) for r in graph.ancestor_closure(df, n_iter=n_iter).collect()}
+        assert out[20] == (1, 19) and out[10] == (1, 9) and out[1] == (1, 0)
+        assert out[101] == (100, 1) and out[100] == (100, 0) and out[200] == (200, 0)
+        assert len(out) == 23
