@@ -111,6 +111,7 @@ HEADLINE = [
     "stream_jdbc_serving_append",
     "triangle_counts_parts",
     "hierarchy_flatten_parts",
+    "embedding_quantize_int8",
 ]
 
 

@@ -200,6 +200,7 @@ def stratified_sample_docs(spark, sf_dir):
     WHERE {_bucket_sql('doc_id', 1000000)} < thr
     """,
     tags=("sampling", "mixture", "deterministic"),
+    driver=False,  # rotation r7: driver-green r5-r6; train_val_test_split + pack_docs_bins keep the sampling family's driver evidence
 )
 def mixture_resample_docs(spark, sf_dir):
     """Domain-mixture resampling to target weights src1:src2:src3:src4

@@ -284,3 +284,68 @@ def embedding_centroid_dispersion(spark, sf_dir):
         F.round(F.avg("_dist"), 6).alias("mean_dist"),
         F.round(F.max("_dist"), 6).alias("max_dist"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS max_abs
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, max_abs,
+             CASE WHEN max_abs > 0
+                  THEN list_transform(v, x -> CAST(round(x / (max_abs / 127.0)) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM m
+    )
+    SELECT vec_id, max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+    tags=("vector", "quantization", "higher-order-functions", "embedding-store"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding store — the 4×
+    compression a 100 TB vector corpus runs before serving (scale =
+    max|x|/127 per vector, q_i = round(x_i/scale)) — expressed entirely
+    in codegen'd higher-order array functions (transform / aggregate /
+    filter): per-row, no shuffle, no UDF, column-pruned to (vec_id,
+    embedding). The differential pins the QUANTIZED values exactly:
+    per-vector integer checksums (q_sum, q_l1 — order-independent exact
+    BIGINT sums), the saturation count (elements hitting ±127; ≥1 by
+    construction since the max element maps to the clip point), and the
+    double scale basis max_abs (an exact max, no float accumulation).
+    Both engines run the identical IEEE chain (float→double promotion,
+    one divide for the scale, one divide + round per element), so every
+    derived value is bit-equal. Zero vectors quantize to all-zero via
+    the CASE guard instead of an ANSI divide-by-zero."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    m = e.withColumn("max_abs", F.array_max(F.transform("v", F.abs)))
+    q = m.withColumn(
+        "qv",
+        F.when(
+            F.col("max_abs") > 0,
+            F.transform(
+                "v", lambda x: F.round(x / (F.col("max_abs") / F.lit(127.0))).cast("long")
+            ),
+        ).otherwise(F.transform("v", lambda x: F.lit(0).cast("long"))),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "max_abs",
+        F.aggregate("qv", zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("qv", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
+    )
