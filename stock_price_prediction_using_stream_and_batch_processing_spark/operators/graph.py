@@ -155,7 +155,9 @@ def ancestor_closure(
     Spark's answer to the recursive CTE it doesn't have. Input: one row
     per node; ``parent`` NULL for roots; the structure must be acyclic
     (a cycle never converges and surfaces as unresolved pointers, not a
-    wrong answer).
+    wrong answer). A DANGLING parent (an id with no node row) likewise
+    persists as an unresolved (node, root=dangling id, depth) row via
+    the left compose join — never silent row loss.
 
     State row = (node, anc, depth): the farthest KNOWN ancestor and its
     distance, initialized to the parent (or self at depth 0 for roots).
@@ -177,12 +179,16 @@ def ancestor_closure(
     ).localCheckpoint(eager=False)
     for _ in range(n_iter):
         s1, s2 = state.alias("s1"), state.alias("s2")
+        # LEFT join: a dangling parent pointer (anc id with no node row —
+        # a broken foreign key in real BOM/org data) has no s2 match and
+        # must PERSIST as an unresolved (node, anc, depth) row, not
+        # silently drop the node from the output
         state = (
-            s1.join(s2, F.col("s1.anc") == F.col("s2.node"))
+            s1.join(s2, F.col("s1.anc") == F.col("s2.node"), "left")
             .select(
                 F.col("s1.node").alias("node"),
-                F.col("s2.anc").alias("anc"),
-                (F.col("s1.depth") + F.col("s2.depth")).alias("depth"),
+                F.coalesce(F.col("s2.anc"), F.col("s1.anc")).alias("anc"),
+                (F.col("s1.depth") + F.coalesce(F.col("s2.depth"), F.lit(0))).alias("depth"),
             )
             .localCheckpoint(eager=False)
         )

@@ -151,7 +151,16 @@ def incremental_join_refresh(
     files at execution time, so appending first would let ΔA⋈B_prev see
     ΔB's rows and double-count the ΔA⋈ΔB term. NOT idempotent across
     retries of one batch — wrap in the caller's epoch guard, like every
-    addition-based store."""
+    addition-based store. The guard's non-transactionality window is
+    WIDER here than for the single-append stores: this function commits
+    up to three separate writes (view, then each accumulator), so a
+    crash after the view append but before the accumulator appends
+    leaves a state where the guarded retry re-appends the same view
+    delta — closing that window needs a transactional table format
+    (Delta/Iceberg) exactly as documented for maintain_bars_batch; the
+    parquet bound here is 'duplicate one batch's view rows on a crash
+    inside the write sequence', vs the reference's unfenced JDBC append
+    which duplicates on EVERY retry."""
     a_path, b_path, v_path = (
         f"{store_path}/a_acc",
         f"{store_path}/b_acc",

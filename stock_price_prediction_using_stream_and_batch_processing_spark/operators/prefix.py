@@ -30,10 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _free(name: str, cols: list[str]) -> str:
-    while name in cols:
-        name = "_" + name
-    return name
+from .maintenance import free_name as _free
 
 
 def global_running_sum(
@@ -106,6 +103,13 @@ def interval_concurrency(
     Returns one row per boundary with ``ts``, ``delta`` and ``out``.
     The scan is the distributed two-phase :func:`global_running_sum`,
     never a single-partition sort."""
+    reserved = {"ts", "delta", "_neg_delta", out}
+    clash = reserved & set(tiebreak_cols)
+    if clash:
+        raise ValueError(
+            f"tiebreak_cols {sorted(clash)} collide with the fixed output/work "
+            "columns (ts, delta, _neg_delta, out) — alias them first"
+        )
     starts = intervals.select(
         F.col(start_col).alias("ts"), F.lit(1).alias("delta"),
         *[F.col(c) for c in tiebreak_cols],

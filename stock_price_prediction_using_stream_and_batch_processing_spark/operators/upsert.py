@@ -164,9 +164,9 @@ def apply_changelog(
     changelog's sequence/offset as the last column) or last-wins is
     nondeterministic."""
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-    rn = "_rn"
-    while rn in df.columns:
-        rn = "_" + rn
+    from .maintenance import free_name
+
+    rn = free_name("_rn", df.columns)
     return (
         df.withColumn(rn, F.row_number().over(w))
         .filter((F.col(rn) == 1) & (F.col(op_col) != delete_op))

@@ -83,6 +83,14 @@ def pushdown_subquery(
     ``'`'`` for MySQL backticks, default unquoted."""
     if limit_style not in ("limit", "fetch"):
         raise ValueError(f"limit_style must be 'limit' or 'fetch', got {limit_style!r}")
+    # The table operand interpolates into SQL too — hold it to the same
+    # discipline as unquoted order_by: plain (possibly schema-qualified
+    # or quoted) identifier characters only, nothing that can terminate
+    # the statement or open a comment.
+    if not all(ch.isalnum() or ch in '_."' + ("`" if ident_quote == "`" else "") for ch in table):
+        raise ValueError(
+            f"table must be a plain (optionally schema-qualified/quoted) identifier, got {table!r}"
+        )
     q = f"SELECT * FROM {table}"
     if order_by is not None:
         # Identifiers interpolate into SQL: double any embedded quote

@@ -49,6 +49,17 @@ def parse_ticks(
     reference dropped them; an auditable pipeline wants the provenance
     next to the payload (plans/streamplans.kafka_wire_parse_events
     differentially checks this full wire surface)."""
+    clash = set(keep_cols) & {f.name for f in tick_schema.fields}
+    if clash:
+        # Kafka metadata includes a column literally named 'timestamp';
+        # keeping it unaliased would collide with the payload field of
+        # the same name — two identical column names, and the malformed
+        # filter below would raise AMBIGUOUS_REFERENCE. Fail loudly.
+        raise ValueError(
+            f"keep_cols {sorted(clash)} collide with tick_schema payload fields — "
+            "alias the metadata column before parse_ticks (e.g. "
+            "raw.withColumnRenamed('timestamp', 'kafka_ts'))"
+        )
     kept = [F.col(c) for c in keep_cols]
     parsed = (
         raw.select(*kept, F.from_json(F.col(value_col).cast("string"), tick_schema).alias("data"))

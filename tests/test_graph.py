@@ -97,3 +97,12 @@ def test_ancestor_closure_deep_chain_and_forest(spark):
         assert out[20] == (1, 19) and out[10] == (1, 9) and out[1] == (1, 0)
         assert out[101] == (100, 1) and out[100] == (100, 0) and out[200] == (200, 0)
         assert len(out) == 23
+
+
+def test_ancestor_closure_dangling_parent_persists(spark):
+    """A node whose parent id has no node row (broken foreign key) must
+    SURFACE as an unresolved row — root = the dangling id — never drop
+    silently from the output."""
+    df = spark.createDataFrame([(5, 99), (1, None)], "node long, parent long")
+    out = {r.node: (r.root, r.depth) for r in graph.ancestor_closure(df, n_iter=3).collect()}
+    assert out == {5: (99, 1), 1: (1, 0)}
