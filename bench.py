@@ -107,7 +107,7 @@ HEADLINE = [
     # never a full recompute) and the left-outer stream-stream join
     # (watermark-gated null emission + state eviction)
     "incremental_join_refresh_orders",
-    "stream_outer_join_purchase_error",
+    "stream_full_outer_join_purchase_error",
     "stream_jdbc_serving_append",
     "triangle_counts_parts",
     "hierarchy_flatten_parts",

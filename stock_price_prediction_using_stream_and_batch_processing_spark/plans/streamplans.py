@@ -694,6 +694,7 @@ def kafka_wire_parse_events(spark, sf_dir):
     SELECT * FROM m UNION ALL SELECT * FROM unmatched
     """,
     tags=("streaming", "join", "stream-stream", "outer", "watermark"),
+    driver=False,  # rotation r7: the FULL-outer face (strictly stronger surface, same family) takes the driver slot
 )
 def stream_outer_join_purchase_error(spark, sf_dir):
     """STREAM-STREAM LEFT OUTER join — the state-eviction face the
@@ -735,4 +736,82 @@ def stream_outer_join_purchase_error(spark, sf_dir):
         (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
     )
     name = _run_stream_to_memory(j, "ssoj", "append")
+    return spark.table(name)
+
+
+@register(
+    "stream_full_outer_join_purchase_error",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS e_ts
+               FROM events WHERE event_type = 'error'),
+         wm AS (SELECT least((SELECT MAX(p_ts) FROM p), (SELECT MAX(e_ts) FROM e))
+                       - INTERVAL 1 HOUR AS w),
+         m AS (
+           SELECT p.user_id, p.purchase_id, e.error_id,
+                  CAST(date_diff('second', p.p_ts, e.e_ts) AS BIGINT) AS gap_s
+           FROM p JOIN e ON p.user_id = e.user_id
+            AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE
+         ),
+         up AS (
+           SELECT p.user_id, p.purchase_id,
+                  CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS gap_s
+           FROM p CROSS JOIN wm
+           WHERE NOT EXISTS (
+             SELECT 1 FROM e WHERE e.user_id = p.user_id
+              AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE)
+             AND p.p_ts + INTERVAL 30 MINUTE < wm.w
+         ),
+         ue AS (
+           SELECT e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+                  e.error_id, CAST(NULL AS BIGINT) AS gap_s
+           FROM e CROSS JOIN wm
+           WHERE NOT EXISTS (
+             SELECT 1 FROM p WHERE p.user_id = e.user_id
+              AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE)
+             AND e.e_ts < wm.w
+         )
+    SELECT * FROM m UNION ALL SELECT * FROM up UNION ALL SELECT * FROM ue
+    """,
+    tags=("streaming", "join", "stream-stream", "full-outer", "watermark"),
+)
+def stream_full_outer_join_purchase_error(spark, sf_dir):
+    """STREAM-STREAM FULL OUTER join — both eviction faces at once,
+    completing the streaming join matrix (inner / left / full). The
+    cutoffs are ASYMMETRIC, and both were pinned empirically before the
+    oracle was written: the final watermark under availableNow is
+    min(max p_ts, max e_ts) − 1h, an unmatched PURCHASE null-emits iff
+    p_ts + 30min < wm (its match window must close), while an unmatched
+    ERROR null-emits iff e_ts < wm — its latest admissible match has
+    p_ts = e_ts, so the error's own timestamp passing the watermark is
+    what proves no purchase can still arrive (NOT e_ts + 30min: a
+    planted error inside (wm − 30min, wm) emits). Fixture microsecond
+    noise keeps both cutoff comparisons off exact ties. user_id is
+    coalesced across sides so right-only rows keep their key."""
+    p = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    )
+    e = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("e_user"), F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))
+    )
+    j = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("e_user")).alias("user_id"),
+        "purchase_id",
+        "error_id",
+        (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
+    )
+    name = _run_stream_to_memory(j, "ssfoj", "append")
     return spark.table(name)
