@@ -112,6 +112,8 @@ HEADLINE = [
     "triangle_counts_parts",
     "hierarchy_flatten_parts",
     "embedding_quantize_int8",
+    "bucketed_join_orders_customer",
+    "linear_count_daily_users",
 ]
 
 

@@ -151,3 +151,60 @@ def schema_evolution_read_events(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "bucketed_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("layout", "bucketing", "join", "co-located", "plan-asserted"),
+)
+def bucketed_join_orders_customer(spark, sf_dir):
+    """CO-LOCATED bucketed join, PLAN-ASSERTED inside the query: both
+    sides are written as bucketed catalog tables on the join key
+    (sources/bucketed.save_bucketed — 8 buckets, sorted within buckets),
+    and the join then plans with ZERO Exchange operators: the scans
+    report their bucketing as a satisfied HashPartitioning, so the
+    shuffle was paid ONCE at ingest and never again per query — the
+    decisive layout lever for repeated fact⋈fact joins at 100 TB. The
+    query raises if any Exchange appears in the executed plan (the
+    assertion is part of the product surface, like the bloom-pruned
+    join), and the differential checks every joined row against the
+    plain-join oracle — proving the bucketed layout changes the PLAN,
+    not the ANSWER. Table names are per-invocation (uuid) in the
+    session catalog; re-runs overwrite cleanly."""
+    import uuid
+
+    from ..sources.bucketed import save_bucketed
+    from .workdirs import fresh_result_dir
+
+    suffix = uuid.uuid4().hex[:8]
+    ot, ct = f"orders_bkt_{suffix}", f"cust_bkt_{suffix}"
+    root = fresh_result_dir("bucketed_join")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # external paths: the driver owns its session (and its warehouse
+    # dir) — the data must land in OUR per-invocation scratch space
+    save_bucketed(orders, ot, "o_custkey", n_buckets=8,
+                  sort_cols=["o_custkey"], path=f"{root}/orders")
+    save_bucketed(cust, ct, "c_custkey", n_buckets=8,
+                  sort_cols=["c_custkey"], path=f"{root}/cust")
+    # hint("merge") pins the SORT-MERGE strategy: at small SF the
+    # planner would broadcast the dim side (also shuffle-free, but then
+    # the bucketing is "disabled by query planner" and proves nothing);
+    # at fact⋈fact scale SMJ-over-buckets IS the plan this layout buys
+    j = spark.table(ot).hint("merge").join(
+        spark.table(ct), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join planned an Exchange — co-location lost:\n" + plan[:2000]
+        )
+    if "Bucketed: true" not in plan:
+        raise AssertionError("scan did not report bucketing:\n" + plan[:2000])
+    return j

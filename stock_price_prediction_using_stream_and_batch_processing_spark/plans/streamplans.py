@@ -427,7 +427,7 @@ def stream_ohlc_maintenance(spark, sf_dir):
     HAVING max(ts) + INTERVAL 30 MINUTE
            <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
     """,
-    tags=("streaming", "session-window", "watermark"),
+    tags=("streaming", "session-window", "watermark"),    driver=False,  # rotation r7: driver-green r4-r6; the streaming family holds six other driver rows
 )
 def stream_session_counts(spark, sf_dir):
     """STREAMING session windows (30-minute gap per user, 10-minute

@@ -584,7 +584,7 @@ def chunk_docs(spark, sf_dir):
            CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4
     FROM documents
     """,
-    tags=("text", "pii", "redaction"),
+    tags=("text", "pii", "redaction"),    driver=False,  # rotation r7: driver-green r5-r6; the text-quality family holds several other driver rows
 )
 def pii_redact_docs(spark, sf_dir):
     """PII scrub over the corpus: email/phone/IPv4 -> typed placeholders

@@ -568,6 +568,59 @@ def hll_rollup_daily_users(spark, sf_dir):
 
 
 @register(
+    "linear_count_daily_users",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bucket
+      FROM events
+    ),
+    d AS (
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_occupied
+      FROM b GROUP BY 1
+    )
+    SELECT day, n_occupied,
+           ROUND(-4096.0 * ln(1.0 - n_occupied / 4096.0), 4) AS est_distinct
+    FROM d
+    """,
+    tags=("sketch", "rollup", "approx", "linear-counting", "timeseries"),
+)
+def linear_count_daily_users(spark, sf_dir):
+    """LINEAR-COUNTING distinct rollup — the first approximate-distinct
+    face with a FULL value oracle (the HLL twin is rows-only by nature:
+    DataSketches has no DuckDB replay; this sketch is md5-deterministic
+    so BOTH engines rebuild the identical bitmap). The 5th mergeable-
+    partial family: hourly partials are DISTINCT (hour, bucket) rows —
+    kilobytes per hour at any corpus size, since the bitmap is bounded
+    by m=4096 regardless of traffic — and the day level merges by set
+    UNION (idempotent, replay-safe like HLL, unlike the addition-based
+    CMS/histogram stores). Estimate = −m·ln(1−V) with V the occupied
+    fraction: the division is one exact int/int op, and ln differs
+    across engines by ≤1 ulp (~1e−13 here), absorbed by the 4dp grid.
+    Standard-error ~ sqrt(m·(e^V−V−1))/m bounds are pinned vs exact
+    distincts in tests/test_approx.py."""
+    from ..functions.hashing import hex32_to_long
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.pmod(hex32_to_long(F.md5(F.col("user_id").cast("string"))), F.lit(4096)).alias("bucket"),
+    ).distinct()
+    d = b.groupBy("day").agg(
+        F.countDistinct("bucket").cast("long").alias("n_occupied")
+    )
+    v = F.col("n_occupied") / F.lit(4096.0)
+    return d.select(
+        "day",
+        "n_occupied",
+        F.round(F.lit(-4096.0) * F.log(F.lit(1.0) - v), 4).alias("est_distinct"),
+    )
+
+
+@register(
     "cms_rollup_daily_tokens",
     oracle="""
     WITH hrows AS (SELECT unnest(range(4)) AS hrow),

@@ -24,13 +24,20 @@ def save_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sort-clustered) managed
-    table. ``sortBy`` additionally orders rows inside each bucket file,
-    enabling sort-merge joins without a per-query sort."""
+    """Persist as a bucketed (and optionally sort-clustered) table.
+    ``sortBy`` additionally orders rows inside each bucket file,
+    enabling sort-merge joins without a per-query sort. With ``path``
+    the table is EXTERNAL (bucketing metadata lives in the catalog,
+    data at the given location) — callers running inside a session they
+    don't own (the grading driver's) must pass it, or the managed table
+    lands in that session's default warehouse dir, wherever that is."""
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

@@ -142,3 +142,34 @@ def test_cms_guarantees_and_mergeability(spark):
     full = {(r.row, r.bucket): r.n for r in cms.collect()}
     got = {(r.row, r.bucket): r.n for r in merged.collect()}
     assert got == full
+
+
+def test_linear_counting_estimate_tracks_exact_distincts(spark):
+    """The linear-counting estimate −m·ln(1−V) must track the exact
+    per-day distinct-user counts within a few standard errors
+    (se ≈ sqrt(m·(e^V − V − 1))/1 for the raw count estimate), and the
+    occupied-bucket count can never exceed the exact distinct count."""
+    import math
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.plans.core import get
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.01"
+    est = {r.day: (r.n_occupied, r.est_distinct)
+           for r in get("linear_count_daily_users").fn(spark, SF).collect()}
+    exact = {
+        r.day: r.nd
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(est) == set(exact) and est
+    m = 4096.0
+    for day, (occ, e) in est.items():
+        nd = exact[day]
+        assert occ <= nd  # collisions only ever shrink the bitmap
+        v = occ / m
+        se = math.sqrt(m * (math.exp(v) - v - 1.0))
+        assert abs(e - nd) <= max(4 * se, 2.0), (day, e, nd, se)
