@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "bucketed_join_orders_customer",
     "linear_count_daily_users",
+    "python_datasource_ticks",
 ]
 
 

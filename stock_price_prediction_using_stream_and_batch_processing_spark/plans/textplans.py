@@ -920,7 +920,7 @@ def doc_bigram_surprisal(spark, sf_dir):
     FROM freq CROSS JOIN tot
     WHERE cnt / n >= 0.005
     """,
-    tags=("text", "frequent-items", "heavy-hitters"),
+    tags=("text", "frequent-items", "heavy-hitters"),    driver=False,  # rotation r7: driver-green r5-r6; cms_token_counts + doc_surprisal keep the token-stats family
 )
 def heavy_hitter_tokens(spark, sf_dir):
     """Frequent-items gate: tokens holding ≥0.5% of the corpus token

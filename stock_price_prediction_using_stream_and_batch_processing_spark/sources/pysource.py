@@ -1,0 +1,94 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) —
+the "write your own connector" surface.
+
+The reference's only source beyond Kafka was a Python generator feeding
+a producer (`/root/reference/producer.py:16-26` — random-walk ticks
+pushed one JSON message at a time). A Spark-native engine exposes the
+same capability as a first-class DataSource: the generator becomes a
+PARTITIONED source — the driver plans N `InputPartition` range shards,
+each executor materializes its shard independently — so synthetic/
+replayed ticks enter the engine through the exact connector API a
+production feed (REST cursor, message-log snapshot, proprietary SDK)
+would use, with partition parallelism instead of the reference's
+single-threaded loop.
+
+Determinism contract: every column is a CLOSED FORM of the row id
+(prices in exact quarter steps — float-representable, so sums are
+exact), which is what makes the source fully value-oracle-checkable:
+DuckDB replays the identical arithmetic over `range(n)`.
+
+Scale posture: a real 100 TB connector differs only in `partitions()`
+(split by file/offset/shard instead of id range) and `read()` (fetch
+instead of compute); the planning/parallelism contract is identical.
+Per-row Python yield is the API's cost model — for bulk columns the
+arrow batch variant (`DataSourceArrowReader`) is the faster path; this
+source is deliberately the simple reference implementation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SYMBOLS = ("AAPL", "GOOG", "MSFT", "AMZN")
+
+
+@dataclass
+class _RangeShard(InputPartition):
+    start: int
+    end: int
+
+
+def tick_row(i: int) -> tuple:
+    """Closed-form tick for row id ``i`` — shared by the executor-side
+    reader and any in-process oracle. Prices step in exact quarters
+    (multiples of 0.25 are float-exact, so aggregates carry no rounding
+    error); volume cycles a coprime stride."""
+    return (
+        i,
+        SYMBOLS[i % len(SYMBOLS)],
+        100.0 + (i % 97) * 0.25,
+        (i * 37) % 1000,
+    )
+
+
+class SyntheticTicksDataSource(DataSource):
+    """``spark.read.format("synthetic_ticks").option("rows", n)
+    .option("partitions", p).load()`` — a deterministic partitioned
+    tick feed through the public Python DataSource API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "tick_id bigint, symbol string, price double, volume bigint"
+
+    def reader(self, schema) -> "SyntheticTicksReader":
+        return SyntheticTicksReader(self.options)
+
+
+class SyntheticTicksReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 10_000))
+        self.n_partitions = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        """Plan one range shard per partition — the driver-side split
+        a real connector would compute from file listings/offsets."""
+        per = -(-self.rows // self.n_partitions)  # ceil division
+        return [
+            _RangeShard(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _RangeShard):
+        """Executor-side: materialize this shard only."""
+        for i in range(partition.start, partition.end):
+            yield tick_row(i)
+
+
+def register_synthetic_ticks(spark) -> None:
+    """Idempotent registration (re-registering simply replaces)."""
+    spark.dataSource.register(SyntheticTicksDataSource)

@@ -95,3 +95,29 @@ def test_async_progress_unsupported_with_foreachbatch(spark, tmp_path):
             available_now=False,
             async_progress=True,
         )
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    """The custom DataSource must plan exactly the requested shards
+    (ceil-division: 10 rows / 4 partitions -> 3+3+3+1), cover every row
+    id exactly once, and match the closed form row-for-row."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.pysource import (
+        register_synthetic_ticks,
+        tick_row,
+    )
+
+    register_synthetic_ticks(spark)
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("rows", 10)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [tick_row(i) for i in range(10)]
+    # re-registration is idempotent (a second register must not break reads)
+    register_synthetic_ticks(spark)
+    assert (
+        spark.read.format("synthetic_ticks").option("rows", 3).load().count() == 3
+    )
