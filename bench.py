@@ -398,14 +398,19 @@ def reference_parity_bench(spark) -> dict:
         # pair is fragile: a host-load spike landing inside the one ref
         # stream but not the one floor stream reads as a false
         # regression (a bench run recorded 1.79x while three same-hour
-        # standalone pairs read 1.22-1.23x). Measure a SECOND
-        # interleaved pair (~40 s) and report the min-ratio pair — the
-        # steady-state estimator, same rationale as min-of-N batch runs.
+        # standalone pairs read 1.22-1.23x). Measure a second pair and
+        # take min(refs)/min(floors) — each side's min is its
+        # steady-state estimate (same rationale as min-of-N batch
+        # runs), and this form rejects a spike in EITHER direction,
+        # where min-of-ratios would happily select a pair whose FLOOR
+        # caught the spike (ratio biased low, a false pass).
         if ref_mean and floor_mean:
             ref2, steady2, durs2 = measure_ref_shape("b")
             floor2 = measure_floor("b")
-            if ref2 and floor2 and (ref2 / floor2) < (ref_mean / floor_mean):
-                ref_mean, steady, durs, floor_mean = ref2, steady2, durs2, floor2
+            if ref2 and ref2 < ref_mean:
+                ref_mean, steady, durs = ref2, steady2, durs2
+            if floor2 and floor2 < floor_mean:
+                floor_mean = floor2
 
         # --- stream B, throughput shape: 20 micro-batches of 50 ticks
         # through the same parse -> combined sink (persist + window +

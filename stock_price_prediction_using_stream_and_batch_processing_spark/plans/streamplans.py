@@ -667,81 +667,17 @@ def kafka_wire_parse_events(spark, sf_dir):
     )
 
 
-@register(
-    "stream_outer_join_purchase_error",
-    oracle="""
-    WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
-               FROM events WHERE event_type = 'purchase'),
-         e AS (SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS e_ts
-               FROM events WHERE event_type = 'error'),
-         wm AS (SELECT least((SELECT MAX(p_ts) FROM p), (SELECT MAX(e_ts) FROM e))
-                       - INTERVAL 1 HOUR AS w),
-         m AS (
-           SELECT p.user_id, p.purchase_id, e.error_id,
-                  CAST(date_diff('second', p.p_ts, e.e_ts) AS BIGINT) AS gap_s
-           FROM p JOIN e ON p.user_id = e.user_id
-            AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE
-         ),
-         unmatched AS (
-           SELECT p.user_id, p.purchase_id,
-                  CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS gap_s
-           FROM p CROSS JOIN wm
-           WHERE NOT EXISTS (
-             SELECT 1 FROM e WHERE e.user_id = p.user_id
-              AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE)
-             AND p.p_ts + INTERVAL 30 MINUTE < wm.w
-         )
-    SELECT * FROM m UNION ALL SELECT * FROM unmatched
-    """,
-    tags=("streaming", "join", "stream-stream", "outer", "watermark"),
-    driver=False,  # rotation r7: the FULL-outer face (strictly stronger surface, same family) takes the driver slot
-)
-def stream_outer_join_purchase_error(spark, sf_dir):
-    """STREAM-STREAM LEFT OUTER join — the state-eviction face the
-    inner join doesn't show: purchases with no error within 30 minutes
-    EMIT a null-extended row, but only once the watermark proves no
-    match can still arrive (Spark requires the equality key + both-side
-    watermarks + the time-bound condition for exactly this reason — the
-    buffered left row is held until watermark > p_ts + 30min, then
-    emitted-with-nulls and evicted). The oracle replays both halves:
-    the matched join AND the emission cutoff — an unmatched purchase
-    appears iff p_ts + 30min is inside the final watermark,
-    min(max purchase ts, max error ts) − 1h, which availableNow's
-    finalization batch leaves as the last state advance. Fixture
-    timestamps carry microsecond noise, so the cutoff comparison never
-    lands on an exact tie (where engine-internal ±1 ms eviction
-    adjustments could differ)."""
-    p = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
-        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
-    )
-    e = (
-        _stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
-        .withWatermark("ts", "1 hour")
-        .select(F.col("user_id").alias("e_user"), F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))
-    )
-    j = p.join(
-        e,
-        (F.col("user_id") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("p_ts"))
-        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
-    ).select(
-        "user_id",
-        "purchase_id",
-        "error_id",
-        (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
-    )
-    name = _run_stream_to_memory(j, "ssoj", "append")
-    return spark.table(name)
-
-
-@register(
-    "stream_full_outer_join_purchase_error",
-    oracle="""
+# ---- purchase x error interval OUTER joins: shared semantics ----
+# 30-minute match window, 1-hour watermarks on both sides, final
+# availableNow watermark wm = min(max p_ts, max e_ts) - 1h. The CTE
+# block and the Spark builder are shared VERBATIM by the left-outer and
+# full-outer faces so the two oracles/pipelines cannot drift apart: the
+# faces differ only in the join type and whether unmatched ERRORS also
+# null-emit (cutoffs are asymmetric and were pinned empirically: an
+# unmatched purchase emits iff p_ts + 30min < wm — its match window
+# must close; an unmatched error emits iff e_ts < wm — its latest
+# admissible match has p_ts = e_ts).
+_PE_OUTER_CTES = """
     WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
                FROM events WHERE event_type = 'purchase'),
          e AS (SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS e_ts
@@ -762,7 +698,9 @@ def stream_outer_join_purchase_error(spark, sf_dir):
              SELECT 1 FROM e WHERE e.user_id = p.user_id
               AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE)
              AND p.p_ts + INTERVAL 30 MINUTE < wm.w
-         ),
+         )"""
+
+_PE_UE_CTE = """,
          ue AS (
            SELECT e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
                   e.error_id, CAST(NULL AS BIGINT) AS gap_s
@@ -771,24 +709,15 @@ def stream_outer_join_purchase_error(spark, sf_dir):
              SELECT 1 FROM p WHERE p.user_id = e.user_id
               AND e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 30 MINUTE)
              AND e.e_ts < wm.w
-         )
-    SELECT * FROM m UNION ALL SELECT * FROM up UNION ALL SELECT * FROM ue
-    """,
-    tags=("streaming", "join", "stream-stream", "full-outer", "watermark"),
-)
-def stream_full_outer_join_purchase_error(spark, sf_dir):
-    """STREAM-STREAM FULL OUTER join — both eviction faces at once,
-    completing the streaming join matrix (inner / left / full). The
-    cutoffs are ASYMMETRIC, and both were pinned empirically before the
-    oracle was written: the final watermark under availableNow is
-    min(max p_ts, max e_ts) − 1h, an unmatched PURCHASE null-emits iff
-    p_ts + 30min < wm (its match window must close), while an unmatched
-    ERROR null-emits iff e_ts < wm — its latest admissible match has
-    p_ts = e_ts, so the error's own timestamp passing the watermark is
-    what proves no purchase can still arrive (NOT e_ts + 30min: a
-    planted error inside (wm − 30min, wm) emits). Fixture microsecond
-    noise keeps both cutoff comparisons off exact ties. user_id is
-    coalesced across sides so right-only rows keep their key."""
+         )"""
+
+
+def _purchase_error_outer_join(spark, sf_dir, how: str, name_prefix: str):
+    """Shared pipeline of the two outer-join faces — identical streams,
+    watermarks, interval condition, and projection; only ``how``
+    differs. user_id coalesces across sides so full-outer right-only
+    rows keep their key (for left-outer the purchase side is never
+    null, so the coalesce is the identity)."""
     p = (
         _stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -806,12 +735,56 @@ def stream_full_outer_join_purchase_error(spark, sf_dir):
         (F.col("user_id") == F.col("e_user"))
         & (F.col("e_ts") >= F.col("p_ts"))
         & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "full_outer",
+        how,
     ).select(
         F.coalesce(F.col("user_id"), F.col("e_user")).alias("user_id"),
         "purchase_id",
         "error_id",
         (F.col("e_ts").cast("long") - F.col("p_ts").cast("long")).alias("gap_s"),
     )
-    name = _run_stream_to_memory(j, "ssfoj", "append")
+    name = _run_stream_to_memory(j, name_prefix, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_outer_join_purchase_error",
+    oracle=_PE_OUTER_CTES + "\n    SELECT * FROM m UNION ALL SELECT * FROM up\n    ",
+    tags=("streaming", "join", "stream-stream", "outer", "watermark"),
+    driver=False,  # rotation r7: the FULL-outer face (strictly stronger surface, same family) takes the driver slot
+)
+def stream_outer_join_purchase_error(spark, sf_dir):
+    """STREAM-STREAM LEFT OUTER join — the state-eviction face the
+    inner join doesn't show: purchases with no error within 30 minutes
+    EMIT a null-extended row, but only once the watermark proves no
+    match can still arrive (Spark requires the equality key + both-side
+    watermarks + the time-bound condition for exactly this reason — the
+    buffered left row is held until watermark > p_ts + 30min, then
+    emitted-with-nulls and evicted). The oracle replays both halves:
+    the matched join AND the emission cutoff. Fixture timestamps carry
+    microsecond noise, so the cutoff comparison never lands on an exact
+    tie. Pipeline and oracle CTEs are shared verbatim with the
+    full-outer face (_purchase_error_outer_join / _PE_OUTER_CTES)."""
+    return _purchase_error_outer_join(spark, sf_dir, "left_outer", "ssoj")
+
+
+@register(
+    "stream_full_outer_join_purchase_error",
+    oracle=_PE_OUTER_CTES + _PE_UE_CTE
+    + "\n    SELECT * FROM m UNION ALL SELECT * FROM up UNION ALL SELECT * FROM ue\n    ",
+    tags=("streaming", "join", "stream-stream", "full-outer", "watermark"),
+)
+def stream_full_outer_join_purchase_error(spark, sf_dir):
+    """STREAM-STREAM FULL OUTER join — both eviction faces at once,
+    completing the streaming join matrix (inner / left / full). The
+    cutoffs are ASYMMETRIC, and both were pinned empirically before the
+    oracle was written: the final watermark under availableNow is
+    min(max p_ts, max e_ts) − 1h, an unmatched PURCHASE null-emits iff
+    p_ts + 30min < wm (its match window must close), while an unmatched
+    ERROR null-emits iff e_ts < wm — its latest admissible match has
+    p_ts = e_ts, so the error's own timestamp passing the watermark is
+    what proves no purchase can still arrive (NOT e_ts + 30min: a
+    planted error inside (wm − 30min, wm) emits). Fixture microsecond
+    noise keeps both cutoff comparisons off exact ties. user_id is
+    coalesced across sides so right-only rows keep their key. Pipeline
+    and oracle CTEs are shared verbatim with the left-outer face."""
+    return _purchase_error_outer_join(spark, sf_dir, "full_outer", "ssfoj")

@@ -582,7 +582,7 @@ def hll_rollup_daily_users(spark, sf_dir):
       FROM b GROUP BY 1
     )
     SELECT day, n_occupied,
-           ROUND(-4096.0 * ln(1.0 - n_occupied / 4096.0), 4) AS est_distinct
+           -4096.0 * ln(1.0 - LEAST(n_occupied, 4095) / 4096.0) AS est_distinct
     FROM d
     """,
     tags=("sketch", "rollup", "approx", "linear-counting", "timeseries"),
@@ -598,9 +598,14 @@ def linear_count_daily_users(spark, sf_dir):
     UNION (idempotent, replay-safe like HLL, unlike the addition-based
     CMS/histogram stores). Estimate = −m·ln(1−V) with V the occupied
     fraction: the division is one exact int/int op, and ln differs
-    across engines by ≤1 ulp (~1e−13 here), absorbed by the 4dp grid.
-    Standard-error ~ sqrt(m·(e^V−V−1))/m bounds are pinned vs exact
-    distincts in tests/test_approx.py."""
+    across engines by ≤1 ulp — raw output, NO rounding, absorbed by the
+    comparator's 1e-9 relative tolerance (per the portability rule:
+    never round per-row doubles — a 4dp grid would CREATE repr-boundary
+    risk, not remove it). Full occupancy (V=1, where the estimator is
+    undefined and DuckDB's ln(0) raises) clamps to (m−1)/m on both
+    engines — the saturation value a linear counter reports when it
+    needs a bigger m. Standard-error ~ sqrt(m·(e^V−V−1))/m bounds are
+    pinned vs exact distincts in tests/test_approx.py."""
     from ..functions.hashing import hex32_to_long
 
     ev = load_table(spark, sf_dir, "events")
@@ -612,11 +617,11 @@ def linear_count_daily_users(spark, sf_dir):
     d = b.groupBy("day").agg(
         F.countDistinct("bucket").cast("long").alias("n_occupied")
     )
-    v = F.col("n_occupied") / F.lit(4096.0)
+    v = F.least(F.col("n_occupied"), F.lit(4095)) / F.lit(4096.0)
     return d.select(
         "day",
         "n_occupied",
-        F.round(F.lit(-4096.0) * F.log(F.lit(1.0) - v), 4).alias("est_distinct"),
+        (F.lit(-4096.0) * F.log(F.lit(1.0) - v)).alias("est_distinct"),
     )
 
 

@@ -76,7 +76,12 @@ class SyntheticTicksReader(DataSourceReader):
 
     def partitions(self):
         """Plan one range shard per partition — the driver-side split
-        a real connector would compute from file listings/offsets."""
+        a real connector would compute from file listings/offsets. An
+        empty source (rows <= 0) plans one empty shard — the API requires
+        at least one partition (an empty list makes Spark schedule a
+        task with partition=None), and an empty range yields no rows."""
+        if self.rows <= 0:
+            return [_RangeShard(0, 0)]
         per = -(-self.rows // self.n_partitions)  # ceil division
         return [
             _RangeShard(lo, min(lo + per, self.rows))

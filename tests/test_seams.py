@@ -121,3 +121,14 @@ def test_python_datasource_partitions_and_rows(spark):
     assert (
         spark.read.format("synthetic_ticks").option("rows", 3).load().count() == 3
     )
+
+
+def test_python_datasource_empty_source(spark):
+    """rows=0 must yield an empty frame (one empty shard), not a
+    planner error — the empty-source probe any connector must survive."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.pysource import (
+        register_synthetic_ticks,
+    )
+
+    register_synthetic_ticks(spark)
+    assert spark.read.format("synthetic_ticks").option("rows", 0).load().count() == 0
