@@ -16,7 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from stock_price_prediction_using_stream_and_batch_processing_spark import get_spark, plans
+from stock_price_prediction_using_stream_and_batch_processing_spark import (
+    get_spark,
+    plans,
+    release_query_scratch,
+)
 
 # Representative spread: scan-agg, joins, windows, inference, text,
 # dedup, vectors, streaming.
@@ -151,6 +155,7 @@ def main() -> None:
             t0 = time.time()
             materialize(q.fn(spark, sf_dir))  # warmup (untimed)
             warm_s = time.time() - t0
+            release_query_scratch(spark)
             # Cheap queries are the most noise-dominated (a single
             # stolen scheduler quantum is a large fraction of a 0.5 s
             # query): give sub-3 s queries a third timed run. Min-of-N
@@ -164,6 +169,14 @@ def main() -> None:
                 materialize(q.fn(spark, sf_dir))
                 el = time.time() - t0
                 best = el if best is None or el < best else best
+                # Reclaim this run's localCheckpoint blocks + memory-sink
+                # tables OUTSIDE the timer: without it, 60+ queries x 3
+                # runs of storage blocks accrete in one JVM and the
+                # late-corpus queries pay the GC bill (the r7 driver
+                # bench regressed exactly the late rows; the r7 sweep's
+                # triangle outlier was the same mechanism at 130+
+                # queries).
+                release_query_scratch(spark)
             times[name] = round(best, 3)
             print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — record and move on

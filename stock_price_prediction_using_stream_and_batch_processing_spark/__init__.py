@@ -19,7 +19,7 @@ Layout:
 batch.py        the reference batch job as one declarative plan
 """
 
-from .session import get_spark
+from .session import get_spark, release_query_scratch
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_query_scratch"]
 __version__ = "0.1.0"

@@ -146,10 +146,15 @@ def incremental_join_refresh(
     on ``key`` would make the Δ-joins co-located — the layout knob, not
     a plan change.
 
-    Write ordering is load-bearing: the view delta MATERIALIZES (write)
-    before the deltas append to the accumulators — parquet reads list
-    files at execution time, so appending first would let ΔA⋈B_prev see
-    ΔB's rows and double-count the ΔA⋈ΔB term. NOT idempotent across
+    Ordering is load-bearing at the READ, not the write: Spark lists
+    parquet files eagerly when ``spark.read.parquet`` builds the
+    InMemoryFileIndex, so ``a_prev`` / ``b_prev`` are snapshotted the
+    moment they are read at the top of this call — BEFORE any write.
+    That read-first discipline (plus writing the view before appending
+    the deltas to the accumulators) is what keeps ΔA⋈B_prev from seeing
+    ΔB's rows and double-counting the ΔA⋈ΔB term; reordering the reads
+    below the appends would break it even though parquet writes are
+    append-only. NOT idempotent across
     retries of one batch — wrap in the caller's epoch guard, like every
     addition-based store. The guard's non-transactionality window is
     WIDER here than for the single-append stores: this function commits

@@ -153,10 +153,15 @@ def schema_evolution_read_events(spark, sf_dir):
     )
 
 
-# uuid-named bucketed tables created by the previous invocation of
-# bucketed_join_orders_customer — dropped lazily at the NEXT invocation
-# (the returned DataFrame scans them lazily, so dropping eagerly on
-# return would break the driver's later collect)
+# uuid-named bucketed tables created by prior invocations of
+# bucketed_join_orders_customer. The returned DataFrame scans its pair
+# lazily, so dropping eagerly on return would break the driver's later
+# collect; instead each invocation drops everything OLDER than the most
+# recent prior pair. Keeping the newest prior pair alive (not just the
+# newest) means invocation B never drops A's tables while A's lazy
+# result is still uncollected in the common A-then-B overlap — catalog
+# growth stays bounded at two pairs per process. Deeper same-process
+# concurrency (3+ in-flight uncollected results) is out of scope.
 _BUCKETED_TABLES: list[str] = []
 
 
@@ -182,9 +187,10 @@ def bucketed_join_orders_customer(spark, sf_dir):
     plain-join oracle — proving the bucketed layout changes the PLAN,
     not the ANSWER. Table names are per-invocation (uuid) in the
     session catalog — they must outlive this function (the returned
-    DataFrame scans them lazily), so each invocation instead DROPS the
-    previous invocation's entries, bounding catalog growth at one pair
-    per process however many times a bench re-runs the query. The
+    DataFrame scans them lazily), so each invocation instead DROPS
+    entries older than the most recent prior pair (see
+    _BUCKETED_TABLES), bounding catalog growth at two pairs per process
+    however many times a bench re-runs the query. The
     per-invocation ingest is deliberate: this row times the full
     pay-shuffle-at-ingest-then-join-free cycle, and the bench notes
     that split."""
@@ -193,9 +199,11 @@ def bucketed_join_orders_customer(spark, sf_dir):
     from ..sources.bucketed import save_bucketed
     from .workdirs import fresh_result_dir
 
-    for stale in list(_BUCKETED_TABLES):
+    # keep the newest prior PAIR alive (its lazy result may still be
+    # uncollected); drop everything older
+    while len(_BUCKETED_TABLES) > 2:
+        stale = _BUCKETED_TABLES.pop(0)
         spark.sql(f"DROP TABLE IF EXISTS {stale}")
-        _BUCKETED_TABLES.remove(stale)
     suffix = uuid.uuid4().hex[:8]
     ot, ct = f"orders_bkt_{suffix}", f"cust_bkt_{suffix}"
     _BUCKETED_TABLES.extend([ot, ct])

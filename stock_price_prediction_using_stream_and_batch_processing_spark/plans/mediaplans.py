@@ -91,6 +91,7 @@ def media_feature_extract(spark, sf_dir):
     FROM documents
     """,
     tags=("multimodal", "video", "explode"),
+    driver=False,  # rotation r8: driver-green r7; slot went to stream_outer_join_purchase_error
 )
 def media_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: one row per sampled frame index,

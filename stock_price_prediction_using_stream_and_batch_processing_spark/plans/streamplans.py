@@ -22,7 +22,10 @@ from .timeseries import _QUANTILE_ROLLUP_ORACLE
 
 
 def _run_stream_to_memory(sdf, name_prefix: str, output_mode: str):
+    from ..session import track_memory_sink_table
+
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
     spark = sdf.sparkSession
     # A stateful streaming query opens + commits one state store PER
     # shuffle partition PER micro-batch; under a driver session left at
@@ -596,7 +599,7 @@ def stream_quantile_maintenance(spark, sf_dir):
            CAST(json_extract(value_str, '$.price') AS DOUBLE) AS price,
            CAST(json_extract(value_str, '$.volume') AS BIGINT) AS volume
     FROM j
-    WHERE abs(event_id) % 97 <> 0
+    WHERE abs(event_id) % 97 <> 0 AND value_str IS NOT NULL
     """,
     tags=("streaming", "kafka", "wire-schema", "from_json", "malformed"),
 )
@@ -750,7 +753,8 @@ def _purchase_error_outer_join(spark, sf_dir, how: str, name_prefix: str):
     "stream_outer_join_purchase_error",
     oracle=_PE_OUTER_CTES + "\n    SELECT * FROM m UNION ALL SELECT * FROM up\n    ",
     tags=("streaming", "join", "stream-stream", "outer", "watermark"),
-    driver=False,  # rotation r7: the FULL-outer face (strictly stronger surface, same family) takes the driver slot
+    # rotation r8: promoted — the one registered face with zero
+    # cumulative driver evidence (added+rotated-out same round in r7)
 )
 def stream_outer_join_purchase_error(spark, sf_dir):
     """STREAM-STREAM LEFT OUTER join — the state-eviction face the

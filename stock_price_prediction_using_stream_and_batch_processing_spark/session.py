@@ -57,3 +57,48 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Memory-sink temp views created by streaming queries (uuid-named, one
+# per invocation). They hold every emitted row in DRIVER memory until
+# dropped, so a long session running many stream queries accretes
+# driver heap — tracked here so release_query_scratch can reclaim them.
+_MEMORY_SINK_TABLES: list[str] = []
+
+
+def track_memory_sink_table(name: str) -> None:
+    _MEMORY_SINK_TABLES.append(name)
+
+
+def release_query_scratch(spark: SparkSession) -> dict[str, int]:
+    """Release JVM state a COMPLETED query left behind: every cached
+    RDD block (this package takes no ``.cache()``/``.persist()``
+    anywhere — all persistent RDDs are ``localCheckpoint`` blocks whose
+    DataFrames have already been materialized) and every tracked
+    memory-sink temp view.
+
+    Why this is a harness hook and not in-query cleanup: a registered
+    query RETURNS a lazy DataFrame whose plan scans its checkpointed
+    RDDs / memory table — the blocks must outlive the caller's
+    collect. Only the harness knows when materialization finished, so
+    bench.py and the oracle sweep call this between queries. Without
+    it, one long session running the full 146-query corpus accretes
+    130+ queries of storage-memory blocks: the r7 sweep measured
+    triangle_counts_parts at 113–233 s late in the sweep vs 6–7 s in a
+    fresh session (SCALE.md) — that accumulation, not the query, was
+    the cost.
+
+    Safe ONLY after materialization: localCheckpoint CUTS lineage, so
+    unpersisting its blocks makes a still-lazy consumer unrecoverable
+    (that is the point — eager per-query reclamation, explicit).
+    """
+    n_rdds = 0
+    # py4j presents the JavaSparkContext map as a Python Mapping view
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(False)
+        n_rdds += 1
+    n_tables = 0
+    while _MEMORY_SINK_TABLES:
+        if spark.catalog.dropTempView(_MEMORY_SINK_TABLES.pop()):
+            n_tables += 1
+    return {"rdds": n_rdds, "memory_tables": n_tables}

@@ -59,10 +59,18 @@ def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame, float_tol: floa
 
 
 def run_check(spark, name: str, sf_dir: str) -> list[str]:
-    from stock_price_prediction_using_stream_and_batch_processing_spark import plans
+    from stock_price_prediction_using_stream_and_batch_processing_spark import (
+        plans,
+        release_query_scratch,
+    )
 
     q = plans.get(name)
     actual = q.fn(spark, sf_dir).toPandas()
+    # The result is fully materialized (toPandas) — reclaim the query's
+    # localCheckpoint blocks and memory-sink tables so a full-corpus
+    # sweep in one JVM doesn't accrete 140+ queries of storage memory
+    # (the r7 sweep's late-query GC outlier).
+    release_query_scratch(spark)
     if q.oracle is None:
         return [] if len(actual) >= 0 else ["query failed"]
     con = duck_connection(sf_dir)

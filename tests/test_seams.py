@@ -132,3 +132,33 @@ def test_python_datasource_empty_source(spark):
 
     register_synthetic_ticks(spark)
     assert spark.read.format("synthetic_ticks").option("rows", 0).load().count() == 0
+
+
+def test_release_query_scratch_reclaims_blocks_and_tables(spark):
+    """After a query's result is materialized, release_query_scratch
+    must leave ZERO persistent RDDs and drop tracked memory-sink tables
+    — the guard against long-session storage-memory accretion (the r7
+    sweep's late-query GC outlier)."""
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark import (
+        release_query_scratch,
+    )
+    from stock_price_prediction_using_stream_and_batch_processing_spark.session import (
+        track_memory_sink_table,
+    )
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    spark.range(5).createOrReplaceTempView("fake_memory_sink_r8")
+    track_memory_sink_table("fake_memory_sink_r8")
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_before >= 1
+    stats = release_query_scratch(spark)
+    assert stats["rdds"] >= 1
+    assert stats["memory_tables"] == 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert not spark.catalog.tableExists("fake_memory_sink_r8")
+    # idempotent on an already-clean session
+    stats2 = release_query_scratch(spark)
+    assert stats2 == {"rdds": 0, "memory_tables": 0}
