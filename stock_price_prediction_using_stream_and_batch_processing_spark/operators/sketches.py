@@ -3,15 +3,25 @@ multi-resolution OHLC hypertable (operators/windows.multi_res_ohlc).
 
 Exact COUNT(DISTINCT) cannot roll up — distincts don't add — so a
 hierarchy of time resolutions normally means re-scanning raw data per
-level. HyperLogLog sketches merge losslessly (union of hour sketches
-== sketch of the day, bit-for-bit at the same lgConfigK), so the raw
+level. HyperLogLog sketches merge by register-max (exact algebra: the
+union's registers are the pointwise max of its inputs'), so the raw
 table is scanned ONCE into fine-grained sketch partials and every
 coarser level derives from unions of those partials — at 100 TB the
 day/week/month levels read kilobyte sketches, not the corpus. This is
 Spark 4's built-in Apache DataSketches integration
-(``hll_sketch_agg`` / ``hll_union_agg``); a rows-only query face
-(sketch estimates have no DuckDB twin), with the merge-losslessness
-and error-bound properties pinned in tests/test_approx.py.
+(``hll_sketch_agg`` / ``hll_union_agg``).
+
+Estimator-path caveat (measured, round 8): a UNION-result sketch and a
+DIRECTLY-BUILT sketch of the same set give identical estimates in the
+sparse/coupon regime (pinned strictly equal in tests/test_approx.py at
+sf0.01) but can diverge ≤0.3% once dense mode kicks in (~1.3k
+distincts at lgK=12, measured at sf0.1) — different estimator paths
+over equivalent register state, not merge loss. Replay idempotency
+(re-merging already-ingested rows changes nothing) stays EXACT at any
+scale — pure register-max. The registered query faces carry these as
+invariant value oracles (plans/timeseries.hll_rollup_daily_users,
+plans/streamplans.stream_sketch_maintenance); error bounds vs exact
+counts are pinned in tests/test_approx.py.
 """
 
 from __future__ import annotations
@@ -42,8 +52,9 @@ def hll_rollup(
 ) -> DataFrame:
     """Coarse-level distinct estimates from fine-level sketch partials
     ONLY — no raw-data rescan. Groups fine buckets into the coarse
-    bucket and unions their sketches; the estimate is identical to one
-    computed directly over raw data at the coarse level."""
+    bucket and unions their sketches; the estimate matches one computed
+    directly over raw data at the coarse level (exactly in the sparse
+    regime, within the estimator-path caveat above in dense mode)."""
     coarse_bucket = F.date_trunc(coarse, F.col("bucket_start"))
     return (
         fine_sketches.groupBy(coarse_bucket.alias("bucket_start"))
@@ -79,10 +90,15 @@ def refresh_hll_fine(
     partition column (``hll_rollup`` groups on bucket_start and does).
 
     Replay tolerance comes FREE here, with no epoch marker: HLL union
-    is idempotent at the element level (union(S, P) ∪ P == union(S, P)),
-    so a retried foreachBatch epoch re-merging the same rows cannot
-    change any sketch — strictly stronger than the bar table, whose
-    n_ticks counts would double (hence its marker guard). The remaining
+    is idempotent at the element level (register max), so a retried
+    foreachBatch epoch re-merging the same rows cannot DOUBLE-COUNT —
+    strictly stronger than the bar table, whose n_ticks counts would
+    double (hence its marker guard). Precision caveat (measured, round
+    8): the ESTIMATE read from a re-merged sketch is bit-stable in the
+    sparse regime but jitters ±1-2 counts per union round-trip in
+    dense mode (DataSketches serialization/estimator path,
+    non-accumulating across further replays) — bounded noise inside
+    the sketch's own error envelope, not drift. The remaining
     non-transactionality (crash between slice read and overwrite) has
     the same parquet-only bound documented at
     streaming/pipeline.maintain_bars_batch. Returns sketch rows

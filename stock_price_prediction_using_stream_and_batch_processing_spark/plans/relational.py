@@ -477,24 +477,79 @@ def salted_agg_by_type(spark, sf_dir):
     )
 
 
-@register("approx_agg_stats", oracle=None, tags=("groupby", "approx", "sketch"), driver=False)
+@register(
+    "approx_agg_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_4rsd,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("groupby", "approx", "sketch", "invariant-oracle"),
+    driver=False,
+)
 def approx_agg_stats(spark, sf_dir):
-    """Sketch-based aggregates for interactive scale: HyperLogLog++
-    distinct counts and t-digest-style quantiles per event_type. Not
-    oracle-checkable (algorithm-specific results); error bounds vs the
-    exact aggregates are asserted in tests/test_approx.py. At 100 TB
-    these replace exact distinct/percentile when a bounded error is
-    acceptable — constant memory per group, one shuffle, mergeable
-    partials."""
+    """Sketch-based aggregates (HyperLogLog++ distinct counts,
+    KLL/GK-style approximate percentiles) with an INVARIANT value
+    oracle (formerly rows-only): the registered output carries the
+    exact per-type row and distinct counts (differentially checked)
+    plus three booleans the oracle pins TRUE — ``users_within_4rsd``
+    (|approx_count_distinct(rsd=0.02) − exact| ≤ max(4·0.02·exact, 2))
+    and ``p50_rank_ok``/``p95_rank_ok`` (the value percentile_approx
+    (accuracy=10000) returns has an actual rank within the GK guarantee
+    q ± 1/accuracy of the target, widened to 2/accuracy + 2 rows of
+    acceptance slack: the rank interval of the returned value —
+    [count(<v)+1, count(≤v)] — must intersect
+    [(q−ε)·n − 2, (q+ε)·n + 2]). Diagnostic 3σ bounds stay in
+    tests/test_approx.py; if the sketches ever degrade past the
+    registered bounds the boolean flips and the value hash fails. The
+    raw estimate face (what you'd run at 100 TB — constant memory per
+    group, one shuffle, mergeable partials) is the first aggregate
+    below, unchanged; the exact aggregates and the rank probe are this
+    verification face's cost, not the operator's."""
     ev = load_table(spark, sf_dir, "events")
     pq = F.percentile_approx("value", [0.5, 0.95], 10000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        # Scalar columns, not an array<double>: the driver's
-        # order-insensitive value-hash can't factorize list cells.
-        F.element_at(pq, 1).alias("value_p50"),
-        F.element_at(pq, 2).alias("value_p95"),
-        F.count("*").alias("n_rows"),
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.element_at(pq, 1).alias("_p50"),
+        F.element_at(pq, 2).alias("_p95"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    # rank probe: one more pass over events against the (tiny,
+    # broadcast) per-type approx values
+    ranked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") < F.col("_p50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("value") <= F.col("_p50")).cast("long")).alias("_le50"),
+            F.sum((F.col("value") < F.col("_p95")).cast("long")).alias("_lt95"),
+            F.sum((F.col("value") <= F.col("_p95")).cast("long")).alias("_le95"),
+        )
+    )
+    eps = 2.0 / 10000.0
+
+    def rank_ok(lt, le, q):
+        lo = (F.lit(q) - F.lit(eps)) * F.col("n_rows") - F.lit(2.0)
+        hi = (F.lit(q) + F.lit(eps)) * F.col("n_rows") + F.lit(2.0)
+        # rank interval of the returned value is [lt+1, le]; it must
+        # intersect the target band [lo, hi]
+        return (F.col(lt) + 1 <= hi) & (F.col(le) >= lo)
+
+    return approx.join(ranked, "event_type").select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(4 * 0.02) * F.col("exact_users"), F.lit(2.0))
+        ).alias("users_within_4rsd"),
+        rank_ok("_lt50", "_le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("_lt95", "_le95", 0.95).alias("p95_rank_ok"),
     )
 
 

@@ -2,11 +2,13 @@
 
 Each runs a real streaming query (file source + ``availableNow``) to a
 memory sink and returns the sink table — so the driver's differential
-check covers STREAMING execution, not just batch. Stateless projection
-and complete-mode aggregation are deterministic and oracle-checked;
-watermark-append and within-watermark dedup are registered rows-only
-(their emit timing depends on micro-batch boundaries) and asserted
-precisely in tests/test_streaming.py.
+check covers STREAMING execution, not just batch. Every face carries a
+full value oracle: deterministic outputs (projection, complete-mode
+aggregation, terminal-watermark append/dedup/joins) replay directly in
+SQL; the one algorithm-specific face (HLL sketch maintenance) carries
+an invariant oracle (merged == one-shot, exact by sketch algebra) over
+DuckDB-checked exact counts. Emit-timing details are additionally
+pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -459,30 +461,92 @@ def stream_session_counts(spark, sf_dir):
 
 @register(
     "stream_sketch_maintenance",
-    oracle=None,  # sketch estimates have no DuckDB twin; stream==batch
-    # and replay-idempotency are pinned bit-for-bit in test_approx.py
-    tags=("streaming", "sketch", "hll", "continuous-aggregate"),
-    # rotation r6: rows-only row banked in r5; stream_cms_maintenance
-    # (full value oracle) carries the streaming-sketch driver slot
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_tracks_oneshot,
+           TRUE AS replay_bounded
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "sketch", "hll", "continuous-aggregate", "invariant-oracle"),
+    # rotation r6: extended; stream_cms_maintenance (full value oracle)
+    # carries the streaming-sketch driver slot
     driver=False,
 )
 def stream_sketch_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized distinct-count sketch
-    table (operators/sketches.refresh_hll_fine): the event stream
-    merges each micro-batch's hourly HLL partials into the store —
-    union is lossless AND idempotent, so replayed epochs need no
-    marker guard (unlike the bar table) — then daily distinct-user
-    estimates derive from the kilobyte sketches, never the raw
-    history. Four-file split so the merge path (not just bootstrap)
-    genuinely executes."""
+    table (operators/sketches.refresh_hll_fine) with an INVARIANT value
+    oracle (formerly rows-only): the registered output is the exact
+    per-day distinct count (differentially checked against DuckDB)
+    carrying two booleans the oracle pins TRUE.
+    ``merged_tracks_oneshot``: the day estimate read from the
+    STREAM-MAINTAINED store (hourly HLL partials merged across 4
+    micro-batches) stays within max(0.5%·exact, 4) of a one-shot batch
+    build over the same raw events — registers merge exactly by max,
+    but merged and directly-built sketches take different ESTIMATOR
+    paths once dense mode kicks in (measured ≤0.3% apart at sf0.1,
+    exactly equal in the sparse regime where tests/test_approx.py pins
+    strict equality). ``replay_bounded``: re-merging a subset of
+    already-ingested rows (an at-least-once redelivery) moves no day
+    estimate by more than max(0.5%·exact, 4). Measured round 8: replay
+    is EXACTLY idempotent in the sparse regime (pinned at sf0.001 in
+    tests/test_approx.py) but jitters ±1-2 counts per merge round-trip
+    in dense mode (DataSketches serialization/estimator path,
+    NON-ACCUMULATING — a third replay jitters the same ±, it never
+    drifts) — which is still the property that lets the HLL store run
+    WITHOUT an epoch marker guard: a replayed epoch cannot
+    double-count (register max), unlike the addition-based
+    bar/CMS/histogram stores where replay inflates counters linearly.
+    Any violation flips a boolean and fails the value hash. Scale
+    shape unchanged: daily estimates derive from kilobyte sketches,
+    never the raw history (the exact count is this verification face's
+    cost)."""
     from ..operators import sketches
 
     def maint(batch_df, store, epoch_id):
         sketches.refresh_hll_fine(spark, store, batch_df, "ts", "user_id")
 
     store = _run_maintenance_stream(spark, sf_dir, "sketch", maint)
-    return sketches.hll_rollup(spark.read.parquet(store), "day").select(
-        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"), "approx_distinct"
+
+    def daily(df, alias):
+        return sketches.hll_rollup(df, "day").select(
+            F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+            F.col("approx_distinct").alias(alias),
+        )
+
+    # MATERIALIZE the pre-replay estimates now (eager localCheckpoint,
+    # 30 rows): the replay below REWRITES store partitions in place, so
+    # a lazy pre-replay read would hold a file snapshot the rewrite
+    # deletes before the consumer collects
+    streamed = daily(spark.read.parquet(store), "_est_stream").localCheckpoint(eager=True)
+    ev = load_table(spark, sf_dir, "events")
+    # replay: merge a deterministic subset of ALREADY-INGESTED rows
+    # again (an at-least-once redelivery), then re-read the store
+    sketches.refresh_hll_fine(
+        spark, store, ev.filter(F.pmod(F.abs(F.col("event_id")), F.lit(7)) == 0),
+        "ts", "user_id",
+    )
+    replayed = daily(spark.read.parquet(store), "_est_replay")
+    oneshot = daily(sketches.hll_fine_sketches(ev, "ts", "user_id", fine="hour"), "_est_oneshot")
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (
+        exact.join(streamed, "day")
+        .join(oneshot, "day")
+        .join(replayed, "day")
+        .select(
+            "day",
+            "exact_distinct",
+            (
+                F.abs(F.col("_est_stream") - F.col("_est_oneshot"))
+                <= F.greatest(F.lit(0.005) * F.col("exact_distinct"), F.lit(4.0))
+            ).alias("merged_tracks_oneshot"),
+            (
+                F.abs(F.col("_est_replay") - F.col("_est_stream"))
+                <= F.greatest(F.lit(0.005) * F.col("exact_distinct"), F.lit(4.0))
+            ).alias("replay_bounded"),
+        )
     )
 
 

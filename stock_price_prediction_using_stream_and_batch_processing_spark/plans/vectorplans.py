@@ -226,18 +226,70 @@ def embedding_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
-@register("cosine_topk_ivf", oracle=None, tags=("similarity", "vector", "ivf", "approx"), driver=False)
+@register(
+    "cosine_topk_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_COS_DOUBLE.format(a='q.qv', b='e.embedding')} AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+           TRUE AS recall_ok
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "vector", "ivf", "approx", "invariant-oracle"),
+    driver=False,
+)
 def cosine_topk_ivf(spark, sf_dir):
-    """Approximate cosine top-10 via IVF (MLlib k-means coarse quantizer,
-    16 cells, probe 4): each query scores only its probed cells'
-    vectors. Rows-only check; probe-all == brute-force equivalence and
-    planted-neighbor recall asserted in tests/test_similarity.py. At
-    100 TB the corpus is bucketed by cell so a probe reads
-    n_probe/n_cells of the data."""
+    """IVF approximate top-10 (MLlib k-means coarse quantizer, 16
+    cells, probe 4) with an INVARIANT value oracle — the recall@k
+    pattern for approximate operators whose results have no SQL twin:
+    the registered output is the EXACT brute-force top-10 (every id and
+    cosine differentially checked against DuckDB) carrying a
+    ``recall_ok`` boolean per query — true iff the IVF probe recovered
+    ≥30% of that query's true top-10 AND the 5 queries jointly recover
+    ≥45%. Random probing of 4/16 cells would recover 25% in
+    expectation, so the bound certifies the quantizer beats chance;
+    measured recall at sf{{0.001,0.01,0.1}} was 0.40-1.00 per query /
+    0.58-0.76 overall, so the registered bound has a full
+    neighbor-swing of margin against fixture regeneration. If IVF ever
+    degrades, recall_ok flips false and the value hash breaks — the
+    driver sees it. Probe-all == brute-force equivalence and
+    planted-neighbor recall stay pinned in tests/test_similarity.py;
+    the raw estimate face remains ``operators.similarity.ivf_topk``.
+    At 100 TB the corpus is bucketed by cell so a probe reads
+    n_probe/n_cells of the data (this verification face reads it all —
+    it exists to certify the fast path)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    out = similarity.ivf_topk(e, q, k=10, dim=_DIM, n_cells=16, n_probe=4)
-    return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    bf = similarity.brute_force_topk(e, q, k=10)
+    ivf = similarity.ivf_topk(e, q, k=10, dim=_DIM, n_cells=16, n_probe=4)
+    hits = (
+        bf.select("q_id", "vec_id")
+        .join(ivf.select("q_id", "vec_id", F.lit(1).alias("_hit")), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_rec"),
+        )
+    )
+    # overall recall is ONE scalar — a bounded driver-side head() on a
+    # 5-row aggregate, not a collect of data rows
+    overall_ok = hits.agg((F.sum("_rec") / F.sum("_n")).alias("r")).head()[0] >= 0.45
+    per_q = hits.select(
+        "q_id",
+        ((F.col("_rec") / F.col("_n") >= 0.3) & F.lit(bool(overall_ok))).alias("recall_ok"),
+    )
+    return bf.join(per_q, "q_id").select(
+        "q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "recall_ok"
+    )
 
 
 @register(

@@ -36,8 +36,12 @@ def test_approx_within_bounds(spark):
 
 def test_hll_rollup_union_equals_direct_and_bounds(spark):
     """Union of hourly sketches must give the IDENTICAL estimate as a
-    sketch built directly at the day level (merge losslessness), and
-    land within HLL error bounds of the exact distinct count."""
+    sketch built directly at the day level, and land within HLL error
+    bounds of the exact distinct count. Strict equality is a
+    SPARSE-REGIME property (holds at sf0.01's per-day cardinalities);
+    in dense mode the union-result and direct-built estimator paths
+    diverge ≤0.3% (measured at sf0.1) — the registered query faces pin
+    that bounded form (see operators/sketches.py module docstring)."""
     from pyspark.sql import functions as F
 
     from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
