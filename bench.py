@@ -182,6 +182,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERR {type(exc).__name__}", file=sys.stderr)
+        finally:
+            # An erroring query must not leak its localCheckpoint
+            # blocks / memory-sink views into the rest of the run — the
+            # success path releases inside the loop, the error path
+            # here (ADVICE r8).
+            release_query_scratch(spark)
 
     try:
         parity = reference_parity_bench(spark)
@@ -336,41 +342,47 @@ def reference_parity_bench(spark) -> dict:
             steady = durs[5:] if len(durs) > 10 else durs
             return (sum(steady) / len(steady) if steady else None), steady, durs
 
-        ref_mean, steady, durs = measure_ref_shape("a")
-
         # --- stream A-live: the same pipeline under a processingTime
         # trigger — the faithful analogue of the reference's forever-loop
         # consumer (stream_consumer.py runs until killed; availableNow is
         # a backlog-drain shape). Stopped after 100 progress events.
-        src_live = write_batches("stream_live", [1 + (i % 3) for i in range(100)])
-        live_listener = BatchMetricsListener()
-        spark.streams.addListener(live_listener)
-        prev_sp2 = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "1")
-            lq = run_tick_stream(
-                spark,
-                file_tick_source(spark, src_live, max_files_per_trigger=1),
-                sink_path=f"{src_live}_sink",
-                checkpoint_path=f"{src_live}_ckpt",
-                available_now=False,
-                driver_arrow_sink=True,
-                driver_arrow_compute=True,
-            )
-            deadline = time.time() + 240
-            while time.time() < deadline:
-                got = [p for p in live_listener.progress if p["duration_ms"] is not None]
-                if len(got) >= 100:
-                    break
-                time.sleep(0.2)
-            lq.stop()
-            lq.awaitTermination(30)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp2)
-            spark.streams.removeListener(live_listener)
-        ldurs = [p["duration_ms"] for p in live_listener.progress if p["duration_ms"] is not None]
-        lsteady = ldurs[5:] if len(ldurs) > 10 else ldurs
-        live_mean = sum(lsteady) / len(lsteady) if lsteady else None
+        # Defined here, MEASURED AFTER the ref/floor ratio pairs below:
+        # the streaming machinery keeps JIT-warming for hundreds of
+        # batches across streams, so a 100-batch live stream wedged
+        # between the ratio's numerator and denominator hands the floor
+        # an extra warmup the ref streams never got — the r7/r8 ratio
+        # drift (1.47, 1.56 vs 1.2x standalone) was exactly this
+        # ordering bias, not a pipeline regression.
+        def measure_live():
+            src_live = write_batches("stream_live", [1 + (i % 3) for i in range(100)])
+            live_listener = BatchMetricsListener()
+            spark.streams.addListener(live_listener)
+            prev_sp2 = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "1")
+                lq = run_tick_stream(
+                    spark,
+                    file_tick_source(spark, src_live, max_files_per_trigger=1),
+                    sink_path=f"{src_live}_sink",
+                    checkpoint_path=f"{src_live}_ckpt",
+                    available_now=False,
+                    driver_arrow_sink=True,
+                    driver_arrow_compute=True,
+                )
+                deadline = time.time() + 240
+                while time.time() < deadline:
+                    got = [p for p in live_listener.progress if p["duration_ms"] is not None]
+                    if len(got) >= 100:
+                        break
+                    time.sleep(0.2)
+                lq.stop()
+                lq.awaitTermination(30)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp2)
+                spark.streams.removeListener(live_listener)
+            ldurs = [p["duration_ms"] for p in live_listener.progress if p["duration_ms"] is not None]
+            lsteady = ldurs[5:] if len(ldurs) > 10 else ldurs
+            return sum(lsteady) / len(lsteady) if lsteady else None
 
         # --- stream floor: the same source shape driven through a
         # foreachBatch that does NOTHING. What remains is pure Structured
@@ -384,7 +396,10 @@ def reference_parity_bench(spark) -> dict:
         )
 
         def measure_floor(tag: str):
-            src_floor = write_batches(f"stream_floor_{tag}", [1 + (i % 3) for i in range(40)])
+            # SAME 100-batch shape as the ref streams: the machinery's
+            # per-stream warming means a shorter floor stream would
+            # systematically read warmer/colder than the numerator.
+            src_floor = write_batches(f"stream_floor_{tag}", [1 + (i % 3) for i in range(100)])
             floor_listener = BatchMetricsListener()
             spark.streams.addListener(floor_listener)
             try:
@@ -398,7 +413,7 @@ def reference_parity_bench(spark) -> dict:
                 )
                 fq.awaitTermination(300)
                 deadline = time.time() + 10
-                while len(floor_listener.progress) < 40 and time.time() < deadline:
+                while len(floor_listener.progress) < 100 and time.time() < deadline:
                     time.sleep(0.2)
             finally:
                 spark.streams.removeListener(floor_listener)
@@ -406,17 +421,20 @@ def reference_parity_bench(spark) -> dict:
             fsteady = fdurs[5:] if len(fdurs) > 10 else fdurs
             return sum(fsteady) / len(fsteady) if fsteady else None
 
-        floor_mean = measure_floor("a")
         # The ratio is the acceptance metric, and a single (ref, floor)
         # pair is fragile: a host-load spike landing inside the one ref
         # stream but not the one floor stream reads as a false
         # regression (a bench run recorded 1.79x while three same-hour
-        # standalone pairs read 1.22-1.23x). Measure a second pair and
-        # take min(refs)/min(floors) — each side's min is its
-        # steady-state estimate (same rationale as min-of-N batch
+        # standalone pairs read 1.22-1.23x). Measure ADJACENT
+        # interleaved pairs (ref_a, floor_a, ref_b, floor_b — nothing
+        # in between, so cross-stream JIT warming hits both sides
+        # equally) and take min(refs)/min(floors) — each side's min is
+        # its steady-state estimate (same rationale as min-of-N batch
         # runs), and this form rejects a spike in EITHER direction,
         # where min-of-ratios would happily select a pair whose FLOOR
         # caught the spike (ratio biased low, a false pass).
+        ref_mean, steady, durs = measure_ref_shape("a")
+        floor_mean = measure_floor("a")
         if ref_mean and floor_mean:
             ref2, steady2, durs2 = measure_ref_shape("b")
             floor2 = measure_floor("b")
@@ -424,6 +442,10 @@ def reference_parity_bench(spark) -> dict:
                 ref_mean, steady, durs = ref2, steady2, durs2
             if floor2 and floor2 < floor_mean:
                 floor_mean = floor2
+
+        # live processingTime shape, after the ratio pairs (see
+        # measure_live's ordering note)
+        live_mean = measure_live()
 
         # --- stream B, throughput shape: 20 micro-batches of 50 ticks
         # through the same parse -> combined sink (persist + window +

@@ -58,6 +58,13 @@ def main() -> None:
             el = round(time.time() - t0, 2)
             n_fail += 1
             rec = {"q": name, "status": "ERROR", "s": el, "err": f"{type(exc).__name__}: {exc}"[:300]}
+            # run_check releases scratch on its success path; an
+            # exception skips it, so release here or the erroring
+            # query's checkpoint blocks leak into the rest of the sweep
+            # (ADVICE r8).
+            from stock_price_prediction_using_stream_and_batch_processing_spark import release_query_scratch
+
+            release_query_scratch(spark)
         slow.append((name, el))
         print(json.dumps(rec), flush=True)
     slow.sort(key=lambda kv: -kv[1])

@@ -518,6 +518,10 @@ def approx_agg_stats(spark, sf_dir):
         F.element_at(pq, 2).alias("_p95"),
         F.countDistinct("user_id").cast("long").alias("exact_users"),
         F.count("*").cast("long").alias("n_rows"),
+        # percentile_approx and the rank probe below see non-null
+        # values only; the rank band must use the same population or a
+        # NULL-bearing fixture falsely shifts it (ADVICE r8).
+        F.count("value").cast("long").alias("_n_vals"),
     )
     # rank probe: one more pass over events against the (tiny,
     # broadcast) per-type approx values
@@ -534,8 +538,8 @@ def approx_agg_stats(spark, sf_dir):
     eps = 2.0 / 10000.0
 
     def rank_ok(lt, le, q):
-        lo = (F.lit(q) - F.lit(eps)) * F.col("n_rows") - F.lit(2.0)
-        hi = (F.lit(q) + F.lit(eps)) * F.col("n_rows") + F.lit(2.0)
+        lo = (F.lit(q) - F.lit(eps)) * F.col("_n_vals") - F.lit(2.0)
+        hi = (F.lit(q) + F.lit(eps)) * F.col("_n_vals") + F.lit(2.0)
         # rank interval of the returned value is [lt+1, le]; it must
         # intersect the target band [lo, hi]
         return (F.col(lt) + 1 <= hi) & (F.col(le) >= lo)

@@ -590,11 +590,18 @@ def hll_rollup_daily_users(spark, sf_dir):
         F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
         F.col("approx_distinct").alias("_est_rollup"),
     )
-    direct = sketches.hll_rollup(
-        sketches.hll_fine_sketches(ev, "ts", "user_id", fine="day"), coarse="day"
+    # the direct arm must NOT route through hll_union_agg (a union of a
+    # single day sketch would put both arms on the union estimator path
+    # and weaken the invariant to a tautology — ADVICE r8): sketch at
+    # day granularity and estimate straight off hll_sketch_agg, the
+    # same construction tests/test_approx.py pins.
+    direct = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_start")).agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12))))
+        .cast("long")
+        .alias("_est_direct")
     ).select(
         F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
-        F.col("approx_distinct").alias("_est_direct"),
+        "_est_direct",
     )
     exact = ev.groupBy(
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")

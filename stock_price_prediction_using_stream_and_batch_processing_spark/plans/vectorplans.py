@@ -281,8 +281,11 @@ def cosine_topk_ivf(spark, sf_dir):
         )
     )
     # overall recall is ONE scalar — a bounded driver-side head() on a
-    # 5-row aggregate, not a collect of data rows
-    overall_ok = hits.agg((F.sum("_rec") / F.sum("_n")).alias("r")).head()[0] >= 0.45
+    # 5-row aggregate, not a collect of data rows. SUM over an empty
+    # aggregate is NULL (empty embeddings/queries fixture): treat as 0
+    # recall rather than TypeError on the >= compare (ADVICE r8).
+    overall_recall = hits.agg((F.sum("_rec") / F.sum("_n")).alias("r")).head()[0]
+    overall_ok = (overall_recall or 0.0) >= 0.45
     per_q = hits.select(
         "q_id",
         ((F.col("_rec") / F.col("_n") >= 0.3) & F.lit(bool(overall_ok))).alias("recall_ok"),

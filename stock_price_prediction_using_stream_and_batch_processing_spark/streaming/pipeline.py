@@ -160,6 +160,174 @@ def _write_epoch_arrow_table(tbl, path: str, epoch_id: int) -> None:
             os.remove(os.path.join(d, name))
 
 
+def _epoch_source_files(checkpoint_path: str, epoch_id: int, source_idx: int = 0) -> list[str] | None:
+    """The micro-batch's exact file list, read from the file source's
+    own metadata log (``<checkpoint>/sources/<idx>/<batchId>`` — the
+    stable ``v1`` CompactibleFileStreamLog format, one JSON entry per
+    file with its ``batchId``; compact files carry all history, so
+    entries are filtered by epoch). This is the same record
+    ``FileStreamSource.getBatch`` plans the batch from — the
+    authoritative answer to "which files are in epoch N", already
+    durable before ``foreachBatch`` runs. Returns local filesystem
+    paths, or ``None`` on any anomaly (non-local scheme, unknown log
+    version, missing file) — callers must then fall back to the
+    distributed read."""
+    import json
+    from urllib.parse import unquote, urlparse
+
+    ckpt = checkpoint_path
+    if "://" in ckpt or ckpt.startswith("file:"):
+        parts = urlparse(ckpt)
+        if parts.scheme not in ("", "file"):
+            return None
+        ckpt = unquote(parts.path)
+    d = os.path.join(ckpt, "sources", str(source_idx))
+    for name in (str(epoch_id), f"{epoch_id}.compact"):
+        log_file = os.path.join(d, name)
+        if os.path.exists(log_file):
+            break
+    else:
+        return None
+    out: list[str] = []
+    try:
+        with open(log_file, encoding="utf-8") as f:
+            if f.readline().strip() != "v1":
+                return None
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                e = json.loads(line)
+                if e.get("batchId") != epoch_id:
+                    continue  # compact log: other epochs' entries
+                uri = str(e.get("path", ""))
+                parts = urlparse(uri)
+                if parts.scheme not in ("", "file"):
+                    return None
+                out.append(unquote(parts.path))
+    except (OSError, ValueError):
+        return None
+    return out
+
+
+def _parse_tick_wire_rows(lines) -> list[dict] | None:
+    """Driver-side twin of ``parse_ticks`` (``from_json`` on
+    ``tick_schema`` + drop-malformed filter) for STRICT well-formed wire
+    rows only. Two outcomes per line, both matching Spark exactly:
+    SKIP the line where Spark's PERMISSIVE parse yields a null-essential
+    row the filter drops (unparseable JSON, JSON scalar, missing/null
+    symbol/timestamp/price), or emit the typed row. Any shape whose
+    Spark semantics are subtler than that — non-string symbol (Spark
+    keeps the raw JSON text), naive timestamp (parses in the SESSION
+    zone), string/bool numerics, int64 overflow, JSON array input —
+    returns ``None``: the caller must hand the WHOLE batch to the
+    distributed parse rather than guess. Differentially pinned against
+    ``parse_ticks`` over an adversarial corpus in
+    tests/test_streaming.py."""
+    import datetime as dt
+    import json
+
+    rows: list[dict] = []
+    for raw_line in lines:
+        s = raw_line.strip()
+        if not s:
+            continue  # from_json("") -> null row -> dropped
+        try:
+            obj = json.loads(s)
+        except ValueError:
+            continue  # malformed -> PERMISSIVE null row -> dropped
+        if isinstance(obj, list):
+            return None  # array-over-struct: let Spark decide
+        if not isinstance(obj, dict):
+            continue  # JSON scalar -> null struct -> dropped
+        sym = obj.get("symbol")
+        ts_raw = obj.get("timestamp")
+        price_raw = obj.get("price")
+        if sym is None or ts_raw is None or price_raw is None:
+            continue  # null essential -> dropped by the filter
+        if not isinstance(sym, str) or not isinstance(ts_raw, str):
+            return None
+        if isinstance(price_raw, bool) or not isinstance(price_raw, (int, float)):
+            return None
+        try:
+            ts = dt.datetime.fromisoformat(ts_raw)
+        except ValueError:
+            return None  # format outside ISO-8601: Spark arbitrates
+        if ts.tzinfo is None:
+            return None  # session-zone parse: Spark arbitrates
+        vol_raw = obj.get("volume")
+        if vol_raw is None:
+            vol = None
+        elif isinstance(vol_raw, bool) or not isinstance(vol_raw, int):
+            return None
+        elif not (-(2**63) <= vol_raw < 2**63):
+            return None
+        else:
+            vol = vol_raw
+        rows.append(
+            {
+                "symbol": sym,
+                "timestamp": ts.astimezone(dt.timezone.utc),
+                "price": float(price_raw),
+                "volume": vol,
+            }
+        )
+    return rows
+
+
+def _driver_read_tick_batch(
+    checkpoint_path: str, epoch_id: int, session_tz: str, max_bytes: int = 4 << 20
+):
+    """ZERO-SPARK-JOB micro-batch read for tick-scale file batches: the
+    epoch's files from the checkpoint source log, parsed on the driver
+    (:func:`_parse_tick_wire_rows`), returned as the same Arrow table
+    ``batch_df.toArrow()`` would produce (schema pinned to Spark's
+    Arrow conversion of ``tick_schema`` under the session zone).
+
+    Why: at the reference's 1-3-tick batches the ``toArrow`` collect is
+    one distributed job per batch — measured ~30-40 ms of pure
+    scheduling for ~100 bytes of data, the entire remaining gap between
+    the pipeline and the empty-foreachBatch machinery floor. The
+    reference consumer parsed every message on the driver anyway
+    (``stream_consumer.py:96-105``); this does the same, WITHOUT giving
+    up the checkpoint fence (offsets/WAL/commits unchanged — only the
+    batch-data fetch is local). Returns ``None`` (caller falls back to
+    the distributed read) whenever the batch is not provably tiny,
+    local, and strictly well-formed."""
+    import pyarrow as pa
+
+    files = _epoch_source_files(checkpoint_path, epoch_id)
+    if files is None:
+        return None
+    total = 0
+    for p in files:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+        if total > max_bytes:
+            return None  # bulk backfill: distributed scan owns it
+    rows: list[dict] = []
+    for p in files:
+        try:
+            with open(p, encoding="utf-8", errors="replace") as f:
+                parsed = _parse_tick_wire_rows(f)
+        except OSError:
+            return None
+        if parsed is None:
+            return None
+        rows.extend(parsed)
+    schema = pa.schema(
+        [
+            pa.field("symbol", pa.string()),
+            pa.field("timestamp", pa.timestamp("us", tz=session_tz)),
+            pa.field("price", pa.float64()),
+            pa.field("volume", pa.int64()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def predict_ticks_arrow(tbl, seq_len: int, mn: float | None = None, mx: float | None = None):
     """Driver-side Arrow twin of the per-batch window+predict plan, for
     TICK-SCALE micro-batches: trailing-``seq_len`` recency-weighted
@@ -308,6 +476,10 @@ def run_tick_stream(
             "model-artifact inference runs in the distributed plan"
         )
     parsed = parse_ticks(source)
+    # captured once at stream build: the zone Spark's Arrow conversion
+    # stamps on TimestampType, needed by the driver fast read to build
+    # a toArrow-identical table
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
     if mllib_model_path is not None:
         from ..ml.training import load_saved_model, score_windows
 
@@ -317,10 +489,13 @@ def run_tick_stream(
         if guard_empty_batches and batch_df.isEmpty():  # reference P0d guard
             return
         if driver_arrow_compute:
-            # one job (collect the parsed batch), zero chained plans
-            _write_epoch_arrow_table(
-                predict_ticks_arrow(batch_df.toArrow(), seq_len), sink_path, epoch_id
-            )
+            # zero jobs when the epoch's files are tiny+local+strictly
+            # well-formed (the reference load shape); else one job
+            # (collect the parsed batch), zero chained plans
+            tbl = _driver_read_tick_batch(checkpoint_path, epoch_id, session_tz)
+            if tbl is None:
+                tbl = batch_df.toArrow()
+            _write_epoch_arrow_table(predict_ticks_arrow(tbl, seq_len), sink_path, epoch_id)
             return
         if small_batch_coalesce:
             batch_df = batch_df.coalesce(small_batch_coalesce)

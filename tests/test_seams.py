@@ -148,6 +148,10 @@ def test_release_query_scratch_reclaims_blocks_and_tables(spark):
         track_memory_sink_table,
     )
 
+    # _MEMORY_SINK_TABLES is process-global and other tests append to
+    # it — drain whatever earlier tests left so the == 1 assertion
+    # below is order-independent (ADVICE r8).
+    release_query_scratch(spark)
     df = spark.range(1000).withColumn("v", F.col("id") * 2).localCheckpoint(eager=True)
     assert df.count() == 1000
     spark.range(5).createOrReplaceTempView("fake_memory_sink_r8")

@@ -758,3 +758,102 @@ def test_watermark_bounds_state_rows(spark, tmp_path):
     # plateau: once the horizon fills (batch 3+), state stops growing
     plateau = states[3:-1] if len(states) > 4 else states[3:]
     assert plateau and max(plateau) == min(plateau), states
+
+
+def test_driver_fast_read_differential_and_fallback(spark, tmp_path):
+    """The zero-job driver batch read must be semantics-identical to the
+    distributed from_json parse on every line shape it CLAIMS (well-
+    formed rows, droppable malformed rows), and must REFUSE (return
+    None -> caller falls back to Spark) on every shape whose Spark
+    semantics are subtler than skip-or-emit."""
+    import datetime as dt
+    import json as _json
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        _driver_read_tick_batch,
+        _parse_tick_wire_rows,
+    )
+
+    base = '{"symbol": "AAPL", "timestamp": "2024-01-01T00:00:%02d+00:00", "price": 18%d.5, "volume": 1000%d}'
+    handled = [
+        base % (1, 0, 1),
+        "",  # empty line -> dropped both sides
+        "not json at all {",  # malformed -> PERMISSIVE null -> dropped
+        "42",  # JSON scalar -> null struct -> dropped
+        '{"timestamp": "2024-01-01T00:00:02+00:00", "price": 1.0}',  # null symbol -> dropped
+        '{"symbol": "AAPL", "price": 1.0}',  # null ts -> dropped
+        '{"symbol": "AAPL", "timestamp": "2024-01-01T00:00:03+00:00"}',  # null price -> dropped
+        '{"symbol": null, "timestamp": "2024-01-01T00:00:04+00:00", "price": 1.0}',
+        base % (5, 1, 2),
+        '{"symbol": "MSFT", "timestamp": "2024-01-01T00:00:06.123456+00:00", "price": 7, "volume": null}',
+        '{"symbol": "MSFT", "timestamp": "2024-01-01 00:00:07+00:00", "price": 7.25, "extra": "x"}',
+    ]
+    # driver parse of the handled corpus == Spark's parse_ticks, exactly
+    rows = _parse_tick_wire_rows(handled)
+    assert rows is not None
+    src = tmp_path / "adv"
+    src.mkdir()
+    (src / "part-0.json").write_text("\n".join(handled))
+    got_spark = [
+        r.asDict()
+        for r in parse_ticks(
+            spark.read.text(str(src)).withColumnRenamed("value", "value")
+        ).orderBy("timestamp", "price").collect()
+    ]
+    got_driver = sorted(rows, key=lambda r: (r["timestamp"], r["price"]))
+    assert len(got_spark) == len(got_driver) == 4
+    for s, d in zip(got_spark, got_driver):
+        assert s["symbol"] == d["symbol"]
+        assert s["price"] == d["price"]
+        assert s["volume"] == d["volume"]
+        # Spark returns session-naive datetimes; driver rows are aware UTC
+        assert s["timestamp"].replace(tzinfo=dt.timezone.utc) == d["timestamp"]
+
+    # every subtle shape REFUSES (whole batch falls back to Spark)
+    for subtle in (
+        '{"symbol": 123, "timestamp": "2024-01-01T00:00:01+00:00", "price": 1.0}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01", "price": 1.0}',  # naive ts
+        '{"symbol": "A", "timestamp": 1700000000, "price": 1.0}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": "1.0"}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": true}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": 1.0, "volume": 1.5}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": 1.0, "volume": 99999999999999999999}',
+        '{"symbol": "A", "timestamp": "not a time", "price": 1.0}',
+        '[{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": 1.0}]',
+    ):
+        assert _parse_tick_wire_rows([base % (1, 0, 1), subtle]) is None, subtle
+
+    # end-to-end: a stream whose SECOND batch holds a subtle row still
+    # lands bit-identical to the all-distributed run (fallback engages
+    # per batch, not per stream)
+    subtle_line = '{"symbol": "AAPL", "timestamp": "2024-01-01T00:01:00+00:00", "price": "181.25"}'
+    lines = ticks_json_lines(8)
+    out = {}
+    for mode, flag in (("dist", False), ("fast", True)):
+        d = tmp_path / f"e2e_{mode}"
+        d.mkdir()
+        (d / "a.json").write_text("\n".join(lines[:4]))
+        (d / "b.json").write_text("\n".join(lines[4:] + [subtle_line]))
+        os.utime(d / "a.json", (1_700_000_000, 1_700_000_000))
+        os.utime(d / "b.json", (1_700_000_001, 1_700_000_001))
+        q = run_tick_stream(
+            spark,
+            file_tick_source(spark, str(d), max_files_per_trigger=1),
+            sink_path=str(tmp_path / f"sink_{mode}"),
+            checkpoint_path=str(tmp_path / f"ckpt_{mode}"),
+            seq_len=3,
+            driver_arrow_sink=flag,
+            driver_arrow_compute=flag,
+        )
+        q.awaitTermination(120)
+        out[mode] = [
+            r.asDict()
+            for r in read_stream_output(spark, str(tmp_path / f"sink_{mode}"))
+            .orderBy("timestamp", "price")
+            .collect()
+        ]
+    assert out["dist"] == out["fast"]
+    assert len(out["fast"]) == 8  # the string-priced row was dropped by BOTH
+
+    # anomaly handling: nonexistent checkpoint -> None (never raises)
+    assert _driver_read_tick_batch(str(tmp_path / "nope"), 0, "UTC") is None
