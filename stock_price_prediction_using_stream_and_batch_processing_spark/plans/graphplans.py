@@ -175,6 +175,8 @@ def triangle_counts_parts(spark, sf_dir):
     WHERE h3.parent IS NULL
     """,
     tags=("graph", "recursive", "transitive-closure", "pointer-doubling", "hierarchy"),
+    # rotation r9: driver-green r7+r8; graph family keeps triangle_counts_parts + pagerank_customer_supplier
+    driver=False,
 )
 def hierarchy_flatten_parts(spark, sf_dir):
     """Hierarchy flattening — the recursive-CTE workload Spark has no

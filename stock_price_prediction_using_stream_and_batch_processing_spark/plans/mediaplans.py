@@ -64,6 +64,8 @@ def media_feature_stats(spark, sf_dir):
     FROM p
     """,
     tags=("multimodal", "binary", "decode", "header-parse"),
+    # rotation r9: driver-green r7+r8; byte-parse face proven
+    driver=False,
 )
 def media_feature_extract(spark, sf_dir):
     """Media decode, value-oracled: payloads carry a deterministic

@@ -489,7 +489,8 @@ def salted_agg_by_type(spark, sf_dir):
     FROM events GROUP BY event_type
     """,
     tags=("groupby", "approx", "sketch", "invariant-oracle"),
-    driver=False,
+    # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
+    driver=True,
 )
 def approx_agg_stats(spark, sf_dir):
     """Sketch-based aggregates (HyperLogLog++ distinct counts,
@@ -1204,6 +1205,8 @@ def upsert_latest_order_per_customer(spark, sf_dir):
     FROM ch WHERE rn = 1 AND op <> 'D'
     """,
     tags=("cdc", "changelog", "tombstone", "compaction", "maintenance"),
+    # rotation r9: driver-green r7+r8; CDC family keeps snapshot_diff_orders + incremental_join_refresh_orders
+    driver=False,
 )
 def cdc_apply_orders(spark, sf_dir):
     """CDC changelog compaction with TOMBSTONES

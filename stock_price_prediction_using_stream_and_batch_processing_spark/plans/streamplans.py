@@ -471,7 +471,8 @@ def stream_session_counts(spark, sf_dir):
     tags=("streaming", "sketch", "hll", "continuous-aggregate", "invariant-oracle"),
     # rotation r6: extended; stream_cms_maintenance (full value oracle)
     # carries the streaming-sketch driver slot
-    driver=False,
+    # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
+    driver=True,
 )
 def stream_sketch_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized distinct-count sketch

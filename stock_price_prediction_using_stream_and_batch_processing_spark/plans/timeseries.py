@@ -557,7 +557,8 @@ def returns_volatility_per_user(spark, sf_dir):
     tags=("sketch", "rollup", "approx", "timeseries", "invariant-oracle"),
     # rotation r6: extended; the value-checkable CMS rollup twin carries
     # the family's driver slot (cms_rollup_daily_tokens)
-    driver=False,
+    # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
+    driver=True,
 )
 def hll_rollup_daily_users(spark, sf_dir):
     """Daily distinct-user HyperLogLog rollup with an INVARIANT value

@@ -245,7 +245,8 @@ def embedding_dedup_clusters(spark, sf_dir):
     FROM ranked WHERE rank <= 10
     """,
     tags=("similarity", "vector", "ivf", "approx", "invariant-oracle"),
-    driver=False,
+    # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
+    driver=True,
 )
 def cosine_topk_ivf(spark, sf_dir):
     """IVF approximate top-10 (MLlib k-means coarse quantizer, 16
@@ -367,6 +368,8 @@ def embedding_centroid_dispersion(spark, sf_dir):
     FROM q
     """,
     tags=("vector", "quantization", "higher-order-functions", "embedding-store"),
+    # rotation r9: driver-green r7+r8; vector family keeps embedding_near_dup_lsh + cosine_topk_ivf
+    driver=False,
 )
 def embedding_quantize_int8(spark, sf_dir):
     """Symmetric int8 quantization of the embedding store — the 4×
