@@ -71,8 +71,21 @@ def pagerank(
     return ranks
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-conf string -> bytes ('10485760', '10MB', '1g', '-1')."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
 def triangle_counts(
-    edges: DataFrame, a: str = "a", b: str = "b", broadcast_edges: bool = True
+    edges: DataFrame, a: str = "a", b: str = "b", broadcast_edges: bool | None = None
 ) -> DataFrame:
     """Per-node triangle counts over an undirected edge list via
     DEGREE-ORDERED ORIENTATION — the trick that makes triangle
@@ -131,8 +144,34 @@ def triangle_counts(
     # never shuffle — the standard triangle-count optimization whenever
     # the edge list fits executor memory (it is wedges/edges ≈ sqrt(m)
     # times smaller by construction). For edge lists too big to
-    # broadcast, pass False and the closing join shuffles on (y, z).
+    # broadcast, the closing join shuffles on (y, z).
+    #
+    # Default (None) AUTO-SELECTS: Catalyst can't size the checkpointed
+    # edge list itself (a LogicalRDD defaults to defaultSizeInBytes =
+    # never-broadcast), so estimate it here — |closing| == |edges|
+    # exactly (orientation is 1:1), the count is one cheap job over the
+    # already-materializing checkpoint, and per-row cost is the (y, z)
+    # field widths plus hashed-relation overhead — and hint broadcast
+    # only under the session's own autoBroadcastJoinThreshold. At 100×
+    # edges the estimate crosses the threshold and the plan flips to
+    # the shuffle join BY ITSELF (tests/test_graph.py pins both
+    # directions); explicit True/False still force either strategy.
     closing = orient.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    if broadcast_edges is None:
+        thresh = _parse_size_bytes(
+            edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+        if thresh <= 0:
+            broadcast_edges = False  # broadcast disabled session-wide
+        else:
+            widths = {
+                "byte": 1, "short": 2, "integer": 4, "long": 8, "float": 4,
+                "double": 8, "date": 4, "timestamp": 8, "boolean": 1,
+            }
+            row_bytes = (
+                sum(widths.get(f.dataType.typeName(), 32) for f in closing.schema.fields) + 24
+            )
+            broadcast_edges = e.count() * row_bytes <= thresh
     if broadcast_edges:
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["y", "z"])

@@ -106,3 +106,47 @@ def test_ancestor_closure_dangling_parent_persists(spark):
     df = spark.createDataFrame([(5, 99), (1, None)], "node long, parent long")
     out = {r.node: (r.root, r.depth) for r in graph.ancestor_closure(df, n_iter=3).collect()}
     assert out == {5: (99, 1), 1: (1, 0)}
+
+
+def test_triangle_auto_selects_closing_strategy_by_size(spark):
+    """broadcast_edges=None (the default) must pick the closing-join
+    strategy from the SESSION's autoBroadcastJoinThreshold: an edge
+    list whose estimated size crosses the threshold executes the
+    shuffle join by itself (no one passes a flag), an under-threshold
+    list keeps the broadcast probe, and both agree with the forced
+    paths exactly."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(min(x, y), max(x, y)) for x, y in
+                  ((rng.randrange(400), rng.randrange(400)) for _ in range(3000))
+                  if x != y})
+    df = spark.createDataFrame(edges, "a long, b long")
+    want = {r.node: (r.degree, r.n_triangles)
+            for r in graph.triangle_counts(df, broadcast_edges=True).collect()}
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # ~2.9k edges x (8+8+24)B ~ 116 KB estimate: over a 4 KB
+        # threshold -> auto must flip to the shuffle closing join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
+        auto_small = graph.triangle_counts(df)
+        plan = auto_small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        got = {r.node: (r.degree, r.n_triangles) for r in auto_small.collect()}
+        assert got == want
+
+        # generous threshold -> auto keeps the broadcast probe
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        auto_big = graph.triangle_counts(df)
+        plan = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        got = {r.node: (r.degree, r.n_triangles) for r in auto_big.collect()}
+        assert got == want
+
+        # threshold -1 (broadcast disabled session-wide) -> shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = graph.triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
