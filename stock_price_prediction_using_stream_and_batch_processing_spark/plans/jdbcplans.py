@@ -109,8 +109,7 @@ def jdbc_roundtrip_orders_topk(spark, sf_dir):
         driver=jdbc.DERBY_DRIVER,
         ts_col="o_orderkey",
         k=200,
-        limit_style="fetch",
-        ident_quote='"',
+        dialect="derby",
     )
     return back.select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),

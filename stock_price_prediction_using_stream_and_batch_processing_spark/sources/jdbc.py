@@ -61,18 +61,41 @@ def jdbc_options(
     return opts
 
 
+# Dialect presets for pushdown_subquery: (identifier quote, limit
+# style). "mysql" is the reference's actual target engine
+# (batch_processor.py:74-79 — backtick-quoted identifiers, LIMIT k);
+# "derby" is the live-testable embedded engine (ANSI double quotes,
+# FETCH FIRST — Derby rejects LIMIT); "ansi" is the portable default
+# (also Oracle 12c+/SQLServer 2012+ via the standard fetch clause);
+# "postgres" folds unquoted identifiers to lowercase so it quotes like
+# ANSI but accepts LIMIT.
+DIALECTS: dict[str, tuple[str, str]] = {
+    "mysql": ("`", "limit"),
+    "derby": ('"', "fetch"),
+    "ansi": ('"', "fetch"),
+    "postgres": ('"', "limit"),
+}
+
+
 def pushdown_subquery(
     table: str,
     order_by: str | None = None,
     descending: bool = True,
     limit: int | None = None,
-    limit_style: str = "limit",
-    ident_quote: str = "",
+    limit_style: str | None = None,
+    ident_quote: str | None = None,
+    dialect: str | None = None,
 ) -> str:
     """Derived-table string that pushes sort+limit into the database —
     the reference's latest-k fetch shape
     (``batch_processor.py:76``: ``(SELECT * FROM stock_ticks_raw ORDER
     BY timestamp DESC LIMIT 10000) as tmp``).
+
+    ``dialect`` ("mysql" / "derby" / "ansi" / "postgres") picks both
+    knobs from :data:`DIALECTS`; explicit ``limit_style`` /
+    ``ident_quote`` override it. With neither given, defaults are
+    unquoted identifiers + ``LIMIT`` (the reference's literal MySQL
+    string, backward compatible).
 
     ``limit_style``: ``"limit"`` (MySQL/Postgres/SQLite ``LIMIT n``) or
     ``"fetch"`` (ANSI/Derby/Oracle/SQLServer ``FETCH FIRST n ROWS
@@ -81,6 +104,14 @@ def pushdown_subquery(
     them, but Spark's JDBC writer CREATEs columns quoted, so the stored
     names are case-exact): pass ``'"'`` for ANSI double quotes,
     ``'`'`` for MySQL backticks, default unquoted."""
+    if dialect is not None:
+        if dialect not in DIALECTS:
+            raise ValueError(f"unknown dialect {dialect!r}; known: {sorted(DIALECTS)}")
+        dq, ds = DIALECTS[dialect]
+        ident_quote = dq if ident_quote is None else ident_quote
+        limit_style = ds if limit_style is None else limit_style
+    limit_style = "limit" if limit_style is None else limit_style
+    ident_quote = "" if ident_quote is None else ident_quote
     if limit_style not in ("limit", "fetch"):
         raise ValueError(f"limit_style must be 'limit' or 'fetch', got {limit_style!r}")
     # The table operand interpolates into SQL too — hold it to the same
@@ -193,17 +224,19 @@ def read_jdbc_latest_k(
     password: str,
     ts_col: str = "timestamp",
     k: int = 10_000,
-    limit_style: str = "limit",
-    ident_quote: str = "",
+    limit_style: str | None = None,
+    ident_quote: str | None = None,
+    dialect: str | None = None,
     **kw,
 ) -> DataFrame:
     """Reference S3: last-k rows by timestamp with the top-k pushed into
     the database, re-sorted ascending Spark-side (folding the
     reference's client-side Pandas re-sort, ``batch_processor.py:114``,
-    into the plan)."""
+    into the plan). ``dialect`` picks the quote/limit style the target
+    engine speaks (see :func:`pushdown_subquery`)."""
     sub = pushdown_subquery(
         table, order_by=ts_col, descending=True, limit=k,
-        limit_style=limit_style, ident_quote=ident_quote,
+        limit_style=limit_style, ident_quote=ident_quote, dialect=dialect,
     )
     df = read_jdbc(spark, url, sub, user, password, **kw)
     return df.orderBy(ts_col)

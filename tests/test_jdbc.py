@@ -121,3 +121,56 @@ def test_shared_derby_concurrent_invocations_no_clobber(spark, tmp_path, monkeyp
     ra = {r.k for r in jdbc.read_jdbc(spark, url, "t_a", "app", "", driver=jdbc.DERBY_DRIVER).collect()}
     rb = {r.k for r in jdbc.read_jdbc(spark, url, "t_b", "app", "", driver=jdbc.DERBY_DRIVER).collect()}
     assert ra == set(range(10)) and rb == set(range(100, 105))
+
+
+@pytest.mark.parametrize(
+    "dialect,want",
+    [
+        # the reference's ACTUAL deployment target (batch_processor.py:76
+        # with backtick-quoted identifiers, MySQL's LIMIT): string-level
+        # because no MySQL server exists in the sandbox — the live twin
+        # of this exact shape runs against embedded Derby below.
+        (
+            "mysql",
+            "(SELECT * FROM stock_ticks_raw ORDER BY `timestamp` DESC LIMIT 10000) as tmp",
+        ),
+        (
+            "derby",
+            '(SELECT * FROM stock_ticks_raw ORDER BY "timestamp" DESC FETCH FIRST 10000 ROWS ONLY) as tmp',
+        ),
+        (
+            "ansi",
+            '(SELECT * FROM stock_ticks_raw ORDER BY "timestamp" DESC FETCH FIRST 10000 ROWS ONLY) as tmp',
+        ),
+        (
+            "postgres",
+            '(SELECT * FROM stock_ticks_raw ORDER BY "timestamp" DESC LIMIT 10000) as tmp',
+        ),
+    ],
+)
+def test_pushdown_subquery_dialects(dialect, want):
+    got = jdbc.pushdown_subquery(
+        "stock_ticks_raw", order_by="timestamp", limit=10_000, dialect=dialect
+    )
+    assert got == want
+
+
+def test_pushdown_subquery_dialect_edges():
+    # backtick embedded in a MySQL identifier doubles (the standard
+    # escape) instead of breaking out of the quoting
+    assert (
+        jdbc.pushdown_subquery("t", order_by="we`ird", limit=1, dialect="mysql")
+        == "(SELECT * FROM t ORDER BY `we``ird` DESC LIMIT 1) as tmp"
+    )
+    # explicit knobs override the dialect preset
+    assert (
+        jdbc.pushdown_subquery("t", order_by="ts", limit=2, dialect="mysql", limit_style="fetch")
+        == "(SELECT * FROM t ORDER BY `ts` DESC FETCH FIRST 2 ROWS ONLY) as tmp"
+    )
+    with pytest.raises(ValueError, match="unknown dialect"):
+        jdbc.pushdown_subquery("t", dialect="oracle8")
+    # no dialect, no knobs: the reference's literal unquoted-MySQL shape
+    assert (
+        jdbc.pushdown_subquery("stock_ticks_raw", order_by="timestamp", limit=10_000)
+        == "(SELECT * FROM stock_ticks_raw ORDER BY timestamp DESC LIMIT 10000) as tmp"
+    )
