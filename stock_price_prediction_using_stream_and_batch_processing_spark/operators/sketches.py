@@ -26,7 +26,7 @@ counts are pinned in tests/test_approx.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -306,3 +306,106 @@ def refresh_cms_fine(
         partition_col,
         table_desc="cms table",
     )
+
+
+# --- KMV (k-minimum-values / bottom-k) distinct sketches ------------
+#
+# The set-operation sketch HLL lacks: because a KMV sketch IS a sample
+# (the k smallest md5 hash values of the distinct items), sketches
+# SUPPORT INTERSECTION — merge two sketches, re-take the k smallest
+# (that is the exact KMV of the union), and the fraction of those that
+# appear in both inputs estimates the Jaccard similarity; overlap =
+# jaccard x union-estimate. And unlike HLL's opaque registers, every
+# step is deterministic integer/float algebra over md5, so a DuckDB
+# oracle replays it BIT-FOR-BIT — the only approximate-distinct family
+# in the engine with a full SQL differential rather than an invariant
+# bound. (Classic theta-sketch construction; estimate (k-1)/t with t =
+# kth smallest hash normalized to [0,1).)
+
+KMV_HASH_SPACE = float(1 << 32)  # md5 first 8 hex chars -> [0, 2^32)
+
+
+def kmv_hash(col) -> "F.Column":
+    """Engine-portable uniform hash: first 8 md5 hex chars as a long.
+    Identical in Spark (conv(.., 16, 10)) and DuckDB
+    (('0x' || substr(md5(..), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_sketches(
+    df: DataFrame,
+    seg_col: str,
+    value_col: str,
+    k: int = 64,
+    n_shards: int = 64,
+) -> DataFrame:
+    """One KMV sketch per segment: (seg, kmin array<long>) with kmin =
+    the k smallest distinct hash values (ALL of them, sorted, when the
+    segment has fewer than k — the sketch is then exact).
+
+    Scale shape — min-k is computed in MERGEABLE form, never by sorting
+    a whole segment in one task: distinct (seg, hash) pairs shard by
+    hash % n_shards, each (seg, shard) takes its local bottom-k with a
+    rank window (spill-safe, sorts 1/n_shards of the segment), and the
+    segment level merges n_shards bounded arrays exactly the way two
+    KMV sketches merge — concatenate, sort, cut at k. Three keyed
+    shuffles of hash-sized rows; no unbounded per-group state."""
+    h = kmv_hash(value_col).alias("h")
+    d = df.select(F.col(seg_col).alias("seg"), h).distinct()
+    w = Window.partitionBy("seg", F.col("h") % n_shards).orderBy("h")
+    local = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        local.groupBy("seg", (F.col("h") % n_shards).alias("_shard"))
+        .agg(F.sort_array(F.collect_list("h")).alias("part"))
+        .groupBy("seg")
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("part"))), 1, k).alias("kmin")
+        )
+    )
+
+
+def kmv_estimate(kmin_col: str, k: int) -> "F.Column":
+    """Distinct estimate off a kmin array: exact count when the sketch
+    holds the whole segment (< k values), else the classic (k-1)/t
+    with t = kth smallest hash / 2^32 — i.e. (k-1) * 2^32 / kth, one
+    double division (bit-identical across engines)."""
+    return F.when(
+        F.size(kmin_col) < k, F.size(kmin_col).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * KMV_HASH_SPACE)
+        / F.element_at(F.col(kmin_col), k).cast("double")
+    )
+
+
+def kmv_merge(a_col: str, b_col: str, k: int) -> "F.Column":
+    """Sketch of the UNION of two segments from their sketches alone:
+    concatenate, dedup, sort, cut at k — by the bottom-k property this
+    equals the KMV built directly over the combined data (pinned in
+    tests/test_approx.py)."""
+    u = F.array_sort(F.array_union(F.col(a_col), F.col(b_col)))
+    return F.slice(u, 1, F.least(F.lit(k), F.size(u)))
+
+
+def kmv_overlap(a_col: str, b_col: str, k: int) -> dict[str, "F.Column"]:
+    """Intersection-size estimate between two segments from their
+    sketches: jaccard_est = |K ∩ A ∩ B| / |K| over the union sketch K,
+    overlap_est = jaccard_est x union_estimate. Returns the named
+    column expressions (union sketch, matches, jaccard, overlap) so
+    query faces can project what they need."""
+    union_sk = kmv_merge(a_col, b_col, k)
+    kk = F.size(union_sk)
+    matches = F.size(
+        F.array_intersect(F.array_intersect(union_sk, F.col(a_col)), F.col(b_col))
+    )
+    jac = matches / kk  # single int/int division: bit-identical x-engine
+    # union estimate from the merged sketch: exact when the union fits
+    union_full = F.array_sort(F.array_union(F.col(a_col), F.col(b_col)))
+    union_est = F.when(F.size(union_full) < k, F.size(union_full).cast("double")).otherwise(
+        F.lit(float(k - 1) * KMV_HASH_SPACE) / F.element_at(union_sk, k).cast("double")
+    )
+    return {
+        "matches": matches,
+        "jaccard_est": jac,
+        "union_est": union_est,
+        "overlap_est": jac * union_est,
+    }

@@ -813,6 +813,9 @@ def histogram_value_events(spark, sf_dir):
       ON r.o_custkey = c.c_custkey
     """,
     tags=("quality", "join", "anti"),
+    # rotation r9: driver-green many rounds; anti-join family keeps
+    # coverage via the extended tier and the driver's other join rows
+    driver=False,
 )
 def referential_orphans_check(spark, sf_dir):
     """Cross-table referential integrity (operators/quality.

@@ -627,6 +627,107 @@ def hll_rollup_daily_users(spark, sf_dir):
 
 
 @register(
+    "kmv_overlap_daily_users",
+    oracle="""
+    WITH du AS MATERIALIZED (
+      SELECT DISTINCT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS seg,
+             user_id
+      FROM events
+      WHERE strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') < '2024-01-08'
+    ),
+    dh AS MATERIALIZED (
+      SELECT DISTINCT seg,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM du
+    ),
+    loc AS (
+      SELECT seg, h, ROW_NUMBER() OVER (PARTITION BY seg, h % 64 ORDER BY h) AS rn FROM dh
+    ),
+    parts AS (
+      SELECT seg, list_sort(list(h)) AS part FROM loc WHERE rn <= 128 GROUP BY seg, h % 64
+    ),
+    sk AS MATERIALIZED (
+      SELECT seg, list_sort(flatten(list(part)))[1:128] AS kmin FROM parts GROUP BY seg
+    ),
+    pr AS (
+      SELECT a.seg AS day_a, b.seg AS day_b, a.kmin AS ka, b.kmin AS kb,
+             list_sort(list_distinct(a.kmin || b.kmin)) AS uf
+      FROM sk a JOIN sk b ON a.seg < b.seg
+    ),
+    est AS (
+      SELECT day_a, day_b,
+        (len(list_intersect(list_intersect(uf[1:128], ka), kb)) / len(uf[1:128]))
+        * (CASE WHEN len(uf) < 128 THEN CAST(len(uf) AS DOUBLE)
+                ELSE 545460846592.0 / CAST(uf[128] AS DOUBLE) END) AS overlap_est
+      FROM pr
+    ),
+    ex AS (
+      SELECT a.seg AS day_a, b.seg AS day_b, CAST(COUNT(*) AS BIGINT) AS exact_overlap
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.seg < b.seg
+      GROUP BY 1, 2
+    )
+    SELECT e.day_a, e.day_b, x.exact_overlap, e.overlap_est, TRUE AS est_within_bound
+    FROM est e JOIN ex x ON e.day_a = x.day_a AND e.day_b = x.day_b
+    """,
+    tags=("sketch", "kmv", "approx", "set-intersection", "timeseries"),
+)
+def kmv_overlap_daily_users(spark, sf_dir):
+    """Distinct-user OVERLAP between day segments estimated from KMV
+    (bottom-k) sketches — the set-operation capability HLL lacks
+    (sketches can INTERSECT: merge two kmin lists, re-take the k
+    smallest = the exact KMV of the union; the fraction of those
+    present in both inputs estimates Jaccard; overlap = jaccard x
+    union-estimate). The engine's 6th mergeable-sketch family, and the
+    only approximate-distinct face with a FULL SQL differential: every
+    step is deterministic md5 integer/float algebra, so the DuckDB
+    oracle replays the sketch construction, merge and estimator
+    BIT-FOR-BIT (operators/sketches.kmv_sketches — k=128, shard-merged
+    bottom-k, never a whole-segment sort in one task). The raw estimate
+    is hash-compared unrounded; ``est_within_bound`` additionally pins
+    |est − exact| ≤ max(0.35·exact, 15) — ≈4σ at k=128 (measured max
+    rel err 0.054 at sf0.01 / 0.131 at sf0.1). At 100 TB the exact
+    self-join here is the verification face's cost, not the
+    operator's: sketches are kilobytes per segment, pairs combine
+    sketches only."""
+    from ..operators import sketches
+
+    K = 128
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    base = ev.select(day.alias("seg"), "user_id").filter(F.col("seg") < "2024-01-08")
+    sk = sketches.kmv_sketches(base, "seg", "user_id", k=K, n_shards=64)
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.seg") < F.col("b.seg")).select(
+        F.col("a.seg").alias("day_a"),
+        F.col("b.seg").alias("day_b"),
+        F.col("a.kmin").alias("ka"),
+        F.col("b.kmin").alias("kb"),
+    )
+    o = sketches.kmv_overlap("ka", "kb", K)
+    est = pairs.select("day_a", "day_b", o["overlap_est"].alias("overlap_est"))
+    du = base.distinct()
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id")) & (F.col("x.seg") < F.col("y.seg")),
+        )
+        .groupBy(F.col("x.seg").alias("day_a"), F.col("y.seg").alias("day_b"))
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    return est.join(exact, ["day_a", "day_b"]).select(
+        "day_a",
+        "day_b",
+        "exact_overlap",
+        "overlap_est",
+        (
+            F.abs(F.col("overlap_est") - F.col("exact_overlap"))
+            <= F.greatest(F.lit(0.35) * F.col("exact_overlap"), F.lit(15.0))
+        ).alias("est_within_bound"),
+    )
+
+
+@register(
     "linear_count_daily_users",
     oracle="""
     WITH b AS (
