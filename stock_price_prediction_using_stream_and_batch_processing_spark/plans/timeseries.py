@@ -656,9 +656,9 @@ def hll_rollup_daily_users(spark, sf_dir):
     ),
     est AS (
       SELECT day_a, day_b,
-        (len(list_intersect(list_intersect(uf[1:128], ka), kb)) / len(uf[1:128]))
+        ROUND((len(list_intersect(list_intersect(uf[1:128], ka), kb)) / len(uf[1:128]))
         * (CASE WHEN len(uf) < 128 THEN CAST(len(uf) AS DOUBLE)
-                ELSE 545460846592.0 / CAST(uf[128] AS DOUBLE) END) AS overlap_est
+                ELSE 545460846592.0 / CAST(uf[128] AS DOUBLE) END), 6) AS overlap_est
       FROM pr
     ),
     ex AS (
@@ -682,8 +682,8 @@ def kmv_overlap_daily_users(spark, sf_dir):
     step is deterministic md5 integer/float algebra, so the DuckDB
     oracle replays the sketch construction, merge and estimator
     BIT-FOR-BIT (operators/sketches.kmv_sketches — k=128, shard-merged
-    bottom-k, never a whole-segment sort in one task). The raw estimate
-    is hash-compared unrounded; ``est_within_bound`` additionally pins
+    bottom-k, never a whole-segment sort in one task). The estimate is
+    hash-compared at ROUND(., 6); ``est_within_bound`` additionally pins
     |est − exact| ≤ max(0.35·exact, 15) — ≈4σ at k=128 (measured max
     rel err 0.054 at sf0.01 / 0.131 at sf0.1). At 100 TB the exact
     self-join here is the verification face's cost, not the
@@ -704,7 +704,13 @@ def kmv_overlap_daily_users(spark, sf_dir):
         F.col("b.kmin").alias("kb"),
     )
     o = sketches.kmv_overlap("ka", "kb", K)
-    est = pairs.select("day_a", "day_b", o["overlap_est"].alias("overlap_est"))
+    # ROUND(., 6) both arms (oracle-portability convention): the raw
+    # double is byte-identical today, but unrounded float hash-compares
+    # are fragile to engine/version repr drift; est_within_bound below
+    # stays the semantic check.
+    est = pairs.select(
+        "day_a", "day_b", F.round(o["overlap_est"], 6).alias("overlap_est")
+    )
     du = base.distinct()
     exact = (
         du.alias("x")

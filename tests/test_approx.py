@@ -180,3 +180,115 @@ def test_linear_counting_estimate_tracks_exact_distincts(spark):
         v = occ / m
         se = math.sqrt(m * (math.exp(v) - v - 1.0))
         assert abs(e - nd) <= max(4 * se, 2.0), (day, e, nd, se)
+
+
+def _kmv_day_segments(spark, n_days: int):
+    """(seg, user_id) rows for the first ``n_days`` day segments."""
+    ev = load_table(spark, SF, "events")
+    seg = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    cutoff = f"2024-01-{n_days + 1:02d}"
+    return ev.select(seg.alias("seg"), "user_id").filter(F.col("seg") < cutoff)
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """Bottom-k property: merging two segments' KMV sketches
+    (concatenate-dedup-sort-cut) yields EXACTLY the sketch built
+    directly over the combined data — the mergeability claim in
+    operators/sketches.kmv_merge, bit-for-bit."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+
+    K = 64
+    base = _kmv_day_segments(spark, 2)
+    sk = sketches.kmv_sketches(base, "seg", "user_id", k=K)
+    a, b = sk.alias("a"), sk.alias("b")
+    merged = (
+        a.join(b, F.col("a.seg") < F.col("b.seg"))
+        .select(sketches.kmv_merge("a.kmin", "b.kmin", K).alias("kmin"))
+        .collect()
+    )
+    assert len(merged) == 1
+    direct = (
+        sketches.kmv_sketches(
+            base.withColumn("seg", F.lit("all")), "seg", "user_id", k=K
+        )
+        .select("kmin")
+        .collect()
+    )
+    assert merged[0].kmin == direct[0].kmin
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    """When a segment holds fewer than k distinct values the sketch IS
+    the segment and the estimator must return the exact distinct count
+    (the size() arm of operators/sketches.kmv_estimate)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+
+    K = 1 << 20  # far above any sf0.01 day-segment cardinality
+    base = _kmv_day_segments(spark, 3)
+    est = {
+        r.seg: (r.n_sketch, r.est)
+        for r in sketches.kmv_sketches(base, "seg", "user_id", k=K)
+        .select(
+            "seg",
+            F.size("kmin").alias("n_sketch"),
+            sketches.kmv_estimate("kmin", K).alias("est"),
+        )
+        .collect()
+    }
+    exact = {
+        r.seg: r.nd
+        for r in base.groupBy("seg")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(est) == set(exact) and est
+    for seg, nd in exact.items():
+        n_sketch, e = est[seg]
+        assert n_sketch == nd, (seg, n_sketch, nd)
+        assert e == float(nd), (seg, e, nd)
+
+
+def test_kmv_shard_merge_equals_single_task(spark):
+    """Shard-merged construction (the scale path: per-(seg, hash%n)
+    local bottom-k, then a bounded array merge) must equal the
+    single-shard build — n_shards is a parallelism knob, never a
+    semantics knob (operators/sketches.kmv_sketches)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+
+    K = 128
+    base = _kmv_day_segments(spark, 4)
+    sharded = {
+        r.seg: r.kmin
+        for r in sketches.kmv_sketches(base, "seg", "user_id", k=K, n_shards=64).collect()
+    }
+    single = {
+        r.seg: r.kmin
+        for r in sketches.kmv_sketches(base, "seg", "user_id", k=K, n_shards=1).collect()
+    }
+    assert sharded == single and len(sharded) == 4
+
+
+def test_kmv_estimator_error_bound(spark):
+    """(k−1)/t estimates per day-segment must land within ~4σ of the
+    exact distinct counts at sf0.01 (σ ≈ 1/sqrt(k−2) ≈ 0.089 at
+    k=128 — the same max(0.35·exact, 15) band the registered
+    kmv_overlap_daily_users face pins)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+
+    K = 128
+    base = _kmv_day_segments(spark, 30)
+    est = {
+        r.seg: r.est
+        for r in sketches.kmv_sketches(base, "seg", "user_id", k=K)
+        .select("seg", sketches.kmv_estimate("kmin", K).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.seg: r.nd
+        for r in base.groupBy("seg")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) >= 5
+    for seg, nd in exact.items():
+        assert abs(est[seg] - nd) <= max(0.35 * nd, 15.0), (seg, est[seg], nd)

@@ -24,9 +24,11 @@ def test_oracle_match(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    df = plans.get(name).fn(spark, SF_SMALL)
-    n = df.count()
-    assert n >= 0
-    assert len(df.schema.fields) > 0
+def test_every_registered_query_has_an_oracle():
+    """ROWS_ONLY went empty in round 9 (the last rows-only faces got
+    invariant oracles). Pin that as an ASSERTION rather than an empty
+    parametrize set — the latter reports as a permanent pytest skip,
+    which masked skip-count drift for two rounds (VERDICT r9 #5). If a
+    future query genuinely can't be SQL-oracled, register it with an
+    invariant oracle instead, or consciously relax this test."""
+    assert ROWS_ONLY == []
