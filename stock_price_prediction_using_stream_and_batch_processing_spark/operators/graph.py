@@ -149,9 +149,9 @@ def triangle_counts(
     # Default (None) AUTO-SELECTS: Catalyst can't size the checkpointed
     # edge list itself (a LogicalRDD defaults to defaultSizeInBytes =
     # never-broadcast), so estimate it here — |closing| == |edges|
-    # exactly (orientation is 1:1), the count is one cheap job over the
-    # already-materializing checkpoint, and per-row cost is the (y, z)
-    # field widths plus hashed-relation overhead — and hint broadcast
+    # exactly (orientation is 1:1), count + measured avg field widths
+    # come from ONE sizing job over the already-materializing
+    # checkpoint, per-row cost adds hashed-relation overhead — and hint broadcast
     # only under the session's own autoBroadcastJoinThreshold. At 100×
     # edges the estimate crosses the threshold and the plan flips to
     # the shuffle join BY ITSELF (tests/test_graph.py pins both
@@ -168,10 +168,33 @@ def triangle_counts(
                 "byte": 1, "short": 2, "integer": 4, "long": 8, "float": 4,
                 "double": 8, "date": 4, "timestamp": 8, "boolean": 1,
             }
-            row_bytes = (
-                sum(widths.get(f.dataType.typeName(), 32) for f in closing.schema.fields) + 24
+            # Variable-width key types (string node ids, binary) are
+            # MEASURED, not assumed: a flat per-column default would
+            # underestimate long ids and hint a broadcast over the real
+            # threshold (executor OOM at scale). avg(octet_length) rides
+            # in the SAME single sizing job as the count — the one extra
+            # job every default-path call pays, priced at one scan of
+            # the already-materializing checkpoint — plus 16 bytes/value
+            # of UTF8String/object overhead in the hashed relation.
+            fixed = sum(
+                widths[f.dataType.typeName()]
+                for f in closing.schema.fields
+                if f.dataType.typeName() in widths
             )
-            broadcast_edges = e.count() * row_bytes <= thresh
+            var_cols = [
+                f.name for f in closing.schema.fields if f.dataType.typeName() not in widths
+            ]
+            stats = closing.agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.avg(F.octet_length(F.col(c).cast("string"))).alias(f"_w_{i}")
+                    for i, c in enumerate(var_cols)
+                ],
+            ).first()
+            row_bytes = fixed + 24 + sum(
+                (stats[f"_w_{i}"] or 0.0) + 16 for i in range(len(var_cols))
+            )
+            broadcast_edges = stats["_n"] * row_bytes <= thresh
     if broadcast_edges:
         closing = F.broadcast(closing)
     tri = wedges.join(closing, ["y", "z"])

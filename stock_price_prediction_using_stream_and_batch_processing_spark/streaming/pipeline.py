@@ -18,6 +18,7 @@ Differences here, by design:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -210,6 +211,19 @@ def _epoch_source_files(checkpoint_path: str, epoch_id: int, source_idx: int = 0
     return out
 
 
+# Extended-format ISO-8601 instants ONLY — the shapes Python
+# fromisoformat and Spark's timestamp cast parse to the same instant:
+# calendar date, 'T' or ' ' separator, full hh:mm:ss, optional ≤6
+# fractional digits (both engines are microsecond-exact there), and an
+# EXPLICIT zone with a colon (or Z). Everything fromisoformat would
+# additionally take (basic format, week/ordinal dates, arbitrary
+# separator chars, 7-9 fraction digits, colonless offsets) refuses the
+# fast path instead of guessing Spark's verdict.
+_STRICT_ISO_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,6})?(Z|[+-]\d{2}:\d{2})$"
+)
+
+
 def _parse_tick_wire_rows(lines) -> list[dict] | None:
     """Driver-side twin of ``parse_ticks`` (``from_json`` on
     ``tick_schema`` + drop-malformed filter) for STRICT well-formed wire
@@ -248,6 +262,15 @@ def _parse_tick_wire_rows(lines) -> list[dict] | None:
         if not isinstance(sym, str) or not isinstance(ts_raw, str):
             return None
         if isinstance(price_raw, bool) or not isinstance(price_raw, (int, float)):
+            return None
+        # Python 3.11 fromisoformat is WIDER than Spark's timestamp
+        # parse: it accepts basic format (20240101T000001+00:00),
+        # week/ordinal dates (2024-W01-1T...), ANY separator character
+        # at position 10, and >6 fractional digits — shapes Spark's
+        # from_json casts to null (row dropped) or truncates
+        # differently. Gate to the strict extended-format subset BOTH
+        # parsers treat identically; anything else: Spark arbitrates.
+        if _STRICT_ISO_TS_RE.match(ts_raw) is None:
             return None
         try:
             ts = dt.datetime.fromisoformat(ts_raw)

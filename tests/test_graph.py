@@ -150,3 +150,41 @@ def test_triangle_auto_selects_closing_strategy_by_size(spark):
         assert "BroadcastHashJoin" not in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_triangle_auto_sizing_measures_string_id_width(spark):
+    """Variable-width node ids are sized by MEASURED avg byte length,
+    not a flat per-column default: the same 200-edge graph under the
+    same threshold must broadcast with short ids but refuse (shuffle)
+    once each id carries a ~200-byte payload — the underestimate that
+    would otherwise hint an executor-OOM broadcast at scale."""
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(min(x, y), max(x, y)) for x, y in
+                  ((rng.randrange(60), rng.randrange(60)) for _ in range(200))
+                  if x != y})
+    short = spark.createDataFrame(
+        [(f"n{x}", f"n{y}") for x, y in pairs], "a string, b string"
+    )
+    long_ids = spark.createDataFrame(
+        [(f"n{x}" + "p" * 200, f"n{y}" + "p" * 200) for x, y in pairs],
+        "a string, b string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # ~190 edges: short ids ≈ 190·(2·(3+16)+24) ≈ 12 KB < 32 KB;
+        # long ids ≈ 190·(2·(203+16)+24) ≈ 88 KB > 32 KB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32KB")
+        plan = graph.triangle_counts(short)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        plan = graph.triangle_counts(long_ids)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        # and the strategies agree on the answer
+        want = {r.node: (r.degree, r.n_triangles)
+                for r in graph.triangle_counts(short).collect()}
+        got = {r.node.rstrip("p"): (r.degree, r.n_triangles)
+               for r in graph.triangle_counts(long_ids).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -820,6 +820,16 @@ def test_driver_fast_read_differential_and_fallback(spark, tmp_path):
         '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": 1.0, "volume": 99999999999999999999}',
         '{"symbol": "A", "timestamp": "not a time", "price": 1.0}',
         '[{"symbol": "A", "timestamp": "2024-01-01T00:00:01+00:00", "price": 1.0}]',
+        # ISO-8601 shapes Python 3.11 fromisoformat ACCEPTS but Spark's
+        # timestamp cast rejects (row would drop distributed-side) or
+        # treats differently — the strict extended-format gate must
+        # refuse every one rather than emit a diverging fast-path row:
+        '{"symbol": "A", "timestamp": "20240101T000001+00:00", "price": 1.0}',  # basic format
+        '{"symbol": "A", "timestamp": "2024-W01-1T00:00:01+00:00", "price": 1.0}',  # week date
+        '{"symbol": "A", "timestamp": "2024-002T00:00:01+00:00", "price": 1.0}',  # ordinal date
+        '{"symbol": "A", "timestamp": "2024-01-01X00:00:01+00:00", "price": 1.0}',  # any-sep quirk
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01.1234567+00:00", "price": 1.0}',  # >6 frac digits
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+0000", "price": 1.0}',  # colonless offset
     ):
         assert _parse_tick_wire_rows([base % (1, 0, 1), subtle]) is None, subtle
 
