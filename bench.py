@@ -119,6 +119,11 @@ HEADLINE = [
     "bucketed_join_orders_customer",
     "linear_count_daily_users",
     "python_datasource_ticks",
+    # round-10 additions: the KMV bottom-k family — set-intersection
+    # estimates from kilobyte sketches and the bit-level streaming
+    # maintenance face
+    "kmv_overlap_daily_users",
+    "stream_kmv_maintenance",
 ]
 
 

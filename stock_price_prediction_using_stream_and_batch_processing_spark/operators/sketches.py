@@ -409,3 +409,75 @@ def kmv_overlap(a_col: str, b_col: str, k: int) -> dict[str, "F.Column"]:
         "union_est": union_est,
         "overlap_est": jac * union_est,
     }
+
+
+def kmv_fine_sketches(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: int = 128,
+    fine: str = "day",
+    n_shards: int = 64,
+) -> DataFrame:
+    """One KMV sketch per time bucket: (bucket_start, kmin) — the
+    bottom-k twin of :func:`hll_fine_sketches`, feeding the same
+    mergeable-partial store scaffold (shard-merged construction, see
+    :func:`kmv_sketches`)."""
+    bucketed = df.select(
+        F.date_trunc(fine, F.col(ts_col)).alias("bucket_start"),
+        F.col(value_col).alias("_v"),
+    )
+    return kmv_sketches(bucketed, "bucket_start", "_v", k=k, n_shards=n_shards).select(
+        F.col("seg").alias("bucket_start"), "kmin"
+    )
+
+
+def refresh_kmv_fine(
+    spark,
+    sketch_path: str,
+    new_raw: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: int = 128,
+    fine: str = "day",
+    partition_col: str | None = "part_date",
+) -> int:
+    """Incremental maintenance of the MATERIALIZED KMV (bottom-k)
+    sketch table — the 6th mergeable-partial store on the shared
+    :func:`operators.maintenance.refresh_partials` scaffold (bars, HLL,
+    CMS, histograms, linear-count sets, now KMV). Only the new batch's
+    raw rows are sketched; their partials merge with the stored
+    sketches of exactly the affected buckets (semi-join pruned) via the
+    n-way bottom-k merge (concatenate, dedup, sort, cut at k — the
+    same property tests/test_approx.py pins pairwise for
+    :func:`kmv_merge`).
+
+    Replay tolerance is FREE and EXACT, with no epoch marker: the merge
+    deduplicates hash values, so re-merging already-ingested rows (a
+    retried foreachBatch epoch, an at-least-once redelivery) leaves the
+    stored ``kmin`` arrays BIT-IDENTICAL — strictly stronger than the
+    HLL store, whose re-merged estimates jitter ±1-2 counts in dense
+    mode. The stream-maintained table therefore equals the one-shot
+    batch build exactly, for ANY micro-batch split — which is what lets
+    the streaming face carry a full bit-level SQL differential.
+    Returns sketch rows written."""
+    from .maintenance import refresh_partials
+
+    batch = kmv_fine_sketches(new_raw, ts_col, value_col, k=k, fine=fine)
+    return refresh_partials(
+        spark,
+        sketch_path,
+        batch,
+        ["bucket_start"],
+        lambda existing, b: existing.unionByName(b)
+        .groupBy("bucket_start")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+                1,
+                k,
+            ).alias("kmin")
+        ),
+        partition_col,
+        table_desc="kmv sketch table",
+    )

@@ -1061,6 +1061,9 @@ def time_to_conversion_events(spark, sf_dir):
     FROM events GROUP BY user_id, event_type
     """,
     tags=("unpivot", "melt", "pivot"),
+    # rotation r10: demoted after driver-green r8+r9 (stable two-round
+    # evidence); slot goes to stream_kmv_maintenance's first rotation
+    driver=False,
 )
 def unpivot_user_event_counts(spark, sf_dir):
     """UNPIVOT (melt): the wide per-user count matrix from the PIVOT

@@ -635,6 +635,103 @@ def stream_quantile_maintenance(spark, sf_dir):
 
 
 @register(
+    "stream_kmv_maintenance",
+    oracle="""
+    WITH du AS MATERIALIZED (
+      SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+      FROM events
+    ),
+    dh AS MATERIALIZED (
+      SELECT DISTINCT day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM du
+    ),
+    loc AS (
+      SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day, h % 64 ORDER BY h) AS rn FROM dh
+    ),
+    parts AS (
+      SELECT day, list_sort(list(h)) AS part FROM loc WHERE rn <= 128 GROUP BY day, h % 64
+    ),
+    sk AS (
+      SELECT day, list_sort(flatten(list(part)))[1:128] AS kmin FROM parts GROUP BY day
+    ),
+    ex AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM du GROUP BY day
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(len(s.kmin) AS INTEGER) AS n_sketch,
+           s.kmin[len(s.kmin)] AS kth_hash,
+           ROUND(CASE WHEN len(s.kmin) < 128 THEN CAST(len(s.kmin) AS DOUBLE)
+                      ELSE 545460846592.0 / CAST(s.kmin[128] AS DOUBLE) END, 6) AS est_distinct,
+           x.exact_distinct,
+           TRUE AS replay_identical
+    FROM sk s JOIN ex x ON s.day = x.day
+    """,
+    tags=("streaming", "sketch", "kmv", "continuous-aggregate"),
+    # r10: first driver rotation for the KMV family's streaming face
+    driver=True,
+)
+def stream_kmv_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the materialized per-day KMV (bottom-k)
+    sketch table (operators/sketches.refresh_kmv_fine) — the 6th
+    mergeable-sketch family's stream face, completing the
+    rollup + stream_*_maintenance pairing the other five families
+    (OHLC, HLL, CMS, histogram, linear-count) already have, and the
+    only one whose streaming differential is BIT-LEVEL: bottom-k merge
+    deduplicates hash values, so the stream-maintained store equals the
+    one-shot build EXACTLY for any micro-batch split, and the DuckDB
+    oracle replays construction + merge to the stored kth hash itself
+    (``kth_hash``, ``n_sketch``). No epoch guard — dedup makes replay
+    exactly idempotent (stronger than HLL's bounded jitter), pinned
+    live: after the stream completes, a deterministic subset of
+    already-ingested rows is re-merged (an at-least-once redelivery)
+    and ``replay_identical`` compares the pre/post kmin arrays —
+    ALL-true or the value hash fails. ``est_distinct`` is the (k−1)/t
+    estimate at ROUND(.,6); ``exact_distinct`` the differential
+    ground truth. Four-file split so the store-merge path (not just
+    bootstrap) genuinely executes. Scale shape: per-day sketches are
+    ≤128 longs (kilobytes); merges touch only affected buckets
+    (semi-join pruned, date-partition overwrite); the exact count is
+    this verification face's cost, not the operator's."""
+    from ..operators import sketches
+
+    K = 128
+
+    def maint(batch_df, store, epoch_id):
+        sketches.refresh_kmv_fine(spark, store, batch_df, "ts", "user_id", k=K)
+
+    store = _run_maintenance_stream(spark, sf_dir, "kmv", maint)
+    day = F.date_format("bucket_start", "yyyy-MM-dd")
+    # MATERIALIZE the pre-replay sketches now (eager localCheckpoint,
+    # ~30 rows): the replay below rewrites store partitions in place
+    streamed = (
+        spark.read.parquet(store).select(day.alias("day"), "kmin").localCheckpoint(eager=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    sketches.refresh_kmv_fine(
+        spark, store, ev.filter(F.pmod(F.abs(F.col("event_id")), F.lit(7)) == 0),
+        "ts", "user_id", k=K,
+    )
+    replayed = spark.read.parquet(store).select(day.alias("day"), F.col("kmin").alias("kmin_replay"))
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (
+        streamed.join(replayed, "day")
+        .join(exact, "day")
+        .select(
+            "day",
+            F.size("kmin").cast("int").alias("n_sketch"),
+            F.expr("element_at(kmin, size(kmin))").alias("kth_hash"),
+            F.round(sketches.kmv_estimate("kmin", K), 6).alias("est_distinct"),
+            "exact_distinct",
+            (F.col("kmin") == F.col("kmin_replay")).alias("replay_identical"),
+        )
+    )
+
+
+@register(
     "kafka_wire_parse_events",
     oracle="""
     WITH k AS (

@@ -292,3 +292,38 @@ def test_kmv_estimator_error_bound(spark):
     assert set(est) == set(exact) and len(est) >= 5
     for seg, nd in exact.items():
         assert abs(est[seg] - nd) <= max(0.35 * nd, 15.0), (seg, est[seg], nd)
+
+
+def test_kmv_refresh_split_invariance_and_replay(spark, tmp_path):
+    """The KMV store must be BIT-IDENTICAL for any batch split — merge
+    three incremental refreshes vs one-shot — and exactly idempotent
+    under replay of already-merged rows (the no-epoch-guard claim in
+    operators/sketches.refresh_kmv_fine)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import sketches
+
+    K = 32
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "kmv_store")
+    splits = [
+        ev.filter(F.pmod(F.abs(F.col("event_id")), F.lit(3)) == i) for i in range(3)
+    ]
+    for part in splits:
+        sketches.refresh_kmv_fine(spark, path, part, "ts", "user_id", k=K)
+    merged = {
+        str(r.bucket_start): r.kmin for r in spark.read.parquet(path).collect()
+    }
+    oneshot = {
+        str(r.bucket_start): r.kmin
+        for r in sketches.kmv_fine_sketches(ev, "ts", "user_id", k=K).collect()
+    }
+    assert merged == oneshot and len(merged) >= 5
+
+    # replay: re-merge a subset already in the store; nothing may move
+    sketches.refresh_kmv_fine(
+        spark, path, ev.filter(F.pmod(F.abs(F.col("event_id")), F.lit(3)) == 0),
+        "ts", "user_id", k=K,
+    )
+    replayed = {
+        str(r.bucket_start): r.kmin for r in spark.read.parquet(path).collect()
+    }
+    assert replayed == merged
