@@ -125,6 +125,10 @@ HEADLINE = [
     # verification scaffold, not the operator; measured r10: 12.8-13.0 s
     # of which ~10 s is streaming machinery + exact-count differential)
     "kmv_overlap_daily_users",
+    # round-10 additions: skew-proof salted join and file-manifest
+    # data skipping (lakehouse metadata pruning)
+    "salted_join_hot_events",
+    "manifest_pruned_scan_events",
 ]
 
 

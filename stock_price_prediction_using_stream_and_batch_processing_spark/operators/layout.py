@@ -86,3 +86,60 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def file_minmax_manifest(
+    spark, path: str, cols: list[str]
+) -> DataFrame:
+    """Build an explicit FILE-LEVEL min/max manifest over a parquet
+    dataset — the metadata table behind lakehouse data skipping
+    (Iceberg manifests / Delta file stats), reproduced Spark-first.
+    One column-pruned distributed scan groups by ``input_file_name()``
+    and records per-file bounds plus row counts; the manifest is
+    ~one row per file, so it stays metadata-sized no matter how big
+    the data is.
+
+    Parquet footer pushdown skips ROW GROUPS but still LISTS and OPENS
+    every footer — at millions of files that is the dominant planning
+    cost. A persisted manifest moves the pruning decision to a
+    metadata-sized join/filter that never touches the data files at
+    all; this builder is the post-hoc form (at ingest time the same
+    stats ride the writer's task results for free).
+
+    NULL semantics: a file whose column is entirely NULL gets NULL
+    bounds and is dropped by any range predicate on that column —
+    lossless, because NULL values can never satisfy a range predicate
+    either.
+    """
+    df = spark.read.parquet(path).select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def manifest_pruned_paths(
+    manifest: DataFrame, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Prune a file manifest against ``col BETWEEN lo AND hi``:
+    keep files whose [min, max] interval intersects [lo, hi]. Returns
+    (surviving file paths, total file count). The interval test runs
+    DISTRIBUTED on the manifest; only the surviving path strings are
+    collected — the one driver-side list a file-pruned read genuinely
+    needs (it becomes ``spark.read.parquet(*paths)``), bounded by the
+    number of MATCHING files, never by data size. Conservative and
+    lossless: a straddling file is read and the residual filter
+    finishes the job; a NULL-bounds file (all-NULL column) fails the
+    interval test exactly as its rows would fail the predicate.
+    """
+    kept = (
+        manifest.where(
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        )
+        .select("file")
+        .collect()
+    )
+    return [r["file"] for r in kept], manifest.count()

@@ -51,6 +51,10 @@ def _interleave_sql(us: list[str], bits: int) -> str:
     FROM u
     """,
     tags=("layout", "zorder", "skipping"),
+    # rotation r10: demoted twice-green (r8+r9, bit-math also pinned in
+    # tests/test_layout.py); manifest_pruned_scan_events takes the
+    # layout-family driver slot
+    driver=False,
 )
 def zorder_value_events(spark, sf_dir):
     """Morton code over (user_id, value): min/max-normalized 16-bit
@@ -233,3 +237,59 @@ def bucketed_join_orders_customer(spark, sf_dir):
     if "Bucketed: true" not in plan:
         raise AssertionError("scan did not report bucketing:\n" + plan[:2000])
     return j
+
+
+@register(
+    "manifest_pruned_scan_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE value >= 100.0 AND value <= 200.0
+    GROUP BY event_type
+    """,
+    tags=("layout", "skipping", "manifest", "metadata"),
+    # new r10; takes the driver slot zorder_value_events (twice-green,
+    # bit-math unit-tested) rotates out of
+)
+def manifest_pruned_scan_events(spark, sf_dir):
+    """FILE-MANIFEST DATA SKIPPING end to end — the lakehouse metadata
+    pattern (Iceberg manifests / Delta file stats) Spark-first, one
+    level ABOVE parquet footer pushdown: footers still require listing
+    and opening every file at plan time, while a manifest prunes the
+    file list itself with a metadata-sized filter that never touches
+    non-matching files. At 100 TB / millions of files that listing is
+    the dominant planning cost; here the whole decision is one scan of
+    a ~rows=files manifest.
+
+    The query materializes events range-clustered on ``value`` (16
+    files, disjoint value ranges — repartitionByRange guarantees the
+    disjointness regardless of its sampling), builds the min/max
+    manifest (operators/layout.file_minmax_manifest), prunes it for
+    ``value BETWEEN 100 AND 200`` (≈p85+ of the value distribution, so
+    most range-files fall entirely below and MUST be skipped), and
+    reads only the surviving files with the residual filter on top —
+    lossless by interval conservatism, which is exactly what the full
+    SQL oracle checks. The pruning itself is ASSERTED in-query (some
+    but not all files skipped), so a silent regression to a full scan
+    fails the row rather than just getting slow. Scratch is private
+    per invocation (plans/workdirs.py)."""
+    from .workdirs import fresh_result_dir
+
+    lo, hi = 100.0, 200.0
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    data_dir = fresh_result_dir("manifest_scan")
+    ev.repartitionByRange(16, "value").write.mode("overwrite").parquet(data_dir)
+
+    manifest = layout.file_minmax_manifest(spark, data_dir, ["value"])
+    paths, n_total = layout.manifest_pruned_paths(manifest, "value", lo, hi)
+    if not paths or len(paths) >= n_total:
+        raise AssertionError(
+            f"manifest pruning ineffective: kept {len(paths)} of {n_total} files"
+        )
+    pruned = spark.read.parquet(*paths).where(F.col("value").between(lo, hi))
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

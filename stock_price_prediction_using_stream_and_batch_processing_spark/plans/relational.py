@@ -478,6 +478,52 @@ def salted_agg_by_type(spark, sf_dir):
 
 
 @register(
+    "salted_join_hot_events",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(event_type), 1, 6)) AS BIGINT) AS type_code
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_code
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+    tags=("join", "skew", "salting"),
+    # new r10; takes the driver slot histogram_value_events
+    # (twice-green; family keeps histogram_incremental_refresh_events
+    # and quantile_rollup_daily_values in the driver tier) rotates out of
+)
+def salted_join_hot_events(spark, sf_dir):
+    """SKEW-PROOF EQUI-JOIN as a registered face: events⋈type-dim on
+    ``event_type`` — the worst-case hot-key shape (a handful of keys
+    carry ALL the rows, so a plain shuffle join funnels each key's
+    entire fact side through one reducer). ``salted_join_big_hot``
+    (operators/skew.py) salts the fact side with a DETERMINISTIC
+    hash(event_id) % 8 and explodes the 5-row dim across the 8 salts,
+    so every hot key spreads over 8 reducers. This is the shape for
+    when AQE's runtime skew split cannot apply — stream-static joins
+    inside micro-batches, or a join feeding a co-partitioned window —
+    and it is semantics-NEUTRAL, which is exactly what the oracle
+    checks: the plain (unsalted) SQL join must match row for row. The
+    dim's type_code re-derives md5-hex→int in both engines
+    (Spark ``conv(substr(md5..))`` ≡ DuckDB ``('0x'||..)::BIGINT``)."""
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code",
+            F.conv(F.substring(F.md5("event_type"), 1, 6), 16, 10).cast("long"),
+        )
+    )
+    return skew.salted_join_big_hot(
+        ev, dim, "event_type", unique_col="event_id", n_salts=8
+    ).select("event_id", "event_type", "value", "type_code")
+
+
+@register(
     "approx_agg_stats",
     oracle="""
     SELECT event_type,
@@ -788,6 +834,10 @@ def table_profile_events(spark, sf_dir):
     GROUP BY 1
     """,
     tags=("quality", "histogram", "groupby"),
+    # rotation r10: demoted twice-green (r8+r9); the histogram family
+    # keeps histogram_incremental_refresh_events and
+    # quantile_rollup_daily_values in the driver tier
+    driver=False,
 )
 def histogram_value_events(spark, sf_dir):
     """Equi-width 20-bin histogram of events.value over [0, 500)

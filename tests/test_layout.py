@@ -177,3 +177,54 @@ def test_profile_table_counts(spark):
     assert (v["n_rows"], v["n_nulls"], v["n_distinct"]) == (4, 1, 2)
     assert (v["min_num"], v["max_num"]) == (2.0, 7.5)
     assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "x", "y")
+
+
+def test_file_manifest_prunes_and_is_lossless(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    df.repartitionByRange(8, "v").write.parquet(path)
+    man = layout.file_minmax_manifest(spark, path, ["v"])
+    rows = man.collect()
+    assert sum(r["n_rows"] for r in rows) == 1000
+    lo, hi = 800.0, 900.0  # upper band: most range-files must be skipped
+    paths, n_total = layout.manifest_pruned_paths(man, "v", lo, hi)
+    assert n_total == len(rows)
+    assert 0 < len(paths) < n_total
+    pruned = (
+        spark.read.parquet(*paths)
+        .where(F.col("v").between(lo, hi))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .first()
+    )
+    direct = (
+        spark.read.parquet(path)
+        .where(F.col("v").between(lo, hi))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .first()
+    )
+    assert pruned["n"] == direct["n"] and pruned["n"] > 0
+    assert pruned["s"] == pytest.approx(direct["s"], rel=1e-12)
+
+
+def test_file_manifest_null_bounds_file_is_skipped_losslessly(spark, tmp_path):
+    # a file whose stat column is entirely NULL gets NULL bounds and must
+    # be pruned — its rows could never satisfy a range predicate anyway
+    path = str(tmp_path / "with_null_file")
+    nulls = spark.range(50).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    )
+    vals = spark.range(50, 100).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    nulls.coalesce(1).write.parquet(path)
+    vals.coalesce(1).write.mode("append").parquet(path)
+    man = layout.file_minmax_manifest(spark, path, ["v"])
+    assert man.count() == 2
+    paths, n_total = layout.manifest_pruned_paths(man, "v", 60.0, 70.0)
+    assert n_total == 2 and len(paths) == 1
+    got = sorted(
+        r["id"] for r in spark.read.parquet(*paths).where(F.col("v").between(60.0, 70.0)).collect()
+    )
+    assert got == list(range(60, 71))
