@@ -33,15 +33,54 @@ def main() -> None:
     )
     spark = get_spark(app_name="oracle-sweep")
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from oracle_check import run_check  # noqa: E402 — needs tests/ on path
+    from oracle_check import compare_frames, duck_connection  # noqa: E402 — needs tests/ on path
+    from stock_price_prediction_using_stream_and_batch_processing_spark import release_query_scratch
+
+    def run_check_timed(name: str) -> tuple[list[str], float, float]:
+        """run_check with the wall time ATTRIBUTED: (problems,
+        spark_s, oracle_s). The r10 triangle investigation showed a
+        late-sweep 150-193 s reading whose engine share was a flat
+        10-14 s in every prefix replay — the inflation lived in the
+        DuckDB oracle replay + host contention. Recording the split per
+        query keeps sweep outliers self-attributing."""
+        q = plans.get(name)
+        t0 = time.time()
+        actual = q.fn(spark, sf_dir).toPandas()
+        spark_s = time.time() - t0
+        release_query_scratch(spark)
+        if q.oracle is None:
+            return ([] if len(actual) >= 0 else ["query failed"]), spark_s, 0.0
+        t0 = time.time()
+        con = duck_connection(sf_dir)
+        try:
+            expected = con.execute(q.oracle).fetchdf()
+        finally:
+            con.close()
+        problems = compare_frames(actual, expected)
+        return problems, spark_s, time.time() - t0
+
+    # Session-accretion instrumentation (r10): every record carries the
+    # driver JVM's used heap so a late-sweep slowdown can be correlated
+    # with (or exonerated from) heap growth; SWEEP_GC_EVERY=N adds an
+    # explicit driver System.gc() every N queries — the ContextCleaner
+    # only reclaims broadcast/shuffle state after a driver GC notices
+    # the references died, and an 8 GB heap can go a very long time
+    # between natural old-gen collections.
+    jvm_rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    gc_every = int(os.environ.get("SWEEP_GC_EVERY", "0"))
+
+    def used_heap_mb() -> int:
+        return int((jvm_rt.totalMemory() - jvm_rt.freeMemory()) / 1048576)
 
     t_all = time.time()
     n_pass = n_rows_only = n_fail = 0
     slow: list[tuple[str, float]] = []
-    for name in names:
+    for i, name in enumerate(names):
+        if gc_every and i and i % gc_every == 0:
+            spark.sparkContext._jvm.java.lang.System.gc()
         t0 = time.time()
         try:
-            problems = run_check(spark, name, sf_dir)
+            problems, spark_s, oracle_s = run_check_timed(name)
             el = round(time.time() - t0, 2)
             oracle = plans.get(name).oracle is not None
             status = "FAIL" if problems else ("PASS" if oracle else "ROWS_ONLY")
@@ -51,19 +90,24 @@ def main() -> None:
                 n_pass += 1
             else:
                 n_rows_only += 1
-            rec = {"q": name, "status": status, "s": el}
+            rec = {
+                "q": name,
+                "status": status,
+                "s": el,
+                "spark_s": round(spark_s, 2),
+                "oracle_s": round(oracle_s, 2),
+                "heap_mb": used_heap_mb(),
+            }
             if problems:
                 rec["problems"] = problems[:3]
         except Exception as exc:  # noqa: BLE001 — record and continue
             el = round(time.time() - t0, 2)
             n_fail += 1
             rec = {"q": name, "status": "ERROR", "s": el, "err": f"{type(exc).__name__}: {exc}"[:300]}
-            # run_check releases scratch on its success path; an
-            # exception skips it, so release here or the erroring
-            # query's checkpoint blocks leak into the rest of the sweep
-            # (ADVICE r8).
-            from stock_price_prediction_using_stream_and_batch_processing_spark import release_query_scratch
-
+            # run_check_timed releases scratch right after toPandas; an
+            # exception before that skips it, so release here or the
+            # erroring query's checkpoint blocks leak into the rest of
+            # the sweep (ADVICE r8).
             release_query_scratch(spark)
         slow.append((name, el))
         print(json.dumps(rec), flush=True)
