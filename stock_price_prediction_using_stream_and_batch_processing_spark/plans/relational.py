@@ -506,21 +506,57 @@ def salted_join_hot_events(spark, sf_dir):
     and it is semantics-NEUTRAL, which is exactly what the oracle
     checks: the plain (unsalted) SQL join must match row for row. The
     dim's type_code re-derives md5-hex→int in both engines
-    (Spark ``conv(substr(md5..))`` ≡ DuckDB ``('0x'||..)::BIGINT``)."""
-    from ..operators import skew
+    (Spark ``conv(substr(md5..))`` ≡ DuckDB ``('0x'||..)::BIGINT``).
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    dim = (
-        ev.select("event_type")
-        .distinct()
-        .withColumn(
-            "type_code",
-            F.conv(F.substring(F.md5("event_type"), 1, 6), 16, 10).cast("long"),
+    Broadcast is DISABLED (scoped) while this plans and materializes:
+    at fixture scale Catalyst would broadcast the tiny exploded dim,
+    which also avoids the hot-key funnel and would demonstrate nothing
+    — the salt only matters on the SHUFFLE join you get when the dim
+    is over threshold. The function ASSERTS the executed plan is a
+    shuffle join keyed on (event_type, _salt), then spills the result
+    so the returned plan is conf-independent (same structure as
+    ``bloom_pruned_join_part_lineitem``)."""
+    from ..operators import skew
+    from .workdirs import fresh_result_dir
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key, None)
+    out_dir = fresh_result_dir("salted_join")
+    try:
+        spark.conf.set(key, "-1")
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .withColumn(
+                "type_code",
+                F.conv(F.substring(F.md5("event_type"), 1, 6), 16, 10).cast("long"),
+            )
         )
-    )
-    return skew.salted_join_big_hot(
-        ev, dim, "event_type", unique_col="event_id", n_salts=8
-    ).select("event_id", "event_type", "value", "type_code")
+        j = skew.salted_join_big_hot(
+            ev, dim, "event_type", unique_col="event_id", n_salts=8
+        ).select("event_id", "event_type", "value", "type_code")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan:
+            raise AssertionError(
+                "salted join did not plan as a shuffle join — the salt "
+                "demonstrates nothing under a broadcast:\n" + plan[:2000]
+            )
+        join_line = next(
+            ln for ln in plan.splitlines()
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        )
+        if "_salt" not in join_line:
+            raise AssertionError(
+                "shuffle join is not keyed on the salt:\n" + join_line
+            )
+        j.write.mode("overwrite").parquet(out_dir)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    return spark.read.parquet(out_dir)
 
 
 @register(
