@@ -33,31 +33,8 @@ def main() -> None:
     )
     spark = get_spark(app_name="oracle-sweep")
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from oracle_check import compare_frames, duck_connection  # noqa: E402 — needs tests/ on path
+    from oracle_check import run_check  # noqa: E402 — needs tests/ on path
     from stock_price_prediction_using_stream_and_batch_processing_spark import release_query_scratch
-
-    def run_check_timed(name: str) -> tuple[list[str], float, float]:
-        """run_check with the wall time ATTRIBUTED: (problems,
-        spark_s, oracle_s). The r10 triangle investigation showed a
-        late-sweep 150-193 s reading whose engine share was a flat
-        10-14 s in every prefix replay — the inflation lived in the
-        DuckDB oracle replay + host contention. Recording the split per
-        query keeps sweep outliers self-attributing."""
-        q = plans.get(name)
-        t0 = time.time()
-        actual = q.fn(spark, sf_dir).toPandas()
-        spark_s = time.time() - t0
-        release_query_scratch(spark)
-        if q.oracle is None:
-            return ([] if len(actual) >= 0 else ["query failed"]), spark_s, 0.0
-        t0 = time.time()
-        con = duck_connection(sf_dir)
-        try:
-            expected = con.execute(q.oracle).fetchdf()
-        finally:
-            con.close()
-        problems = compare_frames(actual, expected)
-        return problems, spark_s, time.time() - t0
 
     # Session-accretion instrumentation (r10): every record carries the
     # driver JVM's used heap so a late-sweep slowdown can be correlated
@@ -80,7 +57,7 @@ def main() -> None:
             spark.sparkContext._jvm.java.lang.System.gc()
         t0 = time.time()
         try:
-            problems, spark_s, oracle_s = run_check_timed(name)
+            problems, spark_s, oracle_s = run_check(spark, name, sf_dir, timed=True)
             el = round(time.time() - t0, 2)
             oracle = plans.get(name).oracle is not None
             status = "FAIL" if problems else ("PASS" if oracle else "ROWS_ONLY")
@@ -104,7 +81,7 @@ def main() -> None:
             el = round(time.time() - t0, 2)
             n_fail += 1
             rec = {"q": name, "status": "ERROR", "s": el, "err": f"{type(exc).__name__}: {exc}"[:300]}
-            # run_check_timed releases scratch right after toPandas; an
+            # run_check releases scratch right after toPandas; an
             # exception before that skips it, so release here or the
             # erroring query's checkpoint blocks leak into the rest of
             # the sweep (ADVICE r8).

@@ -51,16 +51,14 @@ def main() -> None:
     used = lambda: int((jvm_rt.totalMemory() - jvm_rt.freeMemory()) / 1048576)  # noqa: E731
     print(json.dumps({"heap_mb_before_histo": used()}), flush=True)
 
-    # the pyspark JVM is this process's java child
-    pid = subprocess.run(
-        ["pgrep", "-f", "pyspark-shell"], capture_output=True, text=True
-    ).stdout.split()
-    if pid:
-        histo = subprocess.run(
-            ["jcmd", pid[0], "GC.class_histogram"], capture_output=True, text=True
-        ).stdout.splitlines()
-        for line in histo[:35]:
-            print(line, flush=True)
+    # THIS session's JVM pid, asked of the JVM itself — pgrep would
+    # grab an arbitrary pyspark-shell if another session is running
+    pid = str(spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid())
+    histo = subprocess.run(
+        ["jcmd", pid, "GC.class_histogram"], capture_output=True, text=True
+    ).stdout.splitlines()
+    for line in histo[:35]:
+        print(line, flush=True)
 
     q = plans.get("triangle_counts_parts")
     t0 = time.time()

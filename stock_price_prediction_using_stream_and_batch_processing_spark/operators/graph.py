@@ -173,18 +173,25 @@ def triangle_counts(
             # underestimate long ids and hint a broadcast over the real
             # threshold (executor OOM at scale). avg(octet_length) rides
             # in the SAME single sizing job as the count — the one extra
-            # job every default-path call pays, priced at one scan of
-            # the already-materializing checkpoint — plus 16 bytes/value
-            # of UTF8String/object overhead in the hashed relation.
+            # job every default-path call pays — plus 16 bytes/value of
+            # UTF8String/object overhead in the hashed relation. The
+            # stats are computed over the CHECKPOINTED edge list ``e``,
+            # not over ``closing``: sizing ``closing`` directly would
+            # re-execute the degree aggregate and both orientation
+            # joins just to measure rows the checkpoint already holds.
+            # That is exact, not an approximation — orientation is a
+            # 1:1 per-row PERMUTATION of (a, b) into (y, z), so the row
+            # count matches and the summed per-row width of the two key
+            # columns is preserved (row_bytes only uses the sum).
             fixed = sum(
                 widths[f.dataType.typeName()]
-                for f in closing.schema.fields
+                for f in e.schema.fields
                 if f.dataType.typeName() in widths
             )
             var_cols = [
-                f.name for f in closing.schema.fields if f.dataType.typeName() not in widths
+                f.name for f in e.schema.fields if f.dataType.typeName() not in widths
             ]
-            stats = closing.agg(
+            stats = e.agg(
                 F.count(F.lit(1)).alias("_n"),
                 *[
                     F.avg(F.octet_length(F.col(c).cast("string"))).alias(f"_w_{i}")

@@ -134,12 +134,25 @@ def manifest_pruned_paths(
     lossless: a straddling file is read and the residual filter
     finishes the job; a NULL-bounds file (all-NULL column) fails the
     interval test exactly as its rows would fail the predicate.
+
+    One ACTION, not two: the kept list and the total ride the same
+    aggregate (``collect_list`` skips the NULL a non-matching file's
+    CASE yields), because a second action on the un-persisted manifest
+    would re-run the full data scan behind it just to count files.
+    File paths come back percent-encoded from ``input_file_name()``
+    (``file:/a/my%20dir/...``) and are decoded before the read-back,
+    which otherwise breaks on datasets under paths with spaces/%%.
     """
-    kept = (
-        manifest.where(
-            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
-        )
-        .select("file")
-        .collect()
-    )
-    return [r["file"] for r in kept], manifest.count()
+    from urllib.parse import unquote, urlparse
+
+    cond = (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    row = manifest.agg(
+        F.count(F.lit(1)).alias("_n_total"),
+        F.collect_list(F.when(cond, F.col("file"))).alias("_kept"),
+    ).first()
+
+    def _decode(p: str) -> str:
+        parts = urlparse(p)
+        return unquote(parts.path) if parts.scheme in ("", "file") else p
+
+    return [_decode(p) for p in row["_kept"]], row["_n_total"]

@@ -220,7 +220,12 @@ def _epoch_source_files(checkpoint_path: str, epoch_id: int, source_idx: int = 0
 # separator chars, 7-9 fraction digits, colonless offsets) refuses the
 # fast path instead of guessing Spark's verdict.
 _STRICT_ISO_TS_RE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,6})?(Z|[+-]\d{2}:\d{2})$"
+    # offsets: Python fromisoformat accepts up to ±23:59 but Java
+    # ZoneOffset (Spark's parse) caps at ±18:00 — admit only the
+    # common range so both parsers agree (|hh| ≤ 17, any minute, plus
+    # exactly ±18:00); anything hotter falls to the distributed parse
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,6})?"
+    r"(Z|[+-](?:0\d|1[0-7]):[0-5]\d|[+-]18:00)$"
 )
 
 

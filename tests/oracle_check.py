@@ -5,6 +5,7 @@ compare row count, column names, and order-insensitive values."""
 from __future__ import annotations
 
 import math
+import time
 
 import duckdb
 import pandas as pd
@@ -58,24 +59,35 @@ def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame, float_tol: floa
     return problems
 
 
-def run_check(spark, name: str, sf_dir: str) -> list[str]:
+def run_check(spark, name: str, sf_dir: str, timed: bool = False):
+    """The canonical differential for one registered query. With
+    ``timed=True`` returns ``(problems, spark_s, oracle_s)`` — the
+    engine-vs-oracle wall split the sf0.1 sweep records per query (the
+    r10 triangle investigation: a late-sweep 150-193 s reading whose
+    engine share was a flat 10-17 s; attribution belongs in the one
+    shared implementation, not a drifting copy)."""
     from stock_price_prediction_using_stream_and_batch_processing_spark import (
         plans,
         release_query_scratch,
     )
 
     q = plans.get(name)
+    t0 = time.time()
     actual = q.fn(spark, sf_dir).toPandas()
+    spark_s = time.time() - t0
     # The result is fully materialized (toPandas) — reclaim the query's
     # localCheckpoint blocks and memory-sink tables so a full-corpus
-    # sweep in one JVM doesn't accrete 140+ queries of storage memory
-    # (the r7 sweep's late-query GC outlier).
+    # sweep in one JVM doesn't accrete 140+ queries of storage memory.
     release_query_scratch(spark)
-    if q.oracle is None:
-        return [] if len(actual) >= 0 else ["query failed"]
-    con = duck_connection(sf_dir)
-    try:
-        expected = con.execute(q.oracle).fetchdf()
-    finally:
-        con.close()
-    return compare_frames(actual, expected)
+    problems: list[str] = []
+    oracle_s = 0.0
+    if q.oracle is not None:
+        t0 = time.time()
+        con = duck_connection(sf_dir)
+        try:
+            expected = con.execute(q.oracle).fetchdf()
+        finally:
+            con.close()
+        problems = compare_frames(actual, expected)
+        oracle_s = time.time() - t0
+    return (problems, spark_s, oracle_s) if timed else problems

@@ -830,6 +830,10 @@ def test_driver_fast_read_differential_and_fallback(spark, tmp_path):
         '{"symbol": "A", "timestamp": "2024-01-01X00:00:01+00:00", "price": 1.0}',  # any-sep quirk
         '{"symbol": "A", "timestamp": "2024-01-01T00:00:01.1234567+00:00", "price": 1.0}',  # >6 frac digits
         '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+0000", "price": 1.0}',  # colonless offset
+        # offsets Python allows (±23:59) but Java ZoneOffset caps at ±18:00
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+19:00", "price": 1.0}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01-23:30", "price": 1.0}',
+        '{"symbol": "A", "timestamp": "2024-01-01T00:00:01+18:01", "price": 1.0}',  # past the ±18:00 cap
     ):
         assert _parse_tick_wire_rows([base % (1, 0, 1), subtle]) is None, subtle
 
