@@ -301,6 +301,127 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def _pointer_jump(p: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
+    """Resolve each node's pointer to its FOREST ROOT by pointer
+    doubling (the ``ancestor_closure`` move, operators/graph.py:221):
+    each round composes the (node -> anc) map with itself, so covered
+    depth doubles — a depth-d forest resolves in ceil(log2 d) composes
+    plus one fixpoint-detection round. Input must be a forest whose
+    roots self-map (anc == node); min-pointer forests satisfy this by
+    construction. Returns (roots frame, rounds used)."""
+    state = p.localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_rounds):
+        s1, s2 = state.alias("s1"), state.alias("s2")
+        nxt = (
+            s1.join(s2, F.col("s1.anc") == F.col("s2.node"))
+            .select(
+                F.col("s1.node").alias("node"),
+                F.col("s2.anc").alias("anc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        changed = (
+            nxt.alias("n")
+            .join(state.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.anc") != F.col("o.anc"))
+            .limit(1)
+            .count()
+        )
+        state = nxt
+        if changed == 0:
+            return state, rounds
+    raise RuntimeError(f"pointer jump did not converge in {max_rounds} rounds")
+
+
+def dedup_clusters_doubling(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_outer: int = 15,
+    max_jump: int = 45,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components WITHOUT the diameter bound — the
+    high-diameter face of :func:`dedup_clusters` (whose min-label
+    propagation is O(diameter) rounds: right for near-dup cliques,
+    aborts on a chain-shaped component).
+
+    Min-pointer contraction with pointer-jumping inside each round:
+
+    1. every node points at ``min(self, min neighbor)`` — one groupBy;
+       pointers go strictly downward in id order, so this is a forest;
+    2. pointer DOUBLING flattens each tree to its root in O(log depth)
+       composes (a 2^7 chain: 7+1 rounds, where propagation needs 127);
+    3. contract: rewrite edges onto root representatives, drop
+       self-loops — each component loses at least the non-root tree
+       members, so the outer loop runs O(log n) times total, never
+       O(diameter).
+
+    Every step is a keyed shuffle of a 2-3-column frame with
+    localCheckpoint lineage cuts — no driver-side graph state, same
+    scale posture as propagation. Output schema matches
+    ``dedup_clusters``: (doc_id, cluster_id = min reachable id).
+    ``stats`` (optional dict) receives ``outer_rounds`` /
+    ``jump_rounds`` so tests can assert the logarithmic bound."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # symmetric edge list => "src" alone covers every endpoint
+    mapping = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    outer = jumps = 0
+    for _ in range(max_outer):
+        if edges.limit(1).count() == 0:
+            break
+        outer += 1
+        minn = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+        p = minn.select(
+            F.col("src").alias("node"), F.least("src", "mn").alias("anc")
+        )
+        roots, r = _pointer_jump(p, max_jump)
+        jumps += r
+        ra = roots.select(F.col("node").alias("src"), F.col("anc").alias("_ra"))
+        rb = roots.select(F.col("node").alias("dst"), F.col("anc").alias("_rb"))
+        edges = (
+            edges.join(ra, "src")
+            .join(rb, "dst")
+            .select(F.col("_ra").alias("src"), F.col("_rb").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # re-point finished labels through this round's contraction; a
+        # label that is not a current-round node passes through (left)
+        mapping = (
+            mapping.join(
+                roots.select(F.col("node").alias("label"), F.col("anc").alias("_new")),
+                "label",
+                "left",
+            )
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_doubling did not contract to empty in {max_outer} rounds"
+        )
+    if stats is not None:
+        stats["outer_rounds"] = outer
+        stats["jump_rounds"] = jumps
+    return mapping.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def exact_rep_collapse(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The dedup-first pre-stage of :func:`near_dup_filter`: collapse
     exact text copies to their min-``id_col`` representative with ONE

@@ -183,13 +183,23 @@ def triangle_counts(
             # 1:1 per-row PERMUTATION of (a, b) into (y, z), so the row
             # count matches and the summed per-row width of the two key
             # columns is preserved (row_bytes only uses the sum).
+            def _fixed_width(dt):
+                # Decimal is fixed-width physically (ADVICE r10): a
+                # Decimal(<=18) is a compact 8-byte long, wider ones a
+                # 16-byte Decimal128 — NOT the textual octet_length the
+                # var-width fallback would measure (which overestimates
+                # and biases toward shuffle for decimal-keyed graphs).
+                from pyspark.sql.types import DecimalType
+
+                if isinstance(dt, DecimalType):
+                    return 8 if dt.precision <= 18 else 16
+                return widths.get(dt.typeName())
+
             fixed = sum(
-                widths[f.dataType.typeName()]
-                for f in e.schema.fields
-                if f.dataType.typeName() in widths
+                w for f in e.schema.fields if (w := _fixed_width(f.dataType)) is not None
             )
             var_cols = [
-                f.name for f in e.schema.fields if f.dataType.typeName() not in widths
+                f.name for f in e.schema.fields if _fixed_width(f.dataType) is None
             ]
             stats = e.agg(
                 F.count(F.lit(1)).alias("_n"),

@@ -140,8 +140,11 @@ def manifest_pruned_paths(
     CASE yields), because a second action on the un-persisted manifest
     would re-run the full data scan behind it just to count files.
     File paths come back percent-encoded from ``input_file_name()``
-    (``file:/a/my%20dir/...``) and are decoded before the read-back,
-    which otherwise breaks on datasets under paths with spaces/%%.
+    (``file:/a/my%20dir/...``) and are decoded before the read-back
+    for EVERY scheme — local paths are returned bare, remote URIs are
+    reassembled as ``scheme://netloc`` + decoded path (an hdfs/s3 key
+    with encoded characters would otherwise be re-requested
+    still-encoded, targeting the wrong object).
     """
     from urllib.parse import unquote, urlparse
 
@@ -153,6 +156,8 @@ def manifest_pruned_paths(
 
     def _decode(p: str) -> str:
         parts = urlparse(p)
-        return unquote(parts.path) if parts.scheme in ("", "file") else p
+        if parts.scheme in ("", "file"):
+            return unquote(parts.path)
+        return f"{parts.scheme}://{parts.netloc}{unquote(parts.path)}"
 
     return [_decode(p) for p in row["_kept"]], row["_n_total"]

@@ -54,6 +54,8 @@ _ITER = 5
     SELECT node, ROUND(rank, 9) AS rank FROM pr WHERE it = {_ITER}
     """,
     tags=("graph", "pagerank", "iterative"),
+    # rotation r11: 7x driver-green (r4-r10) — slot goes to never-checked faces
+    driver=False,
 )
 def pagerank_customer_supplier(spark, sf_dir):
     """Supplier/customer centrality: 5 PageRank iterations (damping

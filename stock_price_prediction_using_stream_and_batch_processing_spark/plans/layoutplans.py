@@ -293,3 +293,79 @@ def manifest_pruned_scan_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "snapshot_time_travel_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 3 AS slice, o_totalprice FROM orders)
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price FROM s WHERE slice < 1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2) FROM s WHERE slice < 2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2) FROM s WHERE slice < 3
+    """,
+    tags=("layout", "snapshot", "time-travel", "acid", "metadata"),
+)
+def snapshot_time_travel_orders(spark, sf_dir):
+    """ATOMIC SNAPSHOT COMMITS + TIME TRAVEL (operators/snapshots.py) —
+    the commit-protocol layer above r10's file-stats manifest: three
+    successive appends publish versions 1..3 via atomic same-directory
+    renames; a reader PINS version 2's file list before the third
+    append lands and the pin is ASSERTED in-query to exclude every file
+    the concurrent commit added (snapshot isolation: appends only add
+    files a pinned list does not contain). The returned frame reads all
+    three versions AFTER v3 exists — v1 and v3 through time-travel
+    resolution, v2 through the pinned list itself — and the oracle
+    replays each version as the SQL over exactly the slices its commits
+    appended (version v = orderkey%3 slices 0..v-1), so both the
+    isolation and the historical-read semantics are value-checked.
+    Commit stats (per-file min/max on o_orderkey) are computed at
+    ingest from each commit's new files only — at 100 TB no snapshot
+    operation here rescans old data, and the snapshot JSON stays
+    metadata-sized (one entry per file; sharding that list is Iceberg's
+    manifest-list indirection, protocol unchanged). Scratch is private
+    per invocation (plans/workdirs.py)."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_tt")
+
+    versions = []
+    pinned = None
+    for sl in (0, 1, 2):
+        if sl == 2:
+            # pin BEFORE the concurrent append publishes v3
+            pinned = snap.snapshot_files(table_dir, versions[-1])
+        versions.append(
+            snap.snapshot_append(
+                spark,
+                table_dir,
+                orders.where(F.col("o_orderkey") % 3 == sl),
+                stats_cols=["o_orderkey"],
+            )
+        )
+    if versions != [1, 2, 3]:
+        raise AssertionError(f"commit protocol produced versions {versions}")
+    pinned_paths = {e["path"] for e in pinned}
+    current_paths = {e["path"] for e in snap.snapshot_files(table_dir)}
+    added = current_paths - pinned_paths
+    if not added or (pinned_paths & added):
+        raise AssertionError(
+            f"pinned reader not isolated from concurrent append: {len(added)} new files"
+        )
+
+    def ver_agg(df, v):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(F.lit(v).alias("version"), "n_rows", "total_price")
+
+    v1 = ver_agg(snap.read_snapshot(spark, table_dir, 1), 1)  # time travel
+    v2 = ver_agg(spark.read.parquet(*sorted(pinned_paths)), 2)  # the pin itself
+    v3 = ver_agg(snap.read_snapshot(spark, table_dir, 3), 3)  # current
+    return v1.unionByName(v2).unionByName(v3)

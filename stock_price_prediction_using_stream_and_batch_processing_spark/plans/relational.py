@@ -572,7 +572,8 @@ def salted_join_hot_events(spark, sf_dir):
     """,
     tags=("groupby", "approx", "sketch", "invariant-oracle"),
     # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
-    driver=True,
+    # rotation r11: twice driver-green (r9, r10) — demoted per discipline
+    driver=False,
 )
 def approx_agg_stats(spark, sf_dir):
     """Sketch-based aggregates (HyperLogLog++ distinct counts,
@@ -714,7 +715,8 @@ def latest3_events_per_user(spark, sf_dir):
     FROM events GROUP BY user_id
     """,
     tags=("pivot", "groupby"),
-    driver=False,
+    # rotation r11: promoted — no driver row since the r4 all-query era
+    driver=True,
 )
 def pivot_user_event_counts(spark, sf_dir):
     """PIVOT: per-user event-type count matrix. The value list is given

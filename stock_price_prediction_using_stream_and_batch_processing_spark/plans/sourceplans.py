@@ -5,12 +5,19 @@
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from .core import register
 
 _N_ROWS = 200_000
 _N_PARTS = 8
+
+# Streaming face: small enough to stream in seconds, big enough that
+# the ticksPerBatch rate limit forces a real multi-micro-batch run.
+_S_ROWS = 20_000
+_S_BATCH = 4_096
 
 
 @register(
@@ -65,6 +72,80 @@ def python_datasource_ticks(spark, sf_dir):
             f"custom source planned {n_parts} partitions, expected {_N_PARTS}"
         )
     return ticks.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.sum("price").alias("total_price"),
+        F.sum("volume").cast("long").alias("total_volume"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+
+
+@register(
+    "stream_python_datasource_ticks",
+    oracle=f"""
+    WITH t AS (SELECT range AS i FROM range({_S_ROWS})),
+    r AS (
+      SELECT i,
+             CASE i % 4 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'GOOG'
+                        WHEN 2 THEN 'MSFT' ELSE 'AMZN' END AS symbol,
+             100.0 + (i % 97) * 0.25 AS price,
+             (i * 37) % 1000 AS volume
+      FROM t
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           SUM(price) AS total_price,
+           CAST(SUM(volume) AS BIGINT) AS total_volume,
+           MIN(price) AS min_price,
+           MAX(price) AS max_price
+    FROM r GROUP BY symbol
+    """,
+    tags=("source", "python-datasource", "connector", "streaming", "exactly-once"),
+)
+def stream_python_datasource_ticks(spark, sf_dir):
+    """STREAMING face of the custom Python DataSource
+    (sources/pysource.py `SyntheticTicksStreamReader`): the reference's
+    *unbounded* producer loop (``/root/reference/producer.py:31-34``)
+    as a rate-limited Spark 4 ``SimpleDataSourceStreamReader`` — row-
+    range offsets, deterministic ``readBetweenOffsets`` replay, all
+    reader state in the checkpointed offset (kill/restart exactly-once
+    is pinned separately in tests/test_sources_stream.py). The stream
+    runs for real here: {_S_ROWS} rows admitted {_S_BATCH} per micro-
+    batch into a memory sink (asserted: >= 4 non-empty micro-batches,
+    so a regression to one-giant-batch fails loudly), then the sink is
+    aggregated per symbol and checked value-exact against DuckDB
+    replaying the closed-form tick arithmetic over ``range(n)`` —
+    float-exact quarter prices make even the double SUM carry zero
+    rounding error. (``sf_dir`` unused — the source is its own data.)"""
+    from ..session import track_memory_sink_table
+    from ..sources.pysource import register_synthetic_ticks
+
+    register_synthetic_ticks(spark)
+    sdf = (
+        spark.readStream.format("synthetic_ticks")
+        .option("rows", _S_ROWS)
+        .option("ticksPerBatch", _S_BATCH)
+        .load()
+    )
+    name = f"stream_pyds_{uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if n_batches < 4:
+        raise AssertionError(
+            f"expected >= 4 rate-limited micro-batches, saw {n_batches}"
+        )
+    return spark.table(name).groupBy("symbol").agg(
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
         F.sum("price").alias("total_price"),
         F.sum("volume").cast("long").alias("total_volume"),

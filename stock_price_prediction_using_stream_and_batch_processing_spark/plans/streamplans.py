@@ -236,6 +236,8 @@ def stream_join_purchase_error(spark, sf_dir):
     WHERE e.event_type = 'purchase'
     """,
     tags=("streaming", "join", "stream-static", "enrichment"),
+    # rotation r11: 7x driver-green (r4-r10) — slot goes to never-checked faces
+    driver=False,
 )
 def stream_enrich_user_segment(spark, sf_dir):
     """STREAM-STATIC join: enrich the live purchase stream with a
@@ -954,3 +956,155 @@ def stream_full_outer_join_purchase_error(spark, sf_dir):
     coalesced across sides so right-only rows keep their key. Pipeline
     and oracle CTEs are shared verbatim with the left-outer face."""
     return _purchase_error_outer_join(spark, sf_dir, "full_outer", "ssfoj")
+
+
+def _time_split_events_dir(spark, sf_dir: str, n_files: int = 4) -> str:
+    """Arrival-ordered multi-file split of ``events`` for the stateful
+    cross-batch faces: file i holds each user's i-th quantile of its
+    OWN time-ordered series (per-user ``ntile`` — one keyed window, no
+    global sort), so a ``maxFilesPerTrigger=1`` stream delivers every
+    key's data in nondecreasing time order across micro-batches, the
+    contract a real per-partition-ordered feed (Kafka) provides. This
+    builder is the arrival SIMULATOR — the ordering work happens here,
+    not in the operator under test (whose state is per-key and
+    scale-free). File names AND mtimes are set in quantile order
+    because the file source plans oldest-first. Split is cached under
+    the same fixture-fingerprint key scheme as the maintenance scaffold
+    (a regenerated fixture changes the key)."""
+    import hashlib
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    dir_hash = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = hashlib.md5()
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    paths = [ev_path] if os.path.isfile(ev_path) else sorted(
+        os.path.join(ev_path, f) for f in os.listdir(ev_path)
+    ) if os.path.isdir(ev_path) else []
+    for p in paths:
+        st = os.stat(p)
+        fp.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};".encode())
+    key = f"{dir_hash}-{fp.hexdigest()[:12]}-n{n_files}"
+    root = os.path.join("/tmp", "spark_graft_tsplit")
+    split_dir = os.path.join(root, key)
+    done = os.path.join(split_dir, "_DONE")
+    if os.path.exists(done):
+        return split_dir
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):  # prune provably stale (regenerated fixture)
+        if d != key and d.startswith(f"{dir_hash}-"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    build = tempfile.mkdtemp(prefix="build_", dir=root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = ev.withColumn("_q", F.ntile(n_files).over(w))
+    t0 = time.time() - n_files
+    for i in range(1, n_files + 1):
+        part_dir = os.path.join(build, f"p{i}")
+        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(part_dir)
+        src = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(build, f"q{i:02d}.parquet")
+        os.rename(os.path.join(part_dir, src), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (t0 + i, t0 + i))
+    open(os.path.join(build, "_DONE"), "w").close()
+    try:
+        os.rename(build, split_dir)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # lost an identical race
+    return split_dir
+
+
+@register(
+    "stream_stateful_trailing_predict",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             LAG(value, 4) OVER win AS x1, LAG(value, 3) OVER win AS x2,
+             LAG(value, 2) OVER win AS x3, LAG(value, 1) OVER win AS x4,
+             ROW_NUMBER() OVER win AS rn
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, value, event_id)
+    )
+    SELECT user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           value AS price,
+           ROUND((x1 * 1 + x2 * 2 + x3 * 3 + x4 * 4 + value * 5) / 15.0, 4)
+             AS predicted_price
+    FROM w WHERE rn >= 5
+    """,
+    tags=("streaming", "stateful", "cross-batch", "inference", "window"),
+)
+def stream_stateful_trailing_predict(spark, sf_dir):
+    """CROSS-BATCH stateful trailing-window inference — the driver face
+    of the one reference semantic the engine FIXES (SURVEY §2.8 last
+    row: the reference's trailing-5 resets at every micro-batch,
+    ``stream_consumer.py:72-76``; ``applyInPandasWithState`` carries the
+    last 4 prices per key so windows SPAN batch boundaries —
+    streaming/stateful.py, the transformWithState twin pinned equal in
+    tests/test_streaming.py). The stream is a 4-file arrival-ordered
+    split run with ``maxFilesPerTrigger=1`` (asserted: >= 4 non-empty
+    micro-batches), so every user's series is cut mid-stream 3 times;
+    the oracle is the ONE-SHOT window+predict over the full series —
+    equality holds iff state genuinely crosses the cuts (a reset would
+    DROP the first 4 rows of each user's continuation batches: a loud
+    row-count mismatch, the exact bug the reference has). Prediction is
+    the flagship's scale->predict->unscale linear path, pure column
+    algebra (ml/inference.py). Tiebreak contract: the stateful fold
+    orders a key's batch by (timestamp, price, volume); wiring
+    volume=event_id makes that total and the oracle mirrors it
+    (ORDER BY ts, value, event_id)."""
+    from ..ml.inference import predict_over_windows
+    from ..session import track_memory_sink_table
+    from ..sources.tables import ensure_session_confs
+    from ..streaming.stateful import continuous_trailing_windows
+
+    ensure_session_confs(spark)
+    split_dir = _time_split_events_dir(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(split_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    parsed = src.select(
+        F.col("user_id").cast("string").alias("symbol"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("price"),
+        F.col("event_id").alias("volume"),
+    )
+    pred = predict_over_windows(
+        continuous_trailing_windows(parsed, seq_len=5), "window_values", seq_len=5
+    )
+    out = pred.select(
+        F.col("symbol").cast("long").alias("user_id"),
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "price",
+        F.round("predicted_price", 4).alias("predicted_price"),
+    )
+    name = f"stream_sstp_{uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if n_batches < 4:
+        raise AssertionError(
+            f"stateful stream must span >= 4 micro-batches, saw {n_batches}"
+        )
+    return spark.table(name)

@@ -310,6 +310,8 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     WHERE doc_id NOT IN (SELECT node FROM comp WHERE lab < node)
     """,
     tags=("dedup", "minhash", "lsh", "jaccard", "components", "pipeline"),
+    # rotation r11: 7x driver-green (r4-r10) — slot goes to never-checked faces
+    driver=False,
 )
 def near_dup_filter_docs(spark, sf_dir):
     """End-to-end near-dup corpus removal (operators/dedup.

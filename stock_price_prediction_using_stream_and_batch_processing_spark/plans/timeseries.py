@@ -337,7 +337,8 @@ def sessionize_events(spark, sf_dir):
     FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
     """,
     tags=("asof-join", "timeseries"),
-    driver=False,
+    # rotation r11: promoted — no driver row since the r4 all-query era
+    driver=True,
 )
 def asof_join_purchase_error(spark, sf_dir):
     """As-of (backward) join: each purchase picks up the most recent
@@ -390,7 +391,8 @@ def predict_next_events(spark, sf_dir):
     FROM s GROUP BY user_id, session_id
     """,
     tags=("session", "window", "groupby", "timeseries"),
-    driver=False,
+    # rotation r11: promoted — no driver row since the r4 all-query era
+    driver=True,
 )
 def session_window_stats(spark, sf_dir):
     """Native ``F.session_window`` gap sessions (30 min) — Spark's
@@ -558,7 +560,8 @@ def returns_volatility_per_user(spark, sf_dir):
     # rotation r6: extended; the value-checkable CMS rollup twin carries
     # the family's driver slot (cms_rollup_daily_tokens)
     # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
-    driver=True,
+    # rotation r11: twice driver-green (r9, r10) — demoted per discipline
+    driver=False,
 )
 def hll_rollup_daily_users(spark, sf_dir):
     """Daily distinct-user HyperLogLog rollup with an INVARIANT value

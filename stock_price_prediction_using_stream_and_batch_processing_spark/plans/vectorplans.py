@@ -158,7 +158,9 @@ def _lsh_near_dup_oracle() -> str:
     """
 
 
-@register("cosine_topk_lsh", oracle=_lsh_topk_oracle(), tags=("similarity", "vector", "lsh"), driver=False)
+# rotation r11: promoted — the ONE registered face with zero cumulative
+# driver evidence across all rounds
+@register("cosine_topk_lsh", oracle=_lsh_topk_oracle(), tags=("similarity", "vector", "lsh"))
 def cosine_topk_lsh(spark, sf_dir):
     """Approximate cosine top-10 via sign-projection LSH (4 tables × 8
     planes): only bucket-colliding pairs are scored. Fully
@@ -171,7 +173,8 @@ def cosine_topk_lsh(spark, sf_dir):
     return out.select("q_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-@register("embedding_near_dup_lsh", oracle=_lsh_near_dup_oracle(), tags=("similarity", "dedup", "lsh"))
+# rotation r11: 7x driver-green (r4-r10) — slot goes to never-checked faces
+@register("embedding_near_dup_lsh", oracle=_lsh_near_dup_oracle(), tags=("similarity", "dedup", "lsh"), driver=False)
 def embedding_near_dup_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs — the 100 TB path (bucket
     self-join instead of all-pairs)."""
@@ -246,7 +249,8 @@ def embedding_dedup_clusters(spark, sf_dir):
     """,
     tags=("similarity", "vector", "ivf", "approx", "invariant-oracle"),
     # promoted r9: the r8 invariant-oracle upgrade has zero driver evidence
-    driver=True,
+    # rotation r11: twice driver-green (r9, r10) — demoted per discipline
+    driver=False,
 )
 def cosine_topk_ivf(spark, sf_dir):
     """IVF approximate top-10 (MLlib k-means coarse quantizer, 16

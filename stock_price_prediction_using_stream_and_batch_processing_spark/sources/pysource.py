@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYMBOLS = ("AAPL", "GOOG", "MSFT", "AMZN")
 
@@ -68,6 +73,9 @@ class SyntheticTicksDataSource(DataSource):
     def reader(self, schema) -> "SyntheticTicksReader":
         return SyntheticTicksReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticTicksStreamReader":
+        return SyntheticTicksStreamReader(self.options)
+
 
 class SyntheticTicksReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -92,6 +100,62 @@ class SyntheticTicksReader(DataSourceReader):
         """Executor-side: materialize this shard only."""
         for i in range(partition.start, partition.end):
             yield tick_row(i)
+
+
+class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING face of the connector — the reference's producer is an
+    *unbounded* loop (``/root/reference/producer.py:31-34``: while True,
+    one message per second); this is that capability through Spark 4's
+    public ``SimpleDataSourceStreamReader`` API.
+
+    Offsets are row ranges: ``{"offset": n}`` means "rows [0, n) are
+    planned". All reader state lives IN the checkpointed offset, none in
+    this (restart-discarded) instance — so recovery is pure arithmetic:
+
+    - ``read(start)`` plans the next micro-batch ``[start, start+batch)``
+      and returns the next offset; after a restart Spark hands back the
+      checkpointed start and planning resumes exactly there.
+    - ``readBetweenOffsets(start, end)`` replays a previously planned
+      batch bit-for-bit (closed-form rows) — the failure-recovery path
+      Spark invokes for a batch that was planned but not committed.
+
+    Exactly-once therefore holds across kill/restart with no
+    source-side dedup (pinned in tests/test_sources_stream.py).
+
+    A ``rows`` cap bounds the stream for tests/oracles (the offset stops
+    advancing at the cap, so ``processAllAvailable`` terminates);
+    ``rows=0`` (or unset) is the reference's truly unbounded shape.
+
+    Scale posture: the Simple API prefetches on the DRIVER by design
+    (planning and data fetch in one place, Spark distributes the batch
+    afterwards) — right for control-plane-bounded feeds like the
+    reference's 1 msg/s producer. A 100 TB/day firehose wants the
+    partitioned ``DataSourceStreamReader`` (executor-side ``read`` per
+    shard, same offset algebra) — the batch ``reader()`` above already
+    demonstrates that partition-planning contract.
+    """
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 0))  # 0 => unbounded
+        self.batch = max(1, int(options.get("ticksPerBatch", 1000)))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = lo + self.batch
+        if self.rows > 0:
+            hi = min(hi, max(lo, self.rows))
+        return iter([tick_row(i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([tick_row(i) for i in range(int(start["offset"]), int(end["offset"]))])
+
+    def commit(self, end: dict) -> None:
+        # Nothing to clean up: the source is closed-form over the row id
+        # (a real feed would trim its upstream buffer/ack here).
+        pass
 
 
 def register_synthetic_ticks(spark) -> None:

@@ -439,3 +439,67 @@ def test_fixture_band_buckets_stay_under_cap(spark):
             f"fixture band bucket {densest} > 32 for num_hashes={num_hashes}: "
             "within 2x of the wired max_bucket_size=64 cap — see docstring"
         )
+
+
+def test_doubling_matches_propagation_mixed_graph(spark):
+    """High-diameter CC face agrees with min-label propagation on the
+    clique/chain/pair graph propagation handles natively."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)], "id_a long, id_b long"
+    )
+    want = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters_doubling(pairs).collect()}
+    assert got == want
+
+
+def test_doubling_128_chain_logarithmic_rounds(spark):
+    """The planted 2^7 chain that closes the dedup family's one scale
+    caveat: diameter 127, so propagation at the default bound ABORTS
+    (the honest raise, not a wrong answer) while pointer doubling
+    resolves it in O(log diameter) compose rounds."""
+    n = 128
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs)  # default max_iters=20 < 127 rounds
+    stats: dict = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_doubling(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # log2(depth 127) = 7 composes + 1 fixpoint-detect round per outer
+    # pass; the whole chain must stay logarithmic, nowhere near 127.
+    assert stats["outer_rounds"] <= 4
+    assert stats["jump_rounds"] <= 12, stats
+
+
+def test_doubling_shuffled_id_chain(spark):
+    """Same 128-path but with ids permuted along the path ((i*37) mod
+    128 — coprime, so a permutation): min-pointer trees are now short
+    descending runs and the OUTER contraction loop does the work; total
+    rounds must still be logarithmic, and every node must land on the
+    global min id 0."""
+    n = 128
+    ids = [(i * 37) % n for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_doubling(pairs, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["outer_rounds"] <= 8 and stats["jump_rounds"] <= 32, stats
+
+
+def test_doubling_string_ids(spark):
+    """Cluster ids are MIN under the column's own ordering — works for
+    string doc ids exactly like propagation does."""
+    pairs = spark.createDataFrame(
+        [("d3", "d1"), ("d1", "d2"), ("x9", "x8")], "id_a string, id_b string"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters_doubling(pairs).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x8": "x8", "x9": "x8"}

@@ -188,3 +188,37 @@ def test_triangle_auto_sizing_measures_string_id_width(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_triangle_auto_sizing_decimal_is_fixed_width(spark):
+    """Decimal node ids are sized at their PHYSICAL width (8 bytes at
+    precision <= 18, 16 above — ADVICE r10), not the textual
+    octet_length of their string cast: the same small graph must still
+    broadcast under a threshold the textual estimate (~20 digit bytes +
+    16 overhead per value) would overflow, and the decimal-keyed result
+    must match the long-keyed one."""
+    from pyspark.sql import functions as F
+
+    pairs = [(x, y) for x in range(20) for y in range(x + 1, 20) if (x + y) % 3 == 0]
+    longs = spark.createDataFrame(pairs, "a long, b long")
+    from decimal import Decimal
+
+    base = 10_000_000_000_000_000_000  # 20 digits: textual width 20+16=36/value
+    decs = spark.createDataFrame(
+        [(Decimal(base + x), Decimal(base + y)) for x, y in pairs],
+        "a decimal(20,0), b decimal(20,0)",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # 63 edges: fixed-width Decimal128 -> 63·(2·16+24) = 3.5 KB
+        # < 4.5 KB, so the fix broadcasts; the old textual sizing gave
+        # 63·(2·36+24) = 6.0 KB > 4.5 KB and refused (shuffle) — the
+        # conservative bias ADVICE r10 flagged, now discriminated away.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4608")
+        plan = graph.triangle_counts(decs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        want = {r.node: (r.degree, r.n_triangles) for r in graph.triangle_counts(longs).collect()}
+        got = {int(r.node) - base: (r.degree, r.n_triangles) for r in graph.triangle_counts(decs).collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
