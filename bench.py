@@ -129,6 +129,14 @@ HEADLINE = [
     # data skipping (lakehouse metadata pruning)
     "salted_join_hot_events",
     "manifest_pruned_scan_events",
+    # round-11 additions: snapshot commit + time travel (the protocol
+    # layer above the manifest), the streaming Python DataSource face
+    # (rate-limited multi-batch run), and the cross-batch stateful
+    # trailing-predict stream (4-file arrival-ordered split)
+    "snapshot_time_travel_orders",
+    "stream_python_datasource_ticks",
+    "stream_stateful_trailing_predict",
+    "snapshot_compact_orders",
 ]
 
 

@@ -90,25 +90,7 @@ def snapshot_append(
     stats_cols = stats_cols or []
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
-
-    from .layout import file_minmax_manifest, manifest_pruned_paths  # noqa: F401
-
-    manifest = file_minmax_manifest(spark, commit_dir, stats_cols)
-    from urllib.parse import unquote, urlparse
-
-    entries = []
-    for r in manifest.collect():  # one row PER NEW FILE — metadata-sized
-        p = urlparse(r["file"])
-        path = (
-            unquote(p.path)
-            if p.scheme in ("", "file")
-            else f"{p.scheme}://{p.netloc}{unquote(p.path)}"
-        )
-        e = {"path": path, "n_rows": r["n_rows"]}
-        for c in stats_cols:
-            e[f"min_{c}"] = r[f"min_{c}"]
-            e[f"max_{c}"] = r[f"max_{c}"]
-        entries.append(e)
+    entries = _scan_commit_stats(spark, commit_dir, stats_cols)
 
     parent = current_version(table_dir)
     meta = read_snapshot_meta(table_dir, parent) if parent else {"files": []}
@@ -119,11 +101,7 @@ def snapshot_append(
         "stats_cols": stats_cols,
         "files": meta["files"] + entries,
     }
-    os.makedirs(_snap_dir(table_dir), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(snap, f)
-    os.replace(tmp, _snap_path(table_dir, new_version))
+    _publish(table_dir, new_version, snap)
     return new_version
 
 
@@ -172,3 +150,188 @@ def snapshot_agg(
     return read_snapshot(spark, table_dir, version).agg(*exprs).select(
         F.lit(version).alias("version"), "*"
     )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """COPY-ON-WRITE compaction (the OPTIMIZE step of the protocol):
+    read the current snapshot's files, rewrite them as ``target_files``
+    new data files, publish v+1 whose file list REPLACES every old
+    entry. Readers of older versions are untouched — their file lists
+    still reference the small files, which stay on disk until
+    :func:`expire_snapshots` retires the versions that need them; a
+    reader pinned to the current version before the compaction commits
+    likewise keeps a fully valid list (copy-on-write never mutates a
+    published file). Stats are recomputed on the rewritten files by the
+    same ingest-time scan ``snapshot_append`` uses. At 100 TB this is
+    the small-files remedy: the rewrite is one distributed job over
+    exactly the files being compacted, and the metadata swap is still
+    one atomic rename."""
+    stats_cols = stats_cols if stats_cols is not None else _current_stats_cols(table_dir)
+    parent = current_version(table_dir)
+    if parent == 0:
+        raise ValueError(f"nothing to compact under {table_dir}")
+    df = read_snapshot(spark, table_dir, parent).repartition(target_files)
+    commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
+    df.write.parquet(commit_dir)
+    entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    snap = {
+        "version": parent + 1,
+        "parent": parent,
+        "stats_cols": stats_cols,
+        "compaction_of": parent,
+        "files": entries,  # REPLACES, not extends
+    }
+    _publish(table_dir, parent + 1, snap)
+    return parent + 1
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Retention (the VACUUM step): drop all but the newest
+    ``keep_last`` snapshot JSONs, then physically delete every data
+    file referenced ONLY by expired versions (reachability over the
+    survivors' file lists — a set difference on paths, metadata-sized).
+    Time travel to an expired version stops working BY CONTRACT; every
+    surviving version keeps every file it references, so pinned readers
+    of live versions are unaffected. Returns counts for assertion."""
+    cur = current_version(table_dir)
+    keep = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
+    expired = [
+        v
+        for v in (
+            int(n[1:9])
+            for n in os.listdir(_snap_dir(table_dir))
+            if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+        )
+        if v not in keep
+    ]
+    live_paths = {e["path"] for v in keep for e in snapshot_files(table_dir, v)}
+    dead_paths = {
+        e["path"] for v in expired for e in snapshot_files(table_dir, v)
+    } - live_paths
+    for p in dead_paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    for v in expired:
+        os.remove(_snap_path(table_dir, v))
+    return {"expired_versions": len(expired), "deleted_files": len(dead_paths)}
+
+
+def _current_stats_cols(table_dir: str) -> list[str]:
+    v = current_version(table_dir)
+    return read_snapshot_meta(table_dir, v)["stats_cols"] if v else []
+
+
+def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[str]) -> list[dict]:
+    """One column-pruned scan of a commit's NEW files -> file entries."""
+    from urllib.parse import unquote, urlparse
+
+    from .layout import file_minmax_manifest
+
+    entries = []
+    for r in file_minmax_manifest(spark, commit_dir, stats_cols).collect():
+        p = urlparse(r["file"])
+        path = (
+            unquote(p.path)
+            if p.scheme in ("", "file")
+            else f"{p.scheme}://{p.netloc}{unquote(p.path)}"
+        )
+        e = {"path": path, "n_rows": r["n_rows"]}
+        for c in stats_cols:
+            e[f"min_{c}"] = r[f"min_{c}"]
+            e[f"max_{c}"] = r[f"max_{c}"]
+        entries.append(e)
+    return entries
+
+
+def _publish(table_dir: str, version: int, snap: dict) -> None:
+    """Atomic same-directory rename publish (last-writer-wins)."""
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, _snap_path(table_dir, version))
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    deletes: DataFrame | None = None,
+) -> dict:
+    """Row-level MERGE via copy-on-write — the Delta/Iceberg
+    ``MERGE INTO`` shape on this snapshot store. ``updates`` holds full
+    replacement rows (matched keys are replaced, unmatched keys
+    inserted); ``deletes`` (optional, single ``key`` column) removes
+    rows. Requires ``key`` to be one of the table's ``stats_cols``.
+
+    The point at 100 TB is what does NOT get rewritten: candidate files
+    are selected by a metadata-sized range join of the update/delete
+    KEYS against the per-file [min, max] stats (conservative — a file
+    is touched iff some key falls inside its bounds, so a false
+    positive costs a rewrite, never correctness), every other file is
+    carried into the new version VERBATIM. One distributed job reads
+    only the touched files, anti-joins the merged keys out, unions the
+    update rows in, and writes the replacement files; the publish is
+    the same single atomic rename every other commit uses. Returns
+    ``{"version", "files_rewritten", "files_carried"}`` so callers can
+    assert the pruning actually happened."""
+    parent = current_version(table_dir)
+    if parent == 0:
+        raise ValueError(f"cannot merge into empty table {table_dir}")
+    meta = read_snapshot_meta(table_dir, parent)
+    stats_cols = meta["stats_cols"]
+    if key not in stats_cols:
+        raise ValueError(f"merge key {key!r} not in stats_cols {stats_cols}")
+    keys = updates.select(F.col(key).alias("_mk"))
+    if deletes is not None:
+        keys = keys.union(deletes.select(F.col(deletes.columns[0]).alias("_mk")))
+    entries = meta["files"]
+    mn, mx = f"min_{key}", f"max_{key}"
+    bounds = spark.createDataFrame(
+        [(e["path"], e[mn], e[mx]) for e in entries], ["_path", "_mn", "_mx"]
+    )
+    touched_paths = {
+        r["_path"]
+        for r in bounds.join(
+            F.broadcast(keys.distinct()),
+            (F.col("_mk") >= F.col("_mn")) & (F.col("_mk") <= F.col("_mx")),
+            "left_semi",
+        ).collect()  # one row per touched FILE — metadata-sized
+    }
+    carried = [e for e in entries if e["path"] not in touched_paths]
+    base = (
+        spark.read.parquet(*sorted(touched_paths))
+        if touched_paths
+        else spark.createDataFrame([], updates.schema)
+    )
+    merged = base.join(keys.distinct(), base[key] == F.col("_mk"), "left_anti").unionByName(
+        updates
+    )
+    commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
+    merged.write.parquet(commit_dir)
+    new_entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    version = parent + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "stats_cols": stats_cols,
+            "merge": True,
+            "files": carried + new_entries,
+        },
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched_paths),
+        "files_carried": len(carried),
+    }

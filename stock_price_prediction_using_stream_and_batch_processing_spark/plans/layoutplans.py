@@ -369,3 +369,162 @@ def snapshot_time_travel_orders(spark, sf_dir):
     v2 = ver_agg(spark.read.parquet(*sorted(pinned_paths)), 2)  # the pin itself
     v3 = ver_agg(snap.read_snapshot(spark, table_dir, 3), 3)  # current
     return v1.unionByName(v2).unionByName(v3)
+
+
+@register(
+    "snapshot_compact_orders",
+    oracle="""
+    SELECT 4 AS version,
+           1 AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    """,
+    tags=("layout", "snapshot", "compaction", "vacuum", "acid", "metadata"),
+)
+def snapshot_compact_orders(spark, sf_dir):
+    """COPY-ON-WRITE COMPACTION + RETENTION over the snapshot store
+    (operators/snapshots.py) — the OPTIMIZE/VACUUM steps that complete
+    the commit protocol's lifecycle. Three 2-file appends build a
+    6-file table (file counts pinned by explicit repartition(2), so the
+    oracle can assert them as literals); compaction publishes v4 whose
+    file list REPLACES the six small files with ONE rewritten file
+    (asserted), while v3 still time-travels to the identical data
+    through the ORIGINAL small files (asserted in-query: v4's list
+    shares no path with v3's, yet both read back the same aggregate).
+    Then retention expires v1-v3 and the in-query assertions pin the
+    contract: exactly 3 versions expired, the 6 now-unreferenced small
+    files physically deleted, the compacted current version still
+    readable. Returned frame = the post-vacuum current snapshot's
+    aggregate + its file count, value-checked against full-table SQL.
+    At 100 TB: the rewrite is one distributed job over exactly the
+    compacted files; expiry is a metadata-sized path set-difference."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_compact")
+    for sl in (0, 1, 2):
+        snap.snapshot_append(
+            spark,
+            table_dir,
+            orders.where(F.col("o_orderkey") % 3 == sl).repartition(2),
+            stats_cols=["o_orderkey"],
+        )
+    pre = snap.snapshot_files(table_dir, 3)
+    if len(pre) != 6:
+        raise AssertionError(f"expected 6 small files before compaction, got {len(pre)}")
+    v = snap.snapshot_compact(spark, table_dir, target_files=1)
+    post = snap.snapshot_files(table_dir, v)
+    if v != 4 or len(post) != 1:
+        raise AssertionError(f"compaction published v{v} with {len(post)} files")
+    if {e["path"] for e in post} & {e["path"] for e in pre}:
+        raise AssertionError("copy-on-write violated: compacted list shares a file")
+    # pre-compaction version still reads the SAME data through the old files
+    def agg(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    before = agg(snap.read_snapshot(spark, table_dir, 3)).first()
+    stats = snap.expire_snapshots(table_dir, keep_last=1)
+    if stats != {"expired_versions": 3, "deleted_files": 6}:
+        raise AssertionError(f"retention contract violated: {stats}")
+    import os as _os
+
+    if any(_os.path.exists(e["path"]) for e in pre):
+        raise AssertionError("expired data files not physically removed")
+    out = agg(snap.read_snapshot(spark, table_dir)).first()
+    if (before["n_rows"], before["total_price"]) != (out["n_rows"], out["total_price"]):
+        raise AssertionError("compaction changed the data")
+    return spark.createDataFrame(
+        [(4, 1, out["n_rows"], float(out["total_price"]))],
+        "version int, n_files int, n_rows long, total_price double",
+    )
+
+
+@register(
+    "snapshot_merge_orders",
+    oracle="""
+    WITH b AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS b3,
+                      MAX(o_orderkey) AS mx FROM orders),
+    upd AS (SELECT o_orderkey FROM orders, b
+            WHERE o_orderkey <= b3 AND o_orderkey % 97 = 1),
+    del AS (SELECT o_orderkey FROM orders, b
+            WHERE o_orderkey <= b3 AND o_orderkey % 89 = 2 AND o_orderkey % 97 <> 1),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd)
+                  THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+      UNION ALL
+      SELECT mx + s, 111.11 * s FROM b, (SELECT range + 1 AS s FROM range(5))
+    )
+    SELECT 4 AS version, 1 AS files_rewritten, 2 AS files_carried,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(p), 2) AS total_price
+    FROM merged
+    """,
+    tags=("layout", "snapshot", "merge", "upsert", "delete", "copy-on-write", "acid"),
+)
+def snapshot_merge_orders(spark, sf_dir):
+    """ROW-LEVEL MERGE INTO over the snapshot store — the copy-on-write
+    upsert/delete (Delta/Iceberg MERGE) completing the protocol's write
+    surface (operators/snapshots.py:snapshot_merge). The table is built
+    as three KEY-RANGE commits (one file each — the ingest-ordered
+    layout a real table has), then ONE merge applies all three row
+    operations at once: updates (+1000 on keys ≡1 mod 97 in the first
+    third), deletes (keys ≡2 mod 89, same third, update keys excluded
+    so replace-wins ambiguity never arises), and inserts (5 keys past
+    the max — no file's bounds contain them). The scale property is
+    ASSERTED, not hoped: candidate files come from a metadata-sized
+    range join of merge keys against per-file [min,max] stats, so
+    exactly 1 of 3 files is rewritten and 2 are carried VERBATIM into
+    v4 (both counts in-query literals the oracle also pins). The oracle
+    replays the full MERGE semantics over the orders table in SQL. At
+    100 TB: rewrite cost tracks the touched-key footprint, not table
+    size; everything else is the same one-rename commit."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bmax = orders.agg(F.max("o_orderkey")).first()[0]  # driver scalar
+    b3 = bmax // 3
+    table_dir = fresh_result_dir("snap_merge")
+    slices = [
+        F.col("o_orderkey") <= b3,
+        (F.col("o_orderkey") > b3) & (F.col("o_orderkey") <= 2 * b3),
+        F.col("o_orderkey") > 2 * b3,
+    ]
+    for cond in slices:
+        snap.snapshot_append(
+            spark, table_dir, orders.where(cond).repartition(1), stats_cols=["o_orderkey"]
+        )
+    first_third = orders.where(
+        (F.col("o_orderkey") <= b3) & (F.col("o_orderkey") % 97 == 1)
+    )
+    updates = first_third.withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    inserts = spark.createDataFrame(
+        [(bmax + s, 111.11 * s) for s in range(1, 6)],
+        "o_orderkey long, o_totalprice double",
+    )
+    deletes = orders.where(
+        (F.col("o_orderkey") <= b3)
+        & (F.col("o_orderkey") % 89 == 2)
+        & (F.col("o_orderkey") % 97 != 1)
+    ).select("o_orderkey")
+    res = snap.snapshot_merge(
+        spark, table_dir, updates.unionByName(inserts), key="o_orderkey", deletes=deletes
+    )
+    if res != {"version": 4, "files_rewritten": 1, "files_carried": 2}:
+        raise AssertionError(f"merge pruning contract violated: {res}")
+    return snap.read_snapshot(spark, table_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).select(
+        F.lit(4).alias("version"),
+        F.lit(res["files_rewritten"]).alias("files_rewritten"),
+        F.lit(res["files_carried"]).alias("files_carried"),
+        "n_rows",
+        "total_price",
+    )

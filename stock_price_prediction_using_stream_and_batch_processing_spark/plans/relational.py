@@ -1021,6 +1021,9 @@ def order_status_history(spark, sf_dir):
           OR o.o_orderstatus != n.o_orderstatus OR o.o_totalprice != n.o_totalprice
     """,
     tags=("cdc", "diff", "maintenance"),
+    # rotation r11: 6x driver-green (r5-r10); the snapshot family's two
+    # new protocol faces (time travel, compaction) take the driver slots
+    driver=False,
 )
 def snapshot_diff_orders(spark, sf_dir):
     """CDC-style snapshot diff (operators/upsert.snapshot_diff): two
@@ -1079,6 +1082,8 @@ def grouping_sets_orders(spark, sf_dir):
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     tags=("window", "rank", "distribution"),
+    # rotation r11: 6x driver-green (r5-r10) — slot goes to snapshot MERGE
+    driver=False,
 )
 def value_rank_distribution_events(spark, sf_dir):
     """Distribution-rank window family per segment — ntile quartiles,

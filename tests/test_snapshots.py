@@ -94,3 +94,98 @@ def test_publish_is_atomic_rename(spark, tmp_path):
     # no torn temp files left behind in the snapshots dir
     names = os.listdir(os.path.join(d, "snapshots"))
     assert names == ["v00000001.json"]
+
+
+def test_compaction_copy_on_write_and_time_travel(spark, tmp_path):
+    d = str(tmp_path / "t")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(2),
+            stats_cols=["k"],
+        )
+    pre = snap.snapshot_files(d, 3)
+    assert len(pre) == 6
+    v = snap.snapshot_compact(spark, d, target_files=2)
+    post = snap.snapshot_files(d, v)
+    assert v == 4 and len(post) == 2
+    # copy-on-write: no shared files, same data, old version intact
+    assert not ({e["path"] for e in post} & {e["path"] for e in pre})
+    assert sorted(r.k for r in snap.read_snapshot(spark, d, 4).collect()) == list(range(30))
+    assert sorted(r.k for r in snap.read_snapshot(spark, d, 3).collect()) == list(range(30))
+    # stats recomputed on the rewritten files
+    assert all(e["min_k"] is not None and e["n_rows"] > 0 for e in post)
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    _commit(spark, d, 10, 20)
+    snap.snapshot_compact(spark, d, target_files=1)
+    old = snap.snapshot_files(d, 2)
+    stats = snap.expire_snapshots(d, keep_last=1)
+    assert stats == {"expired_versions": 2, "deleted_files": len(old)}
+    # expired files physically gone, current still fully readable
+    assert not any(os.path.exists(e["path"]) for e in old)
+    assert snap.read_snapshot(spark, d).count() == 20
+    assert snap.current_version(d) == 3
+
+
+def test_expire_keeps_files_shared_with_survivors(spark, tmp_path):
+    """A file referenced by BOTH an expired and a surviving version
+    must survive expiry (reachability, not version ownership)."""
+    import os
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)   # v1: files A
+    _commit(spark, d, 10, 20)  # v2: files A + B
+    v1_files = snap.snapshot_files(d, 1)
+    stats = snap.expire_snapshots(d, keep_last=1)  # expire v1 only
+    assert stats["expired_versions"] == 1 and stats["deleted_files"] == 0
+    assert all(os.path.exists(e["path"]) for e in v1_files)
+    assert snap.read_snapshot(spark, d).count() == 20
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """MERGE rewrites ONLY files whose [min,max] can contain a merge
+    key; updates replace, deletes remove, inserts (outside every
+    bound) land in the rewrite commit; untouched files carry verbatim."""
+    d = str(tmp_path / "t")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(1),
+            stats_cols=["k"],
+        )
+    pre = {e["path"] for e in snap.snapshot_files(d, 3)}
+    updates = spark.createDataFrame([(5, 999), (7, 888), (400, 4000)], "k long, v long")
+    deletes = spark.createDataFrame([(9,)], "k long")
+    res = snap.snapshot_merge(spark, d, updates, key="k", deletes=deletes)
+    assert res == {"version": 4, "files_rewritten": 1, "files_carried": 2}
+    post = {e["path"] for e in snap.snapshot_files(d, 4)}
+    assert len(post & pre) == 2  # two files carried verbatim
+    got = {r.k: r.v for r in snap.read_snapshot(spark, d).collect()}
+    want = {k: k * 2 for k in range(300) if k != 9}
+    want.update({5: 999, 7: 888, 400: 4000})
+    assert got == want
+    # pre-merge version is untouched history
+    assert snap.read_snapshot(spark, d, 3).count() == 300
+
+
+def test_merge_requires_stats_on_key(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    import pytest
+
+    with pytest.raises(ValueError, match="not in stats_cols"):
+        snap.snapshot_merge(
+            spark, d, spark.createDataFrame([(1, 1)], "k long, v long"), key="v"
+        )
