@@ -14,6 +14,11 @@ from .core import register
 _N_ROWS = 200_000
 _N_PARTS = 8
 
+# The partitioned STREAM face pays per-row Python yield inside the
+# streaming planner; 50k keeps the sweep row a few seconds while still
+# dwarfing any per-shard constant (8 shards x 6,250 rows).
+_P_ROWS = 50_000
+
 # Streaming face: small enough to stream in seconds, big enough that
 # the ticksPerBatch rate limit forces a real multi-micro-batch run.
 _S_ROWS = 20_000
@@ -151,4 +156,71 @@ def stream_python_datasource_ticks(spark, sf_dir):
         F.sum("volume").cast("long").alias("total_volume"),
         F.min("price").alias("min_price"),
         F.max("price").alias("max_price"),
+    )
+
+
+@register(
+    "stream_partitioned_datasource_ticks",
+    oracle=f"""
+    WITH t AS (SELECT range AS i FROM range({_P_ROWS})),
+    r AS (
+      SELECT i,
+             CASE i % 4 WHEN 0 THEN 'AAPL' WHEN 1 THEN 'GOOG'
+                        WHEN 2 THEN 'MSFT' ELSE 'AMZN' END AS symbol,
+             100.0 + (i % 97) * 0.25 AS price,
+             (i * 37) % 1000 AS volume
+      FROM t
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           SUM(price) AS total_price,
+           CAST(SUM(volume) AS BIGINT) AS total_volume
+    FROM r GROUP BY symbol
+    """,
+    tags=("source", "python-datasource", "connector", "streaming", "partitioned"),
+    # r11: new face starts extended (driver budget holds at 50); the
+    # executor-shard contract is unit-pinned in tests/test_sources_stream.py
+    driver=False,
+)
+def stream_partitioned_datasource_ticks(spark, sf_dir):
+    """The PARTITIONED streaming face of the custom connector
+    (sources/pysource.py `SyntheticTicksPartitionedStreamReader`):
+    ``partitions(start, end)`` plans 8 executor-side range shards per
+    micro-batch through Spark 4's full ``DataSourceStreamReader`` API —
+    the scale path the Simple reader's driver-side prefetch cannot take
+    (its own docstring defers here). The bounded feed's high-water mark
+    is constant, so the run is ONE micro-batch fanned across 8 shards
+    (asserted: exactly one non-empty batch of exactly {_P_ROWS} rows);
+    shard split + executor read are unit-pinned, and the closed-form
+    tick arithmetic is replayed exactly by DuckDB. (``sf_dir`` unused —
+    the source is its own data.)"""
+    from ..session import track_memory_sink_table
+    from ..sources.pysource import register_synthetic_ticks_partitioned
+
+    register_synthetic_ticks_partitioned(spark)
+    sdf = (
+        spark.readStream.format("synthetic_ticks_part")
+        .option("rows", _P_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    name = f"stream_pydsp_{uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    nonempty = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    if nonempty != [_P_ROWS]:
+        raise AssertionError(
+            f"expected one full-range micro-batch of {_P_ROWS}, saw {nonempty}"
+        )
+    return spark.table(name).groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.sum("price").alias("total_price"),
+        F.sum("volume").cast("long").alias("total_volume"),
     )

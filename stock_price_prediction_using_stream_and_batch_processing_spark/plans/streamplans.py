@@ -1108,3 +1108,68 @@ def stream_stateful_trailing_predict(spark, sf_dir):
             f"stateful stream must span >= 4 micro-batches, saw {n_batches}"
         )
     return spark.table(name)
+
+
+@register(
+    "stream_snapshot_sink_events",
+    oracle="SELECT event_id, user_id, value FROM events",
+    tags=("streaming", "sink", "python-datasource", "snapshot", "exactly-once", "lakehouse"),
+    # r11: new face starts extended (driver budget holds at 50);
+    # fencing/abort/type-gate are unit-pinned in tests/test_snapshot_sink.py
+    driver=False,
+)
+def stream_snapshot_sink_events(spark, sf_dir):
+    """STREAMING LAKEHOUSE INGEST through the connector WRITE API
+    (sources/snapshot_sink.py, Spark 4 ``DataSourceStreamWriter``):
+    each micro-batch of the 4-file arrival-ordered events split commits
+    as one atomic snapshot version — executor tasks stream rows into
+    staged parquet files with ingest-time min/max stats folded in the
+    task itself, the driver publishes parent-list + staged entries with
+    ONE rename, and the recorded ``last_batch_id`` fences replays (the
+    exactly-once the reference's unfenced JDBC append lacks). In-query
+    assertions pin the protocol: exactly 4 versions (one per
+    micro-batch), final fence = batch 3, per-version row counts strictly
+    increasing. Returned frame = the FULL final snapshot read back
+    through the store, value-checked row-for-row against the events
+    table (columns limited to the sink's supported scalar types —
+    timestamps are formatted upstream by contract, see sink docstring)."""
+    from ..operators import snapshots as snap
+    from ..sources.snapshot_sink import register_snapshot_sink
+    from ..sources.tables import ensure_session_confs
+    from .workdirs import fresh_result_dir
+
+    ensure_session_confs(spark)
+    register_snapshot_sink(spark)
+    split_dir = _time_split_events_dir(spark, sf_dir, n_files=4)
+    schema = spark.read.parquet(split_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+        .select("event_id", "user_id", "value")
+    )
+    table_dir = fresh_result_dir("snap_sink")
+    ckpt = fresh_result_dir("snap_sink_ckpt")
+    q = (
+        src.writeStream.format("snapshot_sink")
+        .option("table_dir", table_dir)
+        .option("stats_cols", "event_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if snap.current_version(table_dir) != 4:
+        raise AssertionError(
+            f"expected 4 snapshot versions (one per micro-batch), "
+            f"got {snap.current_version(table_dir)}"
+        )
+    meta = snap.read_snapshot_meta(table_dir, 4)
+    if meta["last_batch_id"] != 3:
+        raise AssertionError(f"epoch fence not recorded: {meta.get('last_batch_id')}")
+    counts = [
+        sum(e["n_rows"] for e in snap.snapshot_files(table_dir, v)) for v in (1, 2, 3, 4)
+    ]
+    if not all(a < b for a, b in zip(counts, counts[1:])):
+        raise AssertionError(f"per-version row counts not increasing: {counts}")
+    return snap.read_snapshot(spark, table_dir)

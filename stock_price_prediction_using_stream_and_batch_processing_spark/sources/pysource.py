@@ -161,3 +161,73 @@ class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
 def register_synthetic_ticks(spark) -> None:
     """Idempotent registration (re-registering simply replaces)."""
     spark.dataSource.register(SyntheticTicksDataSource)
+
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SyntheticTicksPartitionedStreamReader(DataSourceStreamReader):
+    """EXECUTOR-SIDE partitioned streaming read — the 100 TB face the
+    Simple reader's docstring defers to: ``partitions(start, end)``
+    splits the micro-batch's row range into ``partitions`` shards on
+    the driver and ``read(shard)`` materializes each shard IN THE
+    EXECUTOR (the Simple API prefetches whole batches driver-side).
+
+    Offset design: ``latestOffset`` is CONSTANT at the ``rows`` cap —
+    the whole bounded feed is one micro-batch, split across executors.
+    That is deliberate: a restart-safe *advancing* offset needs the
+    external system to own the high-water mark (Kafka's end offsets);
+    an instance counter would regress across restarts (fresh instance,
+    stale checkpoint) and double-plan rows. Bounded demo feeds have a
+    natural constant high-water mark, so this face demonstrates exactly
+    the part the Simple face cannot — executor-parallel shard reads
+    under the streaming planner — while rate-limited multi-batch
+    progression and kill/restart exactly-once stay pinned on the Simple
+    face (same offset algebra, tests/test_sources_stream.py)."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows", 10_000))
+        self.n_partitions = max(1, int(options.get("partitions", 8)))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        return {"offset": max(self.rows, 0)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["offset"]), int(end["offset"])
+        if hi <= lo:
+            return [_RangeShard(lo, lo)]
+        per = -(-(hi - lo) // self.n_partitions)
+        return [_RangeShard(s, min(s + per, hi)) for s in range(lo, hi, per)]
+
+    def read(self, partition: _RangeShard):
+        for i in range(partition.start, partition.end):
+            yield tick_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticTicksPartitionedDataSource(DataSource):
+    """``spark.readStream.format("synthetic_ticks_part")`` — same
+    schema and closed-form rows as ``synthetic_ticks``, but through the
+    partitioned ``DataSourceStreamReader`` API (a source exposes either
+    the simple or the partitioned stream reader; two names keep both
+    faces live)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks_part"
+
+    def schema(self) -> str:
+        return "tick_id bigint, symbol string, price double, volume bigint"
+
+    def streamReader(self, schema) -> SyntheticTicksPartitionedStreamReader:
+        return SyntheticTicksPartitionedStreamReader(self.options)
+
+
+def register_synthetic_ticks_partitioned(spark) -> None:
+    """Idempotent registration (re-registering simply replaces)."""
+    spark.dataSource.register(SyntheticTicksPartitionedDataSource)

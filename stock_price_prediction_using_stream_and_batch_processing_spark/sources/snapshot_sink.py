@@ -1,0 +1,186 @@
+"""Streaming SINK through the public Python DataSource writer API
+(`pyspark.sql.datasource.DataSourceStreamWriter`, Spark 4): every
+micro-batch commits as one ATOMIC VERSION of the snapshot store
+(operators/snapshots.py) — streaming lakehouse ingest with the sink's
+own exactly-once, independent of foreachBatch.
+
+This is the write-side twin of the connector's read faces
+(sources/pysource.py) and the reference's stream→RDBMS append
+(`stream_consumer.py:61-69`) re-expressed against a table format:
+
+- ``write(iterator)`` runs PER TASK on executors: rows stream into one
+  parquet file under ``<table>/data/`` via pyarrow, per-file min/max
+  stats for ``stats_cols`` are folded WHILE WRITING (the ingest-time
+  stats ride the task result — no post-hoc scan job at all, one step
+  beyond ``snapshot_append``'s single-scan), and the file entry comes
+  back as the task's ``WriterCommitMessage``. Staged files are
+  invisible: nothing references them until the driver publishes.
+- ``commit(messages, batchId)`` runs ON THE DRIVER once all tasks
+  succeed: parent file list + staged entries -> one atomic rename
+  publish. EPOCH FENCING makes replay idempotent — each snapshot
+  records ``last_batch_id``; a restarted query re-running batch N
+  against a store that already committed N drops the staged files
+  instead of double-appending (the exactly-once guarantee the
+  reference's unfenced JDBC append lacks, SURVEY §2.8).
+- ``abort(messages, batchId)`` deletes staged files — a failed batch
+  leaves the table at the parent version, bit-identical.
+
+Scale posture: tasks write independently (no shuffle introduced by the
+sink); the driver handles one metadata entry per task file; the publish
+is one rename. Type support is the deliberate minimum for the engine's
+fixtures (integral/float/string/boolean/date + their nullability);
+anything else raises loudly at plan time rather than mis-writing.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+_PA_TYPES = {
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date32",
+}
+
+
+@dataclass
+class _FileEntry(WriterCommitMessage):
+    path: str | None  # None => the task saw zero rows, wrote nothing
+    n_rows: int
+    stats: dict  # {col: (min, max)} for stats_cols
+
+
+def _arrow_schema(spark_schema):
+    import pyarrow as pa
+
+    fields = []
+    for f in spark_schema.fields:
+        t = f.dataType.typeName()
+        if t not in _PA_TYPES:
+            raise NotImplementedError(
+                f"snapshot_sink supports {sorted(_PA_TYPES)} columns; "
+                f"got {f.name}: {t} — cast/format upstream"
+            )
+        fields.append(pa.field(f.name, getattr(pa, _PA_TYPES[t])(), nullable=f.nullable))
+    return pa.schema(fields)
+
+
+class SnapshotStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema) -> None:
+        self.table_dir = options.get("table_dir")
+        if not self.table_dir:
+            raise ValueError("snapshot_sink requires option 'table_dir'")
+        self.stats_cols = [c for c in options.get("stats_cols", "").split(",") if c]
+        self.schema = schema
+        missing = [c for c in self.stats_cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"stats_cols {missing} not in sink schema")
+        _arrow_schema(schema)  # fail unsupported types at PLAN time
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator) -> _FileEntry:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = self.schema.fieldNames()
+        cols: dict[str, list] = {n: [] for n in names}
+        for row in iterator:
+            for n, v in zip(names, row):
+                cols[n].append(v)
+        n = len(cols[names[0]]) if names else 0
+        if n == 0:
+            return _FileEntry(None, 0, {})
+        stats = {
+            c: (
+                min(v for v in cols[c] if v is not None),
+                max(v for v in cols[c] if v is not None),
+            )
+            if any(v is not None for v in cols[c])
+            else (None, None)
+            for c in self.stats_cols
+        }
+        data_dir = os.path.join(self.table_dir, "data", "stream")
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        table = pa.table(
+            {c: pa.array(cols[c], type=t) for c, t in zip(names, _arrow_schema(self.schema).types)}
+        )
+        pq.write_table(table, path)
+        return _FileEntry(path, n, stats)
+
+    # -- driver side -------------------------------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        from ..operators import snapshots as snap
+
+        entries = []
+        for m in messages:
+            if m is None or m.path is None:
+                continue
+            e = {"path": m.path, "n_rows": m.n_rows}
+            for c in self.stats_cols:
+                mn, mx = m.stats.get(c, (None, None))
+                e[f"min_{c}"] = mn
+                e[f"max_{c}"] = mx
+            entries.append(e)
+        parent = snap.current_version(self.table_dir)
+        meta = snap.read_snapshot_meta(self.table_dir, parent) if parent else {"files": []}
+        if parent and meta.get("last_batch_id") is not None and batchId <= meta["last_batch_id"]:
+            # EPOCH FENCE: this batch already committed before a crash —
+            # drop the replayed staging files, publish nothing.
+            for e in entries:
+                try:
+                    os.remove(e["path"])
+                except OSError:
+                    pass
+            return
+        snap._publish(
+            self.table_dir,
+            parent + 1,
+            {
+                "version": parent + 1,
+                "parent": parent,
+                "stats_cols": self.stats_cols,
+                "last_batch_id": batchId,
+                "files": meta["files"] + entries,
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and getattr(m, "path", None):
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class SnapshotSinkDataSource(DataSource):
+    """``df.writeStream.format("snapshot_sink").option("table_dir", d)
+    .option("stats_cols", "k") ...`` — micro-batches become atomic
+    snapshot versions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> SnapshotStreamWriter:
+        return SnapshotStreamWriter(self.options, schema)
+
+
+def register_snapshot_sink(spark) -> None:
+    """Idempotent registration (re-registering simply replaces)."""
+    spark.dataSource.register(SnapshotSinkDataSource)

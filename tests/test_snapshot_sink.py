@@ -1,0 +1,180 @@
+"""Streaming snapshot sink (sources/snapshot_sink.py): per-task staged
+writes, driver-side atomic publish, epoch fencing, abort cleanup, and
+plan-time type gating — plus a kill/restart exactly-once run end to end
+through two custom connectors (partitioned reader -> snapshot sink)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources.pysource import (
+    register_synthetic_ticks,
+    register_synthetic_ticks_partitioned,
+    tick_row,
+)
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import (
+    SnapshotStreamWriter,
+    register_snapshot_sink,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("s", StringType()),
+    ]
+)
+
+
+class _Row(tuple):
+    pass
+
+
+def _writer(tmp_path, stats="k"):
+    return SnapshotStreamWriter(
+        {"table_dir": str(tmp_path / "t"), "stats_cols": stats}, SCHEMA
+    )
+
+
+def test_type_gate_fails_at_plan_time(tmp_path):
+    bad = StructType(
+        [StructField("k", LongType()), StructField("ts", TimestampType())]
+    )
+    with pytest.raises(NotImplementedError, match="snapshot_sink supports"):
+        SnapshotStreamWriter({"table_dir": str(tmp_path / "t")}, bad)
+    with pytest.raises(ValueError, match="not in sink schema"):
+        SnapshotStreamWriter(
+            {"table_dir": str(tmp_path / "t"), "stats_cols": "nope"}, SCHEMA
+        )
+
+
+def test_write_commit_publishes_with_stats(tmp_path):
+    w = _writer(tmp_path)
+    m1 = w.write(iter([_Row((1, 1.5, "a")), _Row((9, 2.5, "b"))]))
+    m2 = w.write(iter([]))  # empty task writes nothing
+    assert m2.path is None
+    w.commit([m1, m2, None], batchId=0)
+    d = str(tmp_path / "t")
+    assert snap.current_version(d) == 1
+    (e,) = snap.snapshot_files(d, 1)
+    assert (e["n_rows"], e["min_k"], e["max_k"]) == (2, 1, 9)
+    meta = snap.read_snapshot_meta(d, 1)
+    assert meta["last_batch_id"] == 0
+
+
+def test_epoch_fence_drops_replayed_batch(tmp_path):
+    w = _writer(tmp_path)
+    w.commit([w.write(iter([_Row((1, 1.0, "a"))]))], batchId=0)
+    w.commit([w.write(iter([_Row((2, 2.0, "b"))]))], batchId=1)
+    d = str(tmp_path / "t")
+    assert snap.current_version(d) == 2
+    # crash-replay of batch 1: staged file must be dropped, no publish
+    replay = w.write(iter([_Row((2, 2.0, "b"))]))
+    w.commit([replay], batchId=1)
+    assert snap.current_version(d) == 2
+    assert not os.path.exists(replay.path)
+    assert sum(e["n_rows"] for e in snap.snapshot_files(d)) == 2
+
+
+def test_abort_removes_staged_files(tmp_path):
+    w = _writer(tmp_path)
+    m = w.write(iter([_Row((1, 1.0, "a"))]))
+    assert os.path.exists(m.path)
+    w.abort([m, None], batchId=0)
+    assert not os.path.exists(m.path)
+    assert snap.current_version(str(tmp_path / "t")) == 0
+
+
+def test_connector_to_connector_exactly_once_restart(spark, tmp_path):
+    """Rate-limited custom SOURCE -> custom snapshot SINK, killed
+    mid-stream and restarted from the same checkpoint: every tick lands
+    exactly once because the sink's epoch fence drops the replayed
+    batch and the source replans from the checkpointed offset."""
+    register_synthetic_ticks(spark)
+    register_snapshot_sink(spark)
+    n_rows, per_batch = 5_000, 250
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        sdf = (
+            spark.readStream.format("synthetic_ticks")
+            .option("rows", n_rows)
+            .option("ticksPerBatch", per_batch)
+            .load()
+        )
+        return (
+            sdf.writeStream.format("snapshot_sink")
+            .option("table_dir", table_dir)
+            .option("stats_cols", "tick_id")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(q.recentProgress) < 2:
+            time.sleep(0.1)
+        assert len(q.recentProgress) >= 2, "no progress before kill"
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert 0 < snap.current_version(table_dir) < n_rows // per_batch
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+
+    got = snap.read_snapshot(spark, table_dir)
+    assert got.count() == n_rows
+    assert got.select("tick_id").distinct().count() == n_rows
+    row = got.filter("tick_id = 4321").collect()[0]
+    assert (row.tick_id, row.symbol, row.price, row.volume) == tick_row(4321)
+
+
+def test_partitioned_source_to_snapshot_sink(spark, tmp_path):
+    """The executor-sharded reader through the sink: one micro-batch,
+    8 shards -> one snapshot version whose file entries cover the full
+    range with correct fold-while-writing stats."""
+    register_synthetic_ticks_partitioned(spark)
+    register_snapshot_sink(spark)
+    table_dir = str(tmp_path / "table")
+    q = (
+        spark.readStream.format("synthetic_ticks_part")
+        .option("rows", 4_000)
+        .option("partitions", 8)
+        .load()
+        .writeStream.format("snapshot_sink")
+        .option("table_dir", table_dir)
+        .option("stats_cols", "tick_id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert snap.current_version(table_dir) == 1
+    files = snap.snapshot_files(table_dir, 1)
+    assert len(files) == 8  # one staged file per executor shard
+    assert sum(e["n_rows"] for e in files) == 4_000
+    assert min(e["min_tick_id"] for e in files) == 0
+    assert max(e["max_tick_id"] for e in files) == 3_999
+    # stats-pruned read touches a strict subset of shard files
+    pruned = snap.read_snapshot(spark, table_dir, prune_col="tick_id", lo=100, hi=110)
+    assert pruned.count() < 4_000
+    assert pruned.filter("tick_id between 100 and 110").count() == 11

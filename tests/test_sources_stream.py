@@ -103,3 +103,23 @@ def test_kill_restart_exactly_once(spark, tmp_path):
     # spot-check payload determinism survived the restart boundary
     row = got.filter("tick_id = 4321").collect()[0]
     assert (row.tick_id, row.symbol, row.price, row.volume) == tick_row(4321)
+
+
+def test_partitioned_reader_shard_planning():
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.pysource import (
+        SyntheticTicksPartitionedStreamReader,
+    )
+
+    r = SyntheticTicksPartitionedStreamReader(_Opts(rows="1000", partitions="4"))
+    assert r.initialOffset() == {"offset": 0}
+    assert r.latestOffset() == {"offset": 1000}  # constant high-water mark
+    parts = r.partitions({"offset": 0}, {"offset": 1000})
+    assert [(p.start, p.end) for p in parts] == [
+        (0, 250), (250, 500), (500, 750), (750, 1000)
+    ]
+    # executor-side read materializes exactly its shard
+    rows = list(r.read(parts[2]))
+    assert rows[0] == tick_row(500) and rows[-1] == tick_row(749) and len(rows) == 250
+    # degenerate range plans one empty shard (API needs >= 1 partition)
+    (empty,) = r.partitions({"offset": 1000}, {"offset": 1000})
+    assert (empty.start, empty.end) == (1000, 1000) and list(r.read(empty)) == []
