@@ -157,6 +157,8 @@ def snapshot_compact(
     table_dir: str,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    bits: int = 16,
 ) -> int:
     """COPY-ON-WRITE compaction (the OPTIMIZE step of the protocol):
     read the current snapshot's files, rewrite them as ``target_files``
@@ -175,7 +177,24 @@ def snapshot_compact(
     parent = current_version(table_dir)
     if parent == 0:
         raise ValueError(f"nothing to compact under {table_dir}")
-    df = read_snapshot(spark, table_dir, parent).repartition(target_files)
+    df = read_snapshot(spark, table_dir, parent)
+    if cluster_by:
+        # OPTIMIZE ... ZORDER BY: range-partition the rewrite on the
+        # Morton code over ``cluster_by`` and sort within files, so the
+        # recomputed per-file [min,max] become tight boxes in EVERY
+        # clustered dimension — ingest-interleaved keys that defeated
+        # pruning before the compaction prune afterwards (pinned in
+        # tests/test_snapshots.py). Same semantics, same commit.
+        from .layout import zorder_value
+
+        df = (
+            zorder_value(df, cluster_by, bits)
+            .repartitionByRange(target_files, F.col("zval"))
+            .sortWithinPartitions("zval")
+            .drop("zval")
+        )
+    else:
+        df = df.repartition(target_files)
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
@@ -184,6 +203,7 @@ def snapshot_compact(
         "parent": parent,
         "stats_cols": stats_cols,
         "compaction_of": parent,
+        "clustered_by": cluster_by or None,
         "files": entries,  # REPLACES, not extends
     }
     _publish(table_dir, parent + 1, snap)

@@ -189,3 +189,36 @@ def test_merge_requires_stats_on_key(spark, tmp_path):
         snap.snapshot_merge(
             spark, d, spark.createDataFrame([(1, 1)], "k long, v long"), key="v"
         )
+
+
+def test_clustered_compaction_restores_pruning(spark, tmp_path):
+    """OPTIMIZE-with-clustering: three commits each spanning the FULL
+    key range (k % 3 slices — every file's [min,max] covers everything,
+    so stats pruning is useless), then a clustered compaction into 4
+    files. Post-compaction the per-file ranges are disjoint and a
+    narrow key-range read touches exactly 1 of 4 files."""
+    d = str(tmp_path / "t")
+    for sl in (0, 1, 2):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(1200).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).where(F.col("k") % 3 == sl).repartition(1),
+            stats_cols=["k"],
+        )
+    pre = snap.snapshot_files(d, 3)
+    touch = lambda files, lo, hi: [
+        e for e in files if e["max_k"] >= lo and e["min_k"] <= hi
+    ]
+    assert len(touch(pre, 100, 120)) == 3  # interleaved: no pruning
+    v = snap.snapshot_compact(spark, d, target_files=4, cluster_by=["k"])
+    post = snap.snapshot_files(d, v)
+    assert len(post) == 4
+    assert len(touch(post, 100, 120)) == 1  # clustered: 1 of 4
+    # ranges are pairwise disjoint after the range-partitioned rewrite
+    spans = sorted((e["min_k"], e["max_k"]) for e in post)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+    # and the data is unchanged
+    got = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert got == list(range(1200))
