@@ -108,7 +108,12 @@ def clustering_probe(spark, tmp: str):
             ).where(F.col("k") % 4 == sl).repartition(2),
             stats_cols=["k"],
         )
-    lo, hi = n // 2, n // 2 + n // 100  # a 1% key range
+    # a 1% key range, deliberately OFF the theoretical 8-way split
+    # points (multiples of n/8): repartitionByRange samples boundaries,
+    # so a window starting exactly on one can legitimately straddle two
+    # files even when clustering is perfect
+    lo = n // 8 + n // 50
+    hi = lo + n // 100
 
     def touched(version):
         fl = snap.snapshot_files(d, version)
@@ -123,7 +128,9 @@ def clustering_probe(spark, tmp: str):
         f"pre: 1%-range read touches {t_pre}/{n_pre} files; "
         f"post cluster_by compaction ({compact_s:.1f} s): {t_post}/{n_post}"
     )
-    assert t_post == 1
+    # sampled range boundaries can put a window edge inside a neighbor
+    # file; perfect clustering still bounds a 1% window by 2 files
+    assert t_post <= 2, (t_post, n_post)
 
 
 def main():

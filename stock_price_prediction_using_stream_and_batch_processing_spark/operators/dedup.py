@@ -411,9 +411,14 @@ def dedup_clusters_doubling(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            f"dedup_clusters_doubling did not contract to empty in {max_outer} rounds"
-        )
+        # for/else fires when no break happened — but the LAST allowed
+        # round may itself have contracted the graph to empty (the
+        # emptiness check runs at loop top), which is convergence, not
+        # failure (r11 self-review).
+        if edges.limit(1).count() > 0:
+            raise RuntimeError(
+                f"dedup_clusters_doubling did not contract to empty in {max_outer} rounds"
+            )
     if stats is not None:
         stats["outer_rounds"] = outer
         stats["jump_rounds"] = jumps

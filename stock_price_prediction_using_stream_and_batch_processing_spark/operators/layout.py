@@ -121,6 +121,22 @@ def file_minmax_manifest(
     )
 
 
+def decode_file_uri(p: str) -> str:
+    """Decode an ``input_file_name()``-style percent-encoded URI to the
+    path a read-back should use: local (``file:``/bare) URIs return the
+    bare unquoted path; remote URIs are reassembled as
+    ``scheme://netloc`` + unquoted path (an hdfs/s3 key with encoded
+    characters would otherwise be re-requested still-encoded). Shared
+    by the manifest prune here and the snapshot commit scan
+    (operators/snapshots.py) — one decode rule, one place."""
+    from urllib.parse import unquote, urlparse
+
+    parts = urlparse(p)
+    if parts.scheme in ("", "file"):
+        return unquote(parts.path)
+    return f"{parts.scheme}://{parts.netloc}{unquote(parts.path)}"
+
+
 def manifest_pruned_paths(
     manifest: DataFrame, col: str, lo, hi
 ) -> tuple[list[str], int]:
@@ -146,18 +162,9 @@ def manifest_pruned_paths(
     with encoded characters would otherwise be re-requested
     still-encoded, targeting the wrong object).
     """
-    from urllib.parse import unquote, urlparse
-
     cond = (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
     row = manifest.agg(
         F.count(F.lit(1)).alias("_n_total"),
         F.collect_list(F.when(cond, F.col("file"))).alias("_kept"),
     ).first()
-
-    def _decode(p: str) -> str:
-        parts = urlparse(p)
-        if parts.scheme in ("", "file"):
-            return unquote(parts.path)
-        return f"{parts.scheme}://{parts.netloc}{unquote(parts.path)}"
-
-    return [_decode(p) for p in row["_kept"]], row["_n_total"]
+    return [decode_file_uri(p) for p in row["_kept"]], row["_n_total"]

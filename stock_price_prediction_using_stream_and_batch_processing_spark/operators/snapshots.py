@@ -101,8 +101,19 @@ def snapshot_append(
         "stats_cols": stats_cols,
         "files": meta["files"] + entries,
     }
+    _carry_fence(snap, meta)
     _publish(table_dir, new_version, snap)
     return new_version
+
+
+def _carry_fence(snap: dict, parent_meta: dict) -> None:
+    """Every non-sink commit must CARRY the streaming sink's epoch
+    fence (``last_batch_id``) forward: a maintenance append/compact/
+    merge interleaved with a crashed stream would otherwise publish a
+    current version without the fence, and the stream's replayed batch
+    would double-append (found in the r11 self-review)."""
+    if parent_meta.get("last_batch_id") is not None:
+        snap["last_batch_id"] = parent_meta["last_batch_id"]
 
 
 def snapshot_files(table_dir: str, version: int | None = None) -> list[dict]:
@@ -129,7 +140,10 @@ def read_snapshot(
     The caller applies its own residual predicate (pruning is
     conservative interval intersection, same semantics as
     ``operators/layout.manifest_pruned_paths``)."""
-    files = snapshot_files(table_dir, version)
+    all_files = snapshot_files(table_dir, version)
+    if not all_files:
+        raise ValueError(f"snapshot has no files under {table_dir}")
+    files = all_files
     if prune_col is not None:
         files = [
             e
@@ -139,17 +153,11 @@ def read_snapshot(
             and e[f"min_{prune_col}"] <= hi
         ]
     if not files:
-        raise ValueError(f"snapshot has no matching files under {table_dir}")
+        # every file pruned away: the legitimate answer is ZERO rows
+        # (e.g. a range beyond any key), not an error — read one file's
+        # footer for the schema and return the empty frame.
+        return spark.read.parquet(all_files[0]["path"]).where(F.lit(False))
     return spark.read.parquet(*[e["path"] for e in files])
-
-
-def snapshot_agg(
-    spark: SparkSession, table_dir: str, version: int, exprs: list
-) -> DataFrame:
-    """Aggregate one historical snapshot, tagged with its version."""
-    return read_snapshot(spark, table_dir, version).agg(*exprs).select(
-        F.lit(version).alias("version"), "*"
-    )
 
 
 def snapshot_compact(
@@ -177,6 +185,7 @@ def snapshot_compact(
     parent = current_version(table_dir)
     if parent == 0:
         raise ValueError(f"nothing to compact under {table_dir}")
+    parent_meta = read_snapshot_meta(table_dir, parent)
     df = read_snapshot(spark, table_dir, parent)
     if cluster_by:
         # OPTIMIZE ... ZORDER BY: range-partition the rewrite on the
@@ -206,6 +215,7 @@ def snapshot_compact(
         "clustered_by": cluster_by or None,
         "files": entries,  # REPLACES, not extends
     }
+    _carry_fence(snap, parent_meta)
     _publish(table_dir, parent + 1, snap)
     return parent + 1
 
@@ -218,17 +228,16 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     Time travel to an expired version stops working BY CONTRACT; every
     surviving version keeps every file it references, so pinned readers
     of live versions are unaffected. Returns counts for assertion."""
-    cur = current_version(table_dir)
-    keep = {v for v in range(cur - keep_last + 1, cur + 1) if v >= 1}
-    expired = [
-        v
-        for v in (
-            int(n[1:9])
-            for n in os.listdir(_snap_dir(table_dir))
-            if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
-        )
-        if v not in keep
-    ]
+    existing = sorted(
+        int(n[1:9])
+        for n in os.listdir(_snap_dir(table_dir))
+        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+    )
+    # keep the newest keep_last of the versions that EXIST on disk — a
+    # contiguous range below current_version would reference versions a
+    # stricter earlier expiry already deleted (r11 self-review)
+    keep = set(existing[-keep_last:]) if keep_last > 0 else set()
+    expired = [v for v in existing if v not in keep]
     live_paths = {e["path"] for v in keep for e in snapshot_files(table_dir, v)}
     dead_paths = {
         e["path"] for v in expired for e in snapshot_files(table_dir, v)
@@ -250,24 +259,37 @@ def _current_stats_cols(table_dir: str) -> list[str]:
 
 def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[str]) -> list[dict]:
     """One column-pruned scan of a commit's NEW files -> file entries."""
-    from urllib.parse import unquote, urlparse
-
-    from .layout import file_minmax_manifest
+    from .layout import decode_file_uri, file_minmax_manifest
 
     entries = []
     for r in file_minmax_manifest(spark, commit_dir, stats_cols).collect():
-        p = urlparse(r["file"])
-        path = (
-            unquote(p.path)
-            if p.scheme in ("", "file")
-            else f"{p.scheme}://{p.netloc}{unquote(p.path)}"
-        )
-        e = {"path": path, "n_rows": r["n_rows"]}
+        e = {"path": decode_file_uri(r["file"]), "n_rows": r["n_rows"]}
         for c in stats_cols:
-            e[f"min_{c}"] = r[f"min_{c}"]
-            e[f"max_{c}"] = r[f"max_{c}"]
+            e[f"min_{c}"] = json_stat(r[f"min_{c}"])
+            e[f"max_{c}"] = json_stat(r[f"max_{c}"])
         entries.append(e)
     return entries
+
+
+def json_stat(v):
+    """Make a min/max stat JSON-round-trippable WITHOUT breaking the
+    pruning order: date/datetime become ISO-8601 strings (whose
+    lexicographic order equals their temporal order, so interval
+    pruning against ISO-string bounds stays correct — callers pass
+    string bounds for temporal columns, the same contract Iceberg's
+    JSON metadata uses). Unsupported stat types (Decimal, binary) fail
+    LOUDLY here at commit time instead of as an opaque json.dump
+    TypeError after the data files are already written."""
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    raise ValueError(
+        f"stats_cols value of type {type(v).__name__} is not JSON-portable; "
+        "cast the column (e.g. to string/epoch) before using it for file stats"
+    )
 
 
 def _publish(table_dir: str, version: int, snap: dict) -> None:
@@ -339,17 +361,15 @@ def snapshot_merge(
     merged.write.parquet(commit_dir)
     new_entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     version = parent + 1
-    _publish(
-        table_dir,
-        version,
-        {
-            "version": version,
-            "parent": parent,
-            "stats_cols": stats_cols,
-            "merge": True,
-            "files": carried + new_entries,
-        },
-    )
+    snap = {
+        "version": version,
+        "parent": parent,
+        "stats_cols": stats_cols,
+        "merge": True,
+        "files": carried + new_entries,
+    }
+    _carry_fence(snap, meta)
+    _publish(table_dir, version, snap)
     return {
         "version": version,
         "files_rewritten": len(touched_paths),

@@ -354,7 +354,9 @@ def snapshot_time_travel_orders(spark, sf_dir):
     pinned_paths = {e["path"] for e in pinned}
     current_paths = {e["path"] for e in snap.snapshot_files(table_dir)}
     added = current_paths - pinned_paths
-    if not added or (pinned_paths & added):
+    # isolation = the concurrent commit only ADDED files: the pin's set
+    # is a strict subset of current, and something was really added
+    if not added or not pinned_paths < current_paths:
         raise AssertionError(
             f"pinned reader not isolated from concurrent append: {len(added)} new files"
         )

@@ -987,7 +987,10 @@ def _time_split_events_dir(spark, sf_dir: str, n_files: int = 4) -> str:
     for p in paths:
         st = os.stat(p)
         fp.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size};".encode())
-    key = f"{dir_hash}-{fp.hexdigest()[:12]}-n{n_files}"
+    # v2: cache layout version — bumped when the split ORDERING contract
+    # changes (r11: tiebreak aligned with the stateful fold), so caches
+    # built under the old order can never feed a new-session stream.
+    key = f"{dir_hash}-{fp.hexdigest()[:12]}-n{n_files}-v2"
     root = os.path.join("/tmp", "spark_graft_tsplit")
     split_dir = os.path.join(root, key)
     done = os.path.join(split_dir, "_DONE")
@@ -1001,7 +1004,13 @@ def _time_split_events_dir(spark, sf_dir: str, n_files: int = 4) -> str:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Arrival order MUST match the stateful fold's total order
+    # (timestamp, price=value, volume=event_id) — splitting on a
+    # different tiebreak could deliver equal-(user, ts) rows across
+    # batches in an order that inverts the fold/oracle order (latent in
+    # current fixtures, which have no (user_id, ts) ties; pinned here
+    # by construction after the r11 self-review).
+    w = Window.partitionBy("user_id").orderBy("ts", "value", "event_id")
     q = ev.withColumn("_q", F.ntile(n_files).over(w))
     t0 = time.time() - n_files
     for i in range(1, n_files + 1):

@@ -79,6 +79,9 @@ def _arrow_schema(spark_schema):
     return pa.schema(fields)
 
 
+_CHUNK_ROWS = 65_536
+
+
 class SnapshotStreamWriter(DataSourceStreamWriter):
     def __init__(self, options, schema) -> None:
         self.table_dir = options.get("table_dir")
@@ -89,42 +92,65 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         missing = [c for c in self.stats_cols if c not in schema.fieldNames()]
         if missing:
             raise ValueError(f"stats_cols {missing} not in sink schema")
-        _arrow_schema(schema)  # fail unsupported types at PLAN time
+        # fail unsupported types at PLAN time; the instance is pickled
+        # to executors, so the computed schema rides along for free
+        self.arrow_schema = _arrow_schema(schema)
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> _FileEntry:
+        """Rows stream through FIXED-SIZE chunks: each chunk becomes one
+        arrow RecordBatch appended to a single ParquetWriter, and the
+        per-file min/max stats FOLD chunk by chunk — peak executor
+        memory is O(chunk), not O(partition), no matter how large the
+        micro-batch partition is."""
+        import itertools
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         names = self.schema.fieldNames()
-        cols: dict[str, list] = {n: [] for n in names}
-        for row in iterator:
-            for n, v in zip(names, row):
-                cols[n].append(v)
-        n = len(cols[names[0]]) if names else 0
+        data_dir = os.path.join(self.table_dir, "data", "stream")
+        path = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        stats: dict[str, tuple] = {c: (None, None) for c in self.stats_cols}
+        try:
+            while True:
+                chunk = list(itertools.islice(iterator, _CHUNK_ROWS))
+                if not chunk:
+                    break
+                cols = {c: [row[i] for row in chunk] for i, c in enumerate(names)}
+                for c in self.stats_cols:
+                    present = [v for v in cols[c] if v is not None]
+                    if present:
+                        mn, mx = stats[c]
+                        lo, hi = min(present), max(present)
+                        stats[c] = (
+                            lo if mn is None else min(mn, lo),
+                            hi if mx is None else max(mx, hi),
+                        )
+                if writer is None:
+                    os.makedirs(data_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(path, self.arrow_schema)
+                writer.write_batch(
+                    pa.record_batch(
+                        [pa.array(cols[c], type=t) for c, t in zip(names, self.arrow_schema.types)],
+                        schema=self.arrow_schema,
+                    )
+                )
+                n += len(chunk)
+        finally:
+            if writer is not None:
+                writer.close()
         if n == 0:
             return _FileEntry(None, 0, {})
-        stats = {
-            c: (
-                min(v for v in cols[c] if v is not None),
-                max(v for v in cols[c] if v is not None),
-            )
-            if any(v is not None for v in cols[c])
-            else (None, None)
-            for c in self.stats_cols
-        }
-        data_dir = os.path.join(self.table_dir, "data", "stream")
-        os.makedirs(data_dir, exist_ok=True)
-        path = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        table = pa.table(
-            {c: pa.array(cols[c], type=t) for c, t in zip(names, _arrow_schema(self.schema).types)}
-        )
-        pq.write_table(table, path)
         return _FileEntry(path, n, stats)
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
         from ..operators import snapshots as snap
+
+        from ..operators.snapshots import json_stat
 
         entries = []
         for m in messages:
@@ -133,8 +159,8 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             e = {"path": m.path, "n_rows": m.n_rows}
             for c in self.stats_cols:
                 mn, mx = m.stats.get(c, (None, None))
-                e[f"min_{c}"] = mn
-                e[f"max_{c}"] = mx
+                e[f"min_{c}"] = json_stat(mn)
+                e[f"max_{c}"] = json_stat(mx)
             entries.append(e)
         parent = snap.current_version(self.table_dir)
         meta = snap.read_snapshot_meta(self.table_dir, parent) if parent else {"files": []}

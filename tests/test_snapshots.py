@@ -222,3 +222,80 @@ def test_clustered_compaction_restores_pruning(spark, tmp_path):
     # and the data is unchanged
     got = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
     assert got == list(range(1200))
+
+
+def test_maintenance_commits_carry_stream_fence(spark, tmp_path):
+    """r11 review fix: append/compact/merge publish AFTER a streaming
+    sink committed must CARRY last_batch_id, or a crash-replayed batch
+    would double-append past the maintenance commit."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import (
+        SnapshotStreamWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = str(tmp_path / "t")
+    w = SnapshotStreamWriter(
+        {"table_dir": d, "stats_cols": "k"},
+        StructType([StructField("k", LongType())]),
+    )
+    w.commit([w.write(iter([(1,), (2,)]))], batchId=7)
+    assert snap.read_snapshot_meta(d, 1)["last_batch_id"] == 7
+    snap.snapshot_append(                         # append (same schema)
+        spark, d, spark.range(10, 20).select(F.col("id").alias("k")), stats_cols=["k"]
+    )
+    assert snap.read_snapshot_meta(d, 2)["last_batch_id"] == 7
+    snap.snapshot_compact(spark, d, target_files=1)   # compact
+    assert snap.read_snapshot_meta(d, 3)["last_batch_id"] == 7
+    snap.snapshot_merge(
+        spark, d, spark.createDataFrame([(1,)], "k long"), key="k"
+    )                                             # merge
+    assert snap.read_snapshot_meta(d, 4)["last_batch_id"] == 7
+    # and the fence still fires through the maintenance commits
+    replay = w.write(iter([(2,)]))
+    w.commit([replay], batchId=7)
+    assert snap.current_version(d) == 4  # replay dropped, no v5
+
+
+def test_expire_after_gapped_history(spark, tmp_path):
+    """r11 review fix: retention with a LARGER keep_last after a
+    stricter earlier expiry must not crash on already-deleted versions."""
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    _commit(spark, d, 10, 20)
+    _commit(spark, d, 20, 30)
+    snap.expire_snapshots(d, keep_last=1)  # deletes v1, v2
+    _commit(spark, d, 30, 40)              # v4
+    stats = snap.expire_snapshots(d, keep_last=3)  # v2 no longer exists
+    assert stats == {"expired_versions": 0, "deleted_files": 0}
+    assert snap.read_snapshot(spark, d).count() == 40
+
+
+def test_prune_to_zero_files_returns_empty_frame(spark, tmp_path):
+    """r11 review fix: a range beyond every file's stats is a
+    legitimate ZERO-row read, not an error."""
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 100)
+    out = snap.read_snapshot(spark, d, prune_col="k", lo=10**9, hi=10**9 + 1)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}  # schema survives
+    import pytest
+
+    with pytest.raises(ValueError, match="no files"):
+        snap.read_snapshot(spark, str(tmp_path / "empty"), version=0)
+
+
+def test_json_stat_dates_and_loud_failure():
+    import datetime
+    from decimal import Decimal
+
+    import pytest
+
+    assert snap.json_stat(None) is None
+    assert snap.json_stat(5) == 5
+    assert snap.json_stat(datetime.date(2024, 3, 1)) == "2024-03-01"
+    # ISO strings preserve pruning order
+    a = snap.json_stat(datetime.datetime(2024, 3, 1, 5))
+    b = snap.json_stat(datetime.datetime(2024, 3, 1, 6))
+    assert a < b
+    with pytest.raises(ValueError, match="not JSON-portable"):
+        snap.json_stat(Decimal("1.5"))
