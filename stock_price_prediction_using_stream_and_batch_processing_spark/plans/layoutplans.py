@@ -530,3 +530,76 @@ def snapshot_merge_orders(spark, sf_dir):
         "n_rows",
         "total_price",
     )
+
+
+@register(
+    "stream_snapshot_changes_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+    tags=("streaming", "source", "python-datasource", "snapshot", "cdc", "incremental"),
+    # r11: new face starts extended (driver budget holds at 50);
+    # version-delta planning + rewrite refusal unit-pinned in
+    # tests/test_snapshot_source.py
+    driver=False,
+)
+def stream_snapshot_changes_orders(spark, sf_dir):
+    """STREAMING FROM the snapshot store — incremental table
+    consumption (sources/snapshot_source.py, Delta's "stream from a
+    table"): three appends build the table, then a
+    ``format("snapshot_changes")`` stream consumes it ONE COMMIT PER
+    MICRO-BATCH (asserted: exactly 3 non-empty batches whose row counts
+    equal each commit's file-entry totals — offsets track commit
+    lineage, not bytes). Each batch reads exactly the files its commit
+    ADDED (metadata set difference — no rescans, the property that
+    makes incremental ETL linear in the delta at 100 TB). The sink
+    union across batches is value-checked row-for-row against the full
+    orders table. Rewrite commits (compaction/merge) are refused by
+    contract — pinned in tests."""
+    import uuid as _uuid
+
+    from ..operators import snapshots as snap
+    from ..session import track_memory_sink_table
+    from ..sources.snapshot_source import register_snapshot_changes
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_src")
+    for sl in (0, 1, 2):
+        snap.snapshot_append(
+            spark, table_dir, orders.where(F.col("o_orderkey") % 3 == sl),
+            stats_cols=["o_orderkey"],
+        )
+    register_snapshot_changes(spark)
+    sdf = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", table_dir)
+        .load()
+    )
+    name = f"stream_snapc_{_uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    # default trigger + processAllAvailable: the simple-reader wrapper
+    # plans one prefetched batch per poll, so availableNow would stop
+    # after the first commit instead of draining the history
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    per_version = [
+        sum(e["n_rows"] for e in snap.snapshot_files(table_dir, v))
+        - sum(e["n_rows"] for e in (snap.snapshot_files(table_dir, v - 1) if v > 1 else []))
+        for v in (1, 2, 3)
+    ]
+    if batches != per_version:
+        raise AssertionError(
+            f"expected one micro-batch per commit {per_version}, saw {batches}"
+        )
+    return spark.table(name)

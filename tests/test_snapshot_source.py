@@ -1,0 +1,110 @@
+"""Streaming FROM the snapshot store (sources/snapshot_source.py):
+version-offset algebra, delta planning by metadata set difference,
+deterministic replay, schema derivation, and the append-only contract
+(rewrite commits refused)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_source import (
+    SnapshotChangesDataSource,
+    SnapshotChangesStreamReader,
+    _table_ddl,
+)
+
+
+def _build(spark, d, n_commits=3, rows=30):
+    for i in range(n_commits):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(i * rows, (i + 1) * rows).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+            ),
+            stats_cols=["k"],
+        )
+
+
+def test_one_commit_per_batch_and_replay(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _build(spark, d)
+    r = SnapshotChangesStreamReader({"table_dir": d})
+    assert r.initialOffset() == {"version": 0}
+    it, nxt = r.read({"version": 0})
+    rows1 = sorted(it)
+    assert nxt == {"version": 1} and [k for k, _ in rows1] == list(range(30))
+    it, nxt = r.read({"version": 1})
+    rows2 = sorted(it)
+    assert nxt == {"version": 2} and [k for k, _ in rows2] == list(range(30, 60))
+    # quiesced: offset at head does not advance
+    it, nxt = r.read({"version": 3})
+    assert list(it) == [] and nxt == {"version": 3}
+    # recovery replay over a multi-version range is deterministic
+    replay = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert replay == sorted(rows1 + rows2)
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _build(spark, d)
+    r = SnapshotChangesStreamReader({"table_dir": d, "startingVersion": 2})
+    assert r.initialOffset() == {"version": 2}
+    it, nxt = r.read({"version": 2})
+    assert sorted(k for k, _ in it) == list(range(60, 90))
+
+
+def test_rewrite_commits_are_refused(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=2)
+    snap.snapshot_compact(spark, d, target_files=1)  # v3 = rewrite
+    r = SnapshotChangesStreamReader({"table_dir": d})
+    assert sorted(k for k, _ in r.read({"version": 0})[0]) == list(range(30))
+    with pytest.raises(ValueError, match="compaction"):
+        r.read({"version": 2})
+    snap.snapshot_merge(
+        spark, d, spark.createDataFrame([(0, 0.0)], "k long, v double"), key="k"
+    )  # v4 = merge
+    with pytest.raises(ValueError, match="merge"):
+        r._delta_paths(3, 4)
+
+
+def test_schema_derived_from_footer(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=1)
+    assert _table_ddl(d) == "k bigint, v double"
+    ds = SnapshotChangesDataSource({"table_dir": d})
+    assert ds.schema() == "k bigint, v double"
+
+
+def test_end_to_end_stream_equals_table(spark, tmp_path):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_source import (
+        register_snapshot_changes,
+    )
+
+    d = str(tmp_path / "t")
+    _build(spark, d)
+    register_snapshot_changes(spark)
+    # NOT availableNow: the simple-reader wrapper plans one prefetched
+    # batch per poll, so draining the commit history needs the default
+    # trigger + processAllAvailable (same pattern as the ticks face)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", d)
+        .load()
+        .writeStream.format("memory")
+        .queryName("snap_changes_e2e")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert batches == [30, 30, 30]  # one micro-batch per commit
+    got = {r.k: r.v for r in spark.table("snap_changes_e2e").collect()}
+    assert got == {k: k * 2.0 for k in range(90)}
