@@ -78,6 +78,7 @@ def snapshot_append(
     table_dir: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the published version.
 
@@ -91,19 +92,36 @@ def snapshot_append(
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    if bloom_cols:
+        blooms = _scan_commit_blooms(spark, commit_dir, bloom_cols)
+        for e in entries:
+            for col, b64 in blooms.get(e["path"], {}).items():
+                e[f"bloom_{col}"] = b64
 
-    parent = current_version(table_dir)
-    meta = read_snapshot_meta(table_dir, parent) if parent else {"files": []}
-    new_version = parent + 1
-    snap = {
-        "version": new_version,
-        "parent": parent,
-        "stats_cols": stats_cols,
-        "files": meta["files"] + entries,
-    }
-    _carry_fence(snap, meta)
-    _publish(table_dir, new_version, snap)
-    return new_version
+    # Optimistic-concurrency retry loop: an append COMMUTES with any
+    # concurrent commit (its data files and entries are untouched by
+    # the race), so losing the first-writer publish just means rebasing
+    # the entry list onto the new parent and retrying — the expensive
+    # work (data write + stats scan) is never repeated.
+    for _ in range(50):
+        parent = current_version(table_dir)
+        meta = read_snapshot_meta(table_dir, parent) if parent else {"files": []}
+        new_version = parent + 1
+        snap = {
+            "version": new_version,
+            "parent": parent,
+            "stats_cols": stats_cols,
+            "files": meta["files"] + entries,
+        }
+        _carry_fence(snap, meta)
+        try:
+            _publish(table_dir, new_version, snap)
+            return new_version
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"append could not win a publish in 50 attempts under {table_dir}"
+    )
 
 
 def _carry_fence(snap: dict, parent_meta: dict) -> None:
@@ -292,13 +310,34 @@ def json_stat(v):
     )
 
 
+class ConcurrentCommitError(Exception):
+    """Another writer published this version first. Appends auto-rebase
+    and retry (their data files are untouched by the race); semantic
+    rewrites (compaction, merge) surface the conflict to the caller,
+    who must re-plan against the new current version — the same
+    validation split Iceberg's optimistic protocol makes."""
+
+
 def _publish(table_dir: str, version: int, snap: dict) -> None:
-    """Atomic same-directory rename publish (last-writer-wins)."""
+    """ATOMIC FIRST-WRITER-WINS publish: the snapshot JSON is written
+    to a temp file and ``os.link``ed to its final name — link fails
+    with EEXIST if any other writer already published this version, so
+    two racing commits can never both claim it (optimistic concurrency;
+    an object-store deployment swaps this one primitive for a
+    conditional PUT). The loser raises :class:`ConcurrentCommitError`
+    with its data files intact, ready to rebase."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(snap, f)
-    os.replace(tmp, _snap_path(table_dir, version))
+    try:
+        os.link(tmp, _snap_path(table_dir, version))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} already published under {table_dir}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def snapshot_merge(
@@ -375,3 +414,108 @@ def snapshot_merge(
         "files_rewritten": len(touched_paths),
         "files_carried": len(carried),
     }
+
+
+# --- per-file bloom filters (point-lookup skipping) --------------------
+
+_BLOOM_M = 65_536  # bits per file (8 KiB packed; ~11 KiB base64)
+_BLOOM_K = 4       # hash functions; FP ~0.5% at ~5k distinct/file
+
+def _bloom_position_cols(col: str, m: int, k: int):
+    """The k bit positions of a value, as Spark column expressions:
+    position_i = first-8-hex-digits of md5("{i}:" + value-as-string)
+    mod m. md5 over the CAST STRING makes the exact same positions
+    computable engine-free in Python (hashlib — the driver-side
+    membership probe) and in DuckDB (the oracle replays the filter),
+    the repo's standard portable-hash trick."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+        ).alias(f"_pos_{i}")
+        for i in range(k)
+    ]
+
+
+def bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Driver-side twin of :func:`_bloom_position_cols` (hashlib)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def bloom_member(b64_bits: str, value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> bool:
+    """Probe a packed per-file bloom: True = value MAY be present
+    (false positives possible, false negatives impossible)."""
+    import base64
+
+    bits = base64.b64decode(b64_bits)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in bloom_positions(value, m, k))
+
+
+def _scan_commit_blooms(spark: SparkSession, commit_dir: str, bloom_cols: list[str]) -> dict:
+    """Per-file bloom bitsets for ``bloom_cols``, built in ONE
+    distributed pass per column: k md5 positions per row, exploded,
+    deduplicated per file (collect_set — bounded by m), packed into a
+    base64 bitarray driver-side. Returns {path: {col: b64}}."""
+    import base64
+
+    from .layout import decode_file_uri
+
+    out: dict[str, dict] = {}
+    for col in bloom_cols:
+        df = spark.read.parquet(commit_dir).select(col)
+        rows = (
+            df.select(
+                F.input_file_name().alias("file"),
+                F.explode(F.array(*_bloom_position_cols(col, _BLOOM_M, _BLOOM_K))).alias("p"),
+            )
+            .groupBy("file")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()  # one row per FILE — metadata-sized
+        )
+        for r in rows:
+            bits = bytearray(_BLOOM_M >> 3)
+            for p in r["ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            out.setdefault(decode_file_uri(r["file"]), {})[col] = base64.b64encode(
+                bytes(bits)
+            ).decode()
+    return out
+
+
+def point_lookup_files(
+    table_dir: str, col: str, value, version: int | None = None
+) -> tuple[list[dict], int]:
+    """Metadata-only point-lookup pruning: keep files whose bloom on
+    ``col`` admits ``value`` (files without a bloom are kept —
+    conservative, like NULL stats). Returns (kept entries, total)."""
+    files = snapshot_files(table_dir, version)
+    kept = [
+        e
+        for e in files
+        if f"bloom_{col}" not in e or bloom_member(e[f"bloom_{col}"], value)
+    ]
+    return kept, len(files)
+
+
+def read_point_lookup(
+    spark: SparkSession, table_dir: str, col: str, value, version: int | None = None
+) -> DataFrame:
+    """Bloom-pruned point lookup: read only the admitted files, then
+    apply the exact predicate (bloom false positives are filtered by
+    the residual, never surfaced)."""
+    kept, total = point_lookup_files(table_dir, col, value, version)
+    if not kept:
+        all_files = snapshot_files(table_dir, version)
+        if not all_files:
+            raise ValueError(f"snapshot has no files under {table_dir}")
+        return spark.read.parquet(all_files[0]["path"]).where(F.lit(False))
+    return spark.read.parquet(*[e["path"] for e in kept]).where(F.col(col) == F.lit(value))

@@ -603,3 +603,68 @@ def stream_snapshot_changes_orders(spark, sf_dir):
             f"expected one micro-batch per commit {per_version}, saw {batches}"
         )
     return spark.table(name)
+
+
+@register(
+    "snapshot_bloom_lookup_orders",
+    oracle="""
+    WITH b AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS half FROM orders),
+    probe AS (SELECT MAX(o_orderkey) AS pk FROM orders, b WHERE o_orderkey <= half)
+    SELECT o_orderkey, o_totalprice FROM orders, probe WHERE o_orderkey = pk
+    """,
+    tags=("layout", "snapshot", "bloom", "point-lookup", "skipping", "metadata"),
+    # r11: new face starts extended (driver budget holds at 50);
+    # bit math + FP conservatism unit-pinned in tests/test_snapshots.py
+    driver=False,
+)
+def snapshot_bloom_lookup_orders(spark, sf_dir):
+    """PER-FILE BLOOM FILTERS in the commit metadata — point-lookup
+    skipping where min/max stats are BLIND (operators/snapshots.py:
+    `_scan_commit_blooms` / `read_point_lookup`, the Parquet
+    bloom-filter / Iceberg puffin pattern at the table-format layer).
+    The table is built as three INTERLEAVED commits (o_orderkey % 3 —
+    every file spans nearly the full key range, so interval stats keep
+    all 3 files for any interior probe, ASSERTED in-query), each commit
+    carrying an 8 KiB md5-positioned bloom on o_orderkey folded in one
+    distributed pass. A point lookup on an interior key then prunes by
+    bloom membership alone — asserted to keep FEWER than all 3 files
+    (the true file plus bounded false positives; FP ~0.5% at this
+    fill), and the residual predicate makes false positives invisible
+    to the result, which is value-checked against the SQL point query.
+    At 100 TB: membership tests are driver-side metadata bit math; no
+    data file is opened to decide, and the bloom rides the same commit
+    scan that produces min/max."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bmax = orders.agg(F.max("o_orderkey")).first()[0]  # driver scalar
+    probe = (
+        orders.where(F.col("o_orderkey") <= bmax // 2)
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    table_dir = fresh_result_dir("snap_bloom")
+    for sl in (0, 1, 2):
+        snap.snapshot_append(
+            spark,
+            table_dir,
+            orders.where(F.col("o_orderkey") % 3 == sl).repartition(1),
+            stats_cols=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+        )
+    files = snap.snapshot_files(table_dir)
+    stats_kept = [
+        e for e in files if e["min_o_orderkey"] <= probe <= e["max_o_orderkey"]
+    ]
+    if len(stats_kept) != 3:
+        raise AssertionError(
+            f"interval stats should be blind to an interior interleaved probe, "
+            f"kept {len(stats_kept)}/3"
+        )
+    kept, total = snap.point_lookup_files(table_dir, "o_orderkey", probe)
+    if not (0 < len(kept) < total == 3):
+        raise AssertionError(f"bloom pruning kept {len(kept)}/{total} files")
+    return snap.read_point_lookup(spark, table_dir, "o_orderkey", probe).select(
+        "o_orderkey", "o_totalprice"
+    )

@@ -162,27 +162,47 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 e[f"min_{c}"] = json_stat(mn)
                 e[f"max_{c}"] = json_stat(mx)
             entries.append(e)
-        parent = snap.current_version(self.table_dir)
-        meta = snap.read_snapshot_meta(self.table_dir, parent) if parent else {"files": []}
-        if parent and meta.get("last_batch_id") is not None and batchId <= meta["last_batch_id"]:
-            # EPOCH FENCE: this batch already committed before a crash —
-            # drop the replayed staging files, publish nothing.
-            for e in entries:
-                try:
-                    os.remove(e["path"])
-                except OSError:
-                    pass
-            return
-        snap._publish(
-            self.table_dir,
-            parent + 1,
-            {
-                "version": parent + 1,
-                "parent": parent,
-                "stats_cols": self.stats_cols,
-                "last_batch_id": batchId,
-                "files": meta["files"] + entries,
-            },
+        # Optimistic-concurrency rebase loop (same shape as
+        # snapshot_append): a sink batch COMMUTES with concurrent
+        # appends, so losing the first-writer publish just re-reads the
+        # parent and retries; the fence check re-runs under each new
+        # parent so a replay can never slip past a racing commit.
+        for _ in range(50):
+            parent = snap.current_version(self.table_dir)
+            meta = (
+                snap.read_snapshot_meta(self.table_dir, parent) if parent else {"files": []}
+            )
+            if (
+                parent
+                and meta.get("last_batch_id") is not None
+                and batchId <= meta["last_batch_id"]
+            ):
+                # EPOCH FENCE: this batch already committed before a
+                # crash — drop the replayed staging files, publish
+                # nothing.
+                for e in entries:
+                    try:
+                        os.remove(e["path"])
+                    except OSError:
+                        pass
+                return
+            try:
+                snap._publish(
+                    self.table_dir,
+                    parent + 1,
+                    {
+                        "version": parent + 1,
+                        "parent": parent,
+                        "stats_cols": self.stats_cols,
+                        "last_batch_id": batchId,
+                        "files": meta["files"] + entries,
+                    },
+                )
+                return
+            except snap.ConcurrentCommitError:
+                continue
+        raise snap.ConcurrentCommitError(
+            f"sink commit could not win a publish in 50 attempts under {self.table_dir}"
         )
 
     def abort(self, messages, batchId: int) -> None:

@@ -299,3 +299,115 @@ def test_json_stat_dates_and_loud_failure():
     assert a < b
     with pytest.raises(ValueError, match="not JSON-portable"):
         snap.json_stat(Decimal("1.5"))
+
+
+def test_publish_is_first_writer_wins():
+    """Two writers racing the same version slot: exactly one wins, the
+    loser gets ConcurrentCommitError (os.link EEXCL semantics), and the
+    winner's JSON is intact."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        snap._publish(d, 1, {"version": 1, "files": [], "who": "a"})
+        import pytest
+
+        with pytest.raises(snap.ConcurrentCommitError):
+            snap._publish(d, 1, {"version": 1, "files": [], "who": "b"})
+        assert snap.read_snapshot_meta(d, 1)["who"] == "a"
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """N threads appending concurrently: every append lands (rebase +
+    retry), versions are a contiguous 1..N chain, the final file list
+    is the union, and no rows are lost or duplicated."""
+    import concurrent.futures as cf
+
+    d = str(tmp_path / "t")
+    n_writers = 6
+
+    def one(i):
+        return snap.snapshot_append(
+            spark,
+            d,
+            spark.range(i * 100, (i + 1) * 100).select(F.col("id").alias("k")),
+            stats_cols=["k"],
+        )
+
+    with cf.ThreadPoolExecutor(n_writers) as ex:
+        versions = sorted(ex.map(one, range(n_writers)))
+    assert versions == list(range(1, n_writers + 1))
+    got = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert got == list(range(n_writers * 100))
+    # parent chain is contiguous: each version extends its parent's list
+    for v in range(2, n_writers + 1):
+        meta = snap.read_snapshot_meta(d, v)
+        assert meta["parent"] == v - 1
+        parent_paths = {e["path"] for e in snap.snapshot_files(d, v - 1)}
+        assert parent_paths < {e["path"] for e in meta["files"]}
+
+
+def test_rewrite_commits_surface_conflicts(spark, tmp_path, monkeypatch):
+    """Compaction planned against a stale parent must RAISE when a
+    concurrent writer wins its version slot mid-flight — never silently
+    clobber (the rewrite's file list depends on the parent it planned
+    from). The race window is made deterministic by publishing a
+    competing version from inside the compaction's stats scan."""
+    import pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    real_scan = snap._scan_commit_stats
+
+    def racing_scan(spark_, commit_dir, stats_cols):
+        entries = real_scan(spark_, commit_dir, stats_cols)
+        meta = snap.read_snapshot_meta(d, 1)
+        snap._publish(d, 2, {**meta, "version": 2, "parent": 1})  # rival wins v2
+        return entries
+
+    monkeypatch.setattr(snap, "_scan_commit_stats", racing_scan)
+    with pytest.raises(snap.ConcurrentCommitError):
+        snap.snapshot_compact(spark, d, target_files=1)
+    # the rival's publish is intact; no torn state
+    assert snap.current_version(d) == 2
+
+
+def test_bloom_positions_spark_python_parity(spark):
+    """The Spark-side md5 position expressions and the driver-side
+    hashlib twin must agree bit-for-bit — the whole scheme rests on it."""
+    df = spark.range(50).select(F.col("id").alias("k"))
+    rows = df.select(
+        "k", F.array(*snap._bloom_position_cols("k", snap._BLOOM_M, snap._BLOOM_K)).alias("ps")
+    ).collect()
+    for r in rows:
+        assert list(r["ps"]) == snap.bloom_positions(r["k"])
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, tmp_path):
+    d = str(tmp_path / "t")
+    for sl in (0, 1, 2):  # interleaved: stats blind, bloom sharp
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(3000).select(F.col("id").alias("k"))
+            .where(F.col("k") % 3 == sl).repartition(1),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    files = snap.snapshot_files(d)
+    assert all(f"bloom_k" in e for e in files)
+    # no false negatives: every present key is admitted by its file
+    for probe in (0, 1, 2, 1500, 2998):
+        kept, total = snap.point_lookup_files(d, "k", probe)
+        assert total == 3 and 1 <= len(kept) <= 2  # FP head-room
+        got = snap.read_point_lookup(spark, d, "k", probe).collect()
+        assert [r.k for r in got] == [probe]
+    # absent key: usually zero files kept; result empty either way
+    assert snap.read_point_lookup(spark, d, "k", 10**7).count() == 0
+
+
+def test_bloomless_files_are_kept_conservatively(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)  # no bloom_cols
+    kept, total = snap.point_lookup_files(d, "k", 5)
+    assert len(kept) == total > 0  # no bloom -> every file kept
+    assert snap.read_point_lookup(spark, d, "k", 5).count() == 1
