@@ -85,13 +85,17 @@ def metadata_probe(spark, tmp: str):
     meta = snap.read_snapshot_meta(d, snap.current_version(d))
     import json
 
+    base = snap.current_version(d)
     t0 = time.time()
-    for _ in range(20):
-        snap._publish(d, snap.current_version(d), meta)
+    # publish 20 FRESH versions: the first-writer-wins link refuses to
+    # overwrite an existing slot (r11 review — the old overwrite timing
+    # no longer exists as an operation)
+    for i in range(1, 21):
+        snap._publish(d, base + i, {**meta, "version": base + i, "parent": base + i - 1})
     per = (time.time() - t0) / 20
     print(
         f"{len(meta['files'])} entries -> {len(json.dumps(meta)) / 1024:.0f} KiB JSON, "
-        f"publish (serialize+rename) {per * 1000:.1f} ms"
+        f"publish (serialize + exclusive link) {per * 1000:.1f} ms"
     )
 
 

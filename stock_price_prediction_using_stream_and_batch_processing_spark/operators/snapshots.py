@@ -12,13 +12,16 @@ Model:
   list, each entry carrying per-file row counts and min/max stats for
   the commit's ``stats_cols`` (computed ONCE at ingest from the new
   files only — stats never require rescanning old data).
-- Publication is a POSIX ``os.replace`` of a same-directory temp file:
-  atomic, so a concurrent reader sees either v{N} or v{N+1}, never a
-  torn file. Two writers racing to the same version resolve
-  LAST-WRITER-WINS (the loser's data files become unreferenced
-  orphans, never corruption); a real object-store deployment would
-  swap this single primitive for a CAS/conditional-put without
-  touching anything else here.
+- Publication is an atomic exclusive hard-link of a same-directory
+  temp file: a concurrent reader sees either v{N} or v{N+1}, never a
+  torn file, and two writers racing the same version resolve
+  FIRST-WRITER-WINS — the loser raises :class:`ConcurrentCommitError`
+  with its (still unreferenced) data files intact. Commits that
+  COMMUTE with the race (appends, streaming-sink batches) rebase onto
+  the new parent and retry via :func:`publish_with_rebase`; rewrites
+  (compaction, merge) surface the conflict for re-planning. A real
+  object-store deployment swaps the one link primitive for a
+  CAS/conditional-put without touching anything else here.
 
 Readers resolve a version to its file list and read exactly those
 files — a reader pinned to snapshot N is immune to concurrent appends
@@ -84,10 +87,10 @@ def snapshot_append(
 
     Steps: (1) write data files under a fresh commit dir — invisible,
     no reader holds a list containing them; (2) one column-pruned scan
-    of the NEW files only collects per-file row counts + min/max
-    stats; (3) parent file list + new entries -> temp JSON ->
-    ``os.replace`` to ``v{N+1}.json`` (atomic publish,
-    last-writer-wins on a race)."""
+    of the NEW files collects per-file row counts + min/max stats
+    (plus one more pass for ``bloom_cols``, if any); (3) parent file
+    list + new entries publish first-writer-wins, auto-rebasing onto
+    any concurrently published parent (appends commute)."""
     stats_cols = stats_cols or []
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
@@ -98,29 +101,41 @@ def snapshot_append(
             for col, b64 in blooms.get(e["path"], {}).items():
                 e[f"bloom_{col}"] = b64
 
-    # Optimistic-concurrency retry loop: an append COMMUTES with any
-    # concurrent commit (its data files and entries are untouched by
-    # the race), so losing the first-writer publish just means rebasing
-    # the entry list onto the new parent and retrying — the expensive
-    # work (data write + stats scan) is never repeated.
-    for _ in range(50):
-        parent = current_version(table_dir)
-        meta = read_snapshot_meta(table_dir, parent) if parent else {"files": []}
-        new_version = parent + 1
+    def make_snap(parent: int, meta: dict) -> dict:
         snap = {
-            "version": new_version,
+            "version": parent + 1,
             "parent": parent,
             "stats_cols": stats_cols,
             "files": meta["files"] + entries,
         }
         _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def publish_with_rebase(table_dir: str, make_snap, max_attempts: int = 50) -> int:
+    """Optimistic-concurrency retry loop shared by every COMMUTING
+    commit (appends, streaming-sink batches): re-read the parent, let
+    ``make_snap(parent, meta)`` build the snapshot against it (return
+    None to stop without publishing — e.g. an epoch-fence hit), publish
+    first-writer-wins, rebase and retry on a lost race. The expensive
+    work (data write, stats scan) happens BEFORE this loop and is never
+    repeated; only metadata assembly reruns. Returns the published
+    version, or 0 if make_snap declined."""
+    for _ in range(max_attempts):
+        parent = current_version(table_dir)
+        meta = read_snapshot_meta(table_dir, parent) if parent else {"files": []}
+        snap = make_snap(parent, meta)
+        if snap is None:
+            return 0
         try:
-            _publish(table_dir, new_version, snap)
-            return new_version
+            _publish(table_dir, parent + 1, snap)
+            return parent + 1
         except ConcurrentCommitError:
             continue
     raise ConcurrentCommitError(
-        f"append could not win a publish in 50 attempts under {table_dir}"
+        f"could not win a publish in {max_attempts} attempts under {table_dir}"
     )
 
 
@@ -418,8 +433,23 @@ def snapshot_merge(
 
 # --- per-file bloom filters (point-lookup skipping) --------------------
 
-_BLOOM_M = 65_536  # bits per file (8 KiB packed; ~11 KiB base64)
-_BLOOM_K = 4       # hash functions; FP ~0.5% at ~5k distinct/file
+# Defaults size for ~50k distinct values/file at ~1% false positives
+# (fill 1-e^(-kn/m) ~= 0.32); at 5k/file FP is negligible. 64 KiB
+# packed / ~85 KiB base64 per (file, column) — metadata that a real
+# deployment moves to sidecar files (Iceberg puffin) once entry lists
+# shard; (m, k) are STORED per entry, so the sizing can change without
+# breaking old snapshots' probes.
+_BLOOM_M = 524_288
+_BLOOM_K = 4
+
+# Engine-portable position hashing requires Spark's CAST(col AS STRING)
+# to equal Python's str(value): true for integral and string types,
+# FALSE for float/double (Java scientific notation) and boolean
+# ('true' vs 'True') — those would produce bloom FALSE NEGATIVES, so
+# the build gates on type instead (mirrors json_stat's loud-failure
+# philosophy).
+_BLOOM_TYPES = ("byte", "short", "integer", "long", "string")
+
 
 def _bloom_position_cols(col: str, m: int, k: int):
     """The k bit positions of a value, as Spark column expressions:
@@ -441,7 +471,7 @@ def _bloom_position_cols(col: str, m: int, k: int):
     ]
 
 
-def bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+def bloom_positions(value, m: int, k: int) -> list[int]:
     """Driver-side twin of :func:`_bloom_position_cols` (hashlib)."""
     import hashlib
 
@@ -451,43 +481,65 @@ def bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
     ]
 
 
-def bloom_member(b64_bits: str, value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> bool:
-    """Probe a packed per-file bloom: True = value MAY be present
-    (false positives possible, false negatives impossible)."""
+def bloom_member(bloom: dict, value) -> bool:
+    """Probe a stored per-file bloom entry ({"m", "k", "bits"}): True =
+    value MAY be present (false positives possible, false negatives
+    impossible for gated column types)."""
     import base64
 
-    bits = base64.b64decode(b64_bits)
-    return all(bits[p >> 3] & (1 << (p & 7)) for p in bloom_positions(value, m, k))
+    bits = base64.b64decode(bloom["bits"])
+    return all(
+        bits[p >> 3] & (1 << (p & 7))
+        for p in bloom_positions(value, bloom["m"], bloom["k"])
+    )
 
 
-def _scan_commit_blooms(spark: SparkSession, commit_dir: str, bloom_cols: list[str]) -> dict:
-    """Per-file bloom bitsets for ``bloom_cols``, built in ONE
-    distributed pass per column: k md5 positions per row, exploded,
-    deduplicated per file (collect_set — bounded by m), packed into a
-    base64 bitarray driver-side. Returns {path: {col: b64}}."""
+def _scan_commit_blooms(
+    spark: SparkSession,
+    commit_dir: str,
+    bloom_cols: list[str],
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict:
+    """Per-file bloom bitsets for ALL ``bloom_cols`` in ONE distributed
+    pass (r11 review: was one scan per column): k md5 positions per
+    (row, column), exploded as (col, pos) pairs, deduplicated per
+    (file, col) — the driver receives at most min(k*n_rows, m)
+    positions per (file, column) and packs them into base64 bitarrays.
+    Returns {path: {col: {"m", "k", "bits"}}}."""
     import base64
 
     from .layout import decode_file_uri
 
-    out: dict[str, dict] = {}
-    for col in bloom_cols:
-        df = spark.read.parquet(commit_dir).select(col)
-        rows = (
-            df.select(
-                F.input_file_name().alias("file"),
-                F.explode(F.array(*_bloom_position_cols(col, _BLOOM_M, _BLOOM_K))).alias("p"),
+    df = spark.read.parquet(commit_dir).select(*bloom_cols)
+    for f in df.schema.fields:
+        if f.dataType.typeName() not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom_cols supports {list(_BLOOM_TYPES)} columns; got "
+                f"{f.name}: {f.dataType.typeName()} — float/bool CAST-to-string "
+                "differs between engines and would cause false negatives"
             )
-            .groupBy("file")
-            .agg(F.collect_set("p").alias("ps"))
-            .collect()  # one row per FILE — metadata-sized
-        )
-        for r in rows:
-            bits = bytearray(_BLOOM_M >> 3)
-            for p in r["ps"]:
-                bits[p >> 3] |= 1 << (p & 7)
-            out.setdefault(decode_file_uri(r["file"]), {})[col] = base64.b64encode(
-                bytes(bits)
-            ).decode()
+    pairs = [
+        F.struct(F.lit(col).alias("c"), pos.alias("p"))
+        for col in bloom_cols
+        for pos in _bloom_position_cols(col, m, k)
+    ]
+    rows = (
+        df.select(F.input_file_name().alias("file"), F.explode(F.array(*pairs)).alias("cp"))
+        .groupBy("file", F.col("cp.c").alias("c"))
+        .agg(F.collect_set("cp.p").alias("ps"))
+        .collect()  # one row per (file, column) — metadata-sized
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        bits = bytearray(m >> 3)
+        for p in r["ps"]:
+            bits[p >> 3] |= 1 << (p & 7)
+        out.setdefault(decode_file_uri(r["file"]), {})[r["c"]] = {
+            "m": m,
+            "k": k,
+            "bits": base64.b64encode(bytes(bits)).decode(),
+        }
     return out
 
 

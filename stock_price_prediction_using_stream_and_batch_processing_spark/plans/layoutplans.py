@@ -625,11 +625,13 @@ def snapshot_bloom_lookup_orders(spark, sf_dir):
     The table is built as three INTERLEAVED commits (o_orderkey % 3 —
     every file spans nearly the full key range, so interval stats keep
     all 3 files for any interior probe, ASSERTED in-query), each commit
-    carrying an 8 KiB md5-positioned bloom on o_orderkey folded in one
-    distributed pass. A point lookup on an interior key then prunes by
-    bloom membership alone — asserted to keep FEWER than all 3 files
-    (the true file plus bounded false positives; FP ~0.5% at this
-    fill), and the residual predicate makes false positives invisible
+    carrying a 64 KiB md5-positioned bloom on o_orderkey folded in one
+    distributed pass (m=2^19, k=4: ~1% FP at sf0.1's 50k distinct
+    keys/file — the r11 review caught an 8 KiB sizing that saturated at
+    sf0.1 and made this assertion pass by luck). A point lookup on an
+    interior key then prunes by bloom membership alone — asserted to
+    keep FEWER than all 3 files (the true file plus bounded false
+    positives), and the residual predicate makes false positives invisible
     to the result, which is value-checked against the SQL point query.
     At 100 TB: membership tests are driver-side metadata bit math; no
     data file is opened to decide, and the bloom rides the same commit

@@ -162,16 +162,11 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 e[f"min_{c}"] = json_stat(mn)
                 e[f"max_{c}"] = json_stat(mx)
             entries.append(e)
-        # Optimistic-concurrency rebase loop (same shape as
-        # snapshot_append): a sink batch COMMUTES with concurrent
-        # appends, so losing the first-writer publish just re-reads the
-        # parent and retries; the fence check re-runs under each new
-        # parent so a replay can never slip past a racing commit.
-        for _ in range(50):
-            parent = snap.current_version(self.table_dir)
-            meta = (
-                snap.read_snapshot_meta(self.table_dir, parent) if parent else {"files": []}
-            )
+        # Shared optimistic-concurrency loop (snapshots.publish_with_
+        # rebase): a sink batch COMMUTES with concurrent appends, and
+        # the epoch fence re-checks under each new parent so a replay
+        # can never slip past a racing commit.
+        def make_snap(parent: int, meta: dict):
             if (
                 parent
                 and meta.get("last_batch_id") is not None
@@ -185,25 +180,16 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                         os.remove(e["path"])
                     except OSError:
                         pass
-                return
-            try:
-                snap._publish(
-                    self.table_dir,
-                    parent + 1,
-                    {
-                        "version": parent + 1,
-                        "parent": parent,
-                        "stats_cols": self.stats_cols,
-                        "last_batch_id": batchId,
-                        "files": meta["files"] + entries,
-                    },
-                )
-                return
-            except snap.ConcurrentCommitError:
-                continue
-        raise snap.ConcurrentCommitError(
-            f"sink commit could not win a publish in 50 attempts under {self.table_dir}"
-        )
+                return None
+            return {
+                "version": parent + 1,
+                "parent": parent,
+                "stats_cols": self.stats_cols,
+                "last_batch_id": batchId,
+                "files": meta["files"] + entries,
+            }
+
+        snap.publish_with_rebase(self.table_dir, make_snap)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

@@ -379,7 +379,7 @@ def test_bloom_positions_spark_python_parity(spark):
         "k", F.array(*snap._bloom_position_cols("k", snap._BLOOM_M, snap._BLOOM_K)).alias("ps")
     ).collect()
     for r in rows:
-        assert list(r["ps"]) == snap.bloom_positions(r["k"])
+        assert list(r["ps"]) == snap.bloom_positions(r["k"], snap._BLOOM_M, snap._BLOOM_K)
 
 
 def test_bloom_no_false_negatives_and_prunes(spark, tmp_path):
@@ -411,3 +411,15 @@ def test_bloomless_files_are_kept_conservatively(spark, tmp_path):
     kept, total = snap.point_lookup_files(d, "k", 5)
     assert len(kept) == total > 0  # no bloom -> every file kept
     assert snap.read_point_lookup(spark, d, "k", 5).count() == 1
+
+
+def test_bloom_type_gate_rejects_doubles(spark, tmp_path):
+    """Float/bool CAST-to-string differs between Spark (Java notation)
+    and Python str(), which would produce bloom FALSE NEGATIVES — the
+    build must refuse loudly (r11 review)."""
+    import pytest
+
+    d = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
+    with pytest.raises(ValueError, match="false negatives"):
+        snap.snapshot_append(spark, d, df, stats_cols=["k"], bloom_cols=["v"])
