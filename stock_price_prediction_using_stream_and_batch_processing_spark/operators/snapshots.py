@@ -95,23 +95,35 @@ def snapshot_append(
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
-    if bloom_cols:
-        blooms = _scan_commit_blooms(spark, commit_dir, bloom_cols)
-        for e in entries:
-            for col, b64 in blooms.get(e["path"], {}).items():
-                e[f"bloom_{col}"] = b64
+    _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
 
     def make_snap(parent: int, meta: dict) -> dict:
+        # Mixed-stats commits are legal: the snapshot's top-level
+        # stats_cols/bloom_cols are the UNION across the history, and
+        # entries may lack min_/max_/bloom_ keys for columns their
+        # commit didn't collect — readers treat the MISSING key as
+        # "keep the file" (ADVICE r11: concatenating parent entries
+        # under a per-call stats_cols made read/merge KeyError on
+        # older files).
         snap = {
             "version": parent + 1,
             "parent": parent,
-            "stats_cols": stats_cols,
+            "stats_cols": _merged_cols(meta.get("stats_cols"), stats_cols),
+            "bloom_cols": _merged_cols(meta.get("bloom_cols"), bloom_cols),
             "files": meta["files"] + entries,
         }
         _carry_fence(snap, meta)
         return snap
 
     return publish_with_rebase(table_dir, make_snap)
+
+
+def _merged_cols(parent_cols, commit_cols) -> list[str]:
+    """Union of the parent's declared stat/bloom columns and this
+    commit's, parent order first (stable across rebases)."""
+    out = list(parent_cols or [])
+    out.extend(c for c in (commit_cols or []) if c not in out)
+    return out
 
 
 def publish_with_rebase(table_dir: str, make_snap, max_attempts: int = 50) -> int:
@@ -141,10 +153,15 @@ def publish_with_rebase(table_dir: str, make_snap, max_attempts: int = 50) -> in
 
 def _carry_fence(snap: dict, parent_meta: dict) -> None:
     """Every non-sink commit must CARRY the streaming sink's epoch
-    fence (``last_batch_id``) forward: a maintenance append/compact/
-    merge interleaved with a crashed stream would otherwise publish a
-    current version without the fence, and the stream's replayed batch
-    would double-append (found in the r11 self-review)."""
+    fences forward: a maintenance append/compact/merge interleaved
+    with a crashed stream would otherwise publish a current version
+    without the fence, and the stream's replayed batch would
+    double-append (found in the r11 self-review). Fences are the
+    per-writer map ``last_batches`` (r12); the legacy global
+    ``last_batch_id`` is carried too so pre-r12 tables keep their
+    protection until a sink commit upgrades the format."""
+    if parent_meta.get("last_batches"):
+        snap["last_batches"] = parent_meta["last_batches"]
     if parent_meta.get("last_batch_id") is not None:
         snap["last_batch_id"] = parent_meta["last_batch_id"]
 
@@ -178,12 +195,21 @@ def read_snapshot(
         raise ValueError(f"snapshot has no files under {table_dir}")
     files = all_files
     if prune_col is not None:
+        # Three stat states per entry, two of them prunable:
+        #   key ABSENT    -> commit didn't collect this column: KEEP
+        #                    (conservative, like a bloom-less file)
+        #   min None      -> collected, all values NULL: PRUNE (no row
+        #                    can satisfy a range predicate)
+        #   min/max set   -> interval-intersection test
         files = [
             e
             for e in files
-            if e[f"min_{prune_col}"] is not None
-            and e[f"max_{prune_col}"] >= lo
-            and e[f"min_{prune_col}"] <= hi
+            if f"min_{prune_col}" not in e
+            or (
+                e[f"min_{prune_col}"] is not None
+                and e[f"max_{prune_col}"] >= lo
+                and e[f"min_{prune_col}"] <= hi
+            )
         ]
     if not files:
         # every file pruned away: the legitimate answer is ZERO rows
@@ -200,6 +226,7 @@ def snapshot_compact(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     bits: int = 16,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """COPY-ON-WRITE compaction (the OPTIMIZE step of the protocol):
     read the current snapshot's files, rewrite them as ``target_files``
@@ -213,12 +240,19 @@ def snapshot_compact(
     same ingest-time scan ``snapshot_append`` uses. At 100 TB this is
     the small-files remedy: the rewrite is one distributed job over
     exactly the files being compacted, and the metadata swap is still
-    one atomic rename."""
-    stats_cols = stats_cols if stats_cols is not None else _current_stats_cols(table_dir)
+    one atomic rename.
+
+    Stats AND per-file blooms are recomputed on the rewritten files —
+    ``bloom_cols`` defaults to the snapshot's declared bloom columns,
+    so an OPTIMIZE on a bloom-indexed table keeps point-lookup pruning
+    intact instead of silently degrading it to stats-only (ADVICE
+    r11)."""
     parent = current_version(table_dir)
     if parent == 0:
         raise ValueError(f"nothing to compact under {table_dir}")
     parent_meta = read_snapshot_meta(table_dir, parent)
+    stats_cols = stats_cols if stats_cols is not None else parent_meta.get("stats_cols", [])
+    bloom_cols = bloom_cols if bloom_cols is not None else _snapshot_bloom_cols(parent_meta)
     df = read_snapshot(spark, table_dir, parent)
     if cluster_by:
         # OPTIMIZE ... ZORDER BY: range-partition the rewrite on the
@@ -240,10 +274,12 @@ def snapshot_compact(
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    _attach_blooms(spark, commit_dir, entries, bloom_cols)
     snap = {
         "version": parent + 1,
         "parent": parent,
         "stats_cols": stats_cols,
+        "bloom_cols": bloom_cols,
         "compaction_of": parent,
         "clustered_by": cluster_by or None,
         "files": entries,  # REPLACES, not extends
@@ -253,23 +289,75 @@ def snapshot_compact(
     return parent + 1
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+def _snapshot_bloom_cols(meta: dict) -> list[str]:
+    """The snapshot's bloom-indexed columns: the declared ``bloom_cols``
+    (r12+), else detected from ``bloom_*`` keys on the entries (pre-r12
+    snapshots declared nothing — rewrites must still rebuild them)."""
+    if meta.get("bloom_cols") is not None:
+        return meta["bloom_cols"]
+    cols: list[str] = []
+    for e in meta.get("files", []):
+        for k in e:
+            if k.startswith("bloom_") and k[6:] not in cols:
+                cols.append(k[6:])
+    return cols
+
+
+def _attach_blooms(
+    spark: SparkSession, commit_dir: str, entries: list[dict], bloom_cols: list[str]
+) -> None:
+    """Rebuild per-file blooms for a rewrite commit's new files and
+    attach them to the freshly scanned entries (in place)."""
+    if not bloom_cols:
+        return
+    blooms = _scan_commit_blooms(spark, commit_dir, bloom_cols)
+    for e in entries:
+        for col, b in blooms.get(e["path"], {}).items():
+            e[f"bloom_{col}"] = b
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0) -> dict:
     """Retention (the VACUUM step): drop all but the newest
     ``keep_last`` snapshot JSONs, then physically delete every data
     file referenced ONLY by expired versions (reachability over the
     survivors' file lists — a set difference on paths, metadata-sized).
     Time travel to an expired version stops working BY CONTRACT; every
     surviving version keeps every file it references, so pinned readers
-    of live versions are unaffected. Returns counts for assertion."""
+    of live versions are unaffected. Returns counts for assertion.
+
+    Concurrency contract (ADVICE r11): retention assumes ONE
+    maintenance process — it is not fenced against a writer that read
+    a parent meta before expiry and publishes after (its new snapshot
+    could reference just-deleted files). ``min_age_s`` is the
+    VACUUM-style mitigation: versions younger than it (by snapshot-JSON
+    mtime) are never expired, so any in-flight commit that rebases
+    within the window lands on a still-live parent. ``keep_last`` must
+    be ≥ 1 — expiring every snapshot would also discard the streaming
+    sink's epoch fences and re-open replay double-appends."""
+    if keep_last < 1:
+        raise ValueError(
+            "keep_last must be >= 1: the newest snapshot carries the table's "
+            "file list and the streaming sink's epoch fences"
+        )
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):  # empty table: nothing to expire
+        return {"expired_versions": 0, "deleted_files": 0}
     existing = sorted(
         int(n[1:9])
-        for n in os.listdir(_snap_dir(table_dir))
+        for n in os.listdir(d)
         if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
     )
     # keep the newest keep_last of the versions that EXIST on disk — a
     # contiguous range below current_version would reference versions a
     # stricter earlier expiry already deleted (r11 self-review)
-    keep = set(existing[-keep_last:]) if keep_last > 0 else set()
+    keep = set(existing[-keep_last:])
+    if min_age_s > 0:
+        import time
+
+        cutoff = time.time() - min_age_s
+        keep |= {
+            v for v in existing if os.path.getmtime(_snap_path(table_dir, v)) > cutoff
+        }
     expired = [v for v in existing if v not in keep]
     live_paths = {e["path"] for v in keep for e in snapshot_files(table_dir, v)}
     dead_paths = {
@@ -283,11 +371,6 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     for v in expired:
         os.remove(_snap_path(table_dir, v))
     return {"expired_versions": len(expired), "deleted_files": len(dead_paths)}
-
-
-def _current_stats_cols(table_dir: str) -> list[str]:
-    v = current_version(table_dir)
-    return read_snapshot_meta(table_dir, v)["stats_cols"] if v else []
 
 
 def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[str]) -> list[dict]:
@@ -391,17 +474,29 @@ def snapshot_merge(
         keys = keys.union(deletes.select(F.col(deletes.columns[0]).alias("_mk")))
     entries = meta["files"]
     mn, mx = f"min_{key}", f"max_{key}"
-    bounds = spark.createDataFrame(
-        [(e["path"], e[mn], e[mx]) for e in entries], ["_path", "_mn", "_mx"]
-    )
-    touched_paths = {
-        r["_path"]
-        for r in bounds.join(
-            F.broadcast(keys.distinct()),
-            (F.col("_mk") >= F.col("_mn")) & (F.col("_mk") <= F.col("_mx")),
-            "left_semi",
-        ).collect()  # one row per touched FILE — metadata-sized
-    }
+    # Entries from a commit that didn't collect stats for ``key`` have
+    # no min_/max_ entry: force-touch them (a rewrite is the only safe
+    # answer when a file MIGHT hold a merged key — same conservative
+    # direction as the read-side keep-on-missing rule). Entries whose
+    # stats are None hold only NULL keys and can never equi-match a
+    # merge key, so they are carried.
+    no_stats = {e["path"] for e in entries if mn not in e or mx not in e}
+    bounds_rows = [
+        (e["path"], e[mn], e[mx])
+        for e in entries
+        if e["path"] not in no_stats and e[mn] is not None
+    ]
+    touched_paths = set(no_stats)
+    if bounds_rows:
+        bounds = spark.createDataFrame(bounds_rows, ["_path", "_mn", "_mx"])
+        touched_paths |= {
+            r["_path"]
+            for r in bounds.join(
+                F.broadcast(keys.distinct()),
+                (F.col("_mk") >= F.col("_mn")) & (F.col("_mk") <= F.col("_mx")),
+                "left_semi",
+            ).collect()  # one row per touched FILE — metadata-sized
+        }
     carried = [e for e in entries if e["path"] not in touched_paths]
     base = (
         spark.read.parquet(*sorted(touched_paths))
@@ -414,11 +509,17 @@ def snapshot_merge(
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     merged.write.parquet(commit_dir)
     new_entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    # rewritten files get fresh blooms for the snapshot's bloom columns
+    # (carried entries keep theirs verbatim) — MERGE must not degrade
+    # point-lookup pruning (ADVICE r11)
+    bloom_cols = _snapshot_bloom_cols(meta)
+    _attach_blooms(spark, commit_dir, new_entries, bloom_cols)
     version = parent + 1
     snap = {
         "version": version,
         "parent": parent,
         "stats_cols": stats_cols,
+        "bloom_cols": bloom_cols,
         "merge": True,
         "files": carried + new_entries,
     }

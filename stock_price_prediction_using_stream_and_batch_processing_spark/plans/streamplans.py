@@ -1134,7 +1134,8 @@ def stream_snapshot_sink_events(spark, sf_dir):
     as one atomic snapshot version — executor tasks stream rows into
     staged parquet files with ingest-time min/max stats folded in the
     task itself, the driver publishes parent-list + staged entries with
-    ONE rename, and the recorded ``last_batch_id`` fences replays (the
+    ONE rename, and the recorded per-writer fence (``last_batches``,
+    keyed by the required ``writer_id`` option) fences replays (the
     exactly-once the reference's unfenced JDBC append lacks). In-query
     assertions pin the protocol: exactly 4 versions (one per
     micro-batch), final fence = batch 3, per-version row counts strictly
@@ -1162,6 +1163,7 @@ def stream_snapshot_sink_events(spark, sf_dir):
     q = (
         src.writeStream.format("snapshot_sink")
         .option("table_dir", table_dir)
+        .option("writer_id", "events-ingest")
         .option("stats_cols", "event_id")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -1174,8 +1176,8 @@ def stream_snapshot_sink_events(spark, sf_dir):
             f"got {snap.current_version(table_dir)}"
         )
     meta = snap.read_snapshot_meta(table_dir, 4)
-    if meta["last_batch_id"] != 3:
-        raise AssertionError(f"epoch fence not recorded: {meta.get('last_batch_id')}")
+    if meta["last_batches"] != {"events-ingest": 3}:
+        raise AssertionError(f"epoch fence not recorded: {meta.get('last_batches')}")
     counts = [
         sum(e["n_rows"] for e in snap.snapshot_files(table_dir, v)) for v in (1, 2, 3, 4)
     ]

@@ -18,10 +18,21 @@ This is the write-side twin of the connector's read faces
 - ``commit(messages, batchId)`` runs ON THE DRIVER once all tasks
   succeed: parent file list + staged entries -> one atomic rename
   publish. EPOCH FENCING makes replay idempotent — each snapshot
-  records ``last_batch_id``; a restarted query re-running batch N
-  against a store that already committed N drops the staged files
-  instead of double-appending (the exactly-once guarantee the
-  reference's unfenced JDBC append lacks, SURVEY §2.8).
+  records ``last_batches: {writer_id: batch_id}`` (Delta's
+  txnAppId/txnVersion shape); a restarted query re-running batch N
+  against a store where THIS writer already committed N drops the
+  staged files instead of double-appending (the exactly-once
+  guarantee the reference's unfenced JDBC append lacks, SURVEY §2.8).
+  The fence is keyed by the REQUIRED ``writer_id`` option precisely
+  so that a *different* pipeline — or the same one reprocessing from
+  a fresh checkpoint under a new id — restarting its batch numbering
+  at 0 is NOT mistaken for a replay (a global batchId fence silently
+  dropped such batches; ADVICE r11). Contract: one stable
+  ``writer_id`` per (pipeline, checkpoint); reprocessing from scratch
+  must pick a new id or truncate the table. The fence only survives
+  as long as SOME snapshot JSON does — ``expire_snapshots`` always
+  keeps ≥1, so the fence is lost only if the table dir itself is
+  wiped.
 - ``abort(messages, batchId)`` deletes staged files — a failed batch
   leaves the table at the parent version, bit-identical.
 
@@ -87,6 +98,20 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         self.table_dir = options.get("table_dir")
         if not self.table_dir:
             raise ValueError("snapshot_sink requires option 'table_dir'")
+        # The epoch fence is keyed by writer identity (module docstring):
+        # batch ids are only monotonic WITHIN one checkpoint lineage, so
+        # a writer-agnostic fence silently drops the first batches of any
+        # new query writing into an existing table. Required, and loudly
+        # so — the id should be stable per (pipeline, checkpoint), e.g.
+        # derived from the checkpoint location.
+        self.writer_id = options.get("writer_id")
+        if not self.writer_id:
+            raise ValueError(
+                "snapshot_sink requires option 'writer_id' (a stable id per "
+                "pipeline+checkpoint, e.g. derived from the checkpoint dir) — "
+                "the exactly-once fence is per-writer; reprocessing from a "
+                "fresh checkpoint must use a NEW writer_id"
+            )
         self.stats_cols = [c for c in options.get("stats_cols", "").split(",") if c]
         self.schema = schema
         missing = [c for c in self.stats_cols if c not in schema.fieldNames()]
@@ -167,11 +192,15 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         # the epoch fence re-checks under each new parent so a replay
         # can never slip past a racing commit.
         def make_snap(parent: int, meta: dict):
-            if (
-                parent
-                and meta.get("last_batch_id") is not None
-                and batchId <= meta["last_batch_id"]
-            ):
+            # Per-writer epoch fence (Delta txnAppId/txnVersion shape).
+            # Tables written by the pre-r12 sink carry only the legacy
+            # global ``last_batch_id``; treat it as this writer's fence
+            # so old tables keep their replay protection (conservative:
+            # it can still drop a NEW writer's early batches on such a
+            # table — one per-writer commit upgrades the fence format).
+            fences = dict(meta.get("last_batches") or {})
+            fence = fences.get(self.writer_id, meta.get("last_batch_id"))
+            if parent and fence is not None and batchId <= fence:
                 # EPOCH FENCE: this batch already committed before a
                 # crash — drop the replayed staging files, publish
                 # nothing.
@@ -181,11 +210,12 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                     except OSError:
                         pass
                 return None
+            fences[self.writer_id] = batchId
             return {
                 "version": parent + 1,
                 "parent": parent,
                 "stats_cols": self.stats_cols,
-                "last_batch_id": batchId,
+                "last_batches": fences,
                 "files": meta["files"] + entries,
             }
 
@@ -202,8 +232,9 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
 
 class SnapshotSinkDataSource(DataSource):
     """``df.writeStream.format("snapshot_sink").option("table_dir", d)
-    .option("stats_cols", "k") ...`` — micro-batches become atomic
-    snapshot versions."""
+    .option("writer_id", wid).option("stats_cols", "k") ...`` —
+    micro-batches become atomic snapshot versions, exactly-once per
+    ``writer_id``."""
 
     @classmethod
     def name(cls) -> str:

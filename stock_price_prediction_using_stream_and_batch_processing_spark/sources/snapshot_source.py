@@ -82,16 +82,29 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         """Paths ADDED by commits (lo, hi] — metadata set difference."""
         from ..operators import snapshots as snap
 
-        for v in range(lo + 1, hi + 1):
-            meta = snap.read_snapshot_meta(self.table_dir, v)
-            if meta.get("compaction_of") is not None or meta.get("merge"):
-                raise ValueError(
-                    f"version {v} is a {'compaction' if meta.get('compaction_of') is not None else 'merge'}: "
-                    "row-delta streaming is append-only (re-seed the stream "
-                    "past rewrite commits, as Delta requires)"
-                )
-        prev = {e["path"] for e in (snap.snapshot_files(self.table_dir, lo) if lo else [])}
-        cur = snap.snapshot_files(self.table_dir, hi)
+        try:
+            for v in range(lo + 1, hi + 1):
+                meta = snap.read_snapshot_meta(self.table_dir, v)
+                if meta.get("compaction_of") is not None or meta.get("merge"):
+                    raise ValueError(
+                        f"version {v} is a {'compaction' if meta.get('compaction_of') is not None else 'merge'}: "
+                        "row-delta streaming is append-only (re-seed the stream "
+                        "past rewrite commits, as Delta requires)"
+                    )
+            prev = {
+                e["path"] for e in (snap.snapshot_files(self.table_dir, lo) if lo else [])
+            }
+            cur = snap.snapshot_files(self.table_dir, hi)
+        except FileNotFoundError as exc:
+            # retention expired a version inside (lo, hi] (or the pinned
+            # start offset itself): a raw FileNotFoundError reads as an
+            # engine bug — surface the actual contract breach instead
+            # (ADVICE r11).
+            raise ValueError(
+                f"snapshot version range ({lo}, {hi}] under {self.table_dir} "
+                "references a version expired by retention; re-seed the "
+                "stream (new checkpoint + startingVersion at a live snapshot)"
+            ) from exc
         return [e["path"] for e in cur if e["path"] not in prev]
 
     def _rows(self, paths: list[str]):

@@ -42,9 +42,10 @@ class _Row(tuple):
     pass
 
 
-def _writer(tmp_path, stats="k"):
+def _writer(tmp_path, stats="k", writer_id="w1"):
     return SnapshotStreamWriter(
-        {"table_dir": str(tmp_path / "t"), "stats_cols": stats}, SCHEMA
+        {"table_dir": str(tmp_path / "t"), "stats_cols": stats, "writer_id": writer_id},
+        SCHEMA,
     )
 
 
@@ -53,11 +54,18 @@ def test_type_gate_fails_at_plan_time(tmp_path):
         [StructField("k", LongType()), StructField("ts", TimestampType())]
     )
     with pytest.raises(NotImplementedError, match="snapshot_sink supports"):
-        SnapshotStreamWriter({"table_dir": str(tmp_path / "t")}, bad)
+        SnapshotStreamWriter(
+            {"table_dir": str(tmp_path / "t"), "writer_id": "w1"}, bad
+        )
     with pytest.raises(ValueError, match="not in sink schema"):
         SnapshotStreamWriter(
-            {"table_dir": str(tmp_path / "t"), "stats_cols": "nope"}, SCHEMA
+            {"table_dir": str(tmp_path / "t"), "stats_cols": "nope", "writer_id": "w1"},
+            SCHEMA,
         )
+    # the fence is per-writer; an id-less sink would silently drop a new
+    # query's restarted batch numbering, so the option is REQUIRED
+    with pytest.raises(ValueError, match="writer_id"):
+        SnapshotStreamWriter({"table_dir": str(tmp_path / "t")}, SCHEMA)
 
 
 def test_write_commit_publishes_with_stats(tmp_path):
@@ -71,7 +79,7 @@ def test_write_commit_publishes_with_stats(tmp_path):
     (e,) = snap.snapshot_files(d, 1)
     assert (e["n_rows"], e["min_k"], e["max_k"]) == (2, 1, 9)
     meta = snap.read_snapshot_meta(d, 1)
-    assert meta["last_batch_id"] == 0
+    assert meta["last_batches"] == {"w1": 0}
 
 
 def test_epoch_fence_drops_replayed_batch(tmp_path):
@@ -86,6 +94,54 @@ def test_epoch_fence_drops_replayed_batch(tmp_path):
     assert snap.current_version(d) == 2
     assert not os.path.exists(replay.path)
     assert sum(e["n_rows"] for e in snap.snapshot_files(d)) == 2
+
+
+def test_fence_is_per_writer_not_global(tmp_path):
+    """ADVICE r11 (medium): a NEW query with a fresh checkpoint restarts
+    batch ids at 0; under a global batchId fence its first batches into
+    an existing table were silently dropped as replays. Keyed by
+    writer_id, a second writer's batch 0 lands; only ITS OWN replays
+    are fenced, and fences for both writers coexist in the meta."""
+    d = str(tmp_path / "t")
+    a = _writer(tmp_path, writer_id="pipe-a")
+    a.commit([a.write(iter([_Row((1, 1.0, "a"))]))], batchId=0)
+    a.commit([a.write(iter([_Row((2, 2.0, "b"))]))], batchId=1)
+    b = _writer(tmp_path, writer_id="pipe-b")
+    b.commit([b.write(iter([_Row((3, 3.0, "c"))]))], batchId=0)  # NOT a replay
+    assert snap.current_version(d) == 3
+    assert sum(e["n_rows"] for e in snap.snapshot_files(d)) == 3
+    assert snap.read_snapshot_meta(d, 3)["last_batches"] == {"pipe-a": 1, "pipe-b": 0}
+    # each writer's own replay still fences
+    ra = a.write(iter([_Row((2, 2.0, "b"))]))
+    a.commit([ra], batchId=1)
+    rb = b.write(iter([_Row((3, 3.0, "c"))]))
+    b.commit([rb], batchId=0)
+    assert snap.current_version(d) == 3
+    assert not os.path.exists(ra.path) and not os.path.exists(rb.path)
+
+
+def test_legacy_global_fence_still_respected(tmp_path):
+    """Tables written by the pre-r12 sink carry only ``last_batch_id``;
+    the upgraded sink treats it as this writer's fence (conservative)
+    and the first per-writer commit upgrades the format."""
+    d = str(tmp_path / "t")
+    w = _writer(tmp_path, writer_id="pipe-a")
+    m = w.write(iter([_Row((1, 1.0, "a"))]))
+    w.commit([m], batchId=5)
+    # rewrite v1's meta into the legacy shape
+    meta = snap.read_snapshot_meta(d, 1)
+    meta.pop("last_batches")
+    meta["last_batch_id"] = 5
+    import json
+
+    with open(snap._snap_path(d, 1), "w") as f:
+        json.dump(meta, f)
+    replay = w.write(iter([_Row((1, 1.0, "a"))]))
+    w.commit([replay], batchId=5)  # legacy fence fires
+    assert snap.current_version(d) == 1
+    assert not os.path.exists(replay.path)
+    w.commit([w.write(iter([_Row((2, 2.0, "b"))]))], batchId=6)
+    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"pipe-a": 6}
 
 
 def test_abort_removes_staged_files(tmp_path):
@@ -118,6 +174,7 @@ def test_connector_to_connector_exactly_once_restart(spark, tmp_path):
         return (
             sdf.writeStream.format("snapshot_sink")
             .option("table_dir", table_dir)
+            .option("writer_id", "restart-test")
             .option("stats_cols", "tick_id")
             .option("checkpointLocation", ckpt)
             .start()
@@ -162,6 +219,7 @@ def test_partitioned_source_to_snapshot_sink(spark, tmp_path):
         .load()
         .writeStream.format("snapshot_sink")
         .option("table_dir", table_dir)
+        .option("writer_id", "part-test")
         .option("stats_cols", "tick_id")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)

@@ -235,21 +235,21 @@ def test_maintenance_commits_carry_stream_fence(spark, tmp_path):
 
     d = str(tmp_path / "t")
     w = SnapshotStreamWriter(
-        {"table_dir": d, "stats_cols": "k"},
+        {"table_dir": d, "stats_cols": "k", "writer_id": "pipe-a"},
         StructType([StructField("k", LongType())]),
     )
     w.commit([w.write(iter([(1,), (2,)]))], batchId=7)
-    assert snap.read_snapshot_meta(d, 1)["last_batch_id"] == 7
+    assert snap.read_snapshot_meta(d, 1)["last_batches"] == {"pipe-a": 7}
     snap.snapshot_append(                         # append (same schema)
         spark, d, spark.range(10, 20).select(F.col("id").alias("k")), stats_cols=["k"]
     )
-    assert snap.read_snapshot_meta(d, 2)["last_batch_id"] == 7
+    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"pipe-a": 7}
     snap.snapshot_compact(spark, d, target_files=1)   # compact
-    assert snap.read_snapshot_meta(d, 3)["last_batch_id"] == 7
+    assert snap.read_snapshot_meta(d, 3)["last_batches"] == {"pipe-a": 7}
     snap.snapshot_merge(
         spark, d, spark.createDataFrame([(1,)], "k long"), key="k"
     )                                             # merge
-    assert snap.read_snapshot_meta(d, 4)["last_batch_id"] == 7
+    assert snap.read_snapshot_meta(d, 4)["last_batches"] == {"pipe-a": 7}
     # and the fence still fires through the maintenance commits
     replay = w.write(iter([(2,)]))
     w.commit([replay], batchId=7)
@@ -423,3 +423,108 @@ def test_bloom_type_gate_rejects_doubles(spark, tmp_path):
     df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
     with pytest.raises(ValueError, match="false negatives"):
         snap.snapshot_append(spark, d, df, stats_cols=["k"], bloom_cols=["v"])
+
+
+def test_mixed_stats_commits_read_conservatively(spark, tmp_path):
+    """ADVICE r11 (medium): per-call stats_cols used to overwrite the
+    snapshot's declaration, and entries missing min_/max_ keys made
+    read_snapshot/merge KeyError. Now: top-level stats_cols is the
+    UNION, files from a commit that didn't collect a column are KEPT
+    by the prune (conservative), and merge force-touches them."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(
+        spark, d,
+        spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        stats_cols=["k"],
+    )
+    snap.snapshot_append(
+        spark, d,
+        spark.range(10, 20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        stats_cols=[],  # this commit collects nothing
+    )
+    meta = snap.read_snapshot_meta(d, 2)
+    assert meta["stats_cols"] == ["k"]  # union, not last-writer-wins
+    # prune on k: the stats-less commit's files must be KEPT, so every
+    # row is still reachable (then the caller's residual filters)
+    got = snap.read_snapshot(spark, d, prune_col="k", lo=15, hi=16)
+    assert {r.k for r in got.where("k between 15 and 16").collect()} == {15, 16}
+    # merge on k: the stats-less file is force-touched (rewritten), the
+    # stats-bearing file outside the key range is carried
+    res = snap.snapshot_merge(
+        spark, d, spark.createDataFrame([(15, 99)], "k long, v long"), key="k"
+    )
+    assert res["files_carried"] >= 1  # commit 1's file (k in [0,10)) carried
+    rows = {r.k: r.v for r in snap.read_snapshot(spark, d).collect()}
+    assert rows[15] == 99 and len(rows) == 20
+
+
+def test_compact_and_merge_rebuild_blooms(spark, tmp_path):
+    """ADVICE r11: OPTIMIZE/MERGE rewrote files without recomputing
+    their blooms, silently degrading point lookups to stats-only.
+    Rewrites now rebuild blooms for the snapshot's bloom columns."""
+    d = str(tmp_path / "t")
+    for sl in (0, 1, 2):  # interleave so stats can't prune, only blooms
+        snap.snapshot_append(
+            spark, d,
+            spark.range(3000).select(F.col("id").alias("k"))
+            .where(F.col("k") % 3 == sl).repartition(1),
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+    assert snap.read_snapshot_meta(d, 3)["bloom_cols"] == ["k"]
+    v = snap.snapshot_compact(spark, d, target_files=3)
+    files = snap.snapshot_files(d, v)
+    assert all("bloom_k" in e for e in files)
+    # compaction hash-partitions, so stats stay blind; blooms must prune
+    kept, total = snap.point_lookup_files(d, "k", 1500)
+    assert total == 3 and len(kept) < 3
+    assert snap.read_point_lookup(spark, d, "k", 1500).count() == 1
+    # MERGE: the rewritten file gets a fresh bloom that admits the new key
+    snap.snapshot_merge(
+        spark, d, spark.createDataFrame([(10_000_000,)], "k long"), key="k"
+    )
+    files = snap.snapshot_files(d)
+    assert all("bloom_k" in e for e in files)
+    assert snap.read_point_lookup(spark, d, "k", 10_000_000).count() == 1
+    kept, total = snap.point_lookup_files(d, "k", 10_000_000)
+    assert len(kept) < total  # and the lookup still prunes
+
+
+def test_expire_guards(spark, tmp_path):
+    """ADVICE r11: keep_last=0 would discard the epoch fences; an empty
+    table raised from os.listdir; min_age_s protects in-flight commits
+    (the VACUUM-style retention window)."""
+    import pytest
+
+    d = str(tmp_path / "t")
+    assert snap.expire_snapshots(d) == {"expired_versions": 0, "deleted_files": 0}
+    with pytest.raises(ValueError, match="keep_last"):
+        snap.expire_snapshots(d, keep_last=0)
+    _commit(spark, d, 0, 10)
+    _commit(spark, d, 10, 20)
+    _commit(spark, d, 20, 30)
+    # every version is younger than an hour: nothing may expire
+    res = snap.expire_snapshots(d, keep_last=1, min_age_s=3600)
+    assert res["expired_versions"] == 0
+    assert snap.current_version(d) == 3
+    res = snap.expire_snapshots(d, keep_last=1)  # no window: expires 1, 2
+    assert res["expired_versions"] == 2
+
+
+def test_stream_from_expired_offset_is_a_contract_error(spark, tmp_path):
+    """ADVICE r11: a stream resuming from an offset whose version range
+    was expired by retention must fail with the retention contract,
+    not a raw FileNotFoundError."""
+    import pytest
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    _commit(spark, d, 10, 20)
+    _commit(spark, d, 20, 30)
+    snap.expire_snapshots(d, keep_last=1)  # versions 1, 2 gone
+    r = SnapshotChangesStreamReader({"table_dir": d})
+    with pytest.raises(ValueError, match="expired by retention"):
+        r._delta_paths(1, 2)
