@@ -30,11 +30,29 @@ version stays readable for as long as its files are retained: time
 travel is just "read an old list". Per-file stats make the manifest
 prune (`pruned_files`) compose with time travel for free.
 
-Scale posture: snapshot JSON is metadata-sized (one entry per file —
-at millions of files the entry list itself becomes the thing to shard,
-which is precisely Iceberg's manifest-list indirection; the protocol
-here is unchanged by that sharding). Data-file writes and stats jobs
-are distributed; only the entry list passes through the driver.
+Scale posture — MANIFEST-LIST SHARDING (r12, closing the ~10^6-entry
+ceiling the r11 docstring pinned): past ``_INLINE_MAX`` file entries,
+the snapshot JSON stops inlining ``files`` and instead holds a
+``manifests`` list — one record per immutable shard file under
+``<table>/manifests/``, each record carrying the shard's file count,
+row count, and AGGREGATED min/max per stats column. This is exactly
+Iceberg's manifest-list indirection:
+
+- the hot snapshot JSON is O(shards), not O(files) — an append reuses
+  the parent's shard records VERBATIM and adds one new shard for its
+  own entries, so commit metadata cost is O(new files + n_shards);
+- reads prune at TWO levels: shard-level stats skip whole shard files
+  unopened, then entry-level stats/blooms prune within the survivors;
+- MERGE touch-tests shard bounds first and only loads overlapping
+  shards — untouched shards carry as records, never parsed;
+- per-file bloom bitsets (the heavyweight metadata) ride in the shard
+  files, off the hot snapshot JSON;
+- :func:`snapshot_compact_manifests` re-chunks a fragmented shard list
+  in a pure-metadata commit (no data rewrite), the manifest-side
+  OPTIMIZE.
+
+Data-file writes and stats jobs are distributed; only shard records
+pass through the driver on the hot path.
 """
 
 from __future__ import annotations
@@ -48,6 +66,96 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SNAP_FMT = "v{:08d}.json"
+
+# File entries stay inline in the snapshot JSON up to this many; beyond
+# it the commit writes manifest SHARDS and the snapshot holds one
+# record per shard (module docstring). Writers accept an ``inline_max``
+# override so tests and demos can exercise the sharded format without
+# thousands of files.
+_INLINE_MAX = 512
+# Entries per shard when (re)sharding a full list (conversion, compact,
+# manifest compaction). Appends never re-shard — each commit's new
+# entries become exactly one shard.
+_SHARD_MAX = 4096
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "manifests")
+
+
+def _chunks(xs: list, n: int):
+    for i in range(0, len(xs), n):
+        yield xs[i : i + n]
+
+
+def _write_manifest(table_dir: str, entries: list[dict]) -> dict:
+    """Write one immutable manifest shard (invisible until a snapshot
+    references it) and return its manifest-list record: path, counts,
+    and shard-level min/max aggregated over the member entries. A stat
+    column gets shard bounds only if EVERY member entry collected it —
+    otherwise the key is omitted and readers keep the shard
+    (conservative, the same absent-key rule entries use). A present key
+    with None bounds means every member file is all-NULL on that column
+    (prunable for range predicates)."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    path = os.path.join(_manifest_dir(table_dir), f"m-{uuid.uuid4().hex}.json")
+    fd, tmp = tempfile.mkstemp(dir=_manifest_dir(table_dir), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"files": entries}, f)
+    os.rename(tmp, path)  # unique name: plain atomic rename suffices
+    rec = {
+        "path": path,
+        "n_files": len(entries),
+        "n_rows": sum(e["n_rows"] for e in entries),
+    }
+    stat_cols = {
+        k[4:]
+        for e in entries
+        for k in e
+        if k.startswith("min_")
+    }
+    for c in stat_cols:
+        if not all(f"min_{c}" in e and f"max_{c}" in e for e in entries):
+            continue  # mixed coverage: omit -> shard always kept
+        mins = [e[f"min_{c}"] for e in entries if e[f"min_{c}"] is not None]
+        maxs = [e[f"max_{c}"] for e in entries if e[f"max_{c}"] is not None]
+        rec[f"min_{c}"] = min(mins) if mins else None
+        rec[f"max_{c}"] = max(maxs) if maxs else None
+    return rec
+
+
+def _load_manifest(path: str) -> list[dict]:
+    with open(path) as f:
+        return json.load(f)["files"]
+
+
+def _meta_entries(meta: dict) -> list[dict]:
+    """Resolve a snapshot meta to its full file-entry list — inline
+    ``files`` or the concatenation of its manifest shards."""
+    if "manifests" in meta:
+        out: list[dict] = []
+        for rec in meta["manifests"]:
+            out.extend(_load_manifest(rec["path"]))
+        return out
+    return meta.get("files", [])
+
+
+def _meta_n_files(meta: dict) -> int:
+    if "manifests" in meta:
+        return sum(rec["n_files"] for rec in meta["manifests"])
+    return len(meta.get("files", []))
+
+
+def _shard_may_intersect(rec: dict, col: str, lo, hi) -> bool:
+    """Shard-level interval test, same three-state semantics as the
+    entry-level prune: absent key -> keep, None bounds -> prune
+    (all-NULL), else intersect."""
+    if f"min_{col}" not in rec:
+        return True
+    mn, mx = rec[f"min_{col}"], rec[f"max_{col}"]
+    if mn is None:
+        return False
+    return mx >= lo and mn <= hi
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -82,6 +190,8 @@ def snapshot_append(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    inline_max: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the published version.
 
@@ -90,32 +200,188 @@ def snapshot_append(
     of the NEW files collects per-file row counts + min/max stats
     (plus one more pass for ``bloom_cols``, if any); (3) parent file
     list + new entries publish first-writer-wins, auto-rebasing onto
-    any concurrently published parent (appends commute)."""
+    any concurrently published parent (appends commute). Past
+    ``inline_max`` entries (default :data:`_INLINE_MAX`) the entry
+    list shards into manifest files (module docstring).
+
+    SCHEMA: each commit records the table schema; a ``df`` whose
+    columns differ from it is REFUSED unless ``merge_schema=True``
+    (Delta's mergeSchema contract) — with it, new columns append to
+    the declared schema and columns the commit omits read back NULL
+    from its files. Same-name/different-type always refuses."""
     stats_cols = stats_cols or []
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
+    schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
     def make_snap(parent: int, meta: dict) -> dict:
-        # Mixed-stats commits are legal: the snapshot's top-level
-        # stats_cols/bloom_cols are the UNION across the history, and
-        # entries may lack min_/max_/bloom_ keys for columns their
-        # commit didn't collect — readers treat the MISSING key as
-        # "keep the file" (ADVICE r11: concatenating parent entries
-        # under a per-call stats_cols made read/merge KeyError on
-        # older files).
+        return build_append_snap(
+            table_dir, parent, meta, entries, stats_cols, bloom_cols, inline_max,
+            schema=schema, merge_schema=merge_schema,
+        )
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def build_append_snap(
+    table_dir: str,
+    parent: int,
+    meta: dict,
+    entries: list[dict],
+    stats_cols: list[str],
+    bloom_cols: list[str] | None = None,
+    inline_max: int | None = None,
+    schema: list[list[str]] | None = None,
+    merge_schema: bool = False,
+) -> dict:
+    """Assemble an APPEND snapshot against ``meta`` — the one builder
+    shared by :func:`snapshot_append` and the streaming sink's commit
+    (sources/snapshot_sink.py), so both speak the identical format.
+
+    Mixed-stats commits are legal: the snapshot's top-level
+    stats_cols/bloom_cols are the UNION across the history, and entries
+    may lack min_/max_/bloom_ keys for columns their commit didn't
+    collect — readers treat the MISSING key as "keep the file" (ADVICE
+    r11: concatenating parent entries under a per-call stats_cols made
+    read/merge KeyError on older files).
+
+    Format selection: a sharded parent stays sharded — its shard
+    records carry VERBATIM and the new entries become one new shard
+    (O(new files + n_shards) metadata, never a rescan). An inline
+    parent crossing ``inline_max`` converts: the whole list is chunked
+    into shards once, here (a lost publish race can orphan a
+    conversion shard file — harmless, unreferenced, and metadata-sized;
+    retention ignores unreferenced shards the same way it ignores
+    aborted commits' data files)."""
+    limit = _INLINE_MAX if inline_max is None else inline_max
+    snap = {
+        "version": parent + 1,
+        "parent": parent,
+        "stats_cols": _merged_cols(meta.get("stats_cols"), stats_cols),
+        "bloom_cols": _merged_cols(meta.get("bloom_cols"), bloom_cols),
+    }
+    new_schema, evolved = _merged_schema(meta, schema, merge_schema)
+    if new_schema is not None:
+        snap["schema"] = new_schema
+    if evolved:
+        snap["schema_evolved"] = True
+    if "manifests" in meta:
+        snap["manifests"] = meta["manifests"] + (
+            [_write_manifest(table_dir, entries)] if entries else []
+        )
+    else:
+        inline = meta.get("files", []) + entries
+        if len(inline) > limit:
+            # overridden inline_max also bounds the shard size, so a
+            # test-scale table actually exercises MULTIPLE shards
+            shard_max = _SHARD_MAX if inline_max is None else max(limit, 1)
+            snap["manifests"] = [
+                _write_manifest(table_dir, chunk)
+                for chunk in _chunks(inline, shard_max)
+            ]
+        else:
+            snap["files"] = inline
+    _carry_fence(snap, meta)
+    return snap
+
+
+def _merged_schema(
+    meta: dict, schema: list[list[str]] | None, merge_schema: bool
+) -> tuple[list[list[str]] | None, bool]:
+    """ADDITIVE schema evolution (the Delta mergeSchema contract) —
+    returns (declared schema for the new snapshot, evolved?). A commit
+    whose columns differ from the declared schema is refused LOUDLY
+    unless ``merge_schema`` is set: silent acceptance would strand its
+    extra columns invisible (or its missing columns ambiguous) for
+    every reader. With it, new columns append to the declaration and
+    omitted columns stay declared (the commit's files read back NULL
+    for them). Same-name/different-type is never mergeable. A table
+    whose history predates schema tracking (no ``schema`` key) adopts
+    the commit's schema as the declaration."""
+    parent = meta.get("schema")
+    if schema is None:
+        return parent, bool(meta.get("schema_evolved"))
+    if parent is None:
+        return schema, bool(meta.get("schema_evolved"))
+    ptypes = {n: t for n, t in parent}
+    ctypes = {n: t for n, t in schema}
+    conflicts = [n for n in ctypes if n in ptypes and ptypes[n] != ctypes[n]]
+    if conflicts:
+        raise ValueError(
+            f"schema conflict on {conflicts}: table declares "
+            f"{[(n, ptypes[n]) for n in conflicts]}, commit writes "
+            f"{[(n, ctypes[n]) for n in conflicts]} — type changes require a rewrite"
+        )
+    new_cols = [c for c in schema if c[0] not in ptypes]
+    missing = [n for n in ptypes if n not in ctypes]
+    if (new_cols or missing) and not merge_schema:
+        raise ValueError(
+            f"commit schema differs from the table's (new: {[c[0] for c in new_cols]}, "
+            f"missing: {missing}); pass merge_schema=True to evolve additively"
+        )
+    evolved = bool(meta.get("schema_evolved")) or bool(new_cols) or bool(missing)
+    return parent + new_cols, evolved
+
+
+def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
+    """ALTER TABLE ... ADD COLUMN as a PURE-METADATA commit: the
+    declared schema gains ``(name, ddl_type)``, every file entry (and
+    shard record) carries verbatim, no data file is touched — readers
+    fill the column with NULL until some commit actually writes it
+    (exactly Iceberg/Delta ADD COLUMN). Commutes with concurrent
+    appends, so it rides the shared rebase loop; adds no data paths,
+    so CDC streams see an empty delta and ride through."""
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        if parent == 0:
+            raise ValueError(f"cannot alter empty table {table_dir}")
+        schema = meta.get("schema")
+        if schema is None:
+            raise ValueError(
+                "table has no declared schema (history predates schema "
+                "tracking); run one append/compaction first"
+            )
+        if any(n == name for n, _ in schema):
+            raise ValueError(f"column {name!r} already exists")
         snap = {
             "version": parent + 1,
             "parent": parent,
-            "stats_cols": _merged_cols(meta.get("stats_cols"), stats_cols),
-            "bloom_cols": _merged_cols(meta.get("bloom_cols"), bloom_cols),
-            "files": meta["files"] + entries,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "schema": schema + [[name, ddl_type]],
+            "schema_evolved": True,
+            "add_column": name,
         }
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
         _carry_fence(snap, meta)
         return snap
 
     return publish_with_rebase(table_dir, make_snap)
+
+
+def _aligned_reader(spark: SparkSession, meta: dict, paths: list[str]) -> DataFrame:
+    """Read data files ALIGNED to the snapshot's declared schema. The
+    fast path (no evolution recorded) is a plain parquet read — zero
+    overhead for homogeneous tables. Evolved tables read with
+    mergeSchema and project to the declaration: columns absent from
+    every read file come back as typed NULLs, declared order is
+    restored. Compaction rewrites files homogeneous again and clears
+    the flag, so the mergeSchema tax is transient by design."""
+    if not meta.get("schema_evolved") or not meta.get("schema"):
+        return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return df.select(
+        *[
+            F.col(n).cast(t).alias(n)
+            if n in df.columns
+            else F.lit(None).cast(t).alias(n)
+            for n, t in meta["schema"]
+        ]
+    )
 
 
 def _merged_cols(parent_cols, commit_cols) -> list[str]:
@@ -167,12 +433,13 @@ def _carry_fence(snap: dict, parent_meta: dict) -> None:
 
 
 def snapshot_files(table_dir: str, version: int | None = None) -> list[dict]:
-    """File entries of ``version`` (default: current). This IS the pin:
+    """File entries of ``version`` (default: current), resolving
+    manifest shards when the snapshot is sharded. This IS the pin:
     hold the list and concurrent appends cannot touch your read set."""
     v = current_version(table_dir) if version is None else version
     if v == 0:
         return []
-    return read_snapshot_meta(table_dir, v)["files"]
+    return _meta_entries(read_snapshot_meta(table_dir, v))
 
 
 def read_snapshot(
@@ -189,34 +456,69 @@ def read_snapshot(
     make historical reads prunable without touching any data file.
     The caller applies its own residual predicate (pruning is
     conservative interval intersection, same semantics as
-    ``operators/layout.manifest_pruned_paths``)."""
-    all_files = snapshot_files(table_dir, version)
-    if not all_files:
+    ``operators/layout.manifest_pruned_paths``). On a sharded snapshot
+    the prune is TWO-LEVEL: shard records whose aggregated bounds miss
+    [lo, hi] are skipped without even opening the shard file, then the
+    entry-level test runs inside the survivors — at millions of files
+    a point/range read touches O(matching shards) metadata, not the
+    whole entry list."""
+    v = current_version(table_dir) if version is None else version
+    meta = read_snapshot_meta(table_dir, v) if v else {}
+    if _meta_n_files(meta) == 0:
         raise ValueError(f"snapshot has no files under {table_dir}")
-    files = all_files
-    if prune_col is not None:
-        # Three stat states per entry, two of them prunable:
-        #   key ABSENT    -> commit didn't collect this column: KEEP
-        #                    (conservative, like a bloom-less file)
-        #   min None      -> collected, all values NULL: PRUNE (no row
-        #                    can satisfy a range predicate)
-        #   min/max set   -> interval-intersection test
+    if prune_col is None:
+        files = _meta_entries(meta)
+    elif "manifests" in meta:
+        files = []
+        for rec in meta["manifests"]:
+            if _shard_may_intersect(rec, prune_col, lo, hi):
+                files.extend(
+                    e
+                    for e in _load_manifest(rec["path"])
+                    if _entry_may_intersect(e, prune_col, lo, hi)
+                )
+    else:
         files = [
-            e
-            for e in files
-            if f"min_{prune_col}" not in e
-            or (
-                e[f"min_{prune_col}"] is not None
-                and e[f"max_{prune_col}"] >= lo
-                and e[f"min_{prune_col}"] <= hi
-            )
+            e for e in meta["files"] if _entry_may_intersect(e, prune_col, lo, hi)
         ]
     if not files:
         # every file pruned away: the legitimate answer is ZERO rows
         # (e.g. a range beyond any key), not an error — read one file's
         # footer for the schema and return the empty frame.
-        return spark.read.parquet(all_files[0]["path"]).where(F.lit(False))
-    return spark.read.parquet(*[e["path"] for e in files])
+        if "manifests" in meta:
+            any_path = _load_manifest(meta["manifests"][0]["path"])[0]["path"]
+        else:
+            any_path = meta["files"][0]["path"]
+        return _aligned_reader(spark, meta, [any_path]).where(F.lit(False))
+    return _aligned_reader(spark, meta, [e["path"] for e in files])
+
+
+def _entry_may_intersect(e: dict, col: str, lo, hi) -> bool:
+    """Entry-level interval test, three stat states (two prunable):
+    key ABSENT -> commit didn't collect this column: KEEP (conservative,
+    like a bloom-less file); min None -> collected, all values NULL:
+    PRUNE (no row can satisfy a range predicate); else intersect."""
+    if f"min_{col}" not in e:
+        return True
+    return (
+        e[f"min_{col}"] is not None
+        and e[f"max_{col}"] >= lo
+        and e[f"min_{col}"] <= hi
+    )
+
+
+def _entries_payload(table_dir: str, entries: list[dict], inline_max: int | None) -> dict:
+    """Inline-vs-sharded format selection for a commit that REPLACES
+    the whole entry list (compact, manifest compaction)."""
+    limit = _INLINE_MAX if inline_max is None else inline_max
+    if len(entries) > limit:
+        shard_max = _SHARD_MAX if inline_max is None else max(limit, 1)
+        return {
+            "manifests": [
+                _write_manifest(table_dir, c) for c in _chunks(entries, shard_max)
+            ]
+        }
+    return {"files": entries}
 
 
 def snapshot_compact(
@@ -227,6 +529,7 @@ def snapshot_compact(
     cluster_by: list[str] | None = None,
     bits: int = 16,
     bloom_cols: list[str] | None = None,
+    inline_max: int | None = None,
 ) -> int:
     """COPY-ON-WRITE compaction (the OPTIMIZE step of the protocol):
     read the current snapshot's files, rewrite them as ``target_files``
@@ -282,11 +585,47 @@ def snapshot_compact(
         "bloom_cols": bloom_cols,
         "compaction_of": parent,
         "clustered_by": cluster_by or None,
-        "files": entries,  # REPLACES, not extends
+        # the rewrite materializes the declared schema into EVERY file,
+        # so evolution is over: schema recorded, evolved flag cleared —
+        # readers drop back to the zero-overhead plain-parquet path
+        "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
+        **_entries_payload(table_dir, entries, inline_max),  # REPLACES
     }
     _carry_fence(snap, parent_meta)
     _publish(table_dir, parent + 1, snap)
     return parent + 1
+
+
+def snapshot_compact_manifests(table_dir: str, inline_max: int | None = None) -> int:
+    """Pure-METADATA compaction: re-chunk a fragmented shard list (one
+    tiny shard per append is the steady state of streaming ingest) into
+    full shards — or back inline if the table shrank — WITHOUT touching
+    any data file. The manifest-side OPTIMIZE: after it, shard-level
+    pruning works against O(total/\\_SHARD\\_MAX) records again instead
+    of one record per historical commit. Commutes with concurrent
+    appends (the rebase loop re-resolves the current entry list, which
+    is metadata-sized), adds no data paths, so the CDC source sees an
+    empty delta — streams ride through it, unlike data rewrites."""
+    def make_snap(parent: int, meta: dict):
+        if parent == 0:
+            raise ValueError(f"nothing to compact under {table_dir}")
+        entries = _meta_entries(meta)
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "manifest_compaction": True,
+            **_entries_payload(table_dir, entries, inline_max),
+        }
+        if meta.get("schema") is not None:
+            snap["schema"] = meta["schema"]
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
 
 
 def _snapshot_bloom_cols(meta: dict) -> list[str]:
@@ -341,7 +680,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
         )
     d = _snap_dir(table_dir)
     if not os.path.isdir(d):  # empty table: nothing to expire
-        return {"expired_versions": 0, "deleted_files": 0}
+        return {"expired_versions": 0, "deleted_files": 0, "deleted_manifests": 0}
     existing = sorted(
         int(n[1:9])
         for n in os.listdir(d)
@@ -359,18 +698,32 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
             v for v in existing if os.path.getmtime(_snap_path(table_dir, v)) > cutoff
         }
     expired = [v for v in existing if v not in keep]
-    live_paths = {e["path"] for v in keep for e in snapshot_files(table_dir, v)}
+    keep_metas = [read_snapshot_meta(table_dir, v) for v in keep]
+    expired_metas = [read_snapshot_meta(table_dir, v) for v in expired]
+    live_paths = {e["path"] for m in keep_metas for e in _meta_entries(m)}
     dead_paths = {
-        e["path"] for v in expired for e in snapshot_files(table_dir, v)
+        e["path"] for m in expired_metas for e in _meta_entries(m)
     } - live_paths
-    for p in dead_paths:
+    # manifest SHARD files are snapshot metadata with the same
+    # reachability rule: delete shards referenced only by expired
+    # versions (shards are immutable and shared across appends, so a
+    # surviving version keeps every shard it references)
+    live_shards = {r["path"] for m in keep_metas for r in m.get("manifests", [])}
+    dead_shards = {
+        r["path"] for m in expired_metas for r in m.get("manifests", [])
+    } - live_shards
+    for p in dead_paths | dead_shards:
         try:
             os.remove(p)
         except OSError:
             pass
     for v in expired:
         os.remove(_snap_path(table_dir, v))
-    return {"expired_versions": len(expired), "deleted_files": len(dead_paths)}
+    return {
+        "expired_versions": len(expired),
+        "deleted_files": len(dead_paths),
+        "deleted_manifests": len(dead_shards),
+    }
 
 
 def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[str]) -> list[dict]:
@@ -460,8 +813,15 @@ def snapshot_merge(
     only the touched files, anti-joins the merged keys out, unions the
     update rows in, and writes the replacement files; the publish is
     the same single atomic rename every other commit uses. Returns
-    ``{"version", "files_rewritten", "files_carried"}`` so callers can
-    assert the pruning actually happened."""
+    ``{"version", "files_rewritten", "files_carried"}`` (plus
+    ``"shards_carried"`` on a sharded snapshot) so callers can assert
+    the pruning actually happened.
+
+    On a SHARDED snapshot the touch test is two-level: shard records
+    whose aggregated bounds miss every merge key carry VERBATIM —
+    never opened, never re-written — so merge metadata cost is
+    O(overlapping shards), not O(total files). Entries carried out of
+    a touched shard re-shard together with the rewrite's new entries."""
     parent = current_version(table_dir)
     if parent == 0:
         raise ValueError(f"cannot merge into empty table {table_dir}")
@@ -469,11 +829,40 @@ def snapshot_merge(
     stats_cols = meta["stats_cols"]
     if key not in stats_cols:
         raise ValueError(f"merge key {key!r} not in stats_cols {stats_cols}")
+    declared = meta.get("schema")
+    if declared is not None and [c for c, _ in declared] != updates.columns:
+        raise ValueError(
+            f"updates columns {updates.columns} must match the table's declared "
+            f"schema {[c for c, _ in declared]} (run snapshot_add_column / a "
+            "merge_schema append to evolve first)"
+        )
     keys = updates.select(F.col(key).alias("_mk"))
     if deletes is not None:
         keys = keys.union(deletes.select(F.col(deletes.columns[0]).alias("_mk")))
-    entries = meta["files"]
     mn, mx = f"min_{key}", f"max_{key}"
+    carried_shards: list[dict] = []
+    if "manifests" in meta:
+        # level 1: shard-bound touch test — untouched shard RECORDS
+        # carry verbatim, their entries are never loaded
+        touched_ids = _touched_by_keys(
+            spark,
+            [
+                (rec["path"], rec[mn], rec[mx])
+                for rec in meta["manifests"]
+                if mn in rec and rec[mn] is not None
+            ],
+            keys,
+        ) | {rec["path"] for rec in meta["manifests"] if mn not in rec}
+        carried_shards = [r for r in meta["manifests"] if r["path"] not in touched_ids]
+        entries = [
+            e
+            for rec in meta["manifests"]
+            if rec["path"] in touched_ids
+            for e in _load_manifest(rec["path"])
+        ]
+    else:
+        entries = meta["files"]
+    # level 2 (the only level on inline snapshots): per-file bounds.
     # Entries from a commit that didn't collect stats for ``key`` have
     # no min_/max_ entry: force-touch them (a rewrite is the only safe
     # answer when a file MIGHT hold a merged key — same conservative
@@ -481,25 +870,18 @@ def snapshot_merge(
     # stats are None hold only NULL keys and can never equi-match a
     # merge key, so they are carried.
     no_stats = {e["path"] for e in entries if mn not in e or mx not in e}
-    bounds_rows = [
-        (e["path"], e[mn], e[mx])
-        for e in entries
-        if e["path"] not in no_stats and e[mn] is not None
-    ]
-    touched_paths = set(no_stats)
-    if bounds_rows:
-        bounds = spark.createDataFrame(bounds_rows, ["_path", "_mn", "_mx"])
-        touched_paths |= {
-            r["_path"]
-            for r in bounds.join(
-                F.broadcast(keys.distinct()),
-                (F.col("_mk") >= F.col("_mn")) & (F.col("_mk") <= F.col("_mx")),
-                "left_semi",
-            ).collect()  # one row per touched FILE — metadata-sized
-        }
+    touched_paths = no_stats | _touched_by_keys(
+        spark,
+        [
+            (e["path"], e[mn], e[mx])
+            for e in entries
+            if e["path"] not in no_stats and e[mn] is not None
+        ],
+        keys,
+    )
     carried = [e for e in entries if e["path"] not in touched_paths]
     base = (
-        spark.read.parquet(*sorted(touched_paths))
+        _aligned_reader(spark, meta, sorted(touched_paths))
         if touched_paths
         else spark.createDataFrame([], updates.schema)
     )
@@ -521,14 +903,47 @@ def snapshot_merge(
         "stats_cols": stats_cols,
         "bloom_cols": bloom_cols,
         "merge": True,
-        "files": carried + new_entries,
     }
+    if declared is not None:
+        snap["schema"] = declared
+    if meta.get("schema_evolved") and (carried or carried_shards):
+        # carried files may still predate the declared schema; a merge
+        # that rewrote EVERYTHING homogenized the table
+        snap["schema_evolved"] = True
+    out = {"version": version, "files_rewritten": len(touched_paths)}
+    if "manifests" in meta:
+        snap["manifests"] = carried_shards + [
+            _write_manifest(table_dir, chunk)
+            for chunk in _chunks(carried + new_entries, _SHARD_MAX)
+        ]
+        out["files_carried"] = len(carried) + sum(
+            r["n_files"] for r in carried_shards
+        )
+        out["shards_carried"] = len(carried_shards)
+    else:
+        snap["files"] = carried + new_entries
+        out["files_carried"] = len(carried)
     _carry_fence(snap, meta)
     _publish(table_dir, version, snap)
+    return out
+
+
+def _touched_by_keys(
+    spark: SparkSession, bounds_rows: list[tuple], keys: DataFrame
+) -> set[str]:
+    """ids of [mn, mx] intervals containing at least one key — the
+    metadata-sized broadcast range join shared by both levels of the
+    MERGE touch test (one row back per touched interval)."""
+    if not bounds_rows:
+        return set()
+    bounds = spark.createDataFrame(bounds_rows, ["_id", "_mn", "_mx"])
     return {
-        "version": version,
-        "files_rewritten": len(touched_paths),
-        "files_carried": len(carried),
+        r["_id"]
+        for r in bounds.join(
+            F.broadcast(keys.distinct()),
+            (F.col("_mk") >= F.col("_mn")) & (F.col("_mk") <= F.col("_mx")),
+            "left_semi",
+        ).collect()
     }
 
 
@@ -649,14 +1064,28 @@ def point_lookup_files(
 ) -> tuple[list[dict], int]:
     """Metadata-only point-lookup pruning: keep files whose bloom on
     ``col`` admits ``value`` (files without a bloom are kept —
-    conservative, like NULL stats). Returns (kept entries, total)."""
-    files = snapshot_files(table_dir, version)
+    conservative, like NULL stats). Returns (kept entries, total).
+    On a sharded snapshot, shard-level min/max on ``col`` (when
+    aggregated) skip whole shards before any bloom is even decoded."""
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        return [], 0
+    meta = read_snapshot_meta(table_dir, v)
+    if "manifests" in meta:
+        files = [
+            e
+            for rec in meta["manifests"]
+            if _shard_may_intersect(rec, col, value, value)
+            for e in _load_manifest(rec["path"])
+        ]
+    else:
+        files = meta.get("files", [])
     kept = [
         e
         for e in files
         if f"bloom_{col}" not in e or bloom_member(e[f"bloom_{col}"], value)
     ]
-    return kept, len(files)
+    return kept, _meta_n_files(meta)
 
 
 def read_point_lookup(
@@ -670,5 +1099,13 @@ def read_point_lookup(
         all_files = snapshot_files(table_dir, version)
         if not all_files:
             raise ValueError(f"snapshot has no files under {table_dir}")
-        return spark.read.parquet(all_files[0]["path"]).where(F.lit(False))
-    return spark.read.parquet(*[e["path"] for e in kept]).where(F.col(col) == F.lit(value))
+        meta = read_snapshot_meta(
+            table_dir, current_version(table_dir) if version is None else version
+        )
+        return _aligned_reader(spark, meta, [all_files[0]["path"]]).where(F.lit(False))
+    meta = read_snapshot_meta(
+        table_dir, current_version(table_dir) if version is None else version
+    )
+    return _aligned_reader(spark, meta, [e["path"] for e in kept]).where(
+        F.col(col) == F.lit(value)
+    )

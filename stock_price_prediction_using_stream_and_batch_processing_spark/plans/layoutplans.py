@@ -430,7 +430,7 @@ def snapshot_compact_orders(spark, sf_dir):
         )
     before = agg(snap.read_snapshot(spark, table_dir, 3)).first()
     stats = snap.expire_snapshots(table_dir, keep_last=1)
-    if stats != {"expired_versions": 3, "deleted_files": 6}:
+    if stats != {"expired_versions": 3, "deleted_files": 6, "deleted_manifests": 0}:
         raise AssertionError(f"retention contract violated: {stats}")
     import os as _os
 

@@ -113,6 +113,13 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 "fresh checkpoint must use a NEW writer_id"
             )
         self.stats_cols = [c for c in options.get("stats_cols", "").split(",") if c]
+        # optional override of the manifest-sharding threshold (tests /
+        # demos exercise the sharded format without thousands of files)
+        self.inline_max = int(options["inline_max"]) if "inline_max" in options else None
+        # additive schema evolution opt-in (Delta's mergeSchema): without
+        # it, a sink whose schema differs from the table's declaration is
+        # refused at commit time by the shared builder
+        self.merge_schema = options.get("merge_schema", "false").lower() == "true"
         self.schema = schema
         missing = [c for c in self.stats_cols if c not in schema.fieldNames()]
         if missing:
@@ -210,14 +217,20 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                     except OSError:
                         pass
                 return None
+            # the shared builder handles inline vs SHARDED parents (one
+            # new shard per batch past the inline ceiling) and carries
+            # other writers' fences; then advance this writer's.
+            s = snap.build_append_snap(
+                self.table_dir, parent, meta, entries, self.stats_cols,
+                inline_max=self.inline_max,
+                schema=[
+                    [f.name, f.dataType.simpleString()] for f in self.schema.fields
+                ],
+                merge_schema=self.merge_schema,
+            )
             fences[self.writer_id] = batchId
-            return {
-                "version": parent + 1,
-                "parent": parent,
-                "stats_cols": self.stats_cols,
-                "last_batches": fences,
-                "files": meta["files"] + entries,
-            }
+            s["last_batches"] = fences
+            return s
 
         snap.publish_with_rebase(self.table_dir, make_snap)
 

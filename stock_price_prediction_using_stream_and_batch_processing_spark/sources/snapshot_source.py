@@ -47,12 +47,20 @@ _ARROW_TO_DDL = {
 }
 
 
-def _table_ddl(table_dir: str) -> str:
+def _table_columns(table_dir: str) -> list[tuple[str, str]]:
+    """(name, ddl) pairs of the stream's schema: the snapshot's
+    DECLARED schema when recorded (so ADD COLUMN / merge_schema appends
+    stream correctly — older files' missing columns surface as NULLs),
+    else derived from the first file's parquet footer (legacy)."""
     from ..operators import snapshots as snap
 
-    files = snap.snapshot_files(table_dir)
-    if not files:
+    v = snap.current_version(table_dir)
+    if not v:
         raise ValueError(f"cannot derive schema: no snapshot under {table_dir}")
+    meta = snap.read_snapshot_meta(table_dir, v)
+    if meta.get("schema"):
+        return [(n, t) for n, t in meta["schema"]]
+    files = snap._meta_entries(meta)
     import pyarrow.parquet as pq
 
     sch = pq.read_schema(files[0]["path"])
@@ -64,8 +72,12 @@ def _table_ddl(table_dir: str) -> str:
                 f"snapshot_changes supports {sorted(set(_ARROW_TO_DDL.values()))} "
                 f"columns; got {f.name}: {t}"
             )
-        cols.append(f"{f.name} {_ARROW_TO_DDL[t]}")
-    return ", ".join(cols)
+        cols.append((f.name, _ARROW_TO_DDL[t]))
+    return cols
+
+
+def _table_ddl(table_dir: str) -> str:
+    return ", ".join(f"{n} {t}" for n, t in _table_columns(table_dir))
 
 
 class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
@@ -74,6 +86,9 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         if not self.table_dir:
             raise ValueError("snapshot_changes requires option 'table_dir'")
         self.starting_version = int(options.get("startingVersion", 0))
+        # the stream's column order is FIXED at plan time; files from
+        # before a schema evolution are padded with NULLs per column
+        self.columns = [n for n, _ in _table_columns(self.table_dir)]
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -111,8 +126,16 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for p in sorted(paths):
-            for batch in pq.ParquetFile(p).iter_batches():
-                yield from zip(*(col.to_pylist() for col in batch.columns))
+            f = pq.ParquetFile(p)
+            present = set(f.schema_arrow.names)
+            for batch in f.iter_batches():
+                cols = [
+                    batch.column(n).to_pylist()
+                    if n in present
+                    else [None] * batch.num_rows
+                    for n in self.columns
+                ]
+                yield from zip(*cols)
 
     def read(self, start: dict):
         from ..operators import snapshots as snap
