@@ -137,6 +137,11 @@ HEADLINE = [
     "stream_python_datasource_ticks",
     "stream_stateful_trailing_predict",
     "snapshot_compact_orders",
+    # round-12 additions: manifest-list sharding (two-level prune +
+    # pure-metadata manifest compaction) and snapshot-store schema
+    # evolution (ADD COLUMN + merge_schema appends + aligned reads)
+    "snapshot_sharded_manifest_orders",
+    "snapshot_schema_evolution_orders",
 ]
 
 

@@ -167,6 +167,9 @@ def global_shuffle_docs(spark, sf_dir):
     ) GROUP BY 1, 2
     """,
     tags=("behavioral", "attribution", "window"),
+    # r12 rotation: 6 straight driver greens (r6-r11) -> extended tier
+    # frees a driver slot for a never-checked face
+    driver=False,
 )
 def touch_attribution_events(spark, sf_dir):
     """First-touch / last-touch purchase attribution

@@ -1055,6 +1055,9 @@ def snapshot_diff_orders(spark, sf_dir):
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
     tags=("aggregate", "grouping-sets"),
+    # r12 rotation: 7 straight driver greens (r5-r11) -> extended tier
+    # frees a driver slot for a never-checked face
+    driver=False,
 )
 def grouping_sets_orders(spark, sf_dir):
     """GROUPING SETS — two independent one-dimension breakdowns plus the
@@ -1124,6 +1127,9 @@ def value_rank_distribution_events(spark, sf_dir):
     FROM v JOIN p ON v.user_id = p.user_id
     """,
     tags=("behavioral", "conversion", "aggregate"),
+    # r12 rotation: 7 straight driver greens (r5-r11) -> extended tier
+    # frees a driver slot for a never-checked face
+    driver=False,
 )
 def time_to_conversion_events(spark, sf_dir):
     """Per-user time from first view to first subsequent purchase — the

@@ -50,6 +50,9 @@ def hash_sample_docs(spark, sf_dir):
     FROM documents
     """,
     tags=("sampling", "split", "deterministic"),
+    # r12 rotation: 7 straight driver greens (r5-r11) -> extended tier
+    # frees a driver slot for a never-checked face
+    driver=False,
 )
 def train_val_test_split_docs(spark, sf_dir):
     """Stable 90/5/5 train/val/test assignment by id hash — rows never
@@ -74,6 +77,9 @@ def train_val_test_split_docs(spark, sf_dir):
     WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
     """,
     tags=("sampling", "packing", "window"),
+    # r12 rotation: 7 straight driver greens (r5-r11) -> extended tier
+    # frees a driver slot for a never-checked face
+    driver=False,
 )
 def pack_docs_bins(spark, sf_dir):
     """Context-window packing: shard by id hash, pack each shard's docs
@@ -231,6 +237,9 @@ def mixture_resample_docs(spark, sf_dir):
     FROM b GROUP BY decile
     """,
     tags=("sampling", "quantile", "binning"),
+    # r12 rotation: 7 straight driver greens (r5-r11) -> extended tier
+    # frees a driver slot for a never-checked face
+    driver=False,
 )
 def doc_length_decile_stats(spark, sf_dir):
     """Token-length decile binning WITHOUT a global sort (operators/

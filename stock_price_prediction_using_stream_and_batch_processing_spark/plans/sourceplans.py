@@ -178,9 +178,7 @@ def stream_python_datasource_ticks(spark, sf_dir):
     FROM r GROUP BY symbol
     """,
     tags=("source", "python-datasource", "connector", "streaming", "partitioned"),
-    # r11: new face starts extended (driver budget holds at 50); the
-    # executor-shard contract is unit-pinned in tests/test_sources_stream.py
-    driver=False,
+    # r12: promoted to a driver slot (never driver-checked before)
 )
 def stream_partitioned_datasource_ticks(spark, sf_dir):
     """The PARTITIONED streaming face of the custom connector

@@ -1123,9 +1123,8 @@ def stream_stateful_trailing_predict(spark, sf_dir):
     "stream_snapshot_sink_events",
     oracle="SELECT event_id, user_id, value FROM events",
     tags=("streaming", "sink", "python-datasource", "snapshot", "exactly-once", "lakehouse"),
-    # r11: new face starts extended (driver budget holds at 50);
+    # r12: promoted to a driver slot (never driver-checked before);
     # fencing/abort/type-gate are unit-pinned in tests/test_snapshot_sink.py
-    driver=False,
 )
 def stream_snapshot_sink_events(spark, sf_dir):
     """STREAMING LAKEHOUSE INGEST through the connector WRITE API

@@ -94,10 +94,18 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         return {"version": self.starting_version}
 
     def _delta_paths(self, lo: int, hi: int) -> list[str]:
-        """Paths ADDED by commits (lo, hi] — metadata set difference."""
+        """Paths ADDED by commits (lo, hi] — metadata set difference.
+
+        On SHARDED snapshots the difference runs at the shard level:
+        the commits in range are appends/metadata-only (rewrites are
+        refused below), so every file they added lives in shards ``hi``
+        references that ``lo`` does not — only those NEW shards are
+        opened, making each micro-batch's planning O(delta), not
+        O(total files)."""
         from ..operators import snapshots as snap
 
         try:
+            resharded = False
             for v in range(lo + 1, hi + 1):
                 meta = snap.read_snapshot_meta(self.table_dir, v)
                 if meta.get("compaction_of") is not None or meta.get("merge"):
@@ -106,10 +114,27 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                         "row-delta streaming is append-only (re-seed the stream "
                         "past rewrite commits, as Delta requires)"
                     )
-            prev = {
-                e["path"] for e in (snap.snapshot_files(self.table_dir, lo) if lo else [])
-            }
-            cur = snap.snapshot_files(self.table_dir, hi)
+                resharded |= bool(meta.get("manifest_compaction"))
+            prev_meta = (
+                snap.read_snapshot_meta(self.table_dir, lo) if lo else {"files": []}
+            )
+            cur_meta = snap.read_snapshot_meta(self.table_dir, hi)
+            if "manifests" in cur_meta and "manifests" in prev_meta and not resharded:
+                # append-only commits add brand-new files in brand-new
+                # shards, so the NEW shards ARE the delta — no full
+                # resolve of either version's entry list
+                prev_shards = {r["path"] for r in prev_meta["manifests"]}
+                return [
+                    e["path"]
+                    for rec in cur_meta["manifests"]
+                    if rec["path"] not in prev_shards
+                    for e in snap._load_manifest(rec["path"])
+                ]
+            # inline snapshots, an inline->sharded conversion, or a
+            # manifest compaction in range (old entries re-chunked into
+            # new shards): exact path set difference
+            prev = {e["path"] for e in snap._meta_entries(prev_meta)}
+            cur = snap._meta_entries(cur_meta)
         except FileNotFoundError as exc:
             # retention expired a version inside (lo, hi] (or the pinned
             # start offset itself): a raw FileNotFoundError reads as an

