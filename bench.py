@@ -142,6 +142,9 @@ HEADLINE = [
     # evolution (ADD COLUMN + merge_schema appends + aligned reads)
     "snapshot_sharded_manifest_orders",
     "snapshot_schema_evolution_orders",
+    # round-12 (cont.): merge-on-read equality deletes with sequence
+    # numbers (delete + re-insert + materializing compaction)
+    "snapshot_equality_delete_orders",
 ]
 
 

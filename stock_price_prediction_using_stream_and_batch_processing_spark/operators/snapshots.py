@@ -267,6 +267,13 @@ def build_append_snap(
         snap["schema"] = new_schema
     if evolved:
         snap["schema_evolved"] = True
+    # data SEQUENCE NUMBER (Iceberg): the commit that added each file.
+    # Equality deletes apply only to files with LOWER seq, so rows
+    # re-inserted after a delete are never retro-deleted. Re-stamped on
+    # every rebase attempt (the seq is the actual publish version).
+    for e in entries:
+        e["seq"] = parent + 1
+    _carry_deletes(snap, meta)
     if "manifests" in meta:
         snap["manifests"] = meta["manifests"] + (
             [_write_manifest(table_dir, entries)] if entries else []
@@ -285,6 +292,104 @@ def build_append_snap(
             snap["files"] = inline
     _carry_fence(snap, meta)
     return snap
+
+
+def _carry_deletes(snap: dict, parent_meta: dict) -> None:
+    """Carry live equality-delete files forward — every commit except a
+    full rewrite (compaction, which MATERIALIZES them) must keep them,
+    or deleted rows in carried data files would resurrect."""
+    if parent_meta.get("delete_files"):
+        snap["delete_files"] = parent_meta["delete_files"]
+
+
+def snapshot_delete(
+    spark: SparkSession, table_dir: str, keys: DataFrame, col: str
+) -> int:
+    """MERGE-ON-READ row deletes — Iceberg's EQUALITY DELETE files: the
+    delete keys are written ONCE (one distributed job over the keys,
+    typically tiny) and NO data file is touched; the commit records a
+    delete file with its own sequence number. Readers anti-join each
+    data file against exactly the delete files with a HIGHER seq than
+    the file's own, so rows INSERTED AFTER the delete are never
+    retro-deleted (the property positional/equality deletes need
+    sequence numbers for). Contrast with :func:`snapshot_merge`
+    (copy-on-write): MERGE pays the rewrite at write time and keeps
+    reads clean; DELETE here is O(keys) at write time and taxes reads
+    with broadcast anti-joins until :func:`snapshot_compact`
+    materializes the deletes and clears them. A delete that loses a
+    publish race rebases like an append; by seq ordering it then also
+    applies to the concurrently committed rows — exactly "DELETE WHERE
+    key" semantics at its actual commit time.
+
+    The read-side tax assumes delete files stay SMALL relative to the
+    table (broadcast anti-join per delete commit) — large accumulated
+    deletes are the signal to compact, the same operational contract
+    Delta/Iceberg document."""
+    if current_version(table_dir) == 0:
+        raise ValueError(f"cannot delete from empty table {table_dir}")
+    del_dir = os.path.join(table_dir, "deletes", uuid.uuid4().hex[:12])
+    kdf = keys.select(F.col(keys.columns[0] if col not in keys.columns else col).alias(col)).distinct()
+    kdf.write.parquet(del_dir)
+    n_keys = spark.read.parquet(del_dir).count()
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        schema = meta.get("schema")
+        if schema is not None and col not in [c for c, _ in schema]:
+            raise ValueError(f"delete column {col!r} not in table schema")
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "delete": True,
+            "delete_files": list(meta.get("delete_files") or [])
+            + [{"dir": del_dir, "col": col, "n_keys": n_keys, "seq": parent + 1}],
+        }
+        if schema is not None:
+            snap["schema"] = schema
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def _read_with_deletes(
+    spark: SparkSession, meta: dict, entries: list[dict]
+) -> DataFrame:
+    """Read data entries with the snapshot's live equality deletes
+    applied. Files group into ERAS by which delete files apply (delete
+    d hits file f iff f.seq < d.seq; pre-seq files default to 0 — every
+    delete applies, the conservative-correct reading of legacy
+    entries); each era reads aligned and anti-joins its applicable
+    delete keys (broadcast — delete files are small by contract), then
+    the eras union. With no live deletes this is exactly the plain
+    aligned read."""
+    dels = meta.get("delete_files") or []
+    if not dels:
+        return _aligned_reader(spark, meta, [e["path"] for e in entries])
+    groups: dict[tuple, list[str]] = {}
+    for e in entries:
+        fseq = e.get("seq", 0)
+        key = tuple(i for i, d in enumerate(dels) if fseq < d["seq"])
+        groups.setdefault(key, []).append(e["path"])
+    out = None
+    for key, paths in groups.items():
+        df = _aligned_reader(spark, meta, paths)
+        for i in key:
+            d = dels[i]
+            kdf = (
+                spark.read.parquet(d["dir"])
+                .select(F.col(d["col"]).alias("_dk"))
+                .distinct()
+            )
+            df = df.join(F.broadcast(kdf), df[d["col"]] == F.col("_dk"), "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def _merged_schema(
@@ -357,6 +462,7 @@ def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
         for k in ("files", "manifests"):
             if k in meta:
                 snap[k] = meta[k]
+        _carry_deletes(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -490,7 +596,7 @@ def read_snapshot(
         else:
             any_path = meta["files"][0]["path"]
         return _aligned_reader(spark, meta, [any_path]).where(F.lit(False))
-    return _aligned_reader(spark, meta, [e["path"] for e in files])
+    return _read_with_deletes(spark, meta, files)
 
 
 def _entry_may_intersect(e: dict, col: str, lo, hi) -> bool:
@@ -578,6 +684,11 @@ def snapshot_compact(
     df.write.parquet(commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols)
+    # the rewrite read applied live equality deletes, so they are
+    # MATERIALIZED here: delete_files are deliberately NOT carried
+    # (the one commit that clears the merge-on-read read tax)
+    for e in entries:
+        e["seq"] = parent + 1
     snap = {
         "version": parent + 1,
         "parent": parent,
@@ -622,6 +733,7 @@ def snapshot_compact_manifests(table_dir: str, inline_max: int | None = None) ->
             snap["schema"] = meta["schema"]
         if meta.get("schema_evolved"):
             snap["schema_evolved"] = True
+        _carry_deletes(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -680,7 +792,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
         )
     d = _snap_dir(table_dir)
     if not os.path.isdir(d):  # empty table: nothing to expire
-        return {"expired_versions": 0, "deleted_files": 0, "deleted_manifests": 0}
+        return {
+            "expired_versions": 0,
+            "deleted_files": 0,
+            "deleted_manifests": 0,
+            "deleted_delete_files": 0,
+        }
     existing = sorted(
         int(n[1:9])
         for n in os.listdir(d)
@@ -712,17 +829,29 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
     dead_shards = {
         r["path"] for m in expired_metas for r in m.get("manifests", [])
     } - live_shards
+    # equality-delete files follow the same reachability rule (a
+    # compaction materializes them, after which only expired versions
+    # reference the delete dirs)
+    live_dels = {d["dir"] for m in keep_metas for d in m.get("delete_files", [])}
+    dead_dels = {
+        d["dir"] for m in expired_metas for d in m.get("delete_files", [])
+    } - live_dels
     for p in dead_paths | dead_shards:
         try:
             os.remove(p)
         except OSError:
             pass
+    import shutil
+
+    for d_ in dead_dels:
+        shutil.rmtree(d_, ignore_errors=True)
     for v in expired:
         os.remove(_snap_path(table_dir, v))
     return {
         "expired_versions": len(expired),
         "deleted_files": len(dead_paths),
         "deleted_manifests": len(dead_shards),
+        "deleted_delete_files": len(dead_dels),
     }
 
 
@@ -880,8 +1009,11 @@ def snapshot_merge(
         keys,
     )
     carried = [e for e in entries if e["path"] not in touched_paths]
+    touched_entries = sorted(
+        (e for e in entries if e["path"] in touched_paths), key=lambda e: e["path"]
+    )
     base = (
-        _aligned_reader(spark, meta, sorted(touched_paths))
+        _read_with_deletes(spark, meta, touched_entries)
         if touched_paths
         else spark.createDataFrame([], updates.schema)
     )
@@ -897,6 +1029,11 @@ def snapshot_merge(
     bloom_cols = _snapshot_bloom_cols(meta)
     _attach_blooms(spark, commit_dir, new_entries, bloom_cols)
     version = parent + 1
+    # rewritten files materialized the deletes for THEIR rows (base read
+    # applied them) and get seq = version, above every live delete;
+    # carried files still need the delete files, so they carry forward
+    for e in new_entries:
+        e["seq"] = version
     snap = {
         "version": version,
         "parent": parent,
@@ -904,6 +1041,7 @@ def snapshot_merge(
         "bloom_cols": bloom_cols,
         "merge": True,
     }
+    _carry_deletes(snap, meta)
     if declared is not None:
         snap["schema"] = declared
     if meta.get("schema_evolved") and (carried or carried_shards):
@@ -1106,6 +1244,4 @@ def read_point_lookup(
     meta = read_snapshot_meta(
         table_dir, current_version(table_dir) if version is None else version
     )
-    return _aligned_reader(spark, meta, [e["path"] for e in kept]).where(
-        F.col(col) == F.lit(value)
-    )
+    return _read_with_deletes(spark, meta, kept).where(F.col(col) == F.lit(value))

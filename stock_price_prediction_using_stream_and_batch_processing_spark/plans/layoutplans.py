@@ -430,7 +430,10 @@ def snapshot_compact_orders(spark, sf_dir):
         )
     before = agg(snap.read_snapshot(spark, table_dir, 3)).first()
     stats = snap.expire_snapshots(table_dir, keep_last=1)
-    if stats != {"expired_versions": 3, "deleted_files": 6, "deleted_manifests": 0}:
+    if stats != {
+        "expired_versions": 3, "deleted_files": 6,
+        "deleted_manifests": 0, "deleted_delete_files": 0,
+    }:
         raise AssertionError(f"retention contract violated: {stats}")
     import os as _os
 
@@ -820,3 +823,79 @@ def snapshot_schema_evolution_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "snapshot_equality_delete_orders",
+    oracle="""
+    WITH re AS (
+      SELECT o_orderkey, o_totalprice + 5000 AS o_totalprice FROM orders
+      WHERE o_orderkey % 101 = 3 AND o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 101 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM re
+    """,
+    tags=("layout", "snapshot", "equality-delete", "merge-on-read", "sequence-number"),
+)
+def snapshot_equality_delete_orders(spark, sf_dir):
+    """MERGE-ON-READ EQUALITY DELETES with sequence numbers
+    (operators/snapshots.py:snapshot_delete, r12 — Iceberg's equality
+    delete files, the write-cheap complement to the copy-on-write
+    MERGE): v2 deletes every key ≡3 mod 101 by writing ONLY the delete
+    keys — the data path set is asserted bit-identical (no rewrite; at
+    100 TB the delete costs O(keys), not O(touched files)); v3
+    RE-INSERTS the even half of the deleted keys at +5000 — and the
+    in-query read asserts they SURVIVE the older delete, the exact
+    property sequence numbers exist for (each data file carries the
+    seq of its commit; a delete applies only to files with LOWER seq).
+    Readers pay a broadcast anti-join per live delete file until
+    compaction MATERIALIZES the deletes: the face compacts, asserts
+    ``delete_files`` cleared, and returns the post-compaction rows —
+    value-checked against SQL replaying delete+re-insert. Time travel
+    to v1 (asserted) still reads every original row."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_del")
+    snap.snapshot_append(spark, table_dir, orders, stats_cols=["o_orderkey"])
+    pre_paths = {e["path"] for e in snap.snapshot_files(table_dir)}
+    snap.snapshot_delete(
+        spark,
+        table_dir,
+        orders.where(F.col("o_orderkey") % 101 == 3).select("o_orderkey"),
+        "o_orderkey",
+    )
+    if {e["path"] for e in snap.snapshot_files(table_dir)} != pre_paths:
+        raise AssertionError("equality delete must not touch any data file")
+    if len(snap.read_snapshot_meta(table_dir, 2)["delete_files"]) != 1:
+        raise AssertionError("delete commit must record exactly one delete file")
+    snap.snapshot_append(
+        spark,
+        table_dir,
+        orders.where((F.col("o_orderkey") % 101 == 3) & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5000),
+        stats_cols=["o_orderkey"],
+    )
+    # sequence-number semantics asserted BEFORE compaction: re-inserted
+    # keys visible, delete still applies to the v1 file, v1 intact
+    live = snap.read_snapshot(spark, table_dir)
+    n_reinserted = live.where(
+        (F.col("o_orderkey") % 101 == 3) & (F.col("o_orderkey") % 2 == 0)
+    ).count()
+    n_gone = live.where(
+        (F.col("o_orderkey") % 101 == 3) & (F.col("o_orderkey") % 2 == 1)
+    ).count()
+    if n_reinserted == 0 or n_gone != 0:
+        raise AssertionError(
+            f"sequence-number semantics violated: {n_reinserted} re-inserted, "
+            f"{n_gone} resurrected"
+        )
+    total = orders.count()
+    if snap.read_snapshot(spark, table_dir, 1).count() != total:
+        raise AssertionError("time travel to the pre-delete version broke")
+    v = snap.snapshot_compact(spark, table_dir, target_files=2)
+    if "delete_files" in snap.read_snapshot_meta(table_dir, v):
+        raise AssertionError("compaction must materialize equality deletes")
+    return snap.read_snapshot(spark, table_dir).select("o_orderkey", "o_totalprice")

@@ -540,6 +540,9 @@ def bm25_topk_docs(spark, sf_dir):
     GROUP BY doc_id
     """,
     tags=("text", "quality", "language-model"),
+    # r12 rotation: 7 straight driver greens (r5-r11) -> extended tier
+    # frees the driver slot for snapshot_equality_delete_orders
+    driver=False,
 )
 def doc_surprisal_docs(spark, sf_dir):
     """Mean unigram surprisal per document under the corpus's own

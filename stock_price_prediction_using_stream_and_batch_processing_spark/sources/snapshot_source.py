@@ -108,9 +108,18 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
             resharded = False
             for v in range(lo + 1, hi + 1):
                 meta = snap.read_snapshot_meta(self.table_dir, v)
-                if meta.get("compaction_of") is not None or meta.get("merge"):
+                if (
+                    meta.get("compaction_of") is not None
+                    or meta.get("merge")
+                    or meta.get("delete")
+                ):
+                    kind = (
+                        "compaction"
+                        if meta.get("compaction_of") is not None
+                        else ("merge" if meta.get("merge") else "equality-delete")
+                    )
                     raise ValueError(
-                        f"version {v} is a {'compaction' if meta.get('compaction_of') is not None else 'merge'}: "
+                        f"version {v} is a {kind} commit: "
                         "row-delta streaming is append-only (re-seed the stream "
                         "past rewrite commits, as Delta requires)"
                     )

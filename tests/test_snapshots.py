@@ -130,7 +130,8 @@ def test_expire_snapshots_retention(spark, tmp_path):
     old = snap.snapshot_files(d, 2)
     stats = snap.expire_snapshots(d, keep_last=1)
     assert stats == {
-        "expired_versions": 2, "deleted_files": len(old), "deleted_manifests": 0,
+        "expired_versions": 2, "deleted_files": len(old),
+        "deleted_manifests": 0, "deleted_delete_files": 0,
     }
     # expired files physically gone, current still fully readable
     assert not any(os.path.exists(e["path"]) for e in old)
@@ -269,7 +270,8 @@ def test_expire_after_gapped_history(spark, tmp_path):
     _commit(spark, d, 30, 40)              # v4
     stats = snap.expire_snapshots(d, keep_last=3)  # v2 no longer exists
     assert stats == {
-        "expired_versions": 0, "deleted_files": 0, "deleted_manifests": 0,
+        "expired_versions": 0, "deleted_files": 0,
+        "deleted_manifests": 0, "deleted_delete_files": 0,
     }
     assert snap.read_snapshot(spark, d).count() == 40
 
@@ -501,7 +503,8 @@ def test_expire_guards(spark, tmp_path):
 
     d = str(tmp_path / "t")
     assert snap.expire_snapshots(d) == {
-        "expired_versions": 0, "deleted_files": 0, "deleted_manifests": 0,
+        "expired_versions": 0, "deleted_files": 0,
+        "deleted_manifests": 0, "deleted_delete_files": 0,
     }
     with pytest.raises(ValueError, match="keep_last"):
         snap.expire_snapshots(d, keep_last=0)
