@@ -140,6 +140,23 @@ def _meta_entries(meta: dict) -> list[dict]:
     return meta.get("files", [])
 
 
+def _meta_entries_tolerant(meta: dict) -> list[dict]:
+    """Like :func:`_meta_entries` but skips shard files that no longer
+    exist — used ONLY when resolving EXPIRED versions during retention,
+    where a missing shard means an earlier (crashed or concurrent)
+    expiry already collected it and the honest answer is "no entries
+    left to reach through it"."""
+    if "manifests" not in meta:
+        return meta.get("files", [])
+    out: list[dict] = []
+    for rec in meta["manifests"]:
+        try:
+            out.extend(_load_manifest(rec["path"]))
+        except FileNotFoundError:
+            continue
+    return out
+
+
 def _meta_n_files(meta: dict) -> int:
     if "manifests" in meta:
         return sum(rec["n_files"] for rec in meta["manifests"])
@@ -255,7 +272,6 @@ def build_append_snap(
     conversion shard file — harmless, unreferenced, and metadata-sized;
     retention ignores unreferenced shards the same way it ignores
     aborted commits' data files)."""
-    limit = _INLINE_MAX if inline_max is None else inline_max
     snap = {
         "version": parent + 1,
         "parent": parent,
@@ -279,17 +295,11 @@ def build_append_snap(
             [_write_manifest(table_dir, entries)] if entries else []
         )
     else:
-        inline = meta.get("files", []) + entries
-        if len(inline) > limit:
-            # overridden inline_max also bounds the shard size, so a
-            # test-scale table actually exercises MULTIPLE shards
-            shard_max = _SHARD_MAX if inline_max is None else max(limit, 1)
-            snap["manifests"] = [
-                _write_manifest(table_dir, chunk)
-                for chunk in _chunks(inline, shard_max)
-            ]
-        else:
-            snap["files"] = inline
+        # inline-vs-shard selection shared with compact/manifest
+        # compaction — ONE copy of the format rule
+        snap.update(
+            _entries_payload(table_dir, meta.get("files", []) + entries, inline_max)
+        )
     _carry_fence(snap, meta)
     return snap
 
@@ -325,8 +335,23 @@ def snapshot_delete(
     table (broadcast anti-join per delete commit) — large accumulated
     deletes are the signal to compact, the same operational contract
     Delta/Iceberg document."""
-    if current_version(table_dir) == 0:
+    v0 = current_version(table_dir)
+    if v0 == 0:
         raise ValueError(f"cannot delete from empty table {table_dir}")
+    # Validate the column BEFORE the distributed key write: a refused
+    # delete must not leak an unreferenced deletes/ dir, and a typo'd
+    # column would otherwise poison every subsequent read AND the
+    # compaction that could have cleared it (round-12 self-review).
+    # Schema-less (pre-r12) tables validate against a data file footer.
+    meta0 = read_snapshot_meta(table_dir, v0)
+    if meta0.get("schema") is not None:
+        cols0 = [c for c, _ in meta0["schema"]]
+    else:
+        import pyarrow.parquet as pq
+
+        cols0 = pq.read_schema(_meta_entries(meta0)[0]["path"]).names
+    if col not in cols0:
+        raise ValueError(f"delete column {col!r} not in table schema {list(cols0)}")
     del_dir = os.path.join(table_dir, "deletes", uuid.uuid4().hex[:12])
     kdf = keys.select(F.col(keys.columns[0] if col not in keys.columns else col).alias(col)).distinct()
     kdf.write.parquet(del_dir)
@@ -531,10 +556,13 @@ def _carry_fence(snap: dict, parent_meta: dict) -> None:
     double-append (found in the r11 self-review). Fences are the
     per-writer map ``last_batches`` (r12); the legacy global
     ``last_batch_id`` is carried too so pre-r12 tables keep their
-    protection until a sink commit upgrades the format."""
+    protection until a sink commit upgrades the format. The legacy key
+    is carried ONLY while no per-writer map exists: once the format is
+    upgraded it must be dropped, or it would keep fencing every OTHER
+    writer's early batches forever (round-12 self-review)."""
     if parent_meta.get("last_batches"):
         snap["last_batches"] = parent_meta["last_batches"]
-    if parent_meta.get("last_batch_id") is not None:
+    elif parent_meta.get("last_batch_id") is not None:
         snap["last_batch_id"] = parent_meta["last_batch_id"]
 
 
@@ -819,7 +847,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
     expired_metas = [read_snapshot_meta(table_dir, v) for v in expired]
     live_paths = {e["path"] for m in keep_metas for e in _meta_entries(m)}
     dead_paths = {
-        e["path"] for m in expired_metas for e in _meta_entries(m)
+        e["path"] for m in expired_metas for e in _meta_entries_tolerant(m)
     } - live_paths
     # manifest SHARD files are snapshot metadata with the same
     # reachability rule: delete shards referenced only by expired
@@ -836,6 +864,14 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
     dead_dels = {
         d["dir"] for m in expired_metas for d in m.get("delete_files", [])
     } - live_dels
+    # Crash-ordering: expired snapshot JSONs are removed FIRST, dead
+    # files after. A crash between the two leaks unreferenced files
+    # (harmless, collected by nothing — the same class as an aborted
+    # commit's staging), whereas the reverse order would leave live
+    # JSONs referencing deleted shards and every later expire run would
+    # crash resolving them (round-12 self-review).
+    for v in expired:
+        os.remove(_snap_path(table_dir, v))
     for p in dead_paths | dead_shards:
         try:
             os.remove(p)
@@ -845,8 +881,6 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
 
     for d_ in dead_dels:
         shutil.rmtree(d_, ignore_errors=True)
-    for v in expired:
-        os.remove(_snap_path(table_dir, v))
     return {
         "expired_versions": len(expired),
         "deleted_files": len(dead_paths),
@@ -1197,18 +1231,12 @@ def _scan_commit_blooms(
     return out
 
 
-def point_lookup_files(
-    table_dir: str, col: str, value, version: int | None = None
-) -> tuple[list[dict], int]:
-    """Metadata-only point-lookup pruning: keep files whose bloom on
-    ``col`` admits ``value`` (files without a bloom are kept —
-    conservative, like NULL stats). Returns (kept entries, total).
-    On a sharded snapshot, shard-level min/max on ``col`` (when
-    aggregated) skip whole shards before any bloom is even decoded."""
-    v = current_version(table_dir) if version is None else version
-    if v == 0:
-        return [], 0
-    meta = read_snapshot_meta(table_dir, v)
+def _point_lookup_entries(meta: dict, col: str, value) -> list[dict]:
+    """Metadata-only point-lookup pruning over an already-loaded meta:
+    shard-level min/max on ``col`` (when aggregated) skip whole shards
+    before any bloom is even decoded, then keep files whose bloom
+    admits ``value`` (files without a bloom are kept — conservative,
+    like NULL stats)."""
     if "manifests" in meta:
         files = [
             e
@@ -1218,12 +1246,23 @@ def point_lookup_files(
         ]
     else:
         files = meta.get("files", [])
-    kept = [
+    return [
         e
         for e in files
         if f"bloom_{col}" not in e or bloom_member(e[f"bloom_{col}"], value)
     ]
-    return kept, _meta_n_files(meta)
+
+
+def point_lookup_files(
+    table_dir: str, col: str, value, version: int | None = None
+) -> tuple[list[dict], int]:
+    """Two-level point-lookup prune (shard stats, then blooms) —
+    returns (kept entries, total files)."""
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        return [], 0
+    meta = read_snapshot_meta(table_dir, v)
+    return _point_lookup_entries(meta, col, value), _meta_n_files(meta)
 
 
 def read_point_lookup(
@@ -1231,17 +1270,17 @@ def read_point_lookup(
 ) -> DataFrame:
     """Bloom-pruned point lookup: read only the admitted files, then
     apply the exact predicate (bloom false positives are filtered by
-    the residual, never surfaced)."""
-    kept, total = point_lookup_files(table_dir, col, value, version)
+    the residual, never surfaced). The snapshot meta is loaded ONCE and
+    shared across pruning, schema alignment, and delete application —
+    point lookups are the hot metadata path."""
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        raise ValueError(f"snapshot has no files under {table_dir}")
+    meta = read_snapshot_meta(table_dir, v)
+    kept = _point_lookup_entries(meta, col, value)
     if not kept:
-        all_files = snapshot_files(table_dir, version)
+        all_files = _meta_entries(meta)
         if not all_files:
             raise ValueError(f"snapshot has no files under {table_dir}")
-        meta = read_snapshot_meta(
-            table_dir, current_version(table_dir) if version is None else version
-        )
         return _aligned_reader(spark, meta, [all_files[0]["path"]]).where(F.lit(False))
-    meta = read_snapshot_meta(
-        table_dir, current_version(table_dir) if version is None else version
-    )
     return _read_with_deletes(spark, meta, kept).where(F.col(col) == F.lit(value))

@@ -202,11 +202,17 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             # Per-writer epoch fence (Delta txnAppId/txnVersion shape).
             # Tables written by the pre-r12 sink carry only the legacy
             # global ``last_batch_id``; treat it as this writer's fence
-            # so old tables keep their replay protection (conservative:
-            # it can still drop a NEW writer's early batches on such a
-            # table — one per-writer commit upgrades the fence format).
+            # ONLY while no per-writer map exists — once any writer has
+            # committed (upgrading the format), the legacy value must
+            # stop fencing OTHER writers, or a new pipeline's early
+            # batches on an upgraded table would be dropped forever
+            # (round-12 self-review).
             fences = dict(meta.get("last_batches") or {})
-            fence = fences.get(self.writer_id, meta.get("last_batch_id"))
+            fence = (
+                fences.get(self.writer_id)
+                if meta.get("last_batches")
+                else meta.get("last_batch_id")
+            )
             if parent and fence is not None and batchId <= fence:
                 # EPOCH FENCE: this batch already committed before a
                 # crash — drop the replayed staging files, publish
@@ -230,6 +236,11 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             )
             fences[self.writer_id] = batchId
             s["last_batches"] = fences
+            # drop the legacy global fence on upgrade: with the
+            # per-writer map present it no longer fences anyone, and
+            # carrying it forever would only invite readers to trust a
+            # stale value (r12 review)
+            s.pop("last_batch_id", None)
             return s
 
         snap.publish_with_rebase(self.table_dir, make_snap)

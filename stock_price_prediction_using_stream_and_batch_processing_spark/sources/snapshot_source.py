@@ -46,6 +46,19 @@ _ARROW_TO_DDL = {
     "date32[day]": "date",
 }
 
+# DDL spellings the simple-reader row path can actually serialize —
+# the declared-schema path must enforce the SAME minimal scalar set the
+# footer path derives, or an unsupported column type (timestamp,
+# decimal, arrays) would slip past plan time and fail deep inside row
+# serialization (round-12 self-review). Includes Spark simpleString
+# aliases (tinyint/smallint/integer/long).
+_SUPPORTED_DDL = set(_ARROW_TO_DDL.values()) | {
+    "tinyint",
+    "smallint",
+    "integer",
+    "long",
+}
+
 
 def _table_columns(table_dir: str) -> list[tuple[str, str]]:
     """(name, ddl) pairs of the stream's schema: the snapshot's
@@ -59,6 +72,12 @@ def _table_columns(table_dir: str) -> list[tuple[str, str]]:
         raise ValueError(f"cannot derive schema: no snapshot under {table_dir}")
     meta = snap.read_snapshot_meta(table_dir, v)
     if meta.get("schema"):
+        bad = [(n, t) for n, t in meta["schema"] if t not in _SUPPORTED_DDL]
+        if bad:
+            raise NotImplementedError(
+                f"snapshot_changes supports {sorted(_SUPPORTED_DDL)} columns; "
+                f"table declares {bad}"
+            )
         return [(n, t) for n, t in meta["schema"]]
     files = snap._meta_entries(meta)
     import pyarrow.parquet as pq

@@ -181,10 +181,12 @@ def test_cdc_shard_diff_fast_path(spark, tmp_path):
     # spanning range: exactly the commits' files, no replays
     assert len(r._delta_paths(2, 5)) == 3
     # manifest compaction re-chunks everything into new shards; the
-    # range crossing it must yield ONLY genuinely new data files
+    # range crossing it must yield ONLY the genuinely new data file
+    # (exactly v7's added path — not any re-emitted old file)
     snap.snapshot_compact_manifests(d, inline_max=3)  # v6
     _append(spark, d, 500, 600)                        # v7
-    got = r._delta_paths(5, 7)
-    assert got == [e["path"] for e in snap.snapshot_files(d, 7) if "k" in e][-1:] or len(got) == 1
+    v6_paths = {e["path"] for e in snap.snapshot_files(d, 6)}
+    expected = [e["path"] for e in snap.snapshot_files(d, 7) if e["path"] not in v6_paths]
+    assert r._delta_paths(5, 7) == expected and len(expected) == 1
     # and the full-history replay is still exact
     assert len(r._delta_paths(0, 7)) == 6

@@ -141,7 +141,16 @@ def test_legacy_global_fence_still_respected(tmp_path):
     assert snap.current_version(d) == 1
     assert not os.path.exists(replay.path)
     w.commit([w.write(iter([_Row((2, 2.0, "b"))]))], batchId=6)
-    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"pipe-a": 6}
+    m2 = snap.read_snapshot_meta(d, 2)
+    assert m2["last_batches"] == {"pipe-a": 6}
+    # the upgrade DROPS the legacy key: were it carried, it would fence
+    # every other writer's early batches forever (r12 review finding)
+    assert "last_batch_id" not in m2
+    # a NEW writer's batch 0 lands on the upgraded table
+    b = _writer(tmp_path, writer_id="pipe-b")
+    b.commit([b.write(iter([_Row((9, 9.0, "z"))]))], batchId=0)
+    assert snap.current_version(d) == 3
+    assert sum(e["n_rows"] for e in snap.snapshot_files(d)) == 3
 
 
 def test_abort_removes_staged_files(tmp_path):
