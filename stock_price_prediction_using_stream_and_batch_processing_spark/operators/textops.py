@@ -471,3 +471,73 @@ def remove_repeated_ngrams(
             " ",
         ).alias("clean_text"),
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """CROSS-document duplicated-passage detection — the distributed
+    analogue of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span that also appears verbatim in ANOTHER
+    document. Near-dup (MinHash) drops whole similar documents;
+    ``remove_repeated_ngrams`` handles repeats INSIDE one document;
+    this operator surfaces the remaining class — verbatim passages
+    SHARED across documents (boilerplate, license headers, quoted
+    chunks) — which whole-doc similarity can miss entirely when the
+    surrounding text differs.
+
+    Definition (positional, engine-portable): a gram starts at token
+    position p if the doc has ≥ n tokens from p; a start is duplicated
+    iff the same n-token text occurs in ≥ 2 DISTINCT documents; a
+    token is covered iff some duplicated start s ∈ [p-n+1, p] covers
+    it; maximal spans are runs of consecutive covered positions
+    (gaps-and-islands). Returns one row per span:
+    ``(id_col, span_start, span_end, span_len)`` with 0-based token
+    positions, end inclusive.
+
+    Scale shape: the corpus-wide duplication test shuffles 16-byte
+    gram DIGESTS, never text (the dedup-module rule), through ONE
+    partial-aggregating groupBy — ``min(doc) != max(doc)`` is the
+    exact ≥-2-distinct-docs test without a countDistinct. A window
+    over the gram key would materialize one giant partition for every
+    stop-word-ish gram; the groupBy combines map-side and AQE splits
+    residual skew. Everything else is per-doc windows over (doc, pos)
+    rows — a handful of linear shuffles keyed by doc, O(tokens) rows,
+    no self-join, no document text in flight after tokenization."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(text.tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    gram = F.when(leads[-1].isNotNull(), F.md5(F.concat_ws(" ", F.col("tok"), *leads)))
+    g = toks.select(id_col, "pos", gram.alias("g"))
+    dup = (
+        g.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("g", F.lit(1).alias("_dup"))
+    )
+    flagged = g.join(dup, "g", "left").select(
+        id_col, "pos", F.coalesce("_dup", F.lit(0)).alias("dup_start")
+    )
+    covered = F.max("dup_start").over(w.rowsBetween(-(n - 1), 0)) == 1
+    c = flagged.select(id_col, "pos", covered.alias("cov")).where("cov")
+    return (
+        c.select(id_col, "pos", (F.col("pos") - F.row_number().over(w)).alias("_isl"))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("span_len"),
+        )
+        .drop("_isl")
+    )

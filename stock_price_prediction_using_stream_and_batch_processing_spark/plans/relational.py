@@ -1186,6 +1186,9 @@ def unpivot_user_event_counts(spark, sf_dir):
     WHERE p_size = 1
     """,
     tags=("join", "runtime-filter", "bloom", "scan-pruning"),
+    # rotation r12: driver-green r5-r11 (7 straight); the scan-pruning
+    # family keeps manifest_pruned_scan + salted + bucketed driver rows
+    driver=False,
 )
 def bloom_pruned_join_part_lineitem(spark, sf_dir):
     """Selective dim-filtered fact join executed WITH a runtime bloom

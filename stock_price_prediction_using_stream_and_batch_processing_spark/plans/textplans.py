@@ -1214,3 +1214,97 @@ def cms_token_counts_docs(spark, sf_dir):
             F.col("cms_count").cast("long").alias("cms_count"),
         )
     )
+
+
+@register(
+    "duplicate_passages_docs",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKS}) AS tok, generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, pos,
+             CASE WHEN COUNT(*) OVER w8 = 8
+                  THEN md5(string_agg(tok, ' ') OVER w8) END AS g
+      FROM t
+      WINDOW w8 AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    ),
+    dup AS MATERIALIZED (
+      SELECT g FROM g WHERE g IS NOT NULL
+      GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    f AS MATERIALIZED (
+      SELECT g.doc_id, g.pos,
+             CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END AS dup_start
+      FROM g LEFT JOIN dup d ON d.g = g.g
+    ),
+    cov AS MATERIALIZED (
+      SELECT doc_id, pos,
+             MAX(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS cov
+      FROM f
+    ),
+    c AS MATERIALIZED (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM cov WHERE cov
+    ),
+    sp AS (SELECT doc_id, isl, COUNT(*) AS span_len FROM c GROUP BY doc_id, isl),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(MAX(span_len) AS BIGINT) AS max_span_len
+      FROM sp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           COALESCE(a.dup_tokens, 0) AS dup_tokens,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.max_span_len, 0) AS max_span_len,
+           CASE WHEN len({_TOKS}) > 0
+                THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len({_TOKS})
+                ELSE 0.0 END AS dup_fraction
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    tags=("dedup", "substring", "passages", "training-data"),
+)
+def duplicate_passages_docs(spark, sf_dir):
+    """CROSS-doc duplicated-passage stats — the exact-substring dedup
+    family (Lee et al. 2022) the near-dup/intra-doc operators don't
+    cover: for each document, the maximal token spans whose 8-gram
+    content appears verbatim in at least one OTHER document
+    (operators/textops.duplicate_passages), aggregated to per-doc
+    duplicated-token counts, span counts, and duplicated fraction —
+    the quantity pipelines threshold on to drop or trim
+    boilerplate-heavy documents. Every doc comes back (zero rows for
+    clean docs); the oracle replays the full positional definition —
+    gram windows, cross-doc min/max distinctness, coverage, islands —
+    in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = textops.duplicate_passages(d, "text", "doc_id", n=8)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span_len"),
+    )
+    from ..functions import text as textfn
+
+    counts = d.select(
+        "doc_id", F.size(textfn.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return counts.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("max_span_len", F.lit(0)).cast("long").alias("max_span_len"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

@@ -503,3 +503,34 @@ def test_doubling_string_ids(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters_doubling(pairs).collect()}
     assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x8": "x8", "x9": "x8"}
+
+
+def test_duplicate_passages_cross_doc_spans(spark):
+    """Cross-doc duplicated-passage detection on a constructed corpus:
+    docs 1 and 2 share the verbatim 4-token run 'p q r s' embedded in
+    otherwise-different text; doc 3 repeats a phrase only WITHIN
+    itself (intra-doc repeats are NOT cross-doc duplicates); doc 4 is
+    clean. With n=3, the shared run produces duplicated 3-gram starts
+    at its first two positions, covering exactly the 4 shared tokens
+    in each doc — one maximal span per doc, correct 0-based bounds."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b p q r s c d"),
+            (2, "x p q r s y z w"),
+            (3, "m n o m n o m n o"),
+            (4, "totally unique words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in textops.duplicate_passages(docs, "text", "doc_id", n=3).collect()
+    }
+    # doc 1: 'p q r s' at token positions 2..5
+    assert (spans[1]["span_start"], spans[1]["span_end"], spans[1]["span_len"]) == (2, 5, 4)
+    # doc 2: same run at positions 1..4
+    assert (spans[2]["span_start"], spans[2]["span_end"], spans[2]["span_len"]) == (1, 4, 4)
+    # intra-doc-only repeats and clean docs produce no spans
+    assert 3 not in spans and 4 not in spans
