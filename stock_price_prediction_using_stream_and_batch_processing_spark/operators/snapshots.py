@@ -842,8 +842,29 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
         keep |= {
             v for v in existing if os.path.getmtime(_snap_path(table_dir, v)) > cutoff
         }
+    # REFS ARE ROOTS (operators/refs.py): tagged versions never expire
+    # (a tag is a durable repro pin), and every branch snapshot's file
+    # list counts as live — expiring main must not delete data staged
+    # on an unpublished branch or pinned by a tag.
+    ref_metas: list[dict] = []
+    refs_d = os.path.join(table_dir, "refs")
+    if os.path.isdir(refs_d):
+        for n in os.listdir(refs_d):
+            p = os.path.join(refs_d, n)
+            if n.startswith("tag-") and n.endswith(".json"):
+                with open(p) as f:
+                    tv = json.load(f)["version"]
+                if tv in existing:
+                    keep.add(tv)
+            elif n.startswith("branch-") and os.path.isdir(p):
+                bsnaps = _snap_dir(p)
+                if os.path.isdir(bsnaps):
+                    for bn in os.listdir(bsnaps):
+                        if bn.startswith("v") and bn.endswith(".json"):
+                            with open(os.path.join(bsnaps, bn)) as f:
+                                ref_metas.append(json.load(f))
     expired = [v for v in existing if v not in keep]
-    keep_metas = [read_snapshot_meta(table_dir, v) for v in keep]
+    keep_metas = [read_snapshot_meta(table_dir, v) for v in keep] + ref_metas
     expired_metas = [read_snapshot_meta(table_dir, v) for v in expired]
     live_paths = {e["path"] for m in keep_metas for e in _meta_entries(m)}
     dead_paths = {

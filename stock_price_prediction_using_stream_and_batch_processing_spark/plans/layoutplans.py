@@ -987,3 +987,106 @@ def stream_snapshot_etl_orders(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_adj"),
         )
     )
+
+
+@register(
+    "snapshot_wap_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 4 AS slice, o_totalprice FROM orders)
+    SELECT 'tagged_base' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price FROM s WHERE slice = 0
+    UNION ALL
+    SELECT 'staged_audit', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2) FROM s WHERE slice < 3
+    UNION ALL
+    SELECT 'bad_commit', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(CASE WHEN slice = 3 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) FROM s
+    UNION ALL
+    SELECT 'after_rollback', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2) FROM s WHERE slice < 3
+    """,
+    tags=("layout", "snapshot", "wap", "branch", "tag", "rollback", "acid"),
+)
+def snapshot_wap_orders(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH + tags + rollback (operators/refs.py) — the
+    governance layer over the snapshot store, exercised end-to-end:
+
+    1. main v1 = orders slice 0; tag ``baseline`` pins it.
+    2. branch ``audit`` stages slices 1 and 2 as TWO branch commits —
+       main is ASSERTED unchanged while rows are staged (the WAP
+       invariant: staging is pure metadata, main readers can never
+       observe it).
+    3. the audit read sees base + staged; publish fast-forwards main to
+       v2 in ONE atomic append (stats carried verbatim, branch
+       dropped), asserted to record its wap_published_branch.
+    4. a BAD commit (slice 3 with negated prices) lands as v3;
+       rollback publishes v4 whose content is v2's — history intact.
+    5. retention with keep_last=2 expires v1 and v2 EXCEPT the tag
+       keeps v1's snapshot (refs are retention roots) — asserted by
+       reading through the tag afterwards while v2's meta is gone.
+
+    The returned frame aggregates each checkpoint (tagged base, staged
+    audit, bad commit, post-rollback current) and the oracle replays
+    all four as SQL over the slice definitions, so branch isolation,
+    the publish, the rollback, and tag-pinned retention are all
+    value-checked. Every ref operation is metadata-sized — no step
+    here rewrites or rescans a data file."""
+    from ..operators import refs
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sl = (F.col("o_orderkey") % 4)
+    table_dir = fresh_result_dir("snap_wap")
+
+    v1 = snap.snapshot_append(
+        spark, table_dir, orders.where(sl == 0), stats_cols=["o_orderkey"]
+    )
+    refs.tag_create(table_dir, "baseline", v1)
+    base_count = snap.read_snapshot(spark, table_dir).count()
+
+    refs.branch_create(table_dir, "audit", v1)
+    for s in (1, 2):
+        refs.branch_append(
+            spark, table_dir, "audit", orders.where(sl == s),
+            stats_cols=["o_orderkey"],
+        )
+    # WAP invariant: staged rows are invisible to main
+    if snap.read_snapshot(spark, table_dir).count() != base_count:
+        raise AssertionError("staged branch rows leaked into main")
+    staged = refs.read_branch(spark, table_dir, "audit")
+
+    v2 = refs.branch_publish(table_dir, "audit", drop=True)
+    meta2 = snap.read_snapshot_meta(table_dir, v2)
+    if meta2.get("wap_published_branch") != "audit":
+        raise AssertionError("publish did not record its WAP branch")
+    if refs.list_refs(table_dir)["branches"]:
+        raise AssertionError("branch survived drop-on-publish")
+
+    bad = orders.where(sl == 3).withColumn("o_totalprice", -F.col("o_totalprice"))
+    v3 = snap.snapshot_append(spark, table_dir, bad, stats_cols=["o_orderkey"])
+    v4 = refs.snapshot_rollback(table_dir, v2)
+    if snap.read_snapshot_meta(table_dir, v4).get("rollback_of") != v2:
+        raise AssertionError("rollback did not record its target")
+
+    # retention: keep_last=2 (v3, v4) — the tag must keep v1 alive
+    snap.expire_snapshots(table_dir, keep_last=2)
+    try:
+        snap.read_snapshot_meta(table_dir, v2)
+        raise AssertionError("v2 survived expiry despite no ref")
+    except FileNotFoundError:
+        pass
+
+    def agg(df, stage):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(F.lit(stage).alias("stage"), "n_rows", "total_price")
+
+    return (
+        agg(refs.read_tag(spark, table_dir, "baseline"), "tagged_base")
+        .unionByName(agg(staged, "staged_audit"))
+        .unionByName(agg(snap.read_snapshot(spark, table_dir, v3), "bad_commit"))
+        .unionByName(agg(snap.read_snapshot(spark, table_dir, v4), "after_rollback"))
+    )

@@ -1083,6 +1083,9 @@ def rolling_corr_lineitem(spark, sf_dir):
     FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     tags=("maintenance", "ohlc", "continuous-aggregate", "incremental-refresh"),
+    # rotation r12: driver-green r5-r11 (7 straight); the incremental-
+    # refresh family keeps histogram_incremental + stream_ohlc driver rows
+    driver=False,
 )
 def ohlc_incremental_refresh_events(spark, sf_dir):
     """BATCH incremental continuous-aggregate refresh, oracle-checked:
