@@ -56,6 +56,7 @@ from .snapshots import (
     ConcurrentCommitError,
     _attach_blooms,
     _carry_fence,
+    _enforce_constraints,
     _meta_entries,
     _publish,
     _scan_commit_stats,
@@ -79,6 +80,7 @@ _CONTENT_KEYS = (
     "schema",
     "schema_evolved",
     "delete_files",
+    "constraints",
 )
 
 
@@ -173,14 +175,20 @@ def branch_append(
     Returns the branch-local version."""
     import uuid
 
-    branch_head(table_dir, name)  # loud if the branch doesn't exist
+    bdir = branch_dir(table_dir, name)
+    head_meta = read_snapshot_meta(bdir, branch_head(table_dir, name))
     stats_cols = stats_cols or []
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
+    cons = head_meta.get("constraints") or {}
+    if cons:
+        # branches inherit the base's CHECK constraints at create;
+        # staged rows must satisfy them — a WAP audit should never be
+        # the first place a declared invariant gets checked
+        _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
-    bdir = branch_dir(table_dir, name)
 
     def make_snap(parent: int, meta: dict) -> dict:
         snap = build_append_snap(

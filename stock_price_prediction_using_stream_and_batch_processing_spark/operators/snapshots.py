@@ -229,6 +229,9 @@ def snapshot_append(
     stats_cols = stats_cols or []
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
+    cons = table_constraints(table_dir)
+    if cons:
+        _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
@@ -300,6 +303,7 @@ def build_append_snap(
         snap.update(
             _entries_payload(table_dir, meta.get("files", []) + entries, inline_max)
         )
+    _carry_constraints(snap, meta)
     _carry_fence(snap, meta)
     return snap
 
@@ -377,6 +381,7 @@ def snapshot_delete(
         for k in ("files", "manifests"):
             if k in meta:
                 snap[k] = meta[k]
+        _carry_constraints(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -488,6 +493,7 @@ def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
             if k in meta:
                 snap[k] = meta[k]
         _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -546,6 +552,145 @@ def publish_with_rebase(table_dir: str, make_snap, max_attempts: int = 50) -> in
     raise ConcurrentCommitError(
         f"could not win a publish in {max_attempts} attempts under {table_dir}"
     )
+
+
+def _carry_constraints(snap: dict, parent_meta: dict) -> None:
+    """Carry the table's CHECK constraints forward — like fences, a
+    table property every commit must preserve or maintenance commits
+    would silently drop enforcement."""
+    if parent_meta.get("constraints"):
+        snap["constraints"] = parent_meta["constraints"]
+
+
+def table_constraints(table_dir: str) -> dict:
+    """{name: boolean SQL expr} CHECK constraints of the current
+    snapshot (empty for an empty table)."""
+    v = current_version(table_dir)
+    return dict(read_snapshot_meta(table_dir, v).get("constraints") or {}) if v else {}
+
+
+def _violation_counts(df: DataFrame, constraints: dict) -> dict:
+    """One distributed aggregate over ``df``: per-constraint count of
+    rows where the expression is not TRUE (NULL counts as a violation,
+    the Delta CHECK semantics)."""
+    if not constraints:
+        return {}
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(e).cast("boolean"), F.lit(False))).cast("long")
+        ).alias(n)
+        for n, e in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {n: (row[n] or 0) for n in constraints}
+
+
+def _enforce_constraints(
+    spark: SparkSession, constraints: dict, df: DataFrame, commit_dir: str | None = None
+) -> None:
+    """Refuse a commit whose NEW rows violate any table CHECK
+    constraint: one column-pruned scan of the staged files (never the
+    table), staged data removed on refusal so nothing half-written
+    lingers. Constraints are read from the parent ONCE per commit; a
+    concurrent ADD CONSTRAINT racing an in-flight write is not fenced
+    (same documented class as set-constraint vs. writer races in
+    Delta — the constraint applies from its own commit forward)."""
+    bad = {n: c for n, c in _violation_counts(df, constraints).items() if c}
+    if bad:
+        if commit_dir:
+            import shutil
+
+            shutil.rmtree(commit_dir, ignore_errors=True)
+        raise ConstraintViolationError(
+            f"commit violates CHECK constraint(s) {bad} "
+            f"({ {n: constraints[n] for n in bad} })"
+        )
+
+
+def snapshot_set_constraint(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    expr: str,
+    validate: bool = True,
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT CHECK (``expr``) as a
+    PURE-METADATA commit. With ``validate`` (default, the Delta
+    contract) the CURRENT live rows are scanned once and the commit
+    refuses if any existing row violates — without it the constraint
+    applies to future writes only. Commutes with concurrent appends
+    (rides the shared rebase loop); every subsequent append / branch
+    append / streaming-sink batch / merge scans its NEW files against
+    the declared expressions and refuses on violation, leaving main
+    unchanged."""
+    existing = table_constraints(table_dir)
+    if name in existing:
+        # refuse BEFORE the validation scan (make_snap re-checks under
+        # the rebase loop for the concurrent-add race)
+        raise ValueError(f"constraint {name!r} already exists: {existing[name]}")
+    if validate and current_version(table_dir):
+        _enforce_constraints(
+            spark, {name: expr}, read_snapshot(spark, table_dir)
+        )
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        if parent == 0:
+            raise ValueError(f"cannot add a constraint to empty table {table_dir}")
+        cons = dict(meta.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+        cons[name] = expr
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "constraints": cons,
+            "add_constraint": name,
+        }
+        if meta.get("schema") is not None:
+            snap["schema"] = meta["schema"]
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
+        _carry_deletes(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def snapshot_drop_constraint(table_dir: str, name: str) -> int:
+    """Remove a CHECK constraint in a pure-metadata commit."""
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        cons = dict(meta.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {table_dir}")
+        del cons[name]
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "drop_constraint": name,
+        }
+        if cons:
+            snap["constraints"] = cons
+        if meta.get("schema") is not None:
+            snap["schema"] = meta["schema"]
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
+        _carry_deletes(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
 
 
 def _carry_fence(snap: dict, parent_meta: dict) -> None:
@@ -730,6 +875,7 @@ def snapshot_compact(
         "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
         **_entries_payload(table_dir, entries, inline_max),  # REPLACES
     }
+    _carry_constraints(snap, parent_meta)
     _carry_fence(snap, parent_meta)
     _publish(table_dir, parent + 1, snap)
     return parent + 1
@@ -762,6 +908,7 @@ def snapshot_compact_manifests(table_dir: str, inline_max: int | None = None) ->
         if meta.get("schema_evolved"):
             snap["schema_evolved"] = True
         _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -953,6 +1100,11 @@ class ConcurrentCommitError(Exception):
     validation split Iceberg's optimistic protocol makes."""
 
 
+class ConstraintViolationError(Exception):
+    """A commit's new rows violate a declared CHECK constraint; the
+    staged files were removed and the table is unchanged."""
+
+
 def _publish(table_dir: str, version: int, snap: dict) -> None:
     """ATOMIC FIRST-WRITER-WINS publish: the snapshot JSON is written
     to a temp file and ``os.link``ed to its final name — link fails
@@ -1077,6 +1229,11 @@ def snapshot_merge(
     )
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     merged.write.parquet(commit_dir)
+    cons = meta.get("constraints") or {}
+    if cons:
+        # violating UPDATE rows refuse here; carried rows re-check
+        # trivially (they satisfied the constraint when they landed)
+        _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
     new_entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     # rewritten files get fresh blooms for the snapshot's bloom columns
     # (carried entries keep theirs verbatim) — MERGE must not degrade
@@ -1116,6 +1273,7 @@ def snapshot_merge(
     else:
         snap["files"] = carried + new_entries
         out["files_carried"] = len(carried)
+    _carry_constraints(snap, meta)
     _carry_fence(snap, meta)
     _publish(table_dir, version, snap)
     return out

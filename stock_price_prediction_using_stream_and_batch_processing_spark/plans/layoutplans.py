@@ -1090,3 +1090,82 @@ def snapshot_wap_orders(spark, sf_dir):
         .unionByName(agg(snap.read_snapshot(spark, table_dir, v3), "bad_commit"))
         .unionByName(agg(snap.read_snapshot(spark, table_dir, v4), "after_rollback"))
     )
+
+
+@register(
+    "snapshot_constraint_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 4 AS slice, o_totalprice FROM orders)
+    SELECT 'enforced' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price FROM s WHERE slice < 2
+    UNION ALL
+    SELECT 'after_drop', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(CASE WHEN slice = 2 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) FROM s WHERE slice < 3
+    """,
+    tags=("layout", "snapshot", "constraints", "data-quality", "acid"),
+)
+def snapshot_constraint_orders(spark, sf_dir):
+    """Commit-time CHECK constraints (operators/snapshots.
+    snapshot_set_constraint — the Delta ``ADD CONSTRAINT CHECK``
+    contract) exercised end-to-end:
+
+    1. v1 = orders slice 0; ``price_nonneg CHECK (o_totalprice >= 0)``
+       publishes as a pure-metadata commit after VALIDATING the
+       current rows in one distributed scan.
+    2. an append whose rows violate (negated prices) is REFUSED —
+       asserted in-query: ConstraintViolationError raised, version
+       unchanged, staged files removed — while a clean append lands.
+    3. adding a second constraint the EXISTING data violates refuses
+       at validation, so a constraint can never be born already broken.
+    4. dropping the constraint re-admits the previously-refused rows.
+
+    Enforcement costs one column-pruned aggregate over each commit's
+    NEW files only (never a table rescan), and the declared
+    expressions carry through every maintenance commit like epoch
+    fences do — at 100 TB a constraint is a per-commit tax
+    proportional to the commit, not the table. The oracle replays the
+    enforced state (slices 0-1) and the post-drop state (plus negated
+    slice 2) as SQL."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sl = F.col("o_orderkey") % 4
+    table_dir = fresh_result_dir("snap_cons")
+
+    snap.snapshot_append(spark, table_dir, orders.where(sl == 0), stats_cols=["o_orderkey"])
+    snap.snapshot_set_constraint(spark, table_dir, "price_nonneg", "o_totalprice >= 0")
+
+    neg = lambda df: df.withColumn("o_totalprice", -F.col("o_totalprice"))  # noqa: E731
+    before = snap.current_version(table_dir)
+    try:
+        snap.snapshot_append(spark, table_dir, neg(orders.where(sl == 1)))
+        raise AssertionError("violating append was accepted")
+    except snap.ConstraintViolationError:
+        pass
+    if snap.current_version(table_dir) != before:
+        raise AssertionError("refused append still bumped the version")
+
+    v_enforced = snap.snapshot_append(spark, table_dir, orders.where(sl == 1))
+    enforced = snap.read_snapshot(spark, table_dir, v_enforced)
+
+    try:
+        snap.snapshot_set_constraint(
+            spark, table_dir, "orderkey_even", "o_orderkey % 2 = 0"
+        )
+        raise AssertionError("constraint validated against violating rows")
+    except snap.ConstraintViolationError:
+        pass
+
+    snap.snapshot_drop_constraint(table_dir, "price_nonneg")
+    v_after = snap.snapshot_append(spark, table_dir, neg(orders.where(sl == 2)))
+    after = snap.read_snapshot(spark, table_dir, v_after)
+
+    def agg(df, stage):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(F.lit(stage).alias("stage"), "n_rows", "total_price")
+
+    return agg(enforced, "enforced").unionByName(agg(after, "after_drop"))

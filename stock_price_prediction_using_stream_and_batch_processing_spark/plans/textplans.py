@@ -990,6 +990,9 @@ def _run_incremental_batches(spark, sf_dir, prefix, admit_fn, n_batches=3):
     SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1
     """,
     tags=("dedup", "incremental", "maintenance", "cross-snapshot"),
+    # rotation r12: driver-green r5-r11 (7 straight); the dedup family
+    # keeps incremental_near_dup + intra_doc + duplicate_passages rows
+    driver=False,
 )
 def incremental_content_dedup_docs(spark, sf_dir):
     """CROSS-SNAPSHOT exact dedup, oracle-checked end to end: the

@@ -194,6 +194,35 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 e[f"min_{c}"] = json_stat(mn)
                 e[f"max_{c}"] = json_stat(mx)
             entries.append(e)
+        # CHECK constraints (snapshots.snapshot_set_constraint) bind
+        # streaming batches too: one scan of the staged files against
+        # the table's declared expressions, refusing (and failing the
+        # query — the Delta behavior) on violation. commit() runs on
+        # the driver inside a live streaming query, so an active
+        # session is guaranteed there; be loud, never silently skip.
+        cons = snap.table_constraints(self.table_dir)
+        if cons and entries:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is None:
+                raise RuntimeError(
+                    "cannot enforce CHECK constraints: no active SparkSession "
+                    "in the sink commit hook"
+                )
+            try:
+                snap._enforce_constraints(
+                    sess, cons, sess.read.parquet(*[e["path"] for e in entries])
+                )
+            except snap.ConstraintViolationError:
+                # don't rely on abort() being reached: drop the staged
+                # files here so the refused batch leaves nothing behind
+                for e in entries:
+                    try:
+                        os.remove(e["path"])
+                    except OSError:
+                        pass
+                raise
         # Shared optimistic-concurrency loop (snapshots.publish_with_
         # rebase): a sink batch COMMUTES with concurrent appends, and
         # the epoch fence re-checks under each new parent so a replay

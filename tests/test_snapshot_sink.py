@@ -245,3 +245,20 @@ def test_partitioned_source_to_snapshot_sink(spark, tmp_path):
     pruned = snap.read_snapshot(spark, table_dir, prune_col="tick_id", lo=100, hi=110)
     assert pruned.count() < 4_000
     assert pruned.filter("tick_id between 100 and 110").count() == 11
+
+
+def test_sink_batch_refuses_constraint_violation(spark, tmp_path):
+    """CHECK constraints bind streaming batches: a violating batch is
+    refused LOUDLY (failing the query, the Delta behavior), its staged
+    files removed, the table unchanged; the next clean batch lands."""
+    w = _writer(tmp_path)
+    w.commit([w.write(iter([_Row((1, 1.0, "a"))]))], batchId=0)
+    d = str(tmp_path / "t")
+    snap.snapshot_set_constraint(spark, d, "v_pos", "v > 0")
+    staged = w.write(iter([_Row((2, -5.0, "b"))]))
+    with pytest.raises(snap.ConstraintViolationError, match="v_pos"):
+        w.commit([staged], batchId=1)
+    assert snap.current_version(d) == 2  # only the set-constraint commit
+    assert not os.path.exists(staged.path)
+    w.commit([w.write(iter([_Row((3, 3.0, "c"))]))], batchId=1)
+    assert sum(e["n_rows"] for e in snap.snapshot_files(d)) == 2
