@@ -1256,6 +1256,9 @@ def bloom_pruned_join_part_lineitem(spark, sf_dir):
     FROM u WHERE rn = 1
     """,
     tags=("upsert", "merge", "maintenance", "storage"),
+    # rotation r12: driver-green r6-r11 (6 straight); the merge family
+    # keeps snapshot_merge + snapshot_equality_delete driver rows
+    driver=False,
 )
 def upsert_latest_order_per_customer(spark, sf_dir):
     """Batch MERGE/upsert into a keyed parquet table of record

@@ -105,6 +105,15 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         if not self.table_dir:
             raise ValueError("snapshot_changes requires option 'table_dir'")
         self.starting_version = int(options.get("startingVersion", 0))
+        # admission control for BACKFILL (Delta's maxFilesPerTrigger
+        # analog at this source's natural granularity): up to this many
+        # COMMITS coalesce into one micro-batch, so a stream seeded at
+        # version 0 on a long-history table catches up in
+        # ceil(history / cap) batches instead of one batch per commit
+        # (the default, which keeps offsets aligned to commit lineage).
+        self.max_commits = int(options.get("maxCommitsPerBatch", 1))
+        if self.max_commits < 1:
+            raise ValueError("maxCommitsPerBatch must be >= 1")
         # the stream's column order is FIXED at plan time; files from
         # before a schema evolution are padded with NULLs per column
         self.columns = [n for n, _ in _table_columns(self.table_dir)]
@@ -197,7 +206,10 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         cur = snap.current_version(self.table_dir)
         if cur <= lo:
             return iter([]), {"version": lo}
-        hi = lo + 1  # ONE commit per micro-batch: offsets track lineage
+        # admit up to max_commits commits per micro-batch (default 1:
+        # offsets track commit lineage exactly); the delta of a RANGE
+        # is the same metadata set difference replay recovery uses
+        hi = min(cur, lo + self.max_commits)
         # materialized list, not a generator: the Simple API PICKLES the
         # prefetched batch into its replay cache
         return iter(list(self._rows(self._delta_paths(lo, hi)))), {"version": hi}

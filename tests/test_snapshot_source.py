@@ -108,3 +108,42 @@ def test_end_to_end_stream_equals_table(spark, tmp_path):
     assert batches == [30, 30, 30]  # one micro-batch per commit
     got = {r.k: r.v for r in spark.table("snap_changes_e2e").collect()}
     assert got == {k: k * 2.0 for k in range(90)}
+
+
+def test_max_commits_per_batch_coalesces_backfill(spark, tmp_path):
+    """maxCommitsPerBatch (the maxFilesPerTrigger analog): a stream
+    seeded at 0 on a 5-commit table with cap 2 catches up in 3 batches
+    (2+2+1 commits), each batch's rows exactly the commits it admitted,
+    and offsets still land on commit boundaries (replayable ranges)."""
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=5)
+    r = SnapshotChangesStreamReader({"table_dir": d, "maxCommitsPerBatch": "2"})
+    it, nxt = r.read({"version": 0})
+    assert nxt == {"version": 2}
+    assert sorted(k for k, _ in it) == list(range(60))
+    it, nxt = r.read({"version": 2})
+    assert nxt == {"version": 4}
+    assert sorted(k for k, _ in it) == list(range(60, 120))
+    it, nxt = r.read({"version": 4})
+    assert nxt == {"version": 5}  # partial tail: never overshoots head
+    assert sorted(k for k, _ in it) == list(range(120, 150))
+    # replay of a coalesced range is bit-identical
+    replay = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    assert [k for k, _ in replay] == list(range(60))
+    with pytest.raises(ValueError, match="maxCommitsPerBatch"):
+        SnapshotChangesStreamReader({"table_dir": d, "maxCommitsPerBatch": "0"})
+
+
+def test_rewrite_inside_coalesced_range_refuses(spark, tmp_path):
+    """A compaction commit anywhere inside an admitted range refuses
+    the whole batch — coalescing must not smuggle a rewrite through."""
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=2)
+    snap.snapshot_compact(spark, d, target_files=1)  # v3 rewrite
+    _build_more = spark.range(60, 70).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    snap.snapshot_append(spark, d, _build_more, stats_cols=["k"])  # v4
+    r = SnapshotChangesStreamReader({"table_dir": d, "maxCommitsPerBatch": "10"})
+    with pytest.raises(ValueError, match="compaction"):
+        r.read({"version": 2})
