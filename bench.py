@@ -145,6 +145,13 @@ HEADLINE = [
     # round-12 (cont.): merge-on-read equality deletes with sequence
     # numbers (delete + re-insert + materializing compaction)
     "snapshot_equality_delete_orders",
+    # round-12 (cont. 2): cross-doc duplicated-passage detection (the
+    # exact-substring dedup family), WAP branches + tags + rollback,
+    # commit-time CHECK constraints, and rate-limited CDC backfill
+    "duplicate_passages_docs",
+    "snapshot_wap_orders",
+    "snapshot_constraint_orders",
+    "stream_snapshot_backfill_orders",
 ]
 
 

@@ -1133,6 +1133,8 @@ def snapshot_merge(
     updates: DataFrame,
     key: str,
     deletes: DataFrame | None = None,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> dict:
     """Row-level MERGE via copy-on-write — the Delta/Iceberg
     ``MERGE INTO`` shape on this snapshot store. ``updates`` holds full
@@ -1157,11 +1159,33 @@ def snapshot_merge(
     whose aggregated bounds miss every merge key carry VERBATIM —
     never opened, never re-written — so merge metadata cost is
     O(overlapping shards), not O(total files). Entries carried out of
-    a touched shard re-shard together with the rewrite's new entries."""
+    a touched shard re-shard together with the rewrite's new entries.
+
+    ``writer_id``/``batch_id`` (passed together) make the merge
+    IDEMPOTENT per (writer, batch) — the foreachBatch streaming-MERGE
+    contract: a replayed batch at or below this writer's fence returns
+    ``{"skipped_replay": True}`` without touching anything, and a
+    committed merge advances the same per-writer fence map the
+    streaming sink uses."""
+    if (writer_id is None) != (batch_id is None):
+        raise ValueError("writer_id and batch_id must be passed together")
     parent = current_version(table_dir)
     if parent == 0:
         raise ValueError(f"cannot merge into empty table {table_dir}")
     meta = read_snapshot_meta(table_dir, parent)
+    if writer_id is not None:
+        # EPOCH FENCE for streaming upsert (foreachBatch -> MERGE, the
+        # Delta streaming-MERGE pattern): a replayed batch whose id this
+        # writer already committed is a no-op — idempotent re-delivery
+        # instead of a double merge. Same per-writer map the sink uses.
+        fence = (meta.get("last_batches") or {}).get(writer_id)
+        if fence is not None and batch_id <= fence:
+            return {
+                "version": parent,
+                "files_rewritten": 0,
+                "files_carried": _meta_n_files(meta),
+                "skipped_replay": True,
+            }
     stats_cols = meta["stats_cols"]
     if key not in stats_cols:
         raise ValueError(f"merge key {key!r} not in stats_cols {stats_cols}")
@@ -1275,6 +1299,12 @@ def snapshot_merge(
         out["files_carried"] = len(carried)
     _carry_constraints(snap, meta)
     _carry_fence(snap, meta)
+    if writer_id is not None:
+        # advance THIS writer's fence on top of the carried map (the
+        # carry preserved other writers' entries and any legacy key)
+        fences = dict(snap.get("last_batches") or {})
+        fences[writer_id] = batch_id
+        snap["last_batches"] = fences
     _publish(table_dir, version, snap)
     return out
 

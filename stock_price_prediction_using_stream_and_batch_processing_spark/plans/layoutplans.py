@@ -1237,3 +1237,109 @@ def stream_snapshot_backfill_orders(spark, sf_dir):
             f"expected ceil(8/3)=3 coalesced batches {expected}, saw {batches}"
         )
     return spark.table(name)
+
+
+@register(
+    "stream_snapshot_upsert_orders",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS bid
+      FROM orders
+    ),
+    r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY bid DESC, o_orderkey DESC) AS rn
+      FROM u
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1
+    """,
+    tags=("streaming", "upsert", "merge", "snapshot", "foreachBatch", "exactly-once"),
+)
+def stream_snapshot_upsert_orders(spark, sf_dir):
+    """STREAMING MERGE UPSERT into the snapshot store — the Delta
+    ``foreachBatch`` + MERGE pattern, the keyed-table complement of the
+    append-only snapshot sink: a changelog streams out of table A (the
+    CDC source, one micro-batch per commit), each batch dedupes to its
+    newest row per customer and MERGEs into table B keyed on
+    ``o_custkey`` (matched customers replaced, new ones inserted; the
+    first batch bootstraps B). Exactly-once comes from the merge's
+    per-(writer, batch) EPOCH FENCE (operators/snapshots.snapshot_merge
+    writer_id/batch_id): a crash-replayed batch is an idempotent no-op
+    — ASSERTED in-query by re-running the last batch's merge by hand
+    and checking ``skipped_replay`` with no version bump. B's history
+    is one version per batch (bootstrap append + two merges, asserted),
+    and each merge rewrites only stats-touched files. The final B is
+    "each customer's newest order from the last batch that mentioned
+    them" — the row_number oracle."""
+    from ..operators import snapshots as snap
+    from ..sources.snapshot_source import register_snapshot_changes
+    from ..sources.tables import ensure_session_confs
+    from .workdirs import fresh_result_dir
+
+    ensure_session_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    src_dir = fresh_result_dir("ups_src")
+    for sl in (0, 1, 2):
+        snap.snapshot_append(
+            spark, src_dir, orders.where(F.col("o_orderkey") % 3 == sl),
+            stats_cols=["o_orderkey"],
+        )
+    register_snapshot_changes(spark)
+    dst_dir = fresh_result_dir("ups_dst")
+    ckpt = fresh_result_dir("ups_ckpt")
+
+    from pyspark.sql import Window
+
+    def upsert_batch(batch_df, batch_id):
+        newest = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        s = batch_df.sparkSession
+        if snap.current_version(dst_dir) == 0:
+            snap.snapshot_append(s, dst_dir, newest, stats_cols=["o_custkey"])
+        else:
+            snap.snapshot_merge(
+                s, dst_dir, newest, key="o_custkey",
+                writer_id="orders-upsert", batch_id=batch_id,
+            )
+
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", src_dir)
+        .load()
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    if snap.current_version(dst_dir) != 3:
+        raise AssertionError(
+            f"expected bootstrap + 2 merges = 3 versions, got "
+            f"{snap.current_version(dst_dir)}"
+        )
+    # crash-replay of the LAST batch by hand: the fence makes it a no-op
+    last_batch = orders.where(F.col("o_orderkey") % 3 == 2)
+    replay = snap.snapshot_merge(
+        spark, dst_dir, last_batch, key="o_custkey",
+        writer_id="orders-upsert", batch_id=2,
+    )
+    if not replay.get("skipped_replay") or snap.current_version(dst_dir) != 3:
+        raise AssertionError(f"replayed batch was not fenced: {replay}")
+    return snap.read_snapshot(spark, dst_dir).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )

@@ -565,6 +565,9 @@ def stream_sketch_maintenance(spark, sf_dir):
     GROUP BY 1, 2, 3
     """,
     tags=("streaming", "sketch", "count-min", "continuous-aggregate"),
+    # rotation r12: driver-green r6-r11 (6 straight); the streaming
+    # sketch-maintenance family keeps kmv/quantile/sketch/ohlc rows
+    driver=False,
 )
 def stream_cms_maintenance(spark, sf_dir):
     """STREAMING maintenance of the materialized per-hour count-min

@@ -537,3 +537,41 @@ def test_stream_from_expired_offset_is_a_contract_error(spark, tmp_path):
     r = SnapshotChangesStreamReader({"table_dir": d})
     with pytest.raises(ValueError, match="expired by retention"):
         r._delta_paths(1, 2)
+
+
+def test_merge_epoch_fence_skips_replayed_batch(spark, tmp_path):
+    """snapshot_merge(writer_id, batch_id): the foreachBatch
+    streaming-MERGE contract — a replayed (writer, batch) pair is an
+    idempotent no-op, a new batch advances the fence, and another
+    writer's fence is independent."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    upd = spark.range(3, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    out = snap.snapshot_merge(spark, d, upd, key="k", writer_id="w", batch_id=0)
+    assert out["version"] == 2 and "skipped_replay" not in out
+    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"w": 0}
+    # crash-replay of batch 0: no new version, nothing rewritten
+    replay = snap.snapshot_merge(spark, d, upd, key="k", writer_id="w", batch_id=0)
+    assert replay == {
+        "version": 2,
+        "files_rewritten": 0,
+        "files_carried": replay["files_carried"],
+        "skipped_replay": True,
+    }
+    assert snap.current_version(d) == 2
+    # the next batch proceeds and advances the fence
+    out = snap.snapshot_merge(spark, d, upd, key="k", writer_id="w", batch_id=1)
+    assert out["version"] == 3
+    assert snap.read_snapshot_meta(d, 3)["last_batches"] == {"w": 1}
+    # an independent writer is not fenced by w's batches
+    out = snap.snapshot_merge(spark, d, upd, key="k", writer_id="x", batch_id=0)
+    assert out["version"] == 4
+    assert snap.read_snapshot_meta(d, 4)["last_batches"] == {"w": 1, "x": 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        snap.snapshot_merge(spark, d, upd, key="k", writer_id="w")
