@@ -152,6 +152,10 @@ HEADLINE = [
     "snapshot_wap_orders",
     "snapshot_constraint_orders",
     "stream_snapshot_backfill_orders",
+    # round-12 (cont. 3): fenced streaming MERGE upsert (foreachBatch
+    # exactly-once) and the row-level change data feed (Delta CDF)
+    "stream_snapshot_upsert_orders",
+    "stream_change_feed_orders",
 ]
 
 

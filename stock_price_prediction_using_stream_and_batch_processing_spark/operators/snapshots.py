@@ -317,7 +317,11 @@ def _carry_deletes(snap: dict, parent_meta: dict) -> None:
 
 
 def snapshot_delete(
-    spark: SparkSession, table_dir: str, keys: DataFrame, col: str
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    col: str,
+    change_feed: bool = False,
 ) -> int:
     """MERGE-ON-READ row deletes — Iceberg's EQUALITY DELETE files: the
     delete keys are written ONCE (one distributed job over the keys,
@@ -338,7 +342,15 @@ def snapshot_delete(
     The read-side tax assumes delete files stay SMALL relative to the
     table (broadcast anti-join per delete commit) — large accumulated
     deletes are the signal to compact, the same operational contract
-    Delta/Iceberg document."""
+    Delta/Iceberg document.
+
+    ``change_feed=True`` additionally materializes the deleted rows
+    (preimages) for the CHANGE DATA FEED — the one case where an
+    equality delete pays a read: one scan of the CURRENT live rows
+    semi-joined against the keys, taken at call time (under a
+    concurrent-writer race the commit's seq ordering may delete
+    concurrently inserted rows the feed then under-reports — the same
+    read-then-publish class the retention contract documents)."""
     v0 = current_version(table_dir)
     if v0 == 0:
         raise ValueError(f"cannot delete from empty table {table_dir}")
@@ -360,6 +372,16 @@ def snapshot_delete(
     kdf = keys.select(F.col(keys.columns[0] if col not in keys.columns else col).alias(col)).distinct()
     kdf.write.parquet(del_dir)
     n_keys = spark.read.parquet(del_dir).count()
+    changes_dir = None
+    if change_feed:
+        live = _read_with_deletes(spark, meta0, _meta_entries(meta0))
+        pre = live.join(
+            F.broadcast(spark.read.parquet(del_dir).select(F.col(col).alias("_dk"))),
+            live[col] == F.col("_dk"),
+            "left_semi",
+        ).withColumn("_change_type", F.lit("delete"))
+        changes_dir = os.path.join(table_dir, "changes", uuid.uuid4().hex[:12])
+        pre.write.parquet(changes_dir)
 
     def make_snap(parent: int, meta: dict) -> dict:
         schema = meta.get("schema")
@@ -374,6 +396,8 @@ def snapshot_delete(
             "delete_files": list(meta.get("delete_files") or [])
             + [{"dir": del_dir, "col": col, "n_keys": n_keys, "seq": parent + 1}],
         }
+        if changes_dir is not None:
+            snap["change_feed_dir"] = changes_dir
         if schema is not None:
             snap["schema"] = schema
         if meta.get("schema_evolved"):
@@ -1032,6 +1056,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
     dead_dels = {
         d["dir"] for m in expired_metas for d in m.get("delete_files", [])
     } - live_dels
+    # change-feed dirs (CDF preimage/postimage rows) follow the same
+    # reachability rule — each belongs to exactly one version
+    live_cdf = {m["change_feed_dir"] for m in keep_metas if m.get("change_feed_dir")}
+    dead_dels |= {
+        m["change_feed_dir"] for m in expired_metas if m.get("change_feed_dir")
+    } - live_cdf
     # Crash-ordering: expired snapshot JSONs are removed FIRST, dead
     # files after. A crash between the two leaks unreferenced files
     # (harmless, collected by nothing — the same class as an aborted
@@ -1135,6 +1165,7 @@ def snapshot_merge(
     deletes: DataFrame | None = None,
     writer_id: str | None = None,
     batch_id: int | None = None,
+    change_feed: bool = False,
 ) -> dict:
     """Row-level MERGE via copy-on-write — the Delta/Iceberg
     ``MERGE INTO`` shape on this snapshot store. ``updates`` holds full
@@ -1265,6 +1296,43 @@ def snapshot_merge(
     bloom_cols = _snapshot_bloom_cols(meta)
     _attach_blooms(spark, commit_dir, new_entries, bloom_cols)
     version = parent + 1
+    changes_dir = None
+    if change_feed:
+        # ROW-LEVEL CHANGE DATA FEED (Delta CDF): materialize this
+        # commit's logical changes WHILE the merge already holds the
+        # touched rows — preimages for matched update keys, postimages
+        # for the update rows, inserts for unmatched keys, deletes for
+        # delete-key rows (update precedence when a key is in both).
+        # Matched-vs-insert is decidable against ``base`` because the
+        # touch test is conservative: any file possibly holding a merge
+        # key was read into base. Cost: joins over rows the merge
+        # already read — no extra file scan.
+        ct = "_change_type"
+        ukeys = updates.select(F.col(key).alias("_uk")).distinct()
+        bkeys = base.select(F.col(key).alias("_bk")).distinct()
+        pre = base.join(
+            F.broadcast(ukeys), base[key] == F.col("_uk"), "left_semi"
+        ).withColumn(ct, F.lit("update_preimage"))
+        upd_m = updates.join(
+            F.broadcast(bkeys), updates[key] == F.col("_bk"), "left_semi"
+        ).withColumn(ct, F.lit("update_postimage"))
+        upd_i = updates.join(
+            F.broadcast(bkeys), updates[key] == F.col("_bk"), "left_anti"
+        ).withColumn(ct, F.lit("insert"))
+        changes = pre.unionByName(upd_m).unionByName(upd_i)
+        if deletes is not None:
+            dk = (
+                deletes.select(F.col(deletes.columns[0]).alias("_dk"))
+                .distinct()
+                .join(F.broadcast(ukeys), F.col("_dk") == F.col("_uk"), "left_anti")
+            )
+            changes = changes.unionByName(
+                base.join(
+                    F.broadcast(dk), base[key] == F.col("_dk"), "left_semi"
+                ).withColumn(ct, F.lit("delete"))
+            )
+        changes_dir = os.path.join(table_dir, "changes", uuid.uuid4().hex[:12])
+        changes.write.parquet(changes_dir)
     # rewritten files materialized the deletes for THEIR rows (base read
     # applied them) and get seq = version, above every live delete;
     # carried files still need the delete files, so they carry forward
@@ -1277,6 +1345,8 @@ def snapshot_merge(
         "bloom_cols": bloom_cols,
         "merge": True,
     }
+    if changes_dir is not None:
+        snap["change_feed_dir"] = changes_dir
     _carry_deletes(snap, meta)
     if declared is not None:
         snap["schema"] = declared
@@ -1493,3 +1563,83 @@ def read_point_lookup(
             raise ValueError(f"snapshot has no files under {table_dir}")
         return _aligned_reader(spark, meta, [all_files[0]["path"]]).where(F.lit(False))
     return _read_with_deletes(spark, meta, kept).where(F.col(col) == F.lit(value))
+
+
+def vacuum_orphans(table_dir: str, min_age_s: float = 3600.0) -> dict:
+    """Collect UNREFERENCED storage — the other half of retention
+    (:func:`expire_snapshots` collects files only EXPIRED versions
+    reference; this collects files NO version ever referenced): commit
+    dirs staged by lost publish races or dropped-without-publish
+    branches, delete dirs of refused delete commits, manifest shards
+    orphaned by a lost inline→sharded conversion race. Reachability is
+    the union over every live snapshot — main versions AND all refs
+    (branch lines, whose staged data is NOT orphaned) — so the scan is
+    metadata-sized. ``min_age_s`` (default 1 h) is the safety window
+    for IN-FLIGHT commits: a writer stages data before it publishes,
+    so anything younger than the window is kept unconditionally (the
+    same reasoning as Delta VACUUM's retention floor). Returns counts
+    for assertion."""
+    import shutil
+    import time
+
+    metas: list[dict] = []
+    snap_d = _snap_dir(table_dir)
+    if os.path.isdir(snap_d):
+        for n in os.listdir(snap_d):
+            if n.startswith("v") and n.endswith(".json"):
+                with open(os.path.join(snap_d, n)) as f:
+                    metas.append(json.load(f))
+    refs_d = os.path.join(table_dir, "refs")
+    if os.path.isdir(refs_d):
+        for n in os.listdir(refs_d):
+            bsnaps = _snap_dir(os.path.join(refs_d, n))
+            if n.startswith("branch-") and os.path.isdir(bsnaps):
+                for bn in os.listdir(bsnaps):
+                    if bn.startswith("v") and bn.endswith(".json"):
+                        with open(os.path.join(bsnaps, bn)) as f:
+                            metas.append(json.load(f))
+    live_paths = {e["path"] for m in metas for e in _meta_entries_tolerant(m)}
+    live_shards = {r["path"] for m in metas for r in m.get("manifests", [])}
+    live_dels = {d["dir"] for m in metas for d in m.get("delete_files", [])}
+    live_dels |= {m["change_feed_dir"] for m in metas if m.get("change_feed_dir")}
+    cutoff = time.time() - min_age_s
+
+    def _old(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) < cutoff
+        except OSError:
+            return False
+
+    out = {"deleted_commit_dirs": 0, "deleted_delete_dirs": 0, "deleted_manifests": 0}
+    data_d = os.path.join(table_dir, "data")
+    if os.path.isdir(data_d):
+        for n in os.listdir(data_d):
+            d = os.path.join(data_d, n)
+            if not os.path.isdir(d) or not _old(d):
+                continue
+            # all-or-nothing: a commit's files are referenced together,
+            # but stay conservative — any referenced member keeps the dir
+            members = [os.path.join(d, f) for f in os.listdir(d)]
+            if any(p in live_paths for p in members):
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+            out["deleted_commit_dirs"] += 1
+    for sub in ("deletes", "changes"):
+        sub_d = os.path.join(table_dir, sub)
+        if os.path.isdir(sub_d):
+            for n in os.listdir(sub_d):
+                d = os.path.join(sub_d, n)
+                if os.path.isdir(d) and _old(d) and d not in live_dels:
+                    shutil.rmtree(d, ignore_errors=True)
+                    out["deleted_delete_dirs"] += 1
+    man_d = _manifest_dir(table_dir)
+    if os.path.isdir(man_d):
+        for n in os.listdir(man_d):
+            p = os.path.join(man_d, n)
+            if n.endswith(".json") and _old(p) and p not in live_shards:
+                try:
+                    os.remove(p)
+                    out["deleted_manifests"] += 1
+                except OSError:
+                    pass
+    return out

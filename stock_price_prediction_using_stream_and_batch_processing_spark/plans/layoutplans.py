@@ -1343,3 +1343,101 @@ def stream_snapshot_upsert_orders(spark, sf_dir):
     return snap.read_snapshot(spark, dst_dir).select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "stream_change_feed_orders",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice,
+             o_orderkey % 3 AS m3, o_orderkey % 6 AS m6
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version FROM s WHERE m3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 2 FROM s WHERE m3 = 1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', 3 FROM s WHERE m6 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 3 FROM s WHERE m6 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', 3 FROM s WHERE m3 = 2
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 4 FROM s WHERE m6 = 3
+    """,
+    tags=("streaming", "cdc", "change-feed", "snapshot", "merge", "delete"),
+)
+def stream_change_feed_orders(spark, sf_dir):
+    """ROW-LEVEL CHANGE DATA FEED (Delta CDF) through the snapshot
+    connector pair — the full commit taxonomy in one stream:
+
+    - v1/v2: appends (orders slices 0 and 1 by ``o_orderkey % 3``) —
+      the reader synthesizes ``insert`` rows from each commit's delta
+      files, no extra storage.
+    - v3: a ``change_feed=True`` MERGE that doubles prices for keys
+      ``% 6 == 0`` (matched: ``update_preimage`` + ``update_postimage``
+      pairs) and inserts slice 2 (unmatched: ``insert``) — the change
+      rows are materialized DURING the merge from rows it already
+      holds, so the feed costs joins, never an extra file scan.
+    - v4: a ``change_feed=True`` equality delete of keys ``% 6 == 3``
+      — ``delete`` preimages materialized once at commit.
+    - v5: a COMPACTION — a rewrite with zero logical change, which the
+      plain CDC reader must refuse but the feed rides through emitting
+      NOTHING (asserted via the oracle's max version of 4).
+
+    Every feed row carries ``_change_type``/``_commit_version`` and
+    the whole feed is value-checked against SQL reconstructing each
+    commit's logical delta. At 100 TB this is what incremental
+    consumers (index maintenance, cache invalidation, downstream
+    MERGE) subscribe to instead of diffing table versions."""
+    import uuid as _uuid
+
+    from ..operators import snapshots as snap
+    from ..session import track_memory_sink_table
+    from ..sources.snapshot_source import register_snapshot_changes
+    from ..sources.tables import ensure_session_confs
+    from .workdirs import fresh_result_dir
+
+    ensure_session_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    m3, m6 = F.col("o_orderkey") % 3, F.col("o_orderkey") % 6
+    d = fresh_result_dir("cdf")
+    snap.snapshot_append(spark, d, orders.where(m3 == 0), stats_cols=["o_orderkey"])
+    snap.snapshot_append(spark, d, orders.where(m3 == 1), stats_cols=["o_orderkey"])
+    updates = (
+        orders.where(m6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(orders.where(m3 == 2))
+    )
+    out = snap.snapshot_merge(spark, d, updates, key="o_orderkey", change_feed=True)
+    if out["version"] != 3:
+        raise AssertionError(f"merge landed at {out['version']}, expected 3")
+    snap.snapshot_delete(
+        spark, d, orders.where(m6 == 3).select("o_orderkey"), "o_orderkey",
+        change_feed=True,
+    )
+    snap.snapshot_compact(spark, d, target_files=2)
+    if snap.current_version(d) != 5:
+        raise AssertionError("commit taxonomy did not build versions 1..5")
+
+    register_snapshot_changes(spark)
+    name = f"stream_cdf_{_uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", d)
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerBatch", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)

@@ -830,6 +830,9 @@ def linear_count_daily_users(spark, sf_dir):
     JOIN est ON est.day = e.day AND est.token = e.token
     """,
     tags=("sketch", "count-min", "rollup", "timeseries"),
+    # rotation r12: driver-green r6-r11 (6 straight); the sketch family
+    # keeps cms_token_counts + quantile_rollup + kmv + linear_count rows
+    driver=False,
 )
 def cms_rollup_daily_tokens(spark, sf_dir):
     """DAILY count-min point estimates derived from HOURLY CMS counter

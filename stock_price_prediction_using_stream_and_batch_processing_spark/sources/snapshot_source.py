@@ -114,6 +114,17 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         self.max_commits = int(options.get("maxCommitsPerBatch", 1))
         if self.max_commits < 1:
             raise ValueError("maxCommitsPerBatch must be >= 1")
+        # CHANGE DATA FEED mode (Delta CDF): emit row-level changes with
+        # _change_type/_commit_version instead of raw appended rows.
+        # Appends synthesize 'insert' rows from their delta files;
+        # merge/delete commits read the preimage/postimage rows their
+        # writer materialized (change_feed=True) and REFUSE if the
+        # commit didn't; compactions/manifest compactions emit nothing
+        # (a rewrite is no logical change — the one commit class the
+        # plain reader refuses but CDF can ride through).
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
         # the stream's column order is FIXED at plan time; files from
         # before a schema evolution are padded with NULLs per column
         self.columns = [n for n, _ in _table_columns(self.table_dir)]
@@ -184,9 +195,10 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
             ) from exc
         return [e["path"] for e in cur if e["path"] not in prev]
 
-    def _rows(self, paths: list[str]):
+    def _rows(self, paths: list[str], columns: list[str] | None = None, suffix=()):
         import pyarrow.parquet as pq
 
+        columns = self.columns if columns is None else columns
         for p in sorted(paths):
             f = pq.ParquetFile(p)
             present = set(f.schema_arrow.names)
@@ -195,9 +207,61 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                     batch.column(n).to_pylist()
                     if n in present
                     else [None] * batch.num_rows
-                    for n in self.columns
+                    for n in columns
                 ]
-                yield from zip(*cols)
+                for row in zip(*cols):
+                    yield row + suffix
+
+    def _cdf_rows(self, lo: int, hi: int) -> list:
+        """Change-feed rows for commits (lo, hi]: per version, either
+        the writer-materialized change files (merge/delete with
+        change_feed=True), synthesized 'insert' rows from an append's
+        delta files, nothing for rewrites (compaction — no logical
+        change), or a LOUD refusal when row-level changes were never
+        materialized (merge/delete without change_feed, rollback)."""
+        import os
+
+        from ..operators import snapshots as snap
+
+        out: list = []
+        for v in range(lo + 1, hi + 1):
+            try:
+                meta = snap.read_snapshot_meta(self.table_dir, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot version {v} under {self.table_dir} expired by "
+                    "retention; re-seed the change feed from a live version"
+                ) from None
+            if meta.get("change_feed_dir"):
+                d = meta["change_feed_dir"]
+                paths = [
+                    os.path.join(d, n)
+                    for n in os.listdir(d)
+                    if n.endswith(".parquet")
+                ]
+                out.extend(
+                    self._rows(paths, self.columns + ["_change_type"], suffix=(v,))
+                )
+            elif meta.get("merge") or meta.get("delete"):
+                raise ValueError(
+                    f"version {v} is a merge/delete committed WITHOUT "
+                    "change_feed=True: its row-level changes were never "
+                    "materialized (re-seed past it, or re-commit with the feed)"
+                )
+            elif meta.get("rollback_of") is not None:
+                raise ValueError(
+                    f"version {v} is a rollback: its row-level changes are not "
+                    "materialized — re-seed the change feed at or after it"
+                )
+            elif meta.get("compaction_of") is not None or meta.get(
+                "manifest_compaction"
+            ):
+                continue  # rewrite, zero logical change
+            else:
+                out.extend(
+                    self._rows(self._delta_paths(v - 1, v), suffix=("insert", v))
+                )
+        return out
 
     def read(self, start: dict):
         from ..operators import snapshots as snap
@@ -210,14 +274,17 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         # offsets track commit lineage exactly); the delta of a RANGE
         # is the same metadata set difference replay recovery uses
         hi = min(cur, lo + self.max_commits)
+        if self.read_change_feed:
+            return iter(self._cdf_rows(lo, hi)), {"version": hi}
         # materialized list, not a generator: the Simple API PICKLES the
         # prefetched batch into its replay cache
         return iter(list(self._rows(self._delta_paths(lo, hi)))), {"version": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            list(self._rows(self._delta_paths(int(start["version"]), int(end["version"]))))
-        )
+        lo, hi = int(start["version"]), int(end["version"])
+        if self.read_change_feed:
+            return iter(self._cdf_rows(lo, hi))
+        return iter(list(self._rows(self._delta_paths(lo, hi))))
 
     def commit(self, end: dict) -> None:
         pass
@@ -233,7 +300,10 @@ class SnapshotChangesDataSource(DataSource):
         return "snapshot_changes"
 
     def schema(self) -> str:
-        return _table_ddl(self.options.get("table_dir", ""))
+        ddl = _table_ddl(self.options.get("table_dir", ""))
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            ddl += ", _change_type string, _commit_version bigint"
+        return ddl
 
     def simpleStreamReader(self, schema) -> SnapshotChangesStreamReader:
         return SnapshotChangesStreamReader(self.options)

@@ -147,3 +147,101 @@ def test_rewrite_inside_coalesced_range_refuses(spark, tmp_path):
     r = SnapshotChangesStreamReader({"table_dir": d, "maxCommitsPerBatch": "10"})
     with pytest.raises(ValueError, match="compaction"):
         r.read({"version": 2})
+
+
+def test_change_feed_merge_and_delete(spark, tmp_path):
+    """CDF reader semantics across the commit taxonomy: appends emit
+    synthesized inserts; a change_feed=True MERGE emits preimages for
+    matched keys, postimages for its update rows, inserts for new
+    keys; a change_feed=True equality delete emits the deleted rows;
+    a compaction emits NOTHING (rewrite, no logical change); versions
+    stamp _commit_version."""
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=1)  # v1: keys 0..29, v = 2k
+    upd = spark.range(28, 32).select(
+        F.col("id").alias("k"), (F.col("id") * 100.0).alias("v")
+    )
+    out = snap.snapshot_merge(spark, d, upd, key="k", change_feed=True)  # v2
+    assert out["version"] == 2
+    snap.snapshot_delete(
+        spark, d,
+        spark.range(0, 2).select(F.col("id").alias("k")),
+        "k", change_feed=True,
+    )  # v3
+    snap.snapshot_compact(spark, d, target_files=1)  # v4: no logical change
+    r = SnapshotChangesStreamReader({"table_dir": d, "readChangeFeed": "true",
+                                     "maxCommitsPerBatch": "10"})
+    rows = sorted(r._cdf_rows(0, 4))
+    by_type = {}
+    for k, v, ct, ver in rows:
+        by_type.setdefault(ct, []).append((k, v, ver))
+    inserts_v1 = [(k, v) for k, v, ver in by_type["insert"] if ver == 1]
+    assert sorted(inserts_v1) == [(k, k * 2.0) for k in range(30)]
+    # merge: keys 28,29 matched (pre+post), 30,31 inserted at v2
+    assert sorted((k, v) for k, v, ver in by_type["update_preimage"]) == [
+        (28, 56.0), (29, 58.0)
+    ]
+    assert sorted((k, v) for k, v, ver in by_type["update_postimage"]) == [
+        (28, 2800.0), (29, 2900.0)
+    ]
+    inserts_v2 = [(k, v) for k, v, ver in by_type["insert"] if ver == 2]
+    assert sorted(inserts_v2) == [(30, 3000.0), (31, 3100.0)]
+    # delete preimages at v3 (rows as of v2: k=0,1 untouched by merge)
+    assert sorted((k, v, ver) for k, v, ver in by_type["delete"]) == [
+        (0, 0.0, 3), (1, 2.0, 3)
+    ]
+    # v4 compaction contributed nothing
+    assert all(ver <= 3 for rows_ in by_type.values() for _, _, ver in rows_)
+
+
+def test_change_feed_refuses_unmaterialized_and_rollback(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=1)
+    upd = spark.range(0, 2).select(F.col("id").alias("k"), (F.col("id") * 9.0).alias("v"))
+    snap.snapshot_merge(spark, d, upd, key="k")  # NO change feed
+    r = SnapshotChangesStreamReader({"table_dir": d, "readChangeFeed": "true"})
+    with pytest.raises(ValueError, match="WITHOUT"):
+        r._cdf_rows(1, 2)
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import refs
+
+    refs.snapshot_rollback(d, 1)  # v3
+    with pytest.raises(ValueError, match="rollback"):
+        r._cdf_rows(2, 3)
+
+
+def test_change_feed_end_to_end_stream(spark, tmp_path):
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_source import (
+        register_snapshot_changes,
+    )
+
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=2)
+    upd = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 100.0).alias("v")
+    )
+    snap.snapshot_merge(spark, d, upd, key="k", change_feed=True)
+    register_snapshot_changes(spark)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", d)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_e2e")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("cdf_e2e")
+    assert got.columns == ["k", "v", "_change_type", "_commit_version"]
+    assert got.where("_change_type = 'insert' AND _commit_version <= 2").count() == 60
+    posts = {
+        r.k: r.v for r in got.where("_change_type = 'update_postimage'").collect()
+    }
+    assert posts == {5: 500.0, 6: 600.0, 7: 700.0}
+    pres = {r.k: r.v for r in got.where("_change_type = 'update_preimage'").collect()}
+    assert pres == {5: 10.0, 6: 12.0, 7: 14.0}

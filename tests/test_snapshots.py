@@ -575,3 +575,43 @@ def test_merge_epoch_fence_skips_replayed_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="together"):
         snap.snapshot_merge(spark, d, upd, key="k", writer_id="w")
+
+
+def test_vacuum_orphans_collects_unreferenced_only(spark, tmp_path):
+    """vacuum_orphans: a dropped-without-publish branch's staged commit
+    dir is collected; live data (main + surviving branches) and
+    anything younger than the in-flight window is kept."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import refs
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    refs.branch_create(d, "doomed")
+    refs.branch_append(
+        spark, d, "doomed",
+        spark.range(10, 20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+    )
+    refs.branch_create(d, "kept")
+    refs.branch_append(
+        spark, d, "kept",
+        spark.range(20, 30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+    )
+    refs.branch_drop(d, "doomed")  # its staged commit dir is now orphaned
+    # in-flight window: nothing collected when everything is young
+    assert snap.vacuum_orphans(d, min_age_s=3600)["deleted_commit_dirs"] == 0
+    out = snap.vacuum_orphans(d, min_age_s=0)
+    assert out["deleted_commit_dirs"] == 1
+    # survivors fully readable
+    assert snap.read_snapshot(spark, d).count() == 10
+    assert refs.read_branch(spark, d, "kept").count() == 20
+    # stray manifest shard (lost conversion race) is collected too
+    man = os.path.join(d, "manifests")
+    os.makedirs(man, exist_ok=True)
+    stray = os.path.join(man, "m-deadbeef.json")
+    with open(stray, "w") as f:
+        f.write('{"files": []}')
+    out = snap.vacuum_orphans(d, min_age_s=0)
+    assert out["deleted_manifests"] == 1 and not os.path.exists(stray)
