@@ -565,3 +565,75 @@ def rolling_corr(
     denx = F.greatest(sxx - F.try_divide(sx * sx, cnt), F.lit(0.0))
     deny = F.greatest(syy - F.try_divide(sy * sy, cnt), F.lit(0.0))
     return d.withColumn(out, F.try_divide(num, F.sqrt(denx * deny))).drop("_cx", "_cy")
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    bucket: str = "hour",
+    tiebreak: str | list[str] | None = None,
+) -> DataFrame:
+    """TWAP — TIME-weighted average per (key, time bucket): each
+    observation holds until the NEXT one in the same bucket, so its
+    weight is that interval's duration in seconds (the last
+    observation of a bucket carries no weight — the standard
+    right-open segment convention, making the result independent of
+    anything outside the bucket). The row-weighted mean (VWAP/AVG)
+    over-counts bursts of ticks; TWAP is the fix market-data and
+    sensor pipelines use.
+
+    Shape: one lead() per (key, bucket) partition — the same single
+    shuffle every trailing window here costs — then a partial-
+    aggregating groupBy. Buckets whose total duration is zero (single
+    observation, or all ticks at one instant) are dropped rather than
+    emitted as NULL/∞."""
+    secs = F.col(ts).cast("timestamp").cast("double")
+    b = df.withColumn("_bkt", F.date_trunc(bucket, F.col(ts)))
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    w = Window.partitionBy(key, "_bkt").orderBy(
+        F.col(ts), *[F.col(c) for c in tb]
+    )
+    dt = F.lead(secs).over(w) - secs
+    seg = b.withColumn("_dt", dt)
+    return (
+        seg.groupBy(key, "_bkt")
+        .agg(
+            F.sum(F.col(value) * F.col("_dt")).alias("_num"),
+            F.sum("_dt").alias("_den"),
+            F.count("_dt").cast("long").alias("n_segments"),
+        )
+        .where(F.col("_den") > 0)
+        .select(
+            key,
+            F.col("_bkt").alias("bucket_start"),
+            (F.col("_num") / F.col("_den")).alias("twap"),
+            "n_segments",
+        )
+    )
+
+
+def rolling_percentile(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    p: float,
+    n: int,
+    out: str = "rolling_pct",
+    tiebreak: str | list[str] | None = None,
+) -> DataFrame:
+    """EXACT percentile (continuous interpolation) over a trailing
+    ``n``-row window per key — the robust-statistics complement of the
+    trailing mean (a rolling median shrugs off the outliers that drag
+    a mean). Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the interpolation definition, so results differential-check
+    bitwise.
+
+    Scale note: an exact windowed percentile keeps each frame's values
+    — O(n) state per row, fine for the trailing-k shapes used here; an
+    unbounded or very wide frame should switch to the mergeable binned
+    histograms in operators/sketches.py (quantile_rollup faces)."""
+    w = _w(key, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    return df.withColumn(out, F.expr(f"percentile({value}, {p})").over(w))

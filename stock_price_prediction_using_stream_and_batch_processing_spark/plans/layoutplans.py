@@ -78,6 +78,9 @@ def zorder_value_events(spark, sf_dir):
     FROM events WHERE CAST(ts AS DATE) IN (SELECT d FROM keep)
     """,
     tags=("storage", "retention", "compaction", "layout", "maintenance"),
+    # rotation r12: driver-green r6-r11 (6 straight); the lifecycle
+    # family keeps snapshot_compact + snapshot_wap (expiry) driver rows
+    driver=False,
 )
 def storage_lifecycle_events(spark, sf_dir):
     """The storage-lifecycle pipeline end to end, oracle-checked: write

@@ -850,6 +850,10 @@ def intra_doc_dedup_docs(spark, sf_dir):
     SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.0 AND jaccard < 0.8
     """,
     tags=("training-data", "hard-negatives", "minhash", "lsh", "contrastive"),
+    # rotation r12: driver-green r6-r11 (6 straight); the dedup/LSH
+    # family keeps incremental_near_dup + cosine_topk_lsh + intra_doc
+    # + duplicate_passages driver rows
+    driver=False,
 )
 def hard_negative_pairs_docs(spark, sf_dir):
     """Hard-negative mining for contrastive training

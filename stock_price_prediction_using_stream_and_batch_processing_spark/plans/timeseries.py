@@ -1136,3 +1136,74 @@ def ohlc_incremental_refresh_events(spark, sf_dir):
         "close",
         "n_ticks",
     )
+
+
+@register(
+    "twap_hourly_events",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bkt, value,
+             epoch(LEAD(ts) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id)) - epoch(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           strftime(bkt, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           ROUND(SUM(value * dt) / SUM(dt), 4) AS twap,
+           CAST(COUNT(dt) AS BIGINT) AS n_segments
+    FROM seg GROUP BY user_id, bkt HAVING SUM(dt) > 0
+    """,
+    tags=("timeseries", "twap", "time-weighted", "window"),
+)
+def twap_hourly_events(spark, sf_dir):
+    """TIME-weighted average price per user per hour (operators/
+    windows.time_weighted_average) — the irregular-sampling companion
+    of VWAP/OHLC: each tick holds until the next tick in the bucket
+    and is weighted by that duration, so a burst of identical ticks
+    cannot drag the average the way a row-weighted mean lets it
+    (the standard market-data/sensor TWAP, right-open segments,
+    zero-duration buckets dropped). One lead() shuffle keyed
+    (user, hour) + a partial-aggregating groupBy; the oracle replays
+    segments, weights, and the degenerate-bucket filter in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.time_weighted_average(
+        ev, "user_id", "ts", "value", bucket="hour", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.round("twap", 4).alias("twap"),
+        "n_segments",
+    )
+
+
+@register(
+    "rolling_median_events",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM events
+    """,
+    tags=("timeseries", "percentile", "median", "robust", "window"),
+)
+def rolling_median_events(spark, sf_dir):
+    """EXACT rolling median over the trailing 25 ticks per user
+    (operators/windows.rolling_percentile) — the robust-statistics
+    complement of the trailing mean: a handful of outlier ticks drag a
+    mean arbitrarily but move a median by at most one rank. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the continuous-
+    interpolation definition, so the differential is exact (rounded at
+    6 for the interpolation arithmetic). Per-key O(frame) state — the
+    honest cost of exactness at this frame size; unbounded frames
+    switch to the mergeable binned-histogram family (quantile_rollup
+    faces), which is why both live in this engine."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.rolling_percentile(
+        ev, "user_id", "ts", "value", 0.5, 25,
+        out="rolling_median", tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("rolling_median", 6).alias("rolling_median")
+    )

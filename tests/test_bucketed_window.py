@@ -132,3 +132,36 @@ def test_bucketed_window_larger_than_bucket(spark):
         df, "k", "ts", "v", 7, bucket_seconds=10, tiebreak="i"
     )
     assert _collect(plain) == _collect(bucketed)
+
+
+def test_twap_zero_duration_buckets_dropped(spark):
+    """time_weighted_average: weights are seconds-to-next-tick within
+    the (key, bucket); the last tick carries no weight; a bucket whose
+    only content is one tick (or co-instant ticks) has zero total
+    duration and is DROPPED, never emitted as NULL/inf."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import windows
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1, hour 10: 10.0 held 60s, then 20.0 held 120s, then 99.0 (no weight)
+        (1, t0, 10.0, 1),
+        (1, t0 + dt.timedelta(seconds=60), 20.0, 2),
+        (1, t0 + dt.timedelta(seconds=180), 99.0, 3),
+        # user 1, hour 11: single tick -> zero duration -> dropped
+        (1, t0 + dt.timedelta(hours=1), 7.0, 4),
+        # user 2, hour 10: two co-instant ticks -> zero duration -> dropped
+        (2, t0, 5.0, 5),
+        (2, t0, 6.0, 6),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+    out = windows.time_weighted_average(
+        df, "user_id", "ts", "value", bucket="hour", tiebreak="event_id"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["n_segments"] == 2
+    assert abs(r["twap"] - (10.0 * 60 + 20.0 * 120) / 180) < 1e-12
