@@ -236,13 +236,33 @@ def branch_publish(
     head_meta = read_snapshot_meta(bdir, head)
     base_v1 = read_snapshot_meta(bdir, 1)
     base = base_v1["base_version"]
-    # diff against the BRANCH's own v1 (the pinned copy of the base
+    # Diff against the BRANCH's own v1 (the pinned copy of the base
     # content), never the main base snapshot — main retention may have
-    # expired it while the branch (a retention root) kept its files
-    base_paths = {e["path"] for e in _meta_entries(base_v1)}
-    new_entries = [
-        e for e in _meta_entries(head_meta) if e["path"] not in base_paths
-    ]
+    # expired it while the branch (a retention root) kept its files.
+    # On a SHARDED base the diff runs at the SHARD level: branch
+    # appends only ADD shards (no branch op re-chunks them), so the
+    # shards head references that v1 does not ARE the net-new entries —
+    # publish cost O(new shards), not O(total files) (the r12 refs
+    # probe measured the full resolve at 243 ms for 65k entries; the
+    # shard diff is flat). An INLINE base falls back to the path-set
+    # diff (bounded by the inline ceiling, metadata-small by
+    # definition) because a later inline->sharded conversion re-chunks
+    # OLD entries into new shards, which a shard diff would misread.
+    if "manifests" in base_v1 and "manifests" in head_meta:
+        from .snapshots import _load_manifest
+
+        base_shards = {r["path"] for r in base_v1["manifests"]}
+        new_entries = [
+            e
+            for rec in head_meta["manifests"]
+            if rec["path"] not in base_shards
+            for e in _load_manifest(rec["path"])
+        ]
+    else:
+        base_paths = {e["path"] for e in _meta_entries(base_v1)}
+        new_entries = [
+            e for e in _meta_entries(head_meta) if e["path"] not in base_paths
+        ]
     schema = head_meta.get("schema")
 
     def make_snap(parent: int, meta: dict) -> dict:
