@@ -272,3 +272,61 @@ def ancestor_closure(
             .localCheckpoint(eager=False)
         )
     return state.select("node", F.col("anc").alias("root"), "depth")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """K-CORE DECOMPOSITION (membership for one k): iteratively peel
+    nodes of degree < k until the survivor set is stable — the
+    standard dense-subgraph primitive (community cores, spam/bot
+    rings, robust-backbone extraction). The fixpoint is unique and
+    order-independent, so results are deterministic however the
+    peeling parallelizes.
+
+    Input: undirected edge list with ``src < dst`` per row (no
+    duplicates). Returns ``(node, core_degree)`` for k-core members,
+    where core_degree is the degree WITHIN the core subgraph.
+
+    Shape: each round is one degree aggregate + one semi-join filter —
+    two shuffles — and rounds are bounded by the peeling depth (on
+    real graphs a handful; a path graph degenerates to O(n), which is
+    why ``max_rounds`` raises loudly instead of looping silently —
+    the same honesty contract as dedup's propagation cap). Lineage is
+    truncated per round with localCheckpoint, and the convergence
+    check is a COUNT (a driver scalar, never data)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        surv = deg.where(F.col("_deg") >= k).localCheckpoint(eager=False)
+        nxt = (
+            cur.join(surv.select(F.col("node").alias("_sa")), F.col("a") == F.col("_sa"), "left_semi")
+            .join(surv.select(F.col("node").alias("_sb")), F.col("b") == F.col("_sb"), "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur or n_nxt == 0:
+            return (
+                cur.select(F.col("a").alias("node"))
+                .unionAll(cur.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+            )
+    raise ValueError(
+        f"k-core did not converge in {max_rounds} rounds: pathological "
+        "peeling depth (near-chain graph); raise max_rounds deliberately"
+    )

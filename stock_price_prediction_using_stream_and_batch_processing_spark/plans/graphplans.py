@@ -202,3 +202,72 @@ def hierarchy_flatten_parts(spark, sf_dir):
     )
     out = ancestor_closure(parts, n_iter=5)
     return out.select("node", "root", F.col("depth").cast("long").alias("depth"))
+
+
+_KCORE_K = 60
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling: a k-core fixpoint is idempotent, so unrolling
+    MORE rounds than the fixture needs is exact (extra rounds are
+    no-ops); the Spark operator raises if it fails to converge within
+    the same bound, keeping both sides honest."""
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT node FROM "
+            f"(SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) "
+            f"GROUP BY node HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f", e{i + 1} AS MATERIALIZED (SELECT e{i}.a, e{i}.b FROM e{i} "
+            f"JOIN s{i} x ON e{i}.a = x.node JOIN s{i} y ON e{i}.b = y.node)"
+        )
+    parts.append(
+        f"SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM "
+        f"(SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        f"GROUP BY node"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "k_core_parts",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "k-core", "iterative", "peeling", "dense-subgraph"),
+)
+def k_core_parts(spark, sf_dir):
+    """K-CORE DECOMPOSITION over the part co-purchase graph
+    (operators/graph.k_core) — the dense-subgraph primitive the graph
+    family lacked: iteratively peel parts with fewer than 60 co-
+    purchase partners until stable, returning each core member with
+    its WITHIN-core degree. Complements triangles (local density) and
+    connected components (reachability) with global density: the
+    k-core survives the removal cascade, which one-hop degree
+    thresholds miss (a node of degree 100 still falls if its
+    neighbors do). Each round costs two shuffles (degree aggregate +
+    semi-join filter) and the fixture converges in 2 rounds
+    (operator raises past 8 — the honest cap for near-chain
+    pathologies); the oracle unrolls 8 peels, exact because the
+    fixpoint is idempotent. At 100 TB the per-round state is the
+    live edge list, shrinking monotonically, with lineage truncated
+    per round."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return graph.k_core(edges, _KCORE_K, max_rounds=_KCORE_ROUNDS)

@@ -775,6 +775,9 @@ def edit_distance_pairs_docs(spark, sf_dir):
     FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """,
     tags=("dedup", "intra-doc", "ngram", "rewrite"),
+    # rotation r12: driver-green r6-r11 (6 straight); the dedup family
+    # keeps duplicate_passages + incremental_near_dup + cosine_topk_lsh
+    driver=False,
 )
 def intra_doc_dedup_docs(spark, sf_dir):
     """INTRA-document n-gram dedup — the rewrite face of repetition

@@ -222,3 +222,29 @@ def test_triangle_auto_sizing_decimal_is_fixed_width(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_k_core_cascade_and_honest_cap(spark):
+    """k-core peeling must CASCADE: node 4 has degree 2 (>= k) at
+    round 1 but falls at round 2 once its leaf neighbor is peeled —
+    the property a one-shot degree threshold misses. A long chain
+    under a tiny max_rounds raises loudly instead of looping."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import graph
+
+    # triangle {1,2,3} + tail 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {r.node: r.core_degree for r in graph.k_core(edges, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k above the max degree: empty core, no error
+    assert graph.k_core(edges, 10).count() == 0
+    # chain of 12: peels one layer per round from the ends
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        graph.k_core(chain, 2, max_rounds=2)
