@@ -156,6 +156,12 @@ HEADLINE = [
     # exactly-once) and the row-level change data feed (Delta CDF)
     "stream_snapshot_upsert_orders",
     "stream_change_feed_orders",
+    # round-12 (cont. 4): time-weighted average, exact rolling median,
+    # and iterative k-core peeling over the co-purchase graph
+    "twap_hourly_events",
+    "rolling_median_events",
+    "k_core_parts",
+    "stream_cdf_view_maintenance_orders",
 ]
 
 

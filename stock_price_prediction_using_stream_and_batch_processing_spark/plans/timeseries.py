@@ -924,6 +924,9 @@ def _daily_quantiles_from_fine(fine):
     "quantile_rollup_daily_values",
     oracle=_QUANTILE_ROLLUP_ORACLE,
     tags=("sketch", "quantile", "histogram", "rollup", "timeseries"),
+    # rotation r12: driver-green r6-r11 (6 straight); the sketch family
+    # keeps cms_token_counts + kmv + linear_count + stream_quantile rows
+    driver=False,
 )
 def quantile_rollup_daily_values(spark, sf_dir):
     """DAILY quantile estimates (p50/p95 of events.value) derived from
