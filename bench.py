@@ -162,6 +162,8 @@ HEADLINE = [
     "rolling_median_events",
     "k_core_parts",
     "stream_cdf_view_maintenance_orders",
+    # round-12 (cont. 5): metadata-only aggregates + TIMESTAMP AS OF
+    "snapshot_metadata_agg_orders",
 ]
 
 

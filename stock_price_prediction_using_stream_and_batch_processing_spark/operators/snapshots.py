@@ -60,6 +60,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1144,6 +1145,11 @@ def _publish(table_dir: str, version: int, snap: dict) -> None:
     conditional PUT). The loser raises :class:`ConcurrentCommitError`
     with its data files intact, ready to rebase."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    # commit wall-clock, for AS OF timestamp resolution (Delta's
+    # TIMESTAMP AS OF): stamped at publish so rebased attempts carry
+    # the time they actually landed, monotonic with version order on
+    # one writer host (cross-host skew is the documented Delta caveat)
+    snap.setdefault("committed_at", time.time())
     fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(snap, f)
@@ -1642,4 +1648,68 @@ def vacuum_orphans(table_dir: str, min_age_s: float = 3600.0) -> dict:
                     out["deleted_manifests"] += 1
                 except OSError:
                     pass
+    return out
+
+
+def version_as_of(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta's time-travel-by-time): the
+    highest version whose commit wall-clock is <= ``ts``. Versions
+    predating the timestamp field count as epoch-0 (always eligible).
+    Raises if the table has no snapshot that old — asking for a time
+    before the table existed is a contract error, not version 0.
+    Cross-writer clock skew is the documented Delta caveat; version
+    numbers remain the authoritative order."""
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        raise ValueError(f"no snapshots under {table_dir}")
+    best = 0
+    for n in sorted(os.listdir(d)):
+        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit():
+            v = int(n[1:9])
+            with open(os.path.join(d, n)) as f:
+                meta = json.load(f)
+            if meta.get("committed_at", 0.0) <= ts:
+                best = max(best, v)
+    if best == 0:
+        raise ValueError(
+            f"no snapshot committed at or before {ts} under {table_dir} "
+            "(the oldest retained commit is newer)"
+        )
+    return best
+
+
+def metadata_aggregates(
+    table_dir: str, cols: list[str] | None = None, version: int | None = None
+) -> dict:
+    """COUNT(*)/MIN/MAX answered from COMMIT METADATA ALONE — zero
+    data files opened (Iceberg's metadata-table shape): row count sums
+    the per-file counts; min/max fold the per-file (or, on a sharded
+    snapshot, per-SHARD — O(shards), shards never opened) ingest-time
+    stats. Returns ``{"n_rows": N, "min_<c>": ..., "max_<c>": ...}``;
+    all-NULL columns surface None, matching SQL MIN/MAX.
+
+    REFUSES (loudly, conservative) when the snapshot has live equality
+    deletes (counts would overcount deleted rows — compact first) or
+    when any entry/shard lacks stats for a requested column (mixed-
+    stats history: the answer would silently ignore files)."""
+    v = current_version(table_dir) if version is None else version
+    meta = read_snapshot_meta(table_dir, v)
+    if meta.get("delete_files"):
+        raise ValueError(
+            "metadata aggregates are unavailable under live equality deletes "
+            "(row counts would include deleted rows); run snapshot_compact first"
+        )
+    recs = meta["manifests"] if "manifests" in meta else meta.get("files", [])
+    out = {"n_rows": sum(r["n_rows"] for r in recs)}
+    for c in cols or []:
+        mn_k, mx_k = f"min_{c}", f"max_{c}"
+        if any(mn_k not in r or mx_k not in r for r in recs):
+            raise ValueError(
+                f"column {c!r} lacks stats on some files/shards of v{v}; "
+                "a metadata answer would silently ignore them"
+            )
+        mins = [r[mn_k] for r in recs if r[mn_k] is not None]
+        maxs = [r[mx_k] for r in recs if r[mx_k] is not None]
+        out[mn_k] = min(mins) if mins else None
+        out[mx_k] = max(maxs) if maxs else None
     return out

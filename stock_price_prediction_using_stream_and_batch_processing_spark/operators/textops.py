@@ -518,7 +518,11 @@ def duplicate_passages(
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, n)]
     gram = F.when(leads[-1].isNotNull(), F.md5(F.concat_ws(" ", F.col("tok"), *leads)))
-    g = toks.select(id_col, "pos", gram.alias("g"))
+    # the gram frame feeds BOTH the corpus-wide duplication aggregate
+    # and the per-doc coverage join: localCheckpoint computes the
+    # tokenize+lead pipeline once instead of per consumer (the shared
+    # exploded_shingles discipline from operators/dedup.py)
+    g = toks.select(id_col, "pos", gram.alias("g")).localCheckpoint(eager=False)
     dup = (
         g.where(F.col("g").isNotNull())
         .groupBy("g")

@@ -65,6 +65,9 @@ def _shared_derby_url(spark) -> str:
     FROM orders ORDER BY o_orderkey DESC LIMIT 200
     """,
     tags=("jdbc", "interop", "sink", "source", "pushdown"),
+    # rotation r12: driver-green r6-r11 (6 straight); the live-JDBC
+    # family keeps stream_jdbc_serving_append's driver row
+    driver=False,
 )
 def jdbc_roundtrip_orders_topk(spark, sf_dir):
     """Orders → RDBMS → top-k back, end to end through Spark's JDBC

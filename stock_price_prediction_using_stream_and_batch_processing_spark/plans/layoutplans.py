@@ -1559,3 +1559,84 @@ def stream_cdf_view_maintenance_orders(spark, sf_dir):
     return snap.read_snapshot(spark, view_dir).select(
         "o_custkey", F.round("total_price", 2).alias("total_price"), "n_orders"
     )
+
+
+@register(
+    "snapshot_metadata_agg_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS m FROM orders)
+    SELECT 'as_of_v2' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM s WHERE m < 2
+    UNION ALL
+    SELECT 'current', CAST(COUNT(*) AS BIGINT),
+           MIN(o_orderkey), MAX(o_orderkey),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM s
+    """,
+    tags=("layout", "snapshot", "metadata-only", "time-travel", "as-of-timestamp"),
+)
+def snapshot_metadata_agg_orders(spark, sf_dir):
+    """METADATA-ONLY AGGREGATES + TIMESTAMP AS OF — the two
+    metadata-layer reads Delta/Iceberg users lean on daily:
+
+    - ``version_as_of(ts)`` resolves time travel by COMMIT WALL-CLOCK
+      (asserted in-query: a timestamp captured between v2 and v3
+      resolves to 2).
+    - ``metadata_aggregates`` answers COUNT(*)/MIN/MAX from per-file
+      (or per-shard) ingest-time stats with ZERO data files opened —
+      PROVEN in-query by renaming the table's data directory away
+      while both aggregates (historical v2 and current v3) compute,
+      then restoring it. At 100 TB this is the difference between an
+      instant driver-side answer and a full scan for the most common
+      exploratory queries.
+
+    The oracle recomputes both checkpoints' aggregates from raw
+    orders, so the stats-folding (including the historical version's)
+    is value-checked. Refusal paths (live equality deletes, stats-less
+    columns) are pinned in tests/test_snapshots.py."""
+    import os
+    import time as _t
+
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    m = F.col("o_orderkey") % 3
+    d = fresh_result_dir("snap_meta")
+    snap.snapshot_append(spark, d, orders.where(m == 0),
+                         stats_cols=["o_orderkey", "o_totalprice"])
+    snap.snapshot_append(spark, d, orders.where(m == 1),
+                         stats_cols=["o_orderkey", "o_totalprice"])
+    _t.sleep(0.05)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    snap.snapshot_append(spark, d, orders.where(m == 2),
+                         stats_cols=["o_orderkey", "o_totalprice"])
+
+    v = snap.version_as_of(d, t_mid)
+    if v != 2:
+        raise AssertionError(f"AS OF mid-timestamp resolved to v{v}, expected 2")
+    # zero-data-access proof: the aggregates must work with the data
+    # directory GONE
+    data, hidden = os.path.join(d, "data"), os.path.join(d, "data_hidden")
+    os.rename(data, hidden)
+    try:
+        a2 = snap.metadata_aggregates(d, ["o_orderkey", "o_totalprice"], version=v)
+        a3 = snap.metadata_aggregates(d, ["o_orderkey", "o_totalprice"])
+    finally:
+        os.rename(hidden, data)
+
+    def row(stage, a):
+        return (
+            stage, a["n_rows"],
+            a["min_o_orderkey"], a["max_o_orderkey"],
+            a["min_o_totalprice"], a["max_o_totalprice"],
+        )
+
+    return spark.createDataFrame(
+        [row("as_of_v2", a2), row("current", a3)],
+        "stage string, n_rows bigint, min_orderkey bigint, max_orderkey bigint, "
+        "min_price double, max_price double",
+    )

@@ -615,3 +615,51 @@ def test_vacuum_orphans_collects_unreferenced_only(spark, tmp_path):
         f.write('{"files": []}')
     out = snap.vacuum_orphans(d, min_age_s=0)
     assert out["deleted_manifests"] == 1 and not os.path.exists(stray)
+
+
+def test_version_as_of_and_metadata_aggregates(spark, tmp_path):
+    """TIMESTAMP AS OF resolves by commit wall-clock; COUNT/MIN/MAX
+    come from commit metadata with ZERO data access — proven by
+    renaming the data dir away while the aggregates run. Live equality
+    deletes and stats-less columns refuse loudly."""
+    import os
+    import time as _t
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    _t.sleep(0.05)
+    t_mid = _t.time()
+    _t.sleep(0.05)
+    _commit(spark, d, 10, 30)
+    assert snap.version_as_of(d, t_mid) == 1
+    assert snap.version_as_of(d, _t.time()) == 2
+    with _pytest.raises(ValueError, match="at or before"):
+        snap.version_as_of(d, 1.0)  # 1970: before the table existed
+    # metadata-only aggregates: hide the data files to PROVE no access
+    data = os.path.join(d, "data")
+    hidden = os.path.join(d, "data_hidden")
+    os.rename(data, hidden)
+    try:
+        agg = snap.metadata_aggregates(d, ["k"])
+        assert agg == {"n_rows": 30, "min_k": 0, "max_k": 29}
+        agg1 = snap.metadata_aggregates(d, ["k"], version=1)
+        assert agg1 == {"n_rows": 10, "min_k": 0, "max_k": 9}
+        with _pytest.raises(ValueError, match="lacks stats"):
+            snap.metadata_aggregates(d, ["v"])  # v not in stats_cols
+    finally:
+        os.rename(hidden, data)
+    # live equality deletes poison counts -> refuse
+    from pyspark.sql import functions as F
+
+    snap.snapshot_delete(
+        spark, d, spark.range(0, 2).select(F.col("id").alias("k")), "k"
+    )
+    with _pytest.raises(ValueError, match="equality deletes"):
+        snap.metadata_aggregates(d)
+    # compaction materializes deletes and re-enables the metadata path
+    snap.snapshot_compact(spark, d, target_files=1)
+    assert snap.metadata_aggregates(d, ["k"]) == {
+        "n_rows": 28, "min_k": 2, "max_k": 29
+    }
