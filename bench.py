@@ -162,8 +162,10 @@ HEADLINE = [
     "rolling_median_events",
     "k_core_parts",
     "stream_cdf_view_maintenance_orders",
-    # round-12 (cont. 5): metadata-only aggregates + TIMESTAMP AS OF
+    # round-12 (cont. 5): metadata-only aggregates + TIMESTAMP AS OF,
+    # and multi-table atomic catalog transactions
     "snapshot_metadata_agg_orders",
+    "catalog_txn_orders",
 ]
 
 

@@ -1,0 +1,220 @@
+"""Multi-table ATOMIC transactions via a catalog pointer — the level
+above per-table snapshots (Nessie / Iceberg-REST-catalog semantics):
+a CATALOG VERSION maps table names to pinned snapshot versions, and
+readers who resolve through the catalog see a CONSISTENT cross-table
+set — all of a transaction's table updates or none.
+
+Model:
+
+- ``<catalog>/catalog/v{N:08d}.json`` — ``{"tables": {name:
+  {"dir": ..., "version": v}}, "parent": N-1}``, published with the
+  same atomic exclusive-link first-writer-wins primitive table
+  snapshots use.
+- A TRANSACTION commits each touched table individually (each commit
+  is already atomic and invisible to pinned readers), then publishes
+  ONE catalog version referencing the new table versions. The catalog
+  pointer is the authoritative read path — exactly the
+  catalog-as-source-of-truth contract Iceberg's REST catalog and
+  Nessie define; direct per-table "current version" reads are outside
+  the consistency contract (they see each table's own line, which is
+  valid but not cross-table-consistent).
+- Crash between table commits and catalog publish: the new table
+  versions exist but NO catalog version references them — catalog
+  readers are unaffected (the transaction simply never happened for
+  them), and the orphan versions are the aborted-commit class.
+- Concurrent transactions REBASE when they touch disjoint table sets
+  (their updates commute at the catalog level) and REFUSE on overlap
+  — the caller must re-read and re-run, the same validation split the
+  table-level optimistic protocol makes for rewrites.
+
+Scale: a catalog version is O(tables) JSON; transactions add zero
+data-path cost over their underlying table commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshots import (
+    ConcurrentCommitError,
+    current_version,
+    read_snapshot,
+    snapshot_append,
+)
+
+_CAT_FMT = "v{:08d}.json"
+
+
+def _cat_dir(catalog_dir: str) -> str:
+    return os.path.join(catalog_dir, "catalog")
+
+
+def _cat_path(catalog_dir: str, version: int) -> str:
+    return os.path.join(_cat_dir(catalog_dir), _CAT_FMT.format(version))
+
+
+def catalog_version(catalog_dir: str) -> int:
+    d = _cat_dir(catalog_dir)
+    if not os.path.isdir(d):
+        return 0
+    vs = [
+        int(n[1:9])
+        for n in os.listdir(d)
+        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+    ]
+    return max(vs, default=0)
+
+
+def read_catalog_meta(catalog_dir: str, version: int | None = None) -> dict:
+    v = catalog_version(catalog_dir) if version is None else version
+    if v == 0:
+        return {"tables": {}, "parent": 0}
+    with open(_cat_path(catalog_dir, v)) as f:
+        return json.load(f)
+
+
+def catalog_publish(
+    catalog_dir: str,
+    updates: dict,
+    base_pins: dict | None = None,
+    max_attempts: int = 50,
+) -> int:
+    """Publish catalog version pinning ``updates`` ({table_name:
+    {"dir": ..., "version": v}}) on top of the current mapping.
+    Rebases over concurrent catalog commits touching DISJOINT tables;
+    refuses (ConcurrentCommitError) when a concurrent commit moved one
+    of THIS transaction's tables past ``base_pins`` (the versions the
+    transaction saw when it FIRST touched each table) — the txn read
+    stale state and must re-run. Without ``base_pins`` the check
+    degrades to publish-time pins (last-writer-wins on the mapping)."""
+    if base_pins is None:
+        base = read_catalog_meta(catalog_dir)
+        base_pins = {t: rec["version"] for t, rec in base["tables"].items()}
+    for _ in range(max_attempts):
+        parent = catalog_version(catalog_dir)
+        meta = read_catalog_meta(catalog_dir, parent)
+        for t in updates:
+            cur_pin = meta["tables"].get(t, {}).get("version")
+            if cur_pin != base_pins.get(t):
+                raise ConcurrentCommitError(
+                    f"catalog table {t!r} moved from pin {base_pins.get(t)} to "
+                    f"{cur_pin} during the transaction; re-read and re-run"
+                )
+        snap = {
+            "tables": {**meta["tables"], **updates},
+            "parent": parent,
+        }
+        try:
+            os.makedirs(_cat_dir(catalog_dir), exist_ok=True)
+            _publish_cat(catalog_dir, parent + 1, snap)
+            return parent + 1
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"could not win a catalog publish in {max_attempts} attempts"
+    )
+
+
+def _publish_cat(catalog_dir: str, version: int, snap: dict) -> None:
+    import tempfile
+
+    d = _cat_dir(catalog_dir)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(snap, f)
+    try:
+        os.link(tmp, _cat_path(catalog_dir, version))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"catalog version {version} already published"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+class CatalogTransaction:
+    """Stage appends to several tables, then land them as ONE catalog
+    version::
+
+        txn = CatalogTransaction(catalog_dir)
+        txn.append(spark, "facts", facts_dir, df1, stats_cols=["k"])
+        txn.append(spark, "summary", summary_dir, df2, stats_cols=["k"])
+        v = txn.commit()          # catalog readers see both or neither
+
+    Each ``append`` commits its table immediately (atomic, but not yet
+    referenced by any catalog version); ``commit`` publishes the
+    catalog pointer. The pin each table had when the transaction FIRST
+    touched it is validated at publish — a concurrent transaction on
+    the same table surfaces as ConcurrentCommitError."""
+
+    def __init__(self, catalog_dir: str) -> None:
+        self.catalog_dir = catalog_dir
+        self.updates: dict = {}
+        self.base_pins: dict = {}
+
+    def _record_base(self, name: str) -> None:
+        # the version this txn SAW when it first touched the table —
+        # the value the publish-time conflict check validates against
+        if name not in self.base_pins:
+            cur = read_catalog_meta(self.catalog_dir)["tables"].get(name)
+            self.base_pins[name] = cur["version"] if cur else None
+
+    def append(
+        self,
+        spark: SparkSession,
+        name: str,
+        table_dir: str,
+        df: DataFrame,
+        **kw,
+    ) -> int:
+        self._record_base(name)
+        v = snapshot_append(spark, table_dir, df, **kw)
+        self.updates[name] = {"dir": table_dir, "version": v}
+        return v
+
+    def pin(self, name: str, table_dir: str, version: int | None = None) -> None:
+        """Include a table at an explicit version (e.g. registering an
+        existing table into the catalog) without writing to it."""
+        self._record_base(name)
+        v = current_version(table_dir) if version is None else version
+        self.updates[name] = {"dir": table_dir, "version": v}
+
+    def commit(self) -> int:
+        if not self.updates:
+            raise ValueError("empty transaction: nothing staged")
+        v = catalog_publish(self.catalog_dir, self.updates, self.base_pins)
+        self.updates = {}
+        self.base_pins = {}
+        return v
+
+
+def catalog_read(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    catalog_version_: int | None = None,
+    **kw,
+) -> DataFrame:
+    """Read table ``name`` at the snapshot the catalog version pins —
+    the consistent-read path. A catalog version held across several
+    reads yields a cross-table-consistent view regardless of
+    concurrent transactions."""
+    meta = read_catalog_meta(catalog_dir, catalog_version_)
+    if name not in meta["tables"]:
+        raise ValueError(
+            f"table {name!r} not in catalog version "
+            f"{catalog_version_ if catalog_version_ is not None else catalog_version(catalog_dir)}"
+        )
+    rec = meta["tables"][name]
+    return read_snapshot(spark, rec["dir"], rec["version"], **kw)
+
+
+def catalog_tables(catalog_dir: str, version: int | None = None) -> dict:
+    """{name: pinned snapshot version} of a catalog version."""
+    return {
+        t: rec["version"]
+        for t, rec in read_catalog_meta(catalog_dir, version)["tables"].items()
+    }

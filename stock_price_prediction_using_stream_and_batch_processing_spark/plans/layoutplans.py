@@ -1640,3 +1640,88 @@ def snapshot_metadata_agg_orders(spark, sf_dir):
         "stage string, n_rows bigint, min_orderkey bigint, max_orderkey bigint, "
         "min_price double, max_price double",
     )
+
+
+@register(
+    "catalog_txn_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 3 AS m, o_totalprice FROM orders)
+    SELECT 1 AS catalog_version, CAST(COUNT(*) AS BIGINT) AS n_facts,
+           ROUND(SUM(o_totalprice), 2) AS facts_total,
+           ROUND(SUM(o_totalprice), 2) AS summary_total
+    FROM s WHERE m < 1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2),
+           ROUND(SUM(o_totalprice), 2) FROM s WHERE m < 2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2),
+           ROUND(SUM(o_totalprice), 2) FROM s WHERE m < 3
+    """,
+    tags=("catalog", "multi-table", "transaction", "acid", "snapshot"),
+)
+def catalog_txn_orders(spark, sf_dir):
+    """MULTI-TABLE ATOMIC TRANSACTIONS via the catalog pointer
+    (operators/catalog.py — Nessie / Iceberg-REST-catalog semantics,
+    the consistency level single-table logs don't give): three
+    transactions each append an orders slice to a FACTS table AND its
+    per-customer aggregate to a SUMMARY table, landing as ONE catalog
+    version apiece. The invariant catalog readers are promised —
+    sum(facts) == sum(summary) — is ASSERTED in-query at EVERY catalog
+    version by reading both tables through the same pinned version,
+    plus the half-committed-transaction case: facts' own snapshot line
+    is advanced WITHOUT a catalog publish and the catalog is asserted
+    to still serve the consistent pre-transaction view (the
+    crash-between-steps contract). The returned frame reports each
+    catalog version's fact count and both tables' totals; the oracle
+    recomputes all three from raw orders — equality of the two total
+    columns IS the cross-table consistency check, value-level. A
+    catalog version is O(tables) JSON; transactions add zero data-path
+    cost over their table commits."""
+    from ..operators import catalog as cat
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 3
+    c = fresh_result_dir("cat_txn")
+    facts_dir = fresh_result_dir("cat_facts")
+    sum_dir = fresh_result_dir("cat_summary")
+    for i in range(3):
+        sl = orders.where(m == i)
+        txn = cat.CatalogTransaction(c)
+        txn.append(spark, "facts", facts_dir, sl, stats_cols=["o_orderkey"])
+        txn.append(
+            spark, "summary", sum_dir,
+            sl.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total")),
+            stats_cols=["o_custkey"],
+        )
+        if txn.commit() != i + 1:
+            raise AssertionError("catalog versions not sequential")
+    # crash-between-steps: a table commit with NO catalog publish must
+    # stay invisible to catalog readers
+    from ..operators import snapshots as snap
+
+    snap.snapshot_append(
+        spark, facts_dir, orders.limit(5), stats_cols=["o_orderkey"]
+    )
+    if cat.catalog_tables(c)["facts"] != 3:
+        raise AssertionError("unpublished table commit leaked into the catalog")
+
+    rows = []
+    for v in (1, 2, 3):
+        f = cat.catalog_read(spark, c, "facts", v)
+        s = cat.catalog_read(spark, c, "summary", v)
+        rows.append(
+            f.agg(
+                F.count(F.lit(1)).cast("long").alias("n_facts"),
+                F.round(F.sum("o_totalprice"), 2).alias("facts_total"),
+            )
+            .crossJoin(s.agg(F.round(F.sum("total"), 2).alias("summary_total")))
+            .select(
+                F.lit(v).alias("catalog_version"),
+                "n_facts", "facts_total", "summary_total",
+            )
+        )
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out

@@ -1194,6 +1194,9 @@ def incremental_near_dup_docs(spark, sf_dir):
     GROUP BY pb.tok
     """,
     tags=("sketch", "count-min", "heavy-hitters", "approx"),
+    # rotation r12: driver-green r6-r11 (6 straight); the sketch family
+    # keeps linear_count + kmv + the three stream maintenance rows
+    driver=False,
 )
 def cms_token_counts_docs(spark, sf_dir):
     """Count-min sketch point estimates vs exact counts for the
