@@ -42,7 +42,6 @@ from .snapshots import (
     ConcurrentCommitError,
     current_version,
     read_snapshot,
-    snapshot_append,
 )
 
 _CAT_FMT = "v{:08d}.json"
@@ -119,20 +118,17 @@ def catalog_publish(
 
 
 def _publish_cat(catalog_dir: str, version: int, snap: dict) -> None:
-    import tempfile
+    import time
 
-    d = _cat_dir(catalog_dir)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(snap, f)
-    try:
-        os.link(tmp, _cat_path(catalog_dir, version))
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"catalog version {version} already published"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    from .snapshots import link_publish_json
+
+    snap.setdefault("committed_at", time.time())
+    link_publish_json(
+        _cat_dir(catalog_dir),
+        _cat_path(catalog_dir, version),
+        snap,
+        f"catalog version {version} already published",
+    )
 
 
 class CatalogTransaction:
@@ -144,23 +140,48 @@ class CatalogTransaction:
         txn.append(spark, "summary", summary_dir, df2, stats_cols=["k"])
         v = txn.commit()          # catalog readers see both or neither
 
-    Each ``append`` commits its table immediately (atomic, but not yet
-    referenced by any catalog version); ``commit`` publishes the
-    catalog pointer. The pin each table had when the transaction FIRST
-    touched it is validated at publish — a concurrent transaction on
-    the same table surfaces as ConcurrentCommitError."""
+    Appends stage on a PER-TRANSACTION BRANCH of each table
+    (operators/refs.py) — the table's main line does not move, so an
+    aborted or crashed transaction leaves NOTHING a later transaction
+    can chain on (the r12 self-review found the head-chaining version
+    exposed aborted rows through the next commit). ``commit`` then (1)
+    re-validates the catalog pins recorded when the transaction first
+    touched each table, (2) fast-forwards each branch onto its table's
+    main line, (3) publishes one catalog version. A crash inside
+    commit — after some branch published, before the catalog did —
+    leaves that table's head PAST its catalog pin; the next
+    transaction touching it REFUSES LOUDLY (divergence check) until an
+    operator reconciles (roll the table back to the pin, or pin() the
+    head), instead of silently adopting the half-committed rows.
+    Consequently: once a table is catalog-managed, all writes go
+    through transactions — a direct snapshot_append trips the same
+    divergence refusal by design."""
 
     def __init__(self, catalog_dir: str) -> None:
+        import uuid as _uuid
+
         self.catalog_dir = catalog_dir
+        self.txn_id = _uuid.uuid4().hex[:12]
         self.updates: dict = {}
         self.base_pins: dict = {}
+        self._branches: dict = {}
 
-    def _record_base(self, name: str) -> None:
-        # the version this txn SAW when it first touched the table —
-        # the value the publish-time conflict check validates against
-        if name not in self.base_pins:
-            cur = read_catalog_meta(self.catalog_dir)["tables"].get(name)
-            self.base_pins[name] = cur["version"] if cur else None
+    def _record_base(self, name: str, table_dir: str, writing: bool) -> None:
+        if name in self.base_pins:
+            return
+        cur = read_catalog_meta(self.catalog_dir)["tables"].get(name)
+        pin = cur["version"] if cur else None
+        if writing and pin is not None:
+            head = current_version(table_dir)
+            if head != pin:
+                raise ValueError(
+                    f"table {name!r} head v{head} diverged from its catalog "
+                    f"pin v{pin} (a transaction crashed mid-commit, or the "
+                    "table was written outside the catalog); reconcile — "
+                    "snapshot_rollback to the pin, or pin() the head — "
+                    "before writing through a transaction"
+                )
+        self.base_pins[name] = pin
 
     def append(
         self,
@@ -170,24 +191,66 @@ class CatalogTransaction:
         df: DataFrame,
         **kw,
     ) -> int:
-        self._record_base(name)
-        v = snapshot_append(spark, table_dir, df, **kw)
-        self.updates[name] = {"dir": table_dir, "version": v}
+        from . import refs
+
+        self._record_base(name, table_dir, writing=True)
+        if name not in self._branches:
+            bname = f"txn-{self.txn_id}"
+            refs.branch_create(table_dir, bname)
+            self._branches[name] = bname
+        self._spark = spark
+        v = refs.branch_append(spark, table_dir, self._branches[name], df, **kw)
+        self.updates[name] = {"dir": table_dir, "branch": self._branches[name]}
         return v
 
     def pin(self, name: str, table_dir: str, version: int | None = None) -> None:
         """Include a table at an explicit version (e.g. registering an
         existing table into the catalog) without writing to it."""
-        self._record_base(name)
+        self._record_base(name, table_dir, writing=False)
         v = current_version(table_dir) if version is None else version
         self.updates[name] = {"dir": table_dir, "version": v}
 
-    def commit(self) -> int:
-        if not self.updates:
-            raise ValueError("empty transaction: nothing staged")
-        v = catalog_publish(self.catalog_dir, self.updates, self.base_pins)
+    def abort(self) -> None:
+        """Drop the transaction's staged branches; main lines and the
+        catalog were never touched."""
+        from . import refs
+
+        for name, rec in self.updates.items():
+            if "branch" in rec:
+                refs.branch_drop(rec["dir"], rec["branch"])
         self.updates = {}
         self.base_pins = {}
+        self._branches = {}
+
+    def commit(self) -> int:
+        from . import refs
+
+        if not self.updates:
+            raise ValueError("empty transaction: nothing staged")
+        # early conflict detection BEFORE any branch publishes: a lost
+        # race here costs nothing (branches just drop)
+        meta = read_catalog_meta(self.catalog_dir)
+        for t in self.updates:
+            cur_pin = meta["tables"].get(t, {}).get("version")
+            if cur_pin != self.base_pins.get(t):
+                raise ConcurrentCommitError(
+                    f"catalog table {t!r} moved from pin {self.base_pins.get(t)} "
+                    f"to {cur_pin} during the transaction; abort and re-run"
+                )
+        final = {}
+        for name, rec in self.updates.items():
+            if "branch" in rec:
+                v = refs.branch_publish(
+                    rec["dir"], rec["branch"], drop=True,
+                    spark=getattr(self, "_spark", None),
+                )
+                final[name] = {"dir": rec["dir"], "version": v}
+            else:
+                final[name] = rec
+        v = catalog_publish(self.catalog_dir, final, self.base_pins)
+        self.updates = {}
+        self.base_pins = {}
+        self._branches = {}
         return v
 
 

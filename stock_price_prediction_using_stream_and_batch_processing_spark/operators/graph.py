@@ -304,6 +304,7 @@ def k_core(
     cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=False
     )
+    n_cur = cur.count()
     for _ in range(max_rounds):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -317,9 +318,13 @@ def k_core(
             .join(surv.select(F.col("node").alias("_sb")), F.col("b") == F.col("_sb"), "left_semi")
             .localCheckpoint(eager=False)
         )
-        n_cur, n_nxt = cur.count(), nxt.count()
-        cur = nxt
-        if n_nxt == n_cur or n_nxt == 0:
+        # ONE count job per round: the previous round's edge count
+        # carries forward (nxt ⊆ cur, so count equality == set
+        # equality — r12 self-review halved the driver round-trips)
+        n_nxt = nxt.count()
+        converged = n_nxt == n_cur or n_nxt == 0
+        cur, n_cur = nxt, n_nxt
+        if converged:
             return (
                 cur.select(F.col("a").alias("node"))
                 .unionAll(cur.select(F.col("b").alias("node")))

@@ -48,7 +48,6 @@ import json
 import os
 import re
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -220,6 +219,7 @@ def branch_publish(
     name: str,
     merge_schema: bool = False,
     drop: bool = False,
+    spark: SparkSession | None = None,
 ) -> int:
     """PUBLISH step of WAP: fast-forward main by the branch's net-new
     file entries as ONE atomic append commit. Entries carry their
@@ -263,6 +263,35 @@ def branch_publish(
         new_entries = [
             e for e in _meta_entries(head_meta) if e["path"] not in base_paths
         ]
+    # Constraints added to MAIN after the branch was created were never
+    # enforced on the staged rows (branch appends check the BRANCH
+    # head's copy) — publishing without re-checking would land rows
+    # that violate a declared invariant (round-12 self-review). Scan
+    # the net-new files against exactly the main constraints the
+    # branch has not enforced; that needs a session, so refuse loudly
+    # rather than skip when one wasn't passed.
+    main_v = current_version(table_dir)
+    main_cons = (
+        dict(read_snapshot_meta(table_dir, main_v).get("constraints") or {})
+        if main_v
+        else {}
+    )
+    branch_cons = head_meta.get("constraints") or {}
+    unenforced = {
+        n: e for n, e in main_cons.items() if branch_cons.get(n) != e
+    }
+    if unenforced and new_entries:
+        if spark is None:
+            raise ValueError(
+                f"main gained CHECK constraint(s) {sorted(unenforced)} after "
+                f"branch {name!r} was created; pass spark= so publish can "
+                "validate the staged rows against them"
+            )
+        _enforce_constraints(
+            spark,
+            unenforced,
+            spark.read.parquet(*[e["path"] for e in new_entries]),
+        )
     schema = head_meta.get("schema")
 
     def make_snap(parent: int, meta: dict) -> dict:
@@ -305,17 +334,17 @@ def tag_create(table_dir: str, name: str, version: int | None = None) -> int:
     v = current_version(table_dir) if version is None else version
     if v < 1 or not os.path.exists(_snap_path(table_dir, v)):
         raise ValueError(f"cannot tag version {v}: no such snapshot under {table_dir}")
-    p = tag_path(table_dir, name)
-    os.makedirs(refs_dir(table_dir), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=refs_dir(table_dir), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"version": v, "tag": name}, f)
+    from .snapshots import link_publish_json
+
     try:
-        os.link(tmp, p)
-    except FileExistsError:
-        raise ValueError(f"tag {name!r} already exists under {table_dir}") from None
-    finally:
-        os.unlink(tmp)
+        link_publish_json(
+            refs_dir(table_dir),
+            tag_path(table_dir, name),
+            {"version": v, "tag": name},
+            f"tag {name!r} already exists under {table_dir}",
+        )
+    except ConcurrentCommitError as exc:
+        raise ValueError(str(exc)) from None
     return v
 
 

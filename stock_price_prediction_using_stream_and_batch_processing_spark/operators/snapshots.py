@@ -375,7 +375,28 @@ def snapshot_delete(
     n_keys = spark.read.parquet(del_dir).count()
     changes_dir = None
     if change_feed:
-        live = _read_with_deletes(spark, meta0, _meta_entries(meta0))
+        # preimage scan PRUNES by per-file stats when the delete column
+        # carries them (same touch test MERGE uses: a file is read iff
+        # its [min,max] can contain a delete key) — O(touched files),
+        # not O(table); stats-less columns fall back to the full live
+        # read (conservative, the keep-on-missing rule)
+        entries0 = _meta_entries(meta0)
+        mn0, mx0 = f"min_{col}", f"max_{col}"
+        if all(mn0 in e and mx0 in e for e in entries0):
+            no_null = [e for e in entries0 if e[mn0] is not None]
+            touched = _touched_by_keys(
+                spark,
+                [(e["path"], e[mn0], e[mx0]) for e in no_null],
+                kdf.select(F.col(col).alias("_mk")),
+            )
+            entries0 = [e for e in no_null if e["path"] in touched]
+        live = (
+            _read_with_deletes(spark, meta0, entries0)
+            if entries0
+            else _aligned_reader(spark, meta0, [_meta_entries(meta0)[0]["path"]]).where(
+                F.lit(False)
+            )
+        )
         pre = live.join(
             F.broadcast(spark.read.parquet(del_dir).select(F.col(col).alias("_dk"))),
             live[col] == F.col("_dk"),
@@ -653,10 +674,15 @@ def snapshot_set_constraint(
         # refuse BEFORE the validation scan (make_snap re-checks under
         # the rebase loop for the concurrent-add race)
         raise ValueError(f"constraint {name!r} already exists: {existing[name]}")
-    if validate and current_version(table_dir):
-        _enforce_constraints(
-            spark, {name: expr}, read_snapshot(spark, table_dir)
-        )
+    cur = current_version(table_dir)
+    if validate and cur:
+        # an empty table (all rows deleted, then compacted to zero
+        # files) vacuously satisfies any CHECK — skip the scan rather
+        # than let read_snapshot refuse the no-files snapshot
+        if _meta_n_files(read_snapshot_meta(table_dir, cur)) > 0:
+            _enforce_constraints(
+                spark, {name: expr}, read_snapshot(spark, table_dir)
+            )
 
     def make_snap(parent: int, meta: dict) -> dict:
         if parent == 0:
@@ -1144,21 +1170,35 @@ def _publish(table_dir: str, version: int, snap: dict) -> None:
     an object-store deployment swaps this one primitive for a
     conditional PUT). The loser raises :class:`ConcurrentCommitError`
     with its data files intact, ready to rebase."""
-    os.makedirs(_snap_dir(table_dir), exist_ok=True)
     # commit wall-clock, for AS OF timestamp resolution (Delta's
     # TIMESTAMP AS OF): stamped at publish so rebased attempts carry
     # the time they actually landed, monotonic with version order on
     # one writer host (cross-host skew is the documented Delta caveat)
     snap.setdefault("committed_at", time.time())
-    fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir), suffix=".tmp")
+    link_publish_json(
+        _snap_dir(table_dir),
+        _snap_path(table_dir, version),
+        snap,
+        f"version {version} already published under {table_dir}",
+    )
+
+
+def link_publish_json(dir_: str, final_path: str, payload: dict, err: str) -> None:
+    """THE one exclusive-publish primitive — write a temp JSON in the
+    target directory and ``os.link`` it to its final name, which fails
+    with EEXIST if anyone else already claimed the name. Shared by
+    table snapshots, catalog versions, and tag refs so the
+    object-store port (conditional PUT) and any durability fix happen
+    in exactly one place (the r12 self-review found three drifting
+    hand-rolled copies)."""
+    os.makedirs(dir_, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dir_, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump(snap, f)
+        json.dump(payload, f)
     try:
-        os.link(tmp, _snap_path(table_dir, version))
+        os.link(tmp, final_path)
     except FileExistsError:
-        raise ConcurrentCommitError(
-            f"version {version} already published under {table_dir}"
-        ) from None
+        raise ConcurrentCommitError(err) from None
     finally:
         os.unlink(tmp)
 
@@ -1662,20 +1702,27 @@ def version_as_of(table_dir: str, ts: float) -> int:
     d = _snap_dir(table_dir)
     if not os.path.isdir(d):
         raise ValueError(f"no snapshots under {table_dir}")
-    best = 0
-    for n in sorted(os.listdir(d)):
-        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit():
-            v = int(n[1:9])
-            with open(os.path.join(d, n)) as f:
-                meta = json.load(f)
-            if meta.get("committed_at", 0.0) <= ts:
-                best = max(best, v)
-    if best == 0:
-        raise ValueError(
-            f"no snapshot committed at or before {ts} under {table_dir} "
-            "(the oldest retained commit is newer)"
-        )
-    return best
+    versions = sorted(
+        (
+            int(n[1:9])
+            for n in os.listdir(d)
+            if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+        ),
+        reverse=True,
+    )
+    # DESCENDING with early return: committed_at is monotonic with
+    # version on one writer host, so the first match is the answer —
+    # a recent timestamp costs O(1) snapshot-JSON reads, not a parse
+    # of the whole retained history (r12 self-review; inline
+    # snapshots can be MBs each)
+    for v in versions:
+        meta = read_snapshot_meta(table_dir, v)
+        if meta.get("committed_at", 0.0) <= ts:
+            return v
+    raise ValueError(
+        f"no snapshot committed at or before {ts} under {table_dir} "
+        "(the oldest retained commit is newer)"
+    )
 
 
 def metadata_aggregates(

@@ -1698,8 +1698,11 @@ def catalog_txn_orders(spark, sf_dir):
         )
         if txn.commit() != i + 1:
             raise AssertionError("catalog versions not sequential")
-    # crash-between-steps: a table commit with NO catalog publish must
-    # stay invisible to catalog readers
+    # out-of-band write: a table commit with NO catalog publish must
+    # stay invisible to catalog readers, and the resulting head-vs-pin
+    # DIVERGENCE must make the next transactional write refuse loudly
+    # (transactions stage on branches, so only crashes INSIDE commit or
+    # out-of-band writes can ever diverge — r12 self-review)
     from ..operators import snapshots as snap
 
     snap.snapshot_append(
@@ -1707,6 +1710,13 @@ def catalog_txn_orders(spark, sf_dir):
     )
     if cat.catalog_tables(c)["facts"] != 3:
         raise AssertionError("unpublished table commit leaked into the catalog")
+    try:
+        cat.CatalogTransaction(c).append(
+            spark, "facts", facts_dir, orders.limit(1), stats_cols=["o_orderkey"]
+        )
+        raise AssertionError("diverged table accepted a transactional write")
+    except ValueError:
+        pass
 
     rows = []
     for v in (1, 2, 3):

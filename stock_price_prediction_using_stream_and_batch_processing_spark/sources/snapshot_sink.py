@@ -194,6 +194,29 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 e[f"min_{c}"] = json_stat(mn)
                 e[f"max_{c}"] = json_stat(mx)
             entries.append(e)
+        # FENCE PRE-CHECK before any constraint work: a crash-replayed
+        # batch must be an idempotent no-op even if the table's
+        # constraints changed since it first committed (its rows may
+        # NOW violate — e.g. added after a delete+compaction removed
+        # them — and failing the restart would break the fence
+        # contract; round-12 self-review). The rebase loop's fence
+        # check below remains the authoritative one; this one only
+        # short-circuits the already-fenced case.
+        cur_v = snap.current_version(self.table_dir)
+        if cur_v and entries:
+            cur_meta = snap.read_snapshot_meta(self.table_dir, cur_v)
+            pre_fence = (
+                (cur_meta.get("last_batches") or {}).get(self.writer_id)
+                if cur_meta.get("last_batches")
+                else cur_meta.get("last_batch_id")
+            )
+            if pre_fence is not None and batchId <= pre_fence:
+                for e in entries:
+                    try:
+                        os.remove(e["path"])
+                    except OSError:
+                        pass
+                return
         # CHECK constraints (snapshots.snapshot_set_constraint) bind
         # streaming batches too: one scan of the staged files against
         # the table's declared expressions, refusing (and failing the

@@ -151,12 +151,20 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                     meta.get("compaction_of") is not None
                     or meta.get("merge")
                     or meta.get("delete")
+                    or meta.get("rollback_of") is not None
                 ):
-                    kind = (
-                        "compaction"
-                        if meta.get("compaction_of") is not None
-                        else ("merge" if meta.get("merge") else "equality-delete")
-                    )
+                    if meta.get("compaction_of") is not None:
+                        kind = "compaction"
+                    elif meta.get("merge"):
+                        kind = "merge"
+                    elif meta.get("delete"):
+                        kind = "equality-delete"
+                    else:
+                        # a rollback REMOVES rows from the live view; a
+                        # path set-difference would read as an empty
+                        # delta and silently strand already-emitted rows
+                        # downstream (round-12 self-review)
+                        kind = "rollback"
                     raise ValueError(
                         f"version {v} is a {kind} commit: "
                         "row-delta streaming is append-only (re-seed the stream "

@@ -52,14 +52,49 @@ def test_half_committed_txn_invisible_until_publish(spark, tmp_path):
     txn.append(spark, "a", a_dir, _df(spark, 0, 10), stats_cols=["k"])
     txn.append(spark, "b", b_dir, _df(spark, 0, 10), stats_cols=["k"])
     txn.commit()
-    # a "crashed" transaction: table commits land, catalog publish never runs
+    # a "crashed" transaction: staged on a branch, commit() never runs —
+    # the table's MAIN LINE does not move (nothing to chain on later)
     txn2 = cat.CatalogTransaction(c)
     txn2.append(spark, "a", a_dir, _df(spark, 10, 20), stats_cols=["k"])
-    # table a's own line moved...
-    assert snap.current_version(a_dir) == 2
-    # ...but the catalog still serves the consistent pre-txn view
+    assert snap.current_version(a_dir) == 1
     assert cat.catalog_read(spark, c, "a").count() == 10
     assert cat.catalog_tables(c) == {"a": 1, "b": 1}
+    # a LATER transaction commits cleanly — the abandoned txn2 rows
+    # never surface (the head-chaining leak the r12 review caught)
+    txn3 = cat.CatalogTransaction(c)
+    txn3.append(spark, "a", a_dir, _df(spark, 50, 55), stats_cols=["k"])
+    txn3.commit()
+    got = sorted(r.k for r in cat.catalog_read(spark, c, "a").collect())
+    assert got == list(range(10)) + list(range(50, 55))
+    txn2.abort()
+
+
+def test_abort_and_divergence_refusal(spark, tmp_path):
+    c = str(tmp_path / "cat")
+    a_dir = str(tmp_path / "a")
+    txn = cat.CatalogTransaction(c)
+    txn.append(spark, "a", a_dir, _df(spark, 0, 10), stats_cols=["k"])
+    txn.commit()
+    # abort: branch dropped, nothing moved
+    t = cat.CatalogTransaction(c)
+    t.append(spark, "a", a_dir, _df(spark, 10, 20), stats_cols=["k"])
+    t.abort()
+    assert snap.current_version(a_dir) == 1
+    # a DIRECT write to a catalog-managed table diverges head from pin:
+    # the next transactional write refuses loudly instead of silently
+    # adopting the out-of-band rows
+    snap.snapshot_append(spark, a_dir, _df(spark, 90, 95), stats_cols=["k"])
+    t2 = cat.CatalogTransaction(c)
+    with pytest.raises(ValueError, match="diverged"):
+        t2.append(spark, "a", a_dir, _df(spark, 20, 25), stats_cols=["k"])
+    # reconcile by pinning the head; transactions resume
+    t3 = cat.CatalogTransaction(c)
+    t3.pin("a", a_dir)
+    t3.commit()
+    t4 = cat.CatalogTransaction(c)
+    t4.append(spark, "a", a_dir, _df(spark, 20, 25), stats_cols=["k"])
+    t4.commit()
+    assert cat.catalog_read(spark, c, "a").count() == 20
 
 
 def test_disjoint_txns_rebase_same_table_refuses(spark, tmp_path):

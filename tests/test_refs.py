@@ -178,3 +178,29 @@ def test_rollback_carries_epoch_fences_from_head(spark, tmp_path):
     snap._publish(d, 2, fenced)
     v = refs.snapshot_rollback(d, 1)
     assert snap.read_snapshot_meta(d, v)["last_batches"] == {"writer-a": 7}
+
+
+def test_publish_enforces_constraints_added_after_branch(spark, tmp_path):
+    """A CHECK constraint added to MAIN after the branch was created
+    was never enforced on the staged rows; publish must validate the
+    net-new files against it (with a session) or refuse (without one)
+    rather than landing violating rows (r12 review)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as s
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    refs.branch_create(d, "b")
+    s.snapshot_set_constraint(spark, d, "v_nonneg", "v >= 0")
+    bad = spark.range(10, 15).select(
+        F.col("id").alias("k"), (-F.col("id")).alias("v")
+    )
+    refs.branch_append(spark, d, "b", bad, stats_cols=["k"])  # branch has no constraint yet
+    with pytest.raises(ValueError, match="pass spark"):
+        refs.branch_publish(d, "b")
+    with pytest.raises(s.ConstraintViolationError):
+        refs.branch_publish(d, "b", spark=spark)
+    refs.branch_drop(d, "b")
+    # a clean branch publishes fine through the same validation
+    refs.branch_create(d, "ok")
+    refs.branch_append(spark, d, "ok", _df(spark, 20, 25), stats_cols=["k"])
+    assert refs.branch_publish(d, "ok", drop=True, spark=spark) == 3

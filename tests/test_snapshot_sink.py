@@ -262,3 +262,26 @@ def test_sink_batch_refuses_constraint_violation(spark, tmp_path):
     assert not os.path.exists(staged.path)
     w.commit([w.write(iter([_Row((3, 3.0, "c"))]))], batchId=1)
     assert sum(e["n_rows"] for e in snap.snapshot_files(d)) == 2
+
+
+def test_fenced_replay_skips_constraint_scan(spark, tmp_path):
+    """The fence must be consulted BEFORE constraint enforcement: a
+    crash-replayed batch whose rows would NOW violate (constraint
+    added after its rows were deleted+compacted away) must still be a
+    silent no-op, not a permanent restart crash (r12 review)."""
+    from pyspark.sql import functions as F
+
+    w = _writer(tmp_path, stats="k")
+    w.commit([w.write(iter([_Row((1, -1.0, "a"))]))], batchId=0)
+    d = str(tmp_path / "t")
+    # remove the violating row, materialize, then declare the constraint
+    snap.snapshot_delete(
+        spark, d, spark.range(1, 2).select(F.col("id").alias("k")), "k"
+    )
+    snap.snapshot_compact(spark, d, target_files=1)
+    snap.snapshot_set_constraint(spark, d, "v_pos", "v > 0")
+    # crash-replay of batch 0 (rows violate v_pos): fence wins, no error
+    replay = w.write(iter([_Row((1, -1.0, "a"))]))
+    w.commit([replay], batchId=0)
+    assert not os.path.exists(replay.path)
+    assert snap.table_constraints(d) == {"v_pos": "v > 0"}

@@ -245,3 +245,18 @@ def test_change_feed_end_to_end_stream(spark, tmp_path):
     assert posts == {5: 500.0, 6: 600.0, 7: 700.0}
     pres = {r.k: r.v for r in got.where("_change_type = 'update_preimage'").collect()}
     assert pres == {5: 10.0, 6: 12.0, 7: 14.0}
+
+
+def test_plain_reader_refuses_rollback_commits(spark, tmp_path):
+    """A rollback REMOVES rows from the live view; the plain row-delta
+    reader must refuse it loudly (r12 review: the path set-difference
+    read as an empty delta and silently stranded already-emitted rows
+    downstream)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import refs
+
+    d = str(tmp_path / "t")
+    _build(spark, d, n_commits=2)
+    refs.snapshot_rollback(d, 1)  # v3
+    r = SnapshotChangesStreamReader({"table_dir": d})
+    with pytest.raises(ValueError, match="rollback"):
+        r.read({"version": 2})
