@@ -166,6 +166,10 @@ HEADLINE = [
     # and multi-table atomic catalog transactions
     "snapshot_metadata_agg_orders",
     "catalog_txn_orders",
+    # round-12 (cont. 6): hive-partitioned snapshot tables with
+    # dynamic-partition overwrite, and merge-on-read positional deletes
+    "snapshot_partitioned_orders",
+    "snapshot_position_delete_orders",
 ]
 
 

@@ -202,6 +202,87 @@ def read_snapshot_meta(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+_PV_PREFIX = "__pv_"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_pv(path: str, partition_by: list[str]) -> dict:
+    """Hive-encoded partition values for ``partition_by``, parsed from
+    a data file path written by :func:`_write_commit_files`. Values
+    are the STRING encodings Spark's hive layout produced (NULL is the
+    hive sentinel) — pv is an identity token for partition membership
+    (overwrite set-matching, SHOW PARTITIONS), never an ordered stat;
+    typed range pruning rides the regular min/max entry stats, which
+    the partition columns always join (min == max == the value within
+    a partition's files, so interval pruning is EXACT there)."""
+    from urllib.parse import unquote
+
+    segs = path.split(os.sep)
+
+    def is_pv(s: str) -> bool:
+        return s.startswith(_PV_PREFIX) and "=" in s
+
+    vals = {}
+    for seg in segs:
+        if is_pv(seg):
+            k, _, v = seg.partition("=")
+            vals[k[len(_PV_PREFIX):]] = unquote(v)
+    # structural guard: in the hive layout every segment between the
+    # first __pv_ dir and the file name is itself a __pv_ dir. A
+    # partition value whose encoding collapsed to a path separator
+    # during URI decoding splits into a spurious plain segment here —
+    # refuse at commit time rather than let overwrite set-matching
+    # silently merge distinct partitions.
+    pv_idx = [i for i, s in enumerate(segs) if is_pv(s)]
+    if pv_idx and any(not is_pv(s) for s in segs[pv_idx[0]:-1]):
+        raise ValueError(
+            f"data file path {path} parses ambiguously under the hive "
+            "partition layout (a partition value decoded to a path "
+            "separator?); derive a separator-free partition column "
+            "before partitioning on it"
+        )
+    missing = [c for c in partition_by if c not in vals]
+    if missing:
+        raise ValueError(
+            f"data file {path} carries no partition value for {missing}; "
+            "commit layout and declared partition_by disagree"
+        )
+    return {c: vals[c] for c in partition_by}
+
+
+def _write_commit_files(
+    df: DataFrame, commit_dir: str, partition_by: list[str] | None
+) -> None:
+    """Write a commit's data files, hive-partitioned when a spec is
+    given. The partition columns are DUPLICATED into ``__pv_<col>``
+    aliases for the directory layout, so the ORIGINAL columns stay in
+    the data files — the snapshot read path (explicit leaf-file lists,
+    no basePath, no partition-discovery) keeps working unchanged, and
+    dropping a partition spec later never needs a data rewrite. One
+    job regardless of partition count; each output file holds exactly
+    one partition tuple, which is what makes min == max == value stats
+    pruning exact and dynamic-partition overwrite file-granular."""
+    if not partition_by:
+        df.write.parquet(commit_dir)
+        return
+    dup = [F.col(c).alias(f"{_PV_PREFIX}{c}") for c in partition_by]
+    (
+        df.select("*", *dup)
+        .write.partitionBy(*[f"{_PV_PREFIX}{c}" for c in partition_by])
+        .parquet(commit_dir)
+    )
+
+
+def _attach_pv(entries: list[dict], partition_by: list[str] | None) -> None:
+    if partition_by:
+        for e in entries:
+            e["pv"] = _parse_pv(e["path"], partition_by)
+
+
+def _pv_key(pv: dict, partition_by: list[str]) -> tuple:
+    return tuple(pv[c] for c in partition_by)
+
+
 def snapshot_append(
     spark: SparkSession,
     table_dir: str,
@@ -210,6 +291,7 @@ def snapshot_append(
     bloom_cols: list[str] | None = None,
     inline_max: int | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the published version.
 
@@ -226,22 +308,40 @@ def snapshot_append(
     columns differ from it is REFUSED unless ``merge_schema=True``
     (Delta's mergeSchema contract) — with it, new columns append to
     the declared schema and columns the commit omits read back NULL
-    from its files. Same-name/different-type always refuses."""
+    from its files. Same-name/different-type always refuses.
+
+    PARTITIONING: ``partition_by`` writes hive-clustered files (one
+    partition tuple per file, original columns retained in the data —
+    :func:`_write_commit_files`), records per-file partition values on
+    the entries, auto-adds the partition columns to the stats set
+    (min == max == value makes the existing interval pruning EXACT for
+    partition predicates, sharded or inline), and declares the spec on
+    the snapshot. The spec is Iceberg-style PER-COMMIT: later appends
+    may pass a different ``partition_by`` (spec evolution — old files
+    keep their own pv; readers prune by stats so mixed layouts stay
+    correct) or none (entries without pv make dynamic-partition
+    overwrite refuse loudly until compaction re-clusters them)."""
     stats_cols = stats_cols or []
+    if partition_by:
+        stats_cols = _merged_cols(partition_by, stats_cols)
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
-    df.write.parquet(commit_dir)
+    _write_commit_files(df, commit_dir, partition_by)
     cons = table_constraints(table_dir)
     if cons:
         _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
+    _attach_pv(entries, partition_by)
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
     def make_snap(parent: int, meta: dict) -> dict:
-        return build_append_snap(
+        snap = build_append_snap(
             table_dir, parent, meta, entries, stats_cols, bloom_cols, inline_max,
             schema=schema, merge_schema=merge_schema,
         )
+        if partition_by is not None:
+            snap["partition_by"] = partition_by
+        return snap
 
     return publish_with_rebase(table_dir, make_snap)
 
@@ -310,11 +410,158 @@ def build_append_snap(
 
 
 def _carry_deletes(snap: dict, parent_meta: dict) -> None:
-    """Carry live equality-delete files forward — every commit except a
-    full rewrite (compaction, which MATERIALIZES them) must keep them,
-    or deleted rows in carried data files would resurrect."""
+    """Carry live equality-delete AND positional-delete files forward —
+    every commit except a full rewrite (compaction, which MATERIALIZES
+    them) must keep them, or deleted rows in carried data files would
+    resurrect. Positional entries whose referenced files were all
+    rewritten away are dropped lazily at read time (path match), so
+    the carry is verbatim."""
     if parent_meta.get("delete_files"):
         snap["delete_files"] = parent_meta["delete_files"]
+    if parent_meta.get("pos_delete_files"):
+        snap["pos_delete_files"] = parent_meta["pos_delete_files"]
+
+
+def snapshot_overwrite_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    inline_max: int | None = None,
+) -> int:
+    """DYNAMIC-PARTITION OVERWRITE (``INSERT OVERWRITE`` /
+    Delta's ``partitionOverwriteMode=dynamic``, atomic): replace
+    exactly the partitions PRESENT IN ``df`` — untouched partitions
+    carry verbatim, the swap is one metadata publish. The table must
+    have a partition spec, and every current file must carry partition
+    values for it (an unpartitioned append or a pre-spec history
+    refuses LOUDLY — run a compaction first, which re-clusters and
+    restores pv — because a pv-less file might hold rows of an
+    overwritten partition and carrying it would resurrect them).
+
+    Concurrency (the Delta serializability rule): concurrent appends
+    into partitions DISJOINT from the overwrite set commute — the
+    rebase keeps them; a concurrent commit that added files to an
+    overwritten partition (or files without pv, or changed the spec)
+    raises :class:`ConcurrentCommitError` — replacement and insertion
+    into the same partition cannot be ordered without losing rows.
+
+    At 100 TB this is the idiomatic backfill/restatement primitive:
+    cost is one write of the RESTATED partitions plus a metadata swap;
+    no read, no touch of the other 99%."""
+    parent0 = current_version(table_dir)
+    if parent0 == 0:
+        raise ValueError(f"no table to overwrite under {table_dir}")
+    meta0 = read_snapshot_meta(table_dir, parent0)
+    spec = meta0.get("partition_by")
+    if not spec:
+        raise ValueError(
+            f"table {table_dir} has no partition spec; dynamic-partition "
+            "overwrite needs one (append with partition_by= first)"
+        )
+    stats_cols = stats_cols if stats_cols is not None else meta0.get("stats_cols", [])
+    stats_cols = _merged_cols(spec, stats_cols)
+    bloom_cols = bloom_cols if bloom_cols is not None else _snapshot_bloom_cols(meta0)
+    commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
+    _write_commit_files(df, commit_dir, spec)
+    cons = table_constraints(table_dir)
+    if cons:
+        _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
+    entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
+    _attach_pv(entries, spec)
+    new_pvs = {_pv_key(e["pv"], spec) for e in entries}
+    base_paths = {e["path"] for e in _meta_entries(meta0)}
+    schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        if meta.get("partition_by") != spec:
+            raise ConcurrentCommitError(
+                f"partition spec changed concurrently under {table_dir}; "
+                "re-plan the overwrite against the new spec"
+            )
+        kept, replaced = [], 0
+        for e in _meta_entries(meta):
+            pv = e.get("pv")
+            conforming = pv is not None and all(c in pv for c in spec)
+            if not conforming or _pv_key(pv, spec) in new_pvs:
+                if e["path"] in base_paths:
+                    if not conforming:
+                        raise ValueError(
+                            f"file {e['path']} carries no partition values for "
+                            f"spec {spec}; compact to re-cluster before a "
+                            "dynamic-partition overwrite"
+                        )
+                    replaced += 1
+                    continue
+                # added AFTER planning, into a partition being replaced
+                # (or without pv): replacement vs insertion of the same
+                # partition does not commute
+                raise ConcurrentCommitError(
+                    f"a concurrent commit added {e['path']} to an overwritten "
+                    f"partition under {table_dir}; re-run the overwrite"
+                )
+            kept.append(e)
+        for e in entries:
+            e["seq"] = parent + 1
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": _merged_cols(meta.get("stats_cols"), stats_cols),
+            "bloom_cols": _merged_cols(meta.get("bloom_cols"), bloom_cols),
+            "schema": meta.get("schema") or schema,
+            "partition_by": spec,
+            # a REWRITE class commit for the CDC contract: old rows of
+            # the replaced partitions vanished without per-row deltas
+            "overwrite": {
+                "partitions": sorted(list(k) for k in new_pvs),
+                "files_replaced": replaced,
+            },
+            **_entries_payload(table_dir, kept + entries, inline_max),
+        }
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def partition_values(table_dir: str, version: int | None = None) -> list[dict]:
+    """SHOW PARTITIONS from metadata alone: distinct partition tuples
+    of ``version`` (default current) with file and row counts — zero
+    data access, O(entries) metadata. Files without pv report under a
+    ``None`` tuple so a mixed-layout table is visible, not hidden."""
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        return []
+    meta = read_snapshot_meta(table_dir, v)
+    spec = meta.get("partition_by") or []
+    out: dict = {}
+    for e in _meta_entries(meta):
+        pv = e.get("pv")
+        key = (
+            tuple(pv.get(c) for c in spec)
+            if pv is not None and spec
+            else None
+        )
+        rec = out.setdefault(
+            key,
+            {
+                "pv": (dict(zip(spec, key)) if key is not None else None),
+                "n_files": 0,
+                "n_rows": 0,
+            },
+        )
+        rec["n_files"] += 1
+        rec["n_rows"] += e["n_rows"]
+    return sorted(
+        out.values(),
+        key=lambda r: tuple((r["pv"] or {}).get(c) or "" for c in spec),
+    )
 
 
 def snapshot_delete(
@@ -418,10 +665,130 @@ def snapshot_delete(
             "delete_files": list(meta.get("delete_files") or [])
             + [{"dir": del_dir, "col": col, "n_keys": n_keys, "seq": parent + 1}],
         }
+        if meta.get("pos_delete_files"):
+            snap["pos_delete_files"] = meta["pos_delete_files"]
         if changes_dir is not None:
             snap["change_feed_dir"] = changes_dir
         if schema is not None:
             snap["schema"] = schema
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
+        _carry_constraints(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def snapshot_position_delete(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+    change_feed: bool = False,
+) -> int:
+    """MERGE-ON-READ **POSITIONAL** deletes — Iceberg's position-delete
+    files, the complement of :func:`snapshot_delete`'s equality form:
+    ``DELETE WHERE <condition>`` for an ARBITRARY row predicate, not
+    just key membership. One scan of the current files (stats-pruned to
+    files whose [min, max] on ``prune_col`` can intersect [lo, hi],
+    when given) records each matching row's physical identity —
+    (file URI, parquet ``_metadata.row_index``) — into a delete file;
+    NO data file is rewritten. Readers anti-join on that exact (file,
+    position) pair, so the tax is one broadcast anti-join over rows of
+    exactly the files the delete mentions; files it never mentions
+    skip it entirely, and rows APPENDED LATER live in new files so
+    they can never be retro-deleted (path identity gives for free what
+    equality deletes need sequence numbers for). The commit pins the
+    touched file set: a concurrent compaction/merge that rewrote any
+    referenced file raises :class:`ConcurrentCommitError` at rebase
+    (positions into a vanished file are meaningless); concurrent
+    appends commute. :func:`snapshot_compact` materializes positional
+    deletes exactly like equality ones. Returns the published version,
+    or 0 when nothing matched (no commit — an empty delete is a no-op,
+    not a version).
+
+    At 100 TB: write cost is the pruned predicate scan + O(matched)
+    delete rows; read tax is bounded by the touched files and cleared
+    by the next OPTIMIZE — the standard MOR trade, now available for
+    predicates no single key column can express.
+
+    Path-identity caveat (documented, same as Iceberg): the file URI
+    stored at delete time must render byte-identical at read time —
+    true on one filesystem/object store; a table MOVED across schemes
+    must compact (materialize) first."""
+    v0 = current_version(table_dir)
+    if v0 == 0:
+        raise ValueError(f"cannot delete from empty table {table_dir}")
+    meta0 = read_snapshot_meta(table_dir, v0)
+    entries = _meta_entries(meta0)
+    if prune_col is not None:
+        entries = [e for e in entries if _entry_may_intersect(e, prune_col, lo, hi)]
+    if not entries:
+        return 0
+    from .layout import decode_file_uri
+
+    matched = _aligned_reader(
+        spark, meta0, [e["path"] for e in entries], with_rowid=True
+    ).where(condition)
+    del_dir = os.path.join(table_dir, "pos_deletes", uuid.uuid4().hex[:12])
+    matched.select(
+        F.col("__f").alias("_f"), F.col("__p").alias("_p")
+    ).write.parquet(del_dir)
+    dd = spark.read.parquet(del_dir)
+    n = dd.count()
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
+        return 0
+    # the distinct touched-file list is metadata-sized (<= files
+    # scanned); decoded paths pin the read set for the rebase check
+    touched = sorted(
+        {decode_file_uri(r["_f"]) for r in dd.select("_f").distinct().collect()}
+    )
+    changes_dir = None
+    if change_feed:
+        # preimages for the CHANGE DATA FEED must be LIVE rows only
+        # (the raw scan above deliberately includes already-deleted
+        # rows — harmless for positions, wrong for a feed)
+        pre = (
+            _read_with_deletes(spark, meta0, entries)
+            .where(condition)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        changes_dir = os.path.join(table_dir, "changes", uuid.uuid4().hex[:12])
+        pre.write.parquet(changes_dir)
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        cur_paths = {e["path"] for e in _meta_entries(meta)}
+        gone = [p for p in touched if p not in cur_paths]
+        if gone:
+            raise ConcurrentCommitError(
+                f"{len(gone)} file(s) this positional delete references were "
+                f"rewritten concurrently under {table_dir}; re-run the delete "
+                "against the current version"
+            )
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "delete": True,
+            "pos_delete_files": list(meta.get("pos_delete_files") or [])
+            + [{"dir": del_dir, "n_rows": n, "paths": touched}],
+        }
+        if meta.get("delete_files"):
+            snap["delete_files"] = meta["delete_files"]
+        if changes_dir is not None:
+            snap["change_feed_dir"] = changes_dir
+        if meta.get("schema") is not None:
+            snap["schema"] = meta["schema"]
         if meta.get("schema_evolved"):
             snap["schema_evolved"] = True
         for k in ("files", "manifests"):
@@ -446,7 +813,17 @@ def _read_with_deletes(
     the eras union. With no live deletes this is exactly the plain
     aligned read."""
     dels = meta.get("delete_files") or []
-    if not dels:
+    # positional deletes reference EXACT file paths, so (a) entries
+    # whose paths a delete never mentions skip the anti-join entirely
+    # and (b) stale delete entries (every referenced file rewritten
+    # away by merge/compaction) drop here without a carry-time sweep
+    live = {e["path"] for e in entries}
+    pos = [
+        p
+        for p in (meta.get("pos_delete_files") or [])
+        if any(pt in live for pt in p["paths"])
+    ]
+    if not dels and not pos:
         return _aligned_reader(spark, meta, [e["path"] for e in entries])
     groups: dict[tuple, list[str]] = {}
     for e in entries:
@@ -455,7 +832,7 @@ def _read_with_deletes(
         groups.setdefault(key, []).append(e["path"])
     out = None
     for key, paths in groups.items():
-        df = _aligned_reader(spark, meta, paths)
+        df = _aligned_reader(spark, meta, paths, with_rowid=bool(pos))
         for i in key:
             d = dels[i]
             kdf = (
@@ -465,6 +842,20 @@ def _read_with_deletes(
             )
             df = df.join(F.broadcast(kdf), df[d["col"]] == F.col("_dk"), "left_anti")
         out = df if out is None else out.unionByName(df)
+    if pos:
+        pdel = None
+        for p in pos:
+            d = spark.read.parquet(p["dir"]).select("_f", "_p")
+            pdel = d if pdel is None else pdel.unionByName(d)
+        pdel = pdel.distinct()
+        out = (
+            out.join(
+                F.broadcast(pdel),
+                (out["__f"] == pdel["_f"]) & (out["__p"] == pdel["_p"]),
+                "left_anti",
+            )
+            .drop("__f", "__p")
+        )
     return out
 
 
@@ -546,16 +937,33 @@ def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
     return publish_with_rebase(table_dir, make_snap)
 
 
-def _aligned_reader(spark: SparkSession, meta: dict, paths: list[str]) -> DataFrame:
+def _aligned_reader(
+    spark: SparkSession, meta: dict, paths: list[str], with_rowid: bool = False
+) -> DataFrame:
     """Read data files ALIGNED to the snapshot's declared schema. The
     fast path (no evolution recorded) is a plain parquet read — zero
     overhead for homogeneous tables. Evolved tables read with
     mergeSchema and project to the declaration: columns absent from
     every read file come back as typed NULLs, declared order is
     restored. Compaction rewrites files homogeneous again and clears
-    the flag, so the mergeSchema tax is transient by design."""
+    the flag, so the mergeSchema tax is transient by design.
+
+    ``with_rowid`` appends the scan's physical row identity —
+    ``__f`` (the file URI exactly as ``_metadata.file_path`` renders
+    it) and ``__p`` (``_metadata.row_index``) — the join key of
+    POSITIONAL deletes. Generated parquet metadata columns: zero cost
+    when unused, no data rewrite ever needed to get row ids."""
+    rowid = (
+        [
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        ]
+        if with_rowid
+        else []
+    )
     if not meta.get("schema_evolved") or not meta.get("schema"):
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        return df.select("*", *rowid) if rowid else df
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     return df.select(
         *[
@@ -563,7 +971,8 @@ def _aligned_reader(spark: SparkSession, meta: dict, paths: list[str]) -> DataFr
             if n in df.columns
             else F.lit(None).cast(t).alias(n)
             for n, t in meta["schema"]
-        ]
+        ],
+        *rowid,
     )
 
 
@@ -755,11 +1164,20 @@ def _carry_fence(snap: dict, parent_meta: dict) -> None:
     protection until a sink commit upgrades the format. The legacy key
     is carried ONLY while no per-writer map exists: once the format is
     upgraded it must be dropped, or it would keep fencing every OTHER
-    writer's early batches forever (round-12 self-review)."""
+    writer's early batches forever (round-12 self-review).
+
+    Also carries the table's PARTITION SPEC (``partition_by``) — the
+    other cross-commit property every builder must preserve; a
+    maintenance commit dropping it would silently turn the next
+    dynamic-partition overwrite into a full-table refusal. A builder
+    that deliberately CHANGES the spec sets ``snap["partition_by"]``
+    before calling this."""
     if parent_meta.get("last_batches"):
         snap["last_batches"] = parent_meta["last_batches"]
     elif parent_meta.get("last_batch_id") is not None:
         snap["last_batch_id"] = parent_meta["last_batch_id"]
+    if "partition_by" not in snap and parent_meta.get("partition_by"):
+        snap["partition_by"] = parent_meta["partition_by"]
 
 
 def snapshot_files(table_dir: str, version: int | None = None) -> list[dict]:
@@ -886,8 +1304,30 @@ def snapshot_compact(
     parent_meta = read_snapshot_meta(table_dir, parent)
     stats_cols = stats_cols if stats_cols is not None else parent_meta.get("stats_cols", [])
     bloom_cols = bloom_cols if bloom_cols is not None else _snapshot_bloom_cols(parent_meta)
+    spec = parent_meta.get("partition_by")
     df = read_snapshot(spark, table_dir, parent)
-    if cluster_by:
+    if spec:
+        # a partitioned table's OPTIMIZE preserves the partition
+        # layout: hash the rewrite on the spec columns (each partition
+        # tuple lands in exactly one task, so partitionBy emits one
+        # file per partition — Delta's per-partition bin-pack;
+        # target_files only bounds the shuffle width) and re-cluster
+        # rows WITHIN partitions when cluster_by asks for it. This is
+        # also the commit that restores pv to files an unpartitioned
+        # append or pre-spec history left without it.
+        stats_cols = _merged_cols(spec, stats_cols)
+        if cluster_by:
+            from .layout import zorder_value
+
+            df = (
+                zorder_value(df, cluster_by, bits)
+                .repartition(target_files, *[F.col(c) for c in spec])
+                .sortWithinPartitions(*spec, "zval")
+                .drop("zval")
+            )
+        else:
+            df = df.repartition(target_files, *[F.col(c) for c in spec])
+    elif cluster_by:
         # OPTIMIZE ... ZORDER BY: range-partition the rewrite on the
         # Morton code over ``cluster_by`` and sort within files, so the
         # recomputed per-file [min,max] become tight boxes in EVERY
@@ -905,9 +1345,10 @@ def snapshot_compact(
     else:
         df = df.repartition(target_files)
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
-    df.write.parquet(commit_dir)
+    _write_commit_files(df, commit_dir, spec)
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols)
+    _attach_pv(entries, spec)
     # the rewrite read applied live equality deletes, so they are
     # MATERIALIZED here: delete_files are deliberately NOT carried
     # (the one commit that clears the merge-on-read read tax)
@@ -1080,8 +1521,13 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
     # compaction materializes them, after which only expired versions
     # reference the delete dirs)
     live_dels = {d["dir"] for m in keep_metas for d in m.get("delete_files", [])}
+    live_dels |= {
+        d["dir"] for m in keep_metas for d in m.get("pos_delete_files", [])
+    }
     dead_dels = {
-        d["dir"] for m in expired_metas for d in m.get("delete_files", [])
+        d["dir"]
+        for m in expired_metas
+        for d in m.get("delete_files", []) + m.get("pos_delete_files", [])
     } - live_dels
     # change-feed dirs (CDF preimage/postimage rows) follow the same
     # reachability rule — each belongs to exactly one version
@@ -1329,13 +1775,21 @@ def snapshot_merge(
         updates
     )
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
-    merged.write.parquet(commit_dir)
+    # a partitioned table's MERGE rewrites in the partition layout, so
+    # rewritten files keep per-file pv (and with it dynamic-partition
+    # overwrite eligibility) instead of silently degrading the table
+    # to mixed-layout
+    spec = meta.get("partition_by")
+    if spec:
+        stats_cols = _merged_cols(spec, stats_cols)
+    _write_commit_files(merged, commit_dir, spec)
     cons = meta.get("constraints") or {}
     if cons:
         # violating UPDATE rows refuse here; carried rows re-check
         # trivially (they satisfied the constraint when they landed)
         _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
     new_entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    _attach_pv(new_entries, spec)
     # rewritten files get fresh blooms for the snapshot's bloom columns
     # (carried entries keep theirs verbatim) — MERGE must not degrade
     # point-lookup pruning (ADVICE r11)
@@ -1647,6 +2101,7 @@ def vacuum_orphans(table_dir: str, min_age_s: float = 3600.0) -> dict:
     live_paths = {e["path"] for m in metas for e in _meta_entries_tolerant(m)}
     live_shards = {r["path"] for m in metas for r in m.get("manifests", [])}
     live_dels = {d["dir"] for m in metas for d in m.get("delete_files", [])}
+    live_dels |= {d["dir"] for m in metas for d in m.get("pos_delete_files", [])}
     live_dels |= {m["change_feed_dir"] for m in metas if m.get("change_feed_dir")}
     cutoff = time.time() - min_age_s
 
@@ -1664,13 +2119,21 @@ def vacuum_orphans(table_dir: str, min_age_s: float = 3600.0) -> dict:
             if not os.path.isdir(d) or not _old(d):
                 continue
             # all-or-nothing: a commit's files are referenced together,
-            # but stay conservative — any referenced member keeps the dir
-            members = [os.path.join(d, f) for f in os.listdir(d)]
+            # but stay conservative — any referenced member keeps the
+            # dir. WALK, don't list: a hive-partitioned commit nests
+            # its leaf files under __pv_* dirs, and a shallow listing
+            # would never match live_paths — vacuuming a LIVE commit
+            # (r12 partitioning self-review).
+            members = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(d)
+                for f in fs
+            ]
             if any(p in live_paths for p in members):
                 continue
             shutil.rmtree(d, ignore_errors=True)
             out["deleted_commit_dirs"] += 1
-    for sub in ("deletes", "changes"):
+    for sub in ("deletes", "pos_deletes", "changes"):
         sub_d = os.path.join(table_dir, sub)
         if os.path.isdir(sub_d):
             for n in os.listdir(sub_d):
@@ -1741,10 +2204,11 @@ def metadata_aggregates(
     stats history: the answer would silently ignore files)."""
     v = current_version(table_dir) if version is None else version
     meta = read_snapshot_meta(table_dir, v)
-    if meta.get("delete_files"):
+    if meta.get("delete_files") or meta.get("pos_delete_files"):
         raise ValueError(
-            "metadata aggregates are unavailable under live equality deletes "
-            "(row counts would include deleted rows); run snapshot_compact first"
+            "metadata aggregates are unavailable under live equality/"
+            "positional deletes (row counts would include deleted rows); "
+            "run snapshot_compact first"
         )
     recs = meta["manifests"] if "manifests" in meta else meta.get("files", [])
     out = {"n_rows": sum(r["n_rows"] for r in recs)}

@@ -1735,3 +1735,180 @@ def catalog_txn_orders(spark, sf_dir):
         )
     out = rows[0].unionByName(rows[1]).unionByName(rows[2])
     return out
+
+
+@register(
+    "snapshot_partitioned_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+             AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY 1
+    """,
+    tags=("layout", "snapshot", "partitioning", "overwrite", "metadata", "pruning"),
+)
+def snapshot_partitioned_orders(spark, sf_dir):
+    """HIVE-PARTITIONED SNAPSHOT TABLES + DYNAMIC-PARTITION OVERWRITE
+    (operators/snapshots.py, r12): one append writes ``orders``
+    partitioned by ``o_orderstatus`` — hive-clustered files (one
+    partition tuple per file, original columns retained in the data so
+    the leaf-file read path is unchanged), per-file partition values on
+    the entries, and the partition columns auto-joined to the stats
+    set, which makes the EXISTING interval pruning EXACT for partition
+    predicates (min == max == value per file). Asserted in-query:
+    SHOW PARTITIONS from metadata alone sees all statuses; a
+    partition-predicate read opens exactly that partition's files
+    (strictly fewer than the table's). Then ``INSERT OVERWRITE`` the
+    'P' partition with a price restatement (doubled) — the commit
+    replaces exactly the 'P' files, carries every other partition's
+    entries VERBATIM (path sets asserted equal), and time travel to v1
+    still reads the original row count. Oracle replays the
+    restatement in SQL. At 100 TB: restating one partition costs one
+    write of that partition + a metadata swap; the other 99% of the
+    table is untouched, and partition-pruned reads never open
+    non-matching files (cf. the reference's full-table MySQL
+    re-reads, batch_processor.py:68-85)."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = fresh_result_dir("snap_part")
+    snap.snapshot_append(
+        spark, d, orders, stats_cols=["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+
+    statuses = {r["pv"]["o_orderstatus"] for r in snap.partition_values(d)}
+    if statuses != {"F", "O", "P"}:
+        raise AssertionError(f"SHOW PARTITIONS saw {statuses}")
+    entries = snap.snapshot_files(d)
+    p_files = {e["path"] for e in entries if e["pv"]["o_orderstatus"] == "P"}
+    pruned = snap.read_snapshot(spark, d, prune_col="o_orderstatus", lo="P", hi="P")
+    n_open = len(pruned.inputFiles())
+    if n_open != len(p_files) or n_open >= len(entries):
+        raise AssertionError(
+            f"partition prune opened {n_open} files, wanted {len(p_files)} "
+            f"of {len(entries)}"
+        )
+
+    restated = orders.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    v2 = snap.snapshot_overwrite_partitions(spark, d, restated)
+    before = {e["path"] for e in entries if e["pv"]["o_orderstatus"] != "P"}
+    after = {
+        e["path"]
+        for e in snap.snapshot_files(d, v2)
+        if e["pv"]["o_orderstatus"] != "P"
+    }
+    if before != after:
+        raise AssertionError("overwrite touched files outside the 'P' partition")
+    if snap.read_snapshot(spark, d, 1).count() != orders.count():
+        raise AssertionError("time travel to v1 lost rows after overwrite")
+
+    return (
+        snap.read_snapshot(spark, d, v2)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "snapshot_position_delete_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'O')
+    GROUP BY 1
+    """,
+    tags=("layout", "snapshot", "position-delete", "merge-on-read", "acid"),
+)
+def snapshot_position_delete_orders(spark, sf_dir):
+    """MERGE-ON-READ **POSITIONAL** DELETES (operators/snapshots.py
+    ``snapshot_position_delete``, r12) — ``DELETE WHERE <predicate>``
+    for an arbitrary row predicate, the complement of the equality-
+    delete face (`snapshot_equality_delete_orders` is keyed; this one
+    deletes ``o_totalprice > 150000 AND o_orderstatus = 'O'``, a shape
+    no single key column expresses). One stats-prunable scan records
+    each matching row's physical identity — (file URI, parquet
+    ``_metadata.row_index``) — into a delete file; asserted in-query:
+    the commit rewrites NO data file (path sets identical before and
+    after), readers anti-join (file, position) pairs broadcast-side,
+    time travel to the pre-delete version still sees every row, rows
+    APPENDED AFTER the delete are untouched (path identity gives for
+    free what equality deletes need sequence numbers for), and the
+    follow-up ``snapshot_compact`` MATERIALIZES the delete (the
+    pos_delete_files list empties) with the read result unchanged. At
+    100 TB: delete cost is the predicate scan + O(matched) positions —
+    no rewrite amplification; the read tax is confined to exactly the
+    files the delete touches and cleared by the next OPTIMIZE."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = fresh_result_dir("snap_posdel")
+    snap.snapshot_append(spark, d, orders, stats_cols=["o_orderkey"])
+    before = {e["path"] for e in snap.snapshot_files(d)}
+
+    v = snap.snapshot_position_delete(
+        spark, d, "o_totalprice > 150000 AND o_orderstatus = 'O'"
+    )
+    after = {e["path"] for e in snap.snapshot_files(d, v)}
+    if before != after:
+        raise AssertionError("positional delete rewrote data files")
+    if snap.read_snapshot(spark, d, 1).count() != orders.count():
+        raise AssertionError("time travel to v1 lost rows after pos delete")
+
+    # late rows matching the predicate survive (no retro-delete)
+    # deterministic pick: a bare limit() re-evaluates differently per
+    # action and this frame backs three of them
+    late = (
+        orders.where(
+            (F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O")
+        )
+        .orderBy("o_orderkey")
+        .limit(7)
+    )
+    n_late = late.count()
+    snap.snapshot_append(spark, d, late, stats_cols=["o_orderkey"])
+    live = snap.read_snapshot(spark, d)
+    n_expected = (
+        orders.where(
+            ~((F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O"))
+        ).count()
+        + n_late
+    )
+    if live.count() != n_expected:
+        raise AssertionError("positional delete retro-deleted appended rows")
+
+    # roll the late append back out of the result by deleting its keys,
+    # then compact: the delete lists must empty and the value result
+    # must equal the pure-predicate oracle
+    snap.snapshot_delete(spark, d, late.select("o_orderkey"), "o_orderkey")
+    cv = snap.snapshot_compact(spark, d, target_files=4)
+    m = snap.read_snapshot_meta(d, cv)
+    if m.get("pos_delete_files") or m.get("delete_files"):
+        raise AssertionError("compaction did not materialize the deletes")
+
+    return (
+        snap.read_snapshot(spark, d, cv)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -673,6 +673,9 @@ def hll_rollup_daily_users(spark, sf_dir):
     FROM est e JOIN ex x ON e.day_a = x.day_a AND e.day_b = x.day_b
     """,
     tags=("sketch", "kmv", "approx", "set-intersection", "timeseries"),
+    # r12 rotation: >=2 straight driver greens; slot goes to the
+    # partitioned-snapshot face (still oracle-checked every local run)
+    driver=False,
 )
 def kmv_overlap_daily_users(spark, sf_dir):
     """Distinct-user OVERLAP between day segments estimated from KMV

@@ -152,6 +152,7 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                     or meta.get("merge")
                     or meta.get("delete")
                     or meta.get("rollback_of") is not None
+                    or meta.get("overwrite")
                 ):
                     if meta.get("compaction_of") is not None:
                         kind = "compaction"
@@ -159,6 +160,11 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                         kind = "merge"
                     elif meta.get("delete"):
                         kind = "equality-delete"
+                    elif meta.get("overwrite"):
+                        # dynamic-partition overwrite: replaced rows
+                        # vanished without per-row deltas — same class
+                        # as rollback for the append-only contract
+                        kind = "partition-overwrite"
                     else:
                         # a rollback REMOVES rows from the live view; a
                         # path set-difference would read as an empty
@@ -260,6 +266,12 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                 raise ValueError(
                     f"version {v} is a rollback: its row-level changes are not "
                     "materialized — re-seed the change feed at or after it"
+                )
+            elif meta.get("overwrite"):
+                raise ValueError(
+                    f"version {v} is a dynamic-partition overwrite: replaced "
+                    "rows carry no per-row change records — re-seed the "
+                    "change feed at or after it"
                 )
             elif meta.get("compaction_of") is not None or meta.get(
                 "manifest_compaction"

@@ -656,10 +656,249 @@ def test_version_as_of_and_metadata_aggregates(spark, tmp_path):
     snap.snapshot_delete(
         spark, d, spark.range(0, 2).select(F.col("id").alias("k")), "k"
     )
-    with _pytest.raises(ValueError, match="equality deletes"):
+    with _pytest.raises(ValueError, match="equality/positional deletes"):
         snap.metadata_aggregates(d)
     # compaction materializes deletes and re-enables the metadata path
     snap.snapshot_compact(spark, d, target_files=1)
     assert snap.metadata_aggregates(d, ["k"]) == {
         "n_rows": 28, "min_k": 2, "max_k": 29
     }
+
+
+# ---------------------------------------------------------------- partitions
+
+
+def _pdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def test_partitioned_append_prunes_exactly_and_retains_columns(spark, tmp_path):
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _pdf(spark, 0, 30), stats_cols=["k"], partition_by=["p"])
+    meta = snap.read_snapshot_meta(d, 1)
+    assert meta["partition_by"] == ["p"]
+    # partition cols auto-join the stats set
+    assert "p" in meta["stats_cols"]
+    entries = snap.snapshot_files(d)
+    # one partition tuple per file, recorded as pv, min==max==value
+    assert all(e["pv"]["p"] == e["min_p"] == e["max_p"] for e in entries)
+    assert {e["pv"]["p"] for e in entries} == {"0", "1", "2"}
+    # partition-predicate read via the existing stats prune is EXACT
+    pruned = snap.read_snapshot(spark, d, prune_col="p", lo="1", hi="1")
+    rows = pruned.collect()
+    assert sorted(r.k for r in rows) == [k for k in range(30) if k % 3 == 1]
+    # the partition column is retained IN the data files
+    assert all(r.p == "1" for r in rows)
+    # SHOW PARTITIONS from metadata alone
+    pv = snap.partition_values(d)
+    assert [r["pv"]["p"] for r in pv] == ["0", "1", "2"]
+    assert all(r["n_rows"] == 10 for r in pv)
+
+
+def test_dynamic_partition_overwrite_replaces_only_matching(spark, tmp_path):
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _pdf(spark, 0, 30), stats_cols=["k"], partition_by=["p"])
+    # restate partition p=1 with doubled values, different keys
+    restated = spark.range(100, 105).select(
+        F.col("id").alias("k"), F.lit("1").alias("p"), (F.col("id") * 10).alias("v")
+    )
+    v = snap.snapshot_overwrite_partitions(spark, d, restated)
+    assert v == 2
+    meta = snap.read_snapshot_meta(d, 2)
+    assert meta["overwrite"]["partitions"] == [["1"]]
+    assert meta["overwrite"]["files_replaced"] >= 1
+    got = {(r.k, r.p) for r in snap.read_snapshot(spark, d).collect()}
+    want = {(k, str(k % 3)) for k in range(30) if k % 3 != 1} | {
+        (k, "1") for k in range(100, 105)
+    }
+    assert got == want
+    # untouched partitions carried VERBATIM (same file paths)
+    old = {e["path"] for e in snap.snapshot_files(d, 1) if e["pv"]["p"] != "1"}
+    new = {e["path"] for e in snap.snapshot_files(d, 2) if e["pv"]["p"] != "1"}
+    assert old == new
+    # time travel still sees the pre-overwrite rows
+    assert snap.read_snapshot(spark, d, 1).count() == 30
+
+
+def test_overwrite_refuses_unpartitioned_and_pvless_files(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "t")
+    # no spec at all
+    snap.snapshot_append(spark, d, _pdf(spark, 0, 9), stats_cols=["k"])
+    with pytest.raises(ValueError, match="no partition spec"):
+        snap.snapshot_overwrite_partitions(spark, d, _pdf(spark, 0, 3))
+    # spec declared later: the pv-less v1 files refuse the overwrite
+    snap.snapshot_append(spark, d, _pdf(spark, 9, 12), stats_cols=["k"], partition_by=["p"])
+    with pytest.raises(ValueError, match="compact to re-cluster"):
+        snap.snapshot_overwrite_partitions(spark, d, _pdf(spark, 0, 3))
+    # compaction re-clusters under the spec and restores pv everywhere
+    snap.snapshot_compact(spark, d, target_files=4)
+    assert all("pv" in e for e in snap.snapshot_files(d))
+    v = snap.snapshot_overwrite_partitions(spark, d, _pdf(spark, 0, 3))
+    got = sorted(r.k for r in snap.read_snapshot(spark, d, v).collect())
+    # partitions 0,1,2 all present in the restatement -> full replace
+    assert got == [0, 1, 2]
+
+
+def test_partitioned_compact_bin_packs_per_partition(spark, tmp_path):
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _pdf(spark, 0, 15), stats_cols=["k"], partition_by=["p"])
+    snap.snapshot_append(spark, d, _pdf(spark, 15, 30), stats_cols=["k"], partition_by=["p"])
+    assert len(snap.snapshot_files(d)) > 3
+    snap.snapshot_compact(spark, d, target_files=4)
+    entries = snap.snapshot_files(d)
+    # one file per partition after OPTIMIZE, layout preserved
+    assert len(entries) == 3
+    assert sorted(e["pv"]["p"] for e in entries) == ["0", "1", "2"]
+    assert snap.read_snapshot(spark, d).count() == 30
+
+
+def test_overwrite_concurrent_append_same_partition_conflicts(spark, tmp_path, monkeypatch):
+    """A commit that appends into an overwritten partition BETWEEN the
+    overwrite's planning and its publish must surface as
+    ConcurrentCommitError (replacement vs insertion of the same
+    partition cannot be serialized without losing rows), while a
+    concurrent append into a DISJOINT partition commutes through the
+    rebase."""
+    import pytest
+
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _pdf(spark, 0, 30), stats_cols=["k"], partition_by=["p"])
+
+    def racing_publish(conflict_p):
+        orig = snap.publish_with_rebase
+
+        def wrapper(table_dir, make_snap, max_attempts=50):
+            snap.publish_with_rebase = orig  # the injected append publishes normally
+            late = spark.range(200, 203).select(
+                F.col("id").alias("k"),
+                F.lit(conflict_p).alias("p"),
+                F.col("id").alias("v"),
+            )
+            snap.snapshot_append(spark, table_dir, late, stats_cols=["k"], partition_by=["p"])
+            return orig(table_dir, make_snap, max_attempts)
+
+        return wrapper
+
+    restated = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit("1").alias("p"), F.col("id").alias("v")
+    )
+    # same-partition race -> refuse
+    monkeypatch.setattr(snap, "publish_with_rebase", racing_publish("1"))
+    with pytest.raises(snap.ConcurrentCommitError, match="overwritten partition"):
+        snap.snapshot_overwrite_partitions(spark, d, restated)
+    # disjoint-partition race -> commutes: overwrite lands, late p=2 rows kept
+    monkeypatch.setattr(snap, "publish_with_rebase", racing_publish("2"))
+    v = snap.snapshot_overwrite_partitions(spark, d, restated)
+    monkeypatch.setattr(snap, "publish_with_rebase", snap.publish_with_rebase)
+    rows = snap.read_snapshot(spark, d, v)
+    assert sorted(r.k for r in rows.where(F.col("p") == "1").collect()) == [100, 101, 102]
+    assert {200, 201, 202} <= {r.k for r in rows.where(F.col("p") == "2").collect()}
+
+
+# ---------------------------------------------------------- positional deletes
+
+
+def test_position_delete_arbitrary_predicate(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 20)   # k 0..19, v = 2k
+    _commit(spark, d, 20, 30)
+    # arbitrary predicate no single key column expresses
+    v = snap.snapshot_position_delete(spark, d, "v % 4 = 0 AND k < 25")
+    assert v == 3
+    meta = snap.read_snapshot_meta(d, 3)
+    assert meta["delete"] is True
+    assert len(meta["pos_delete_files"]) == 1
+    kept = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert kept == [k for k in range(30) if not (2 * k % 4 == 0 and k < 25)]
+    # time travel unaffected
+    assert snap.read_snapshot(spark, d, 2).count() == 30
+    # no-op delete publishes nothing
+    assert snap.snapshot_position_delete(spark, d, "k > 1000") == 0
+    assert snap.current_version(d) == 3
+
+
+def test_position_delete_never_retro_deletes_new_rows(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    snap.snapshot_position_delete(spark, d, "k >= 5")
+    # rows re-inserted AFTER the positional delete live in new files:
+    # the delete's (file, pos) pairs can never touch them
+    _commit(spark, d, 5, 10)
+    got = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_position_delete_stacks_with_equality_delete(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 20)
+    snap.snapshot_position_delete(spark, d, "k in (1, 2)")
+    snap.snapshot_delete(spark, d, spark.range(3, 5).select(F.col("id").alias("k")), "k")
+    got = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert got == [0] + list(range(5, 20))
+    # both survive an unrelated append (carry), then compaction
+    # materializes both and clears the read tax
+    _commit(spark, d, 20, 25)
+    m = snap.read_snapshot_meta(d, snap.current_version(d))
+    assert m.get("pos_delete_files") and m.get("delete_files")
+    snap.snapshot_compact(spark, d, target_files=2)
+    m2 = snap.read_snapshot_meta(d, snap.current_version(d))
+    assert not m2.get("pos_delete_files") and not m2.get("delete_files")
+    got2 = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert got2 == [0] + list(range(5, 25))
+
+
+def test_position_delete_stats_pruned_and_change_feed(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    _commit(spark, d, 10, 20)
+    v = snap.snapshot_position_delete(
+        spark, d, "k >= 12 AND k < 14", prune_col="k", lo=12, hi=13, change_feed=True
+    )
+    meta = snap.read_snapshot_meta(d, v)
+    # stats prune kept the touched set to the file(s) whose [min, max]
+    # can hold [12, 13] — a strict subset of the table's files
+    touched = meta["pos_delete_files"][-1]["paths"]
+    assert 0 < len(touched) < len(snap.snapshot_files(d))
+    commit2 = {e["path"] for e in snap.snapshot_files(d, 2)} - {
+        e["path"] for e in snap.snapshot_files(d, 1)
+    }
+    assert set(touched) <= commit2
+    pre = spark.read.parquet(meta["change_feed_dir"])
+    assert sorted(r.k for r in pre.collect()) == [12, 13]
+    assert pre.columns[-1] == "_change_type"
+
+
+def test_position_delete_conflicts_with_concurrent_rewrite(spark, tmp_path, monkeypatch):
+    import pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    orig = snap.publish_with_rebase
+
+    def racing(table_dir, make_snap, max_attempts=50):
+        snap.publish_with_rebase = orig
+        snap.snapshot_compact(spark, table_dir, target_files=1)
+        return orig(table_dir, make_snap, max_attempts)
+
+    monkeypatch.setattr(snap, "publish_with_rebase", racing)
+    with pytest.raises(snap.ConcurrentCommitError, match="rewritten concurrently"):
+        snap.snapshot_position_delete(spark, d, "k = 3")
+    monkeypatch.setattr(snap, "publish_with_rebase", orig)
+    # nothing published; the orphaned delete dir is vacuum's job
+    assert snap.current_version(d) == 2
+
+
+def test_metadata_aggregates_refuse_live_position_deletes(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    snap.snapshot_position_delete(spark, d, "k = 0")
+    with pytest.raises(ValueError, match="positional deletes"):
+        snap.metadata_aggregates(d, ["k"])

@@ -559,6 +559,33 @@ def test_transform_with_state_twin_equals_apply_in_pandas(spark, tmp_path):
     assert tws == legacy
 
 
+def test_stateful_face_ga_path_has_no_fallback(spark, monkeypatch):
+    """`stream_stateful_trailing_predict` is GA-API-first: with the
+    state server's one dependency (protobuf) present it runs
+    transformWithState and any failure there must PROPAGATE — a
+    fallback papering over a real transformWithState bug would
+    silently change which operator the driver row certifies. The
+    probe is faked present; the GA operator is faked to fail."""
+    import sys
+    import types
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.plans import streamplans
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming import stateful
+
+    fake_google = types.ModuleType("google")
+    fake_pb = types.ModuleType("google.protobuf")
+    fake_google.protobuf = fake_pb
+    monkeypatch.setitem(sys.modules, "google", fake_google)
+    monkeypatch.setitem(sys.modules, "google.protobuf", fake_pb)
+
+    def boom(parsed, seq_len=5):
+        raise RuntimeError("unrelated transformWithState failure")
+
+    monkeypatch.setattr(stateful, "continuous_trailing_windows_tws", boom)
+    with pytest.raises(RuntimeError, match="unrelated transformWithState"):
+        streamplans.stream_stateful_trailing_predict(spark, "/root/testdata/sf0.001")
+
+
 def test_bar_maintenance_stream_equals_batch(spark, tmp_path):
     """The stream-maintained minute-bar table must equal a one-shot
     batch aggregation of all ticks, and a replayed epoch must be a
