@@ -170,6 +170,7 @@ HEADLINE = [
     # dynamic-partition overwrite, and merge-on-read positional deletes
     "snapshot_partitioned_orders",
     "snapshot_position_delete_orders",
+    "snapshot_hidden_partition_events",
 ]
 
 

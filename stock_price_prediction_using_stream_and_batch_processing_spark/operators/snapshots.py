@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -205,6 +206,84 @@ def read_snapshot_meta(table_dir: str, version: int) -> dict:
 _PV_PREFIX = "__pv_"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+_TRANSFORM_RE = re.compile(
+    r"^(year|month|day|hour)\((\w+)\)$"
+    r"|^(bucket|truncate)\((\d+),\s*(\w+)\)$"
+)
+
+
+def _parse_partition_spec(partition_by: list[str]) -> list[dict]:
+    """ICEBERG-STYLE HIDDEN PARTITIONING: each spec item is either a
+    plain column name (identity) or a transform —
+    ``year(c)/month(c)/day(c)/hour(c)`` over timestamps/dates,
+    ``bucket(n, c)`` (md5-based, engine-portable — NOT Spark's
+    murmur3, so an oracle can replay it), ``truncate(w, c)`` (substr
+    for strings, width-bin for integers). Returns
+    ``[{"name": pv_key, "col": source_col, "kind": ..., "param": ...}]``;
+    :func:`_pv_col` builds the transformed value as a STRING column
+    (hive dir names are strings; lexicographic order matches temporal
+    order for the calendar transforms, so pv doubles as a sortable
+    token). The transform value exists ONLY in the layout dirs and the
+    entry pv — never materialized into the data files, which is the
+    "hidden" in hidden partitioning: readers query the RAW column and
+    prune through its ordinary min/max stats (auto-collected; files
+    are clustered by the transform, so raw-range pruning is tight),
+    while overwrite/SHOW PARTITIONS address the transformed tuple."""
+    out = []
+    for item in partition_by:
+        m = _TRANSFORM_RE.match(item.strip())
+        if m is None:
+            if not re.match(r"^\w+$", item.strip()):
+                raise ValueError(f"unsupported partition transform: {item!r}")
+            c = item.strip()
+            out.append({"name": c, "col": c, "kind": "identity", "param": None})
+        elif m.group(1):
+            out.append(
+                {
+                    "name": f"{m.group(2)}_{m.group(1)}",
+                    "col": m.group(2),
+                    "kind": m.group(1),
+                    "param": None,
+                }
+            )
+        else:
+            out.append(
+                {
+                    "name": f"{m.group(5)}_{m.group(3)}",
+                    "col": m.group(5),
+                    "kind": m.group(3),
+                    "param": int(m.group(4)),
+                }
+            )
+    names = [s["name"] for s in out]
+    if len(set(names)) != len(names):
+        raise ValueError(f"partition spec {partition_by} produces duplicate keys {names}")
+    return out
+
+
+def _pv_col(s: dict, df: DataFrame):
+    """The transformed partition value as a STRING column (plan-time
+    type decisions — per-row type sniffing would poison codegen)."""
+    col = F.col(s["col"])
+    kind, n = s["kind"], s["param"]
+    if kind == "identity":
+        return col.cast("string")
+    if kind in ("year", "month", "day", "hour"):
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}[kind]
+        return F.date_format(col, fmt)
+    if kind == "bucket":
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+            % F.lit(n)
+        ).cast("string")
+    # truncate: Iceberg semantics — width-bin for integral types
+    # (sign-adjusted mod), prefix for strings
+    dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get(s["col"], "")
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        v = col.cast("long")
+        return (v - (((v % n) + n) % n)).cast("string")
+    return F.substring(col.cast("string"), 1, n)
+
 
 def _parse_pv(path: str, partition_by: list[str]) -> dict:
     """Hive-encoded partition values for ``partition_by``, parsed from
@@ -261,26 +340,43 @@ def _write_commit_files(
     dropping a partition spec later never needs a data rewrite. One
     job regardless of partition count; each output file holds exactly
     one partition tuple, which is what makes min == max == value stats
-    pruning exact and dynamic-partition overwrite file-granular."""
+    pruning exact and dynamic-partition overwrite file-granular.
+    Transform specs (hidden partitioning) cluster by the TRANSFORMED
+    value; the raw columns stay in the data, the transform value only
+    in the layout dirs."""
     if not partition_by:
         df.write.parquet(commit_dir)
         return
-    dup = [F.col(c).alias(f"{_PV_PREFIX}{c}") for c in partition_by]
+    spec = _parse_partition_spec(partition_by)
+    dup = [_pv_col(s, df).alias(f"{_PV_PREFIX}{s['name']}") for s in spec]
     (
         df.select("*", *dup)
-        .write.partitionBy(*[f"{_PV_PREFIX}{c}" for c in partition_by])
+        .write.partitionBy(*[f"{_PV_PREFIX}{s['name']}" for s in spec])
         .parquet(commit_dir)
     )
 
 
 def _attach_pv(entries: list[dict], partition_by: list[str] | None) -> None:
     if partition_by:
+        names = [s["name"] for s in _parse_partition_spec(partition_by)]
         for e in entries:
-            e["pv"] = _parse_pv(e["path"], partition_by)
+            e["pv"] = _parse_pv(e["path"], names)
 
 
-def _pv_key(pv: dict, partition_by: list[str]) -> tuple:
-    return tuple(pv[c] for c in partition_by)
+def _pv_key(pv: dict, names: list[str]) -> tuple:
+    return tuple(pv[c] for c in names)
+
+
+def _spec_source_cols(partition_by: list[str]) -> list[str]:
+    """The RAW columns a partition spec reads — the set that auto-joins
+    the stats columns (hidden partitioning prunes through the raw
+    column's ordinary min/max; files are clustered by the transform,
+    so the raw ranges per file are tight)."""
+    seen: list[str] = []
+    for s in _parse_partition_spec(partition_by):
+        if s["col"] not in seen:
+            seen.append(s["col"])
+    return seen
 
 
 def snapshot_append(
@@ -323,7 +419,7 @@ def snapshot_append(
     overwrite refuse loudly until compaction re-clusters them)."""
     stats_cols = stats_cols or []
     if partition_by:
-        stats_cols = _merged_cols(partition_by, stats_cols)
+        stats_cols = _merged_cols(_spec_source_cols(partition_by), stats_cols)
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     _write_commit_files(df, commit_dir, partition_by)
     cons = table_constraints(table_dir)
@@ -461,7 +557,7 @@ def snapshot_overwrite_partitions(
             "overwrite needs one (append with partition_by= first)"
         )
     stats_cols = stats_cols if stats_cols is not None else meta0.get("stats_cols", [])
-    stats_cols = _merged_cols(spec, stats_cols)
+    stats_cols = _merged_cols(_spec_source_cols(spec), stats_cols)
     bloom_cols = bloom_cols if bloom_cols is not None else _snapshot_bloom_cols(meta0)
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     _write_commit_files(df, commit_dir, spec)
@@ -471,7 +567,8 @@ def snapshot_overwrite_partitions(
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
     _attach_pv(entries, spec)
-    new_pvs = {_pv_key(e["pv"], spec) for e in entries}
+    names = [s["name"] for s in _parse_partition_spec(spec)]
+    new_pvs = {_pv_key(e["pv"], names) for e in entries}
     base_paths = {e["path"] for e in _meta_entries(meta0)}
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
@@ -484,8 +581,8 @@ def snapshot_overwrite_partitions(
         kept, replaced = [], 0
         for e in _meta_entries(meta):
             pv = e.get("pv")
-            conforming = pv is not None and all(c in pv for c in spec)
-            if not conforming or _pv_key(pv, spec) in new_pvs:
+            conforming = pv is not None and all(c in pv for c in names)
+            if not conforming or _pv_key(pv, names) in new_pvs:
                 if e["path"] in base_paths:
                     if not conforming:
                         raise ValueError(
@@ -540,18 +637,19 @@ def partition_values(table_dir: str, version: int | None = None) -> list[dict]:
         return []
     meta = read_snapshot_meta(table_dir, v)
     spec = meta.get("partition_by") or []
+    names = [s["name"] for s in _parse_partition_spec(spec)] if spec else []
     out: dict = {}
     for e in _meta_entries(meta):
         pv = e.get("pv")
         key = (
-            tuple(pv.get(c) for c in spec)
-            if pv is not None and spec
+            tuple(pv.get(c) for c in names)
+            if pv is not None and names
             else None
         )
         rec = out.setdefault(
             key,
             {
-                "pv": (dict(zip(spec, key)) if key is not None else None),
+                "pv": (dict(zip(names, key)) if key is not None else None),
                 "n_files": 0,
                 "n_rows": 0,
             },
@@ -560,7 +658,7 @@ def partition_values(table_dir: str, version: int | None = None) -> list[dict]:
         rec["n_rows"] += e["n_rows"]
     return sorted(
         out.values(),
-        key=lambda r: tuple((r["pv"] or {}).get(c) or "" for c in spec),
+        key=lambda r: tuple((r["pv"] or {}).get(c) or "" for c in names),
     )
 
 
@@ -1315,18 +1413,19 @@ def snapshot_compact(
         # rows WITHIN partitions when cluster_by asks for it. This is
         # also the commit that restores pv to files an unpartitioned
         # append or pre-spec history left without it.
-        stats_cols = _merged_cols(spec, stats_cols)
+        stats_cols = _merged_cols(_spec_source_cols(spec), stats_cols)
+        pv_exprs = [_pv_col(s, df) for s in _parse_partition_spec(spec)]
         if cluster_by:
             from .layout import zorder_value
 
             df = (
                 zorder_value(df, cluster_by, bits)
-                .repartition(target_files, *[F.col(c) for c in spec])
-                .sortWithinPartitions(*spec, "zval")
+                .repartition(target_files, *pv_exprs)
+                .sortWithinPartitions(*pv_exprs, "zval")
                 .drop("zval")
             )
         else:
-            df = df.repartition(target_files, *[F.col(c) for c in spec])
+            df = df.repartition(target_files, *pv_exprs)
     elif cluster_by:
         # OPTIMIZE ... ZORDER BY: range-partition the rewrite on the
         # Morton code over ``cluster_by`` and sort within files, so the
@@ -1781,7 +1880,7 @@ def snapshot_merge(
     # to mixed-layout
     spec = meta.get("partition_by")
     if spec:
-        stats_cols = _merged_cols(spec, stats_cols)
+        stats_cols = _merged_cols(_spec_source_cols(spec), stats_cols)
     _write_commit_files(merged, commit_dir, spec)
     cons = meta.get("constraints") or {}
     if cons:

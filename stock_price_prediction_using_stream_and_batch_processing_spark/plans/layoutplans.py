@@ -1912,3 +1912,84 @@ def snapshot_position_delete_orders(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "snapshot_hidden_partition_events",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             user_id, value
+      FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS total_value
+    FROM e
+    WHERE day <> '2024-01-03' OR user_id % 2 = 0
+    GROUP BY 1
+    """,
+    tags=("layout", "snapshot", "hidden-partitioning", "transform", "overwrite"),
+)
+def snapshot_hidden_partition_events(spark, sf_dir):
+    """ICEBERG-STYLE HIDDEN PARTITIONING (operators/snapshots.py, r12):
+    the table partitions on ``day(ts)`` — a TRANSFORM of a raw column,
+    declared once at write time, never materialized into the data
+    (asserted: the read schema is exactly the raw columns). Writers
+    cluster files by the transform; readers keep querying raw ``ts``
+    and prune through its ordinary min/max stats (auto-collected for
+    transform SOURCE columns — per-file raw ranges are tight because
+    the layout clusters by day), while partition-level operations
+    address the transformed tuple: SHOW PARTITIONS lists days from
+    metadata alone (asserted >= 10 on the fixture), and
+    ``INSERT OVERWRITE`` restates exactly one day — here day
+    2024-01-03 is rewritten keeping only even user_ids (a targeted
+    bad-data purge), every other day's files carried VERBATIM
+    (asserted by path set). This is the Iceberg partition-evolution
+    pitch re-expressed Spark-first: no user-visible partition column,
+    no ``WHERE day = ...`` double-bookkeeping, no rewrite to change
+    how files cluster. Oracle replays the purge in SQL over raw ts. At
+    100 TB with time-series ingest, day(ts) is THE layout: per-day
+    restatement costs one day's write + a metadata swap."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    d = fresh_result_dir("snap_hidden")
+    snap.snapshot_append(
+        spark, d, events, stats_cols=["event_id"], partition_by=["day(ts)"]
+    )
+    pvs = snap.partition_values(d)
+    if len(pvs) < 10:
+        raise AssertionError(f"expected >= 10 day partitions, saw {len(pvs)}")
+    got_cols = sorted(snap.read_snapshot(spark, d).columns)
+    if got_cols != ["event_id", "ts", "user_id", "value"]:
+        raise AssertionError(f"transform column leaked into data: {got_cols}")
+
+    day = "2024-01-03"
+    restated = events.where(
+        (F.date_format("ts", "yyyy-MM-dd") == day) & (F.col("user_id") % 2 == 0)
+    )
+    v2 = snap.snapshot_overwrite_partitions(spark, d, restated)
+    meta2 = snap.read_snapshot_meta(d, v2)
+    if meta2["overwrite"]["partitions"] != [[day]]:
+        raise AssertionError(f"overwrite touched {meta2['overwrite']['partitions']}")
+    before = {
+        e["path"] for e in snap.snapshot_files(d, 1) if e["pv"]["ts_day"] != day
+    }
+    after = {
+        e["path"] for e in snap.snapshot_files(d, v2) if e["pv"]["ts_day"] != day
+    }
+    if before != after:
+        raise AssertionError("overwrite touched files outside the restated day")
+
+    return (
+        snap.read_snapshot(spark, d, v2)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

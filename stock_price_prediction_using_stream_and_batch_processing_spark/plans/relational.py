@@ -492,6 +492,9 @@ def salted_agg_by_type(spark, sf_dir):
     # new r10; takes the driver slot histogram_value_events
     # (twice-green; family keeps histogram_incremental_refresh_events
     # and quantile_rollup_daily_values in the driver tier) rotates out of
+    # r12: >=2 straight driver greens; slot goes to the hidden-
+    # partitioning face (still oracle-checked every local run)
+    driver=False,
 )
 def salted_join_hot_events(spark, sf_dir):
     """SKEW-PROOF EQUI-JOIN as a registered face: events⋈type-dim on

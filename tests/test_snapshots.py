@@ -902,3 +902,68 @@ def test_metadata_aggregates_refuse_live_position_deletes(spark, tmp_path):
     snap.snapshot_position_delete(spark, d, "k = 0")
     with pytest.raises(ValueError, match="positional deletes"):
         snap.metadata_aggregates(d, ["k"])
+
+
+# ---------------------------------------------------------- hidden partitioning
+
+
+def test_hidden_partition_month_transform(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2024-01-15 00:00:00' + make_interval(0,0,0,id,0,0,0)").alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+    snap.snapshot_append(spark, d, df, stats_cols=["k"], partition_by=["month(ts)"])
+    meta = snap.read_snapshot_meta(d, 1)
+    assert meta["partition_by"] == ["month(ts)"]
+    # the RAW column auto-joins the stats set (hidden partitioning
+    # prunes through ordinary min/max on ts)
+    assert "ts" in meta["stats_cols"]
+    months = {r["pv"]["ts_month"] for r in snap.partition_values(d)}
+    assert months == {"2024-01", "2024-02", "2024-03"}
+    # the transform value is layout-only: data files carry the raw schema
+    got = snap.read_snapshot(spark, d)
+    assert sorted(got.columns) == ["k", "ts", "v"]
+    assert got.count() == 60
+    # dynamic overwrite addresses the transformed tuple
+    feb = df.where(F.date_format("ts", "yyyy-MM") == "2024-02").withColumn(
+        "v", F.col("v") * 10
+    )
+    v2 = snap.snapshot_overwrite_partitions(spark, d, feb)
+    assert snap.read_snapshot_meta(d, v2)["overwrite"]["partitions"] == [["2024-02"]]
+    rows = {r.k: r.v for r in snap.read_snapshot(spark, d).collect()}
+    for k in range(60):
+        in_feb = 17 <= k <= 45  # Jan 15 + k days lands in February
+        assert rows[k] == (k * 20 if in_feb else k * 2), (k, rows[k])
+
+
+def test_hidden_partition_bucket_and_truncate(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("user"), F.col("id")).alias("name"),
+    )
+    snap.snapshot_append(
+        spark, d, df, stats_cols=["k"], partition_by=["bucket(4, k)", "truncate(10, k)"]
+    )
+    pvs = snap.partition_values(d)
+    assert all(set(r["pv"]) == {"k_bucket", "k_truncate"} for r in pvs)
+    assert {r["pv"]["k_bucket"] for r in pvs} <= {"0", "1", "2", "3"}
+    assert {r["pv"]["k_truncate"] for r in pvs} == {"0", "10", "20", "30"}
+    assert sum(r["n_rows"] for r in pvs) == 40
+    assert snap.read_snapshot(spark, d).count() == 40
+    # compaction preserves the transform layout
+    snap.snapshot_compact(spark, d, target_files=4)
+    pvs2 = snap.partition_values(d)
+    assert sum(r["n_rows"] for r in pvs2) == 40
+    assert {r["pv"]["k_truncate"] for r in pvs2} == {"0", "10", "20", "30"}
+
+
+def test_partition_spec_rejects_garbage(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        snap._parse_partition_spec(["month(ts); DROP TABLE"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap._parse_partition_spec(["bucket(4, k)", "bucket(8, k)"])
