@@ -171,6 +171,7 @@ HEADLINE = [
     "snapshot_partitioned_orders",
     "snapshot_position_delete_orders",
     "snapshot_hidden_partition_events",
+    "snapshot_update_orders",
 ]
 
 

@@ -899,6 +899,142 @@ def snapshot_position_delete(
     return publish_with_rebase(table_dir, make_snap)
 
 
+def snapshot_update(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    assignments: dict[str, str],
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+    change_feed: bool = False,
+) -> dict:
+    """COPY-ON-WRITE ``UPDATE table SET col = expr, ... WHERE
+    <condition>`` — the last DML verb (INSERT = append, DELETE =
+    equality/positional, MERGE = keyed upsert; this is Delta's UPDATE):
+    (1) FIND pass — one column-pruned scan of the candidate files
+    (stats-pruned to [lo, hi] on ``prune_col`` when given) attributes
+    matching rows to files via ``_metadata.file_path``; the result is
+    a metadata-sized touched-file list (a file whose only matches were
+    already equality-deleted is a false-positive touch: costs a
+    rewrite, never correctness). (2) REWRITE pass — exactly the
+    touched files read LIVE (deletes applied), each assignment applied
+    as ``CASE WHEN condition THEN expr ELSE col END``, written in the
+    table's partition layout; untouched files carry VERBATIM.
+    Rewritten files take the new commit's sequence number, so older
+    equality deletes never re-delete updated rows; positional deletes
+    referencing rewritten paths go stale harmlessly (read-side path
+    filter). Concurrency: a concurrent rewrite of a touched file
+    refuses at rebase; concurrent APPENDS commute and are NOT updated
+    — the update applies to the snapshot it read, Delta's
+    WriteSerializable reading. ``change_feed=True`` materializes
+    update_preimage/update_postimage rows from the rows the rewrite
+    already holds. Returns {"version", "files_rewritten",
+    "files_carried", "rows_updated"}.
+
+    At 100 TB: cost is the pruned find scan + a rewrite of exactly the
+    touched footprint — the same touched-files-only contract as MERGE,
+    now for arbitrary predicates."""
+    v0 = current_version(table_dir)
+    if v0 == 0:
+        raise ValueError(f"cannot update empty table {table_dir}")
+    meta0 = read_snapshot_meta(table_dir, v0)
+    cols0 = [c for c, _ in meta0["schema"]] if meta0.get("schema") is not None else None
+    if cols0 is not None:
+        bad = [c for c in assignments if c not in cols0]
+        if bad:
+            raise ValueError(f"assignment column(s) {bad} not in table schema {cols0}")
+    entries = _meta_entries(meta0)
+    candidates = (
+        [e for e in entries if _entry_may_intersect(e, prune_col, lo, hi)]
+        if prune_col is not None
+        else entries
+    )
+    from .layout import decode_file_uri
+
+    if candidates:
+        rows = (
+            _aligned_reader(spark, meta0, [e["path"] for e in candidates], with_rowid=True)
+            .where(condition)
+            .groupBy("__f")
+            .count()
+            .collect()
+        )
+        touched_paths = {decode_file_uri(r["__f"]) for r in rows}
+    else:
+        touched_paths = set()
+    carried = [e for e in entries if e["path"] not in touched_paths]
+    touched_entries = [e for e in entries if e["path"] in touched_paths]
+    if not touched_entries:
+        return {
+            "version": v0,
+            "files_rewritten": 0,
+            "files_carried": len(entries),
+            "rows_updated": 0,
+        }
+    base = _read_with_deletes(spark, meta0, touched_entries)
+    cond = F.expr(condition)
+    updated = base
+    for c, expr in assignments.items():
+        updated = updated.withColumn(c, F.when(cond, F.expr(expr)).otherwise(F.col(c)))
+    n_updated = base.where(cond).count()
+    spec = meta0.get("partition_by")
+    stats_cols = meta0.get("stats_cols", [])
+    if spec:
+        stats_cols = _merged_cols(_spec_source_cols(spec), stats_cols)
+    commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
+    _write_commit_files(updated, commit_dir, spec)
+    cons = meta0.get("constraints") or {}
+    if cons:
+        _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
+    new_entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+    _attach_pv(new_entries, spec)
+    _attach_blooms(spark, commit_dir, new_entries, _snapshot_bloom_cols(meta0))
+    changes_dir = None
+    if change_feed:
+        pre = base.where(cond).withColumn("_change_type", F.lit("update_preimage"))
+        post = updated.where(cond).withColumn("_change_type", F.lit("update_postimage"))
+        changes_dir = os.path.join(table_dir, "changes", uuid.uuid4().hex[:12])
+        pre.unionByName(post).write.parquet(changes_dir)
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        cur_paths = {e["path"] for e in _meta_entries(meta)}
+        if any(p not in cur_paths for p in touched_paths):
+            raise ConcurrentCommitError(
+                f"file(s) this UPDATE rewrites were rewritten concurrently "
+                f"under {table_dir}; re-plan against the current version"
+            )
+        cur_carried = [e for e in _meta_entries(meta) if e["path"] not in touched_paths]
+        for e in new_entries:
+            e["seq"] = parent + 1
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": _merged_cols(meta.get("stats_cols"), stats_cols),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "update": {"files_rewritten": len(touched_entries), "rows": n_updated},
+            **_entries_payload(table_dir, cur_carried + new_entries, None),
+        }
+        if changes_dir is not None:
+            snap["change_feed_dir"] = changes_dir
+        if meta.get("schema") is not None:
+            snap["schema"] = meta["schema"]
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    v = publish_with_rebase(table_dir, make_snap)
+    return {
+        "version": v,
+        "files_rewritten": len(touched_entries),
+        "files_carried": len(carried),
+        "rows_updated": n_updated,
+    }
+
+
 def _read_with_deletes(
     spark: SparkSession, meta: dict, entries: list[dict]
 ) -> DataFrame:

@@ -271,3 +271,83 @@ def k_core_parts(spark, sf_dir):
         .distinct()
     )
     return graph.k_core(edges, _KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous LPA: fixed-round + smallest-label tiebreak
+    makes each round a pure function of the previous labeling, so the
+    SQL replay is exact (not an approximation of an unstable
+    process)."""
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),",
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),",
+        "sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", pick{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT s.a AS node, l.label, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn "
+            f"FROM sym s JOIN lab{i} l ON s.b = l.node GROUP BY s.a, l.label"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f", lab{i + 1} AS MATERIALIZED (SELECT l.node, "
+            f"COALESCE(p.label, l.label) AS label "
+            f"FROM lab{i} l LEFT JOIN pick{i} p ON l.node = p.node)"
+        )
+    parts.append(
+        f"SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        f"MIN(node) AS min_node, MAX(node) AS max_node "
+        f"FROM lab{rounds} GROUP BY 1 HAVING COUNT(*) >= 2"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "label_propagation_parts",
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    tags=("graph", "community", "label-propagation", "iterative"),
+    # new r12: extended tier first (driver rotation next round)
+    driver=False,
+)
+def label_propagation_parts(spark, sf_dir):
+    """COMMUNITY DETECTION by deterministic synchronous label
+    propagation (operators/graph.label_propagation) over the part
+    co-purchase graph: 3 synchronous sweeps, each node adopting its
+    neighbors' most frequent label (ties -> smallest), then community
+    sizes over labels. The async/random LPA of the original paper is
+    run-to-run unstable; fixed-round synchronous sweeps with a total
+    tie order are the standard determinization and let the oracle
+    unroll the exact recurrence in SQL (pick{i}/lab{i} CTEs — both
+    engines compute the identical labeling). Complements k-core
+    (density membership) with an actual PARTITION of the graph into
+    clusters. At 100 TB: per-round cost is one O(edges) shuffle on
+    the node key (stable partitioning across rounds), state is one
+    row per node, rounds a small constant by contract."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    labels = graph.label_propagation(edges, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .where(F.col("n_members") >= 2)
+    )

@@ -1993,3 +1993,79 @@ def snapshot_hidden_partition_events(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "snapshot_update_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' AND o_totalprice < 100000
+                          THEN o_totalprice * 1.05 ELSE o_totalprice END), 2)
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("layout", "snapshot", "update", "copy-on-write", "dml"),
+)
+def snapshot_update_orders(spark, sf_dir):
+    """COPY-ON-WRITE ``UPDATE ... WHERE`` (operators/snapshots.py
+    ``snapshot_update``, r12) — the last DML verb joining append /
+    equality+positional DELETE / MERGE / INSERT OVERWRITE on the
+    snapshot store: ``UPDATE orders SET o_totalprice *= 1.05 WHERE
+    o_orderstatus = 'P' AND o_totalprice < 100000`` over a table
+    partitioned by ``o_orderstatus``. The FIND pass attributes
+    matching rows to files via ``_metadata.file_path`` (metadata-sized
+    result); the REWRITE pass reads exactly the touched files, applies
+    each assignment as CASE WHEN, and writes in the partition layout —
+    asserted in-query: every non-'P' partition file carries VERBATIM
+    (path sets equal), rewritten files keep their pv, and time travel
+    to v1 still reads the pre-update prices. Oracle replays the UPDATE
+    in SQL. At 100 TB: cost is one pruned find scan + a rewrite of the
+    touched footprint only — the other partitions' data is never read,
+    never written (vs the reference's full-table refresh loop,
+    batch_processor.py:154-168)."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = fresh_result_dir("snap_upd")
+    snap.snapshot_append(
+        spark, d, orders, stats_cols=["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+    res = snap.snapshot_update(
+        spark,
+        d,
+        "o_orderstatus = 'P' AND o_totalprice < 100000",
+        {"o_totalprice": "o_totalprice * 1.05"},
+    )
+    if res["rows_updated"] <= 0 or res["files_rewritten"] <= 0:
+        raise AssertionError(f"UPDATE touched nothing: {res}")
+    before = {
+        e["path"] for e in snap.snapshot_files(d, 1) if e["pv"]["o_orderstatus"] != "P"
+    }
+    after = {
+        e["path"]
+        for e in snap.snapshot_files(d, res["version"])
+        if e["pv"]["o_orderstatus"] != "P"
+    }
+    if before != after:
+        raise AssertionError("UPDATE rewrote files outside the matched partition")
+    v1_total = (
+        snap.read_snapshot(spark, d, 1).agg(F.sum("o_totalprice")).first()[0]
+    )
+    cur_total = (
+        snap.read_snapshot(spark, d).agg(F.sum("o_totalprice")).first()[0]
+    )
+    if not cur_total > v1_total:
+        raise AssertionError("time travel does not preserve pre-update prices")
+
+    return (
+        snap.read_snapshot(spark, d)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

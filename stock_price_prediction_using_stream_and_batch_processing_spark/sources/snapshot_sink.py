@@ -63,7 +63,9 @@ _PA_TYPES = {
     "float": "float32",
     "double": "float64",
     "string": "string",
-    "boolean": "bool",
+    # pyarrow's boolean factory is bool_ (the "bool" name was a latent
+    # plan-time AttributeError — no boolean column had ever hit the sink)
+    "boolean": "bool_",
     "date": "date32",
 }
 
@@ -73,6 +75,35 @@ class _FileEntry(WriterCommitMessage):
     path: str | None  # None => the task saw zero rows, wrote nothing
     n_rows: int
     stats: dict  # {col: (min, max)} for stats_cols
+
+
+@dataclass
+class _TaskFiles(WriterCommitMessage):
+    """Partitioned task result: one staged file PER partition tuple the
+    task saw — [{path, n_rows, stats, pv}]."""
+
+    files: list
+
+
+_SINK_PV_TYPES = ("byte", "short", "integer", "long", "string", "boolean", "date")
+
+
+def _hive_str(v) -> str:
+    """Render a partition value EXACTLY as Spark's hive layout would,
+    so sink-written and batch-written partitions of one table carry
+    identical pv tokens (bool is Spark's lowercase, not Python's)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _hive_seg(col: str, v) -> str:
+    from urllib.parse import quote
+
+    from ..operators.snapshots import _HIVE_NULL, _PV_PREFIX
+
+    enc = _HIVE_NULL if v is None else quote(_hive_str(v), safe="")
+    return f"{_PV_PREFIX}{col}={enc}"
 
 
 def _arrow_schema(spark_schema):
@@ -124,6 +155,35 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         missing = [c for c in self.stats_cols if c not in schema.fieldNames()]
         if missing:
             raise ValueError(f"stats_cols {missing} not in sink schema")
+        # PARTITIONED STREAMING INGEST: plain identity columns only —
+        # transforms are evaluated by Catalyst on the batch side; a
+        # stream wanting day-partitioning projects the day column
+        # upstream (date_format in the stream query), which keeps the
+        # task writer free of any Python re-implementation of Spark
+        # expression semantics. Partition columns auto-join the stats
+        # set (min == max == value per file -> the reader's interval
+        # prune is exact, same rule as snapshot_append).
+        import re as _re
+
+        pb = [c for c in options.get("partition_by", "").split(",") if c]
+        for c in pb:
+            if not _re.match(r"^\w+$", c):
+                raise ValueError(
+                    f"snapshot_sink partition_by takes plain column names, got "
+                    f"{c!r} (apply transforms upstream in the stream query)"
+                )
+            if c not in schema.fieldNames():
+                raise ValueError(f"partition column {c!r} not in sink schema")
+            t = schema[c].dataType.typeName()
+            if t not in _SINK_PV_TYPES:
+                raise ValueError(
+                    f"partition column {c!r}: {t} has no stable path rendering; "
+                    f"supported: {_SINK_PV_TYPES}"
+                )
+        self.partition_by = pb
+        for c in pb:
+            if c not in self.stats_cols:
+                self.stats_cols.append(c)
         # fail unsupported types at PLAN time; the instance is pickled
         # to executors, so the computed schema rides along for free
         self.arrow_schema = _arrow_schema(schema)
@@ -140,43 +200,85 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from ..operators.snapshots import _HIVE_NULL
+
         names = self.schema.fieldNames()
         data_dir = os.path.join(self.table_dir, "data", "stream")
-        path = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        writer = None
-        n = 0
-        stats: dict[str, tuple] = {c: (None, None) for c in self.stats_cols}
+        pidx = [names.index(c) for c in self.partition_by]
+        # one open writer per partition tuple this task sees (hive
+        # layout, same __pv_* scheme as the batch writer); unpartitioned
+        # is the single-key degenerate case of the same loop. Peak
+        # memory stays O(chunk): grouping happens within a chunk.
+        writers: dict[tuple, dict] = {}
+
+        def state_for(key: tuple) -> dict:
+            st = writers.get(key)
+            if st is None:
+                segs = [
+                    _hive_seg(c, v) for c, v in zip(self.partition_by, key)
+                ]
+                d = os.path.join(data_dir, *segs)
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"{uuid.uuid4().hex}.parquet")
+                st = writers[key] = {
+                    "w": pq.ParquetWriter(path, self.arrow_schema),
+                    "path": path,
+                    "n": 0,
+                    "stats": {c: (None, None) for c in self.stats_cols},
+                    "pv": {
+                        c: (_HIVE_NULL if v is None else _hive_str(v))
+                        for c, v in zip(self.partition_by, key)
+                    },
+                }
+            return st
+
         try:
             while True:
                 chunk = list(itertools.islice(iterator, _CHUNK_ROWS))
                 if not chunk:
                     break
-                cols = {c: [row[i] for row in chunk] for i, c in enumerate(names)}
-                for c in self.stats_cols:
-                    present = [v for v in cols[c] if v is not None]
-                    if present:
-                        mn, mx = stats[c]
-                        lo, hi = min(present), max(present)
-                        stats[c] = (
-                            lo if mn is None else min(mn, lo),
-                            hi if mx is None else max(mx, hi),
+                groups: dict[tuple, list] = {}
+                for row in chunk:
+                    groups.setdefault(
+                        tuple(row[i] for i in pidx), []
+                    ).append(row)
+                for key, rows in groups.items():
+                    st = state_for(key)
+                    cols = {c: [row[i] for row in rows] for i, c in enumerate(names)}
+                    stats = st["stats"]
+                    for c in self.stats_cols:
+                        present = [v for v in cols[c] if v is not None]
+                        if present:
+                            mn, mx = stats[c]
+                            lo, hi = min(present), max(present)
+                            stats[c] = (
+                                lo if mn is None else min(mn, lo),
+                                hi if mx is None else max(mx, hi),
+                            )
+                    st["w"].write_batch(
+                        pa.record_batch(
+                            [
+                                pa.array(cols[c], type=t)
+                                for c, t in zip(names, self.arrow_schema.types)
+                            ],
+                            schema=self.arrow_schema,
                         )
-                if writer is None:
-                    os.makedirs(data_dir, exist_ok=True)
-                    writer = pq.ParquetWriter(path, self.arrow_schema)
-                writer.write_batch(
-                    pa.record_batch(
-                        [pa.array(cols[c], type=t) for c, t in zip(names, self.arrow_schema.types)],
-                        schema=self.arrow_schema,
                     )
-                )
-                n += len(chunk)
+                    st["n"] += len(rows)
         finally:
-            if writer is not None:
-                writer.close()
-        if n == 0:
+            for st in writers.values():
+                st["w"].close()
+        if not writers:
             return _FileEntry(None, 0, {})
-        return _FileEntry(path, n, stats)
+        if not self.partition_by:
+            st = writers[()]
+            return _FileEntry(st["path"], st["n"], st["stats"])
+        return _TaskFiles(
+            [
+                {"path": st["path"], "n_rows": st["n"], "stats": st["stats"], "pv": st["pv"]}
+                for st in writers.values()
+            ]
+        )
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
@@ -186,14 +288,23 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
 
         entries = []
         for m in messages:
-            if m is None or m.path is None:
+            if m is None:
                 continue
-            e = {"path": m.path, "n_rows": m.n_rows}
-            for c in self.stats_cols:
-                mn, mx = m.stats.get(c, (None, None))
-                e[f"min_{c}"] = json_stat(mn)
-                e[f"max_{c}"] = json_stat(mx)
-            entries.append(e)
+            if isinstance(m, _TaskFiles):
+                files = m.files
+            elif m.path is None:
+                continue
+            else:
+                files = [{"path": m.path, "n_rows": m.n_rows, "stats": m.stats}]
+            for frec in files:
+                e = {"path": frec["path"], "n_rows": frec["n_rows"]}
+                for c in self.stats_cols:
+                    mn, mx = frec["stats"].get(c, (None, None))
+                    e[f"min_{c}"] = json_stat(mn)
+                    e[f"max_{c}"] = json_stat(mx)
+                if "pv" in frec:
+                    e["pv"] = frec["pv"]
+                entries.append(e)
         # FENCE PRE-CHECK before any constraint work: a crash-replayed
         # batch must be an idempotent no-op even if the table's
         # constraints changed since it first committed (its rows may
@@ -286,6 +397,8 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 ],
                 merge_schema=self.merge_schema,
             )
+            if self.partition_by:
+                s["partition_by"] = self.partition_by
             fences[self.writer_id] = batchId
             s["last_batches"] = fences
             # drop the legacy global fence on upgrade: with the
@@ -299,9 +412,16 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
-            if m is not None and getattr(m, "path", None):
+            if m is None:
+                continue
+            paths = (
+                [f["path"] for f in m.files]
+                if isinstance(m, _TaskFiles)
+                else ([m.path] if getattr(m, "path", None) else [])
+            )
+            for p in paths:
                 try:
-                    os.remove(m.path)
+                    os.remove(p)
                 except OSError:
                     pass
 

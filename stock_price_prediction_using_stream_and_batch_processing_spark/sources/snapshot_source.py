@@ -151,6 +151,7 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                     meta.get("compaction_of") is not None
                     or meta.get("merge")
                     or meta.get("delete")
+                    or meta.get("update")
                     or meta.get("rollback_of") is not None
                     or meta.get("overwrite")
                 ):
@@ -160,6 +161,8 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                         kind = "merge"
                     elif meta.get("delete"):
                         kind = "equality-delete"
+                    elif meta.get("update"):
+                        kind = "update"
                     elif meta.get("overwrite"):
                         # dynamic-partition overwrite: replaced rows
                         # vanished without per-row deltas — same class
@@ -256,9 +259,9 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                 out.extend(
                     self._rows(paths, self.columns + ["_change_type"], suffix=(v,))
                 )
-            elif meta.get("merge") or meta.get("delete"):
+            elif meta.get("merge") or meta.get("delete") or meta.get("update"):
                 raise ValueError(
-                    f"version {v} is a merge/delete committed WITHOUT "
+                    f"version {v} is a merge/delete/update committed WITHOUT "
                     "change_feed=True: its row-level changes were never "
                     "materialized (re-seed past it, or re-commit with the feed)"
                 )

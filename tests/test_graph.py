@@ -248,3 +248,29 @@ def test_k_core_cascade_and_honest_cap(spark):
     )
     with pytest.raises(ValueError, match="did not converge"):
         graph.k_core(chain, 2, max_rounds=2)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: 3 synchronous rounds
+    converge each clique onto its smallest member's label; the bridge
+    is a sparse cut LPA must not merge across."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    assert all(got[n] == 1 for n in range(1, 5))
+    assert all(got[n] == 10 for n in range(10, 14))
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """A node with equally frequent neighbor labels adopts the
+    SMALLEST — the total order that makes synchronous LPA a pure
+    function of the graph."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.graph import label_propagation
+
+    # node 5 sees labels {1, 2} once each after round 1 start: picks 1
+    edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(edges, rounds=1).collect()}
+    assert got[5] == 1

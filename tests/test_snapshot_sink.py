@@ -285,3 +285,100 @@ def test_fenced_replay_skips_constraint_scan(spark, tmp_path):
     w.commit([replay], batchId=0)
     assert not os.path.exists(replay.path)
     assert snap.table_constraints(d) == {"v_pos": "v > 0"}
+
+
+def test_partitioned_sink_writes_hive_layout(spark, tmp_path):
+    """partition_by= splits each task's rows into one staged file per
+    partition tuple (hive __pv_* layout, identical to the batch
+    writer); entries carry pv + exact min==max partition stats, the
+    snapshot records the spec, and batch-side partition ops (SHOW
+    PARTITIONS, dynamic overwrite) work on the sink-built table."""
+    import pyspark.sql.types as T
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import (
+        SnapshotStreamWriter,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "t")
+    w = SnapshotStreamWriter(
+        {"table_dir": d, "writer_id": "w1", "stats_cols": "k", "partition_by": "p"},
+        schema,
+    )
+    rows = [(i, str(i % 3), float(i)) for i in range(30)]
+    msg = w.write(iter([_Row(r) for r in rows]))
+    assert len(msg.files) == 3
+    w.commit([msg], batchId=0)
+    meta = snap.read_snapshot_meta(d, 1)
+    assert meta["partition_by"] == ["p"]
+    # partition cols auto-join stats; min == max == value per file
+    entries = snap.snapshot_files(d)
+    assert all(e["pv"]["p"] == e["min_p"] == e["max_p"] for e in entries)
+    pvs = snap.partition_values(d)
+    assert [r["pv"]["p"] for r in pvs] == ["0", "1", "2"]
+    assert all(r["n_rows"] == 10 for r in pvs)
+    # batch-side dynamic overwrite composes with the sink-built layout
+    from pyspark.sql import functions as F
+
+    restated = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit("1").alias("p"), F.col("id").cast("double").alias("v")
+    )
+    v2 = snap.snapshot_overwrite_partitions(spark, d, restated)
+    got = {(r.k, r.p) for r in snap.read_snapshot(spark, d, v2).collect()}
+    want = {(k, str(k % 3)) for k in range(30) if k % 3 != 1} | {
+        (k, "1") for k in range(100, 103)
+    }
+    assert got == want
+
+
+def test_partitioned_sink_null_and_bool_rendering(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import (
+        SnapshotStreamWriter,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("b", T.BooleanType()),
+        ]
+    )
+    d = str(tmp_path / "t")
+    w = SnapshotStreamWriter(
+        {"table_dir": d, "writer_id": "w1", "partition_by": "b"}, schema
+    )
+    msg = w.write(iter([_Row((1, True)), _Row((2, False)), _Row((3, None))]))
+    w.commit([msg], batchId=0)
+    pvs = snap.partition_values(d)
+    # Spark's lowercase booleans + the hive null sentinel, NOT Python reprs
+    assert sorted(r["pv"]["b"] for r in pvs) == [
+        "__HIVE_DEFAULT_PARTITION__", "false", "true"
+    ]
+    assert snap.read_snapshot(spark, d).count() == 3
+
+
+def test_partitioned_sink_refuses_transforms_and_bad_types(spark, tmp_path):
+    import pytest
+    import pyspark.sql.types as T
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import (
+        SnapshotStreamWriter,
+    )
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+    base = {"table_dir": str(tmp_path / "t"), "writer_id": "w"}
+    with pytest.raises(ValueError, match="plain column names"):
+        SnapshotStreamWriter({**base, "partition_by": "day(ts)"}, schema)
+    with pytest.raises(ValueError, match="no stable path rendering"):
+        SnapshotStreamWriter({**base, "partition_by": "v"}, schema)
+    with pytest.raises(ValueError, match="not in sink schema"):
+        SnapshotStreamWriter({**base, "partition_by": "nope"}, schema)

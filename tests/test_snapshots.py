@@ -967,3 +967,103 @@ def test_partition_spec_rejects_garbage(spark, tmp_path):
         snap._parse_partition_spec(["month(ts); DROP TABLE"])
     with pytest.raises(ValueError, match="duplicate keys"):
         snap._parse_partition_spec(["bucket(4, k)", "bucket(8, k)"])
+
+
+# -------------------------------------------------------------------- UPDATE
+
+
+def test_update_rewrites_only_touched_files(spark, tmp_path):
+    d = str(tmp_path / "t")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(1),
+            stats_cols=["k"],
+        )
+    pre = {e["path"] for e in snap.snapshot_files(d, 3)}
+    res = snap.snapshot_update(
+        spark, d, "k >= 150 AND k < 160", {"v": "v + 1000"},
+        prune_col="k", lo=150, hi=159,
+    )
+    assert res == {
+        "version": 4, "files_rewritten": 1, "files_carried": 2, "rows_updated": 10
+    }
+    post = {e["path"] for e in snap.snapshot_files(d, 4)}
+    assert len(post & pre) == 2
+    got = {r.k: r.v for r in snap.read_snapshot(spark, d).collect()}
+    want = {k: k * 2 + (1000 if 150 <= k < 160 else 0) for k in range(300)}
+    assert got == want
+    # pre-update version untouched
+    assert snap.read_snapshot(spark, d, 3).where("v >= 1000").count() == 0
+    # no-match update publishes nothing
+    res2 = snap.snapshot_update(spark, d, "k > 9999", {"v": "0"})
+    assert res2["version"] == 4 and res2["rows_updated"] == 0
+
+
+def test_update_respects_deletes_and_change_feed(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 20)
+    snap.snapshot_delete(spark, d, spark.range(5, 7).select(F.col("id").alias("k")), "k")
+    res = snap.snapshot_update(
+        spark, d, "k < 10", {"v": "v * 10"}, change_feed=True
+    )
+    # deleted rows 5,6 are not updated and stay deleted
+    assert res["rows_updated"] == 8
+    got = {r.k: r.v for r in snap.read_snapshot(spark, d).collect()}
+    want = {k: (k * 20 if k < 10 else k * 2) for k in range(20) if k not in (5, 6)}
+    assert got == want
+    feed = spark.read.parquet(snap.read_snapshot_meta(d, res["version"])["change_feed_dir"])
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
+    assert feed.count() == 16
+
+
+def test_update_preserves_partition_layout(spark, tmp_path):
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _pdf(spark, 0, 30), stats_cols=["k"], partition_by=["p"])
+    res = snap.snapshot_update(spark, d, "p = '1'", {"v": "v + 1"})
+    assert res["rows_updated"] == 10
+    entries = snap.snapshot_files(d)
+    assert all("pv" in e for e in entries)
+    # only files of partition '1' were rewritten
+    pre = {e["path"] for e in snap.snapshot_files(d, 1) if e["pv"]["p"] != "1"}
+    post = {e["path"] for e in entries if e["pv"]["p"] != "1"}
+    assert pre == post
+    # overwrite still works afterwards (pv intact on rewritten files)
+    v = snap.snapshot_overwrite_partitions(
+        spark, d,
+        spark.range(0, 2).select(
+            F.col("id").alias("k"), F.lit("2").alias("p"), F.col("id").alias("v")
+        ),
+    )
+    assert snap.read_snapshot(spark, d, v).where("p = '2'").count() == 2
+
+
+def test_update_conflicts_with_concurrent_rewrite(spark, tmp_path, monkeypatch):
+    import pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    orig = snap.publish_with_rebase
+
+    def racing(table_dir, make_snap, max_attempts=50):
+        snap.publish_with_rebase = orig
+        snap.snapshot_compact(spark, table_dir, target_files=1)
+        return orig(table_dir, make_snap, max_attempts)
+
+    monkeypatch.setattr(snap, "publish_with_rebase", racing)
+    with pytest.raises(snap.ConcurrentCommitError, match="rewritten concurrently"):
+        snap.snapshot_update(spark, d, "k = 1", {"v": "0"})
+    monkeypatch.setattr(snap, "publish_with_rebase", orig)
+
+
+def test_update_refuses_unknown_assignment_column(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 10)
+    with pytest.raises(ValueError, match="not in table schema"):
+        snap.snapshot_update(spark, d, "k = 1", {"nope": "1"})
