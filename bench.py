@@ -172,6 +172,8 @@ HEADLINE = [
     "snapshot_position_delete_orders",
     "snapshot_hidden_partition_events",
     "snapshot_update_orders",
+    "snapshot_analyze_orders",
+    "label_propagation_parts",
 ]
 
 

@@ -899,6 +899,137 @@ def snapshot_position_delete(
     return publish_with_rebase(table_dir, make_snap)
 
 
+def snapshot_analyze(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    m: int = 4096,
+) -> dict:
+    """INCREMENTAL ``ANALYZE TABLE`` — per-file LINEAR-COUNTING NDV
+    partials stored in snapshot metadata: one column-pruned scan
+    records, for each data file, the set of occupied md5-hash buckets
+    (mod ``m``) per analyzed column. The partials are MERGEABLE by set
+    union (idempotent, replay-safe), so table/partition-level NDV is a
+    pure-metadata fold (:func:`table_ndv` — zero data access), and the
+    ANALYZE itself is INCREMENTAL: re-running scans ONLY files that
+    lack partials (new commits since the last analyze) — O(delta), the
+    property warehouse ANALYZE jobs usually lack. The md5 scheme is
+    engine-portable (same hash the registered linear-counting face
+    replays in DuckDB), deterministic, and bounded: ≤ ``m`` ints per
+    (file, column) in metadata regardless of file size, riding
+    manifest shards on sharded tables. Commutes with concurrent
+    appends (their files simply stay unanalyzed until the next run).
+    Returns {"version", "files_scanned"} — version unchanged when
+    nothing needed scanning."""
+    v0 = current_version(table_dir)
+    if v0 == 0:
+        raise ValueError(f"cannot analyze empty table {table_dir}")
+    meta0 = read_snapshot_meta(table_dir, v0)
+    prev_m = meta0.get("ndv_m")
+    if prev_m is not None and prev_m != m:
+        raise ValueError(
+            f"table was analyzed with m={prev_m}; partials with m={m} would "
+            "not merge — re-analyze everything by compacting first"
+        )
+    entries = _meta_entries(meta0)
+    todo = [e for e in entries if any(f"ndv_{c}" not in e for c in cols)]
+    if not todo:
+        return {"version": v0, "files_scanned": 0}
+    from ..functions.hashing import hex32_to_long
+    from .layout import decode_file_uri
+
+    df = _aligned_reader(spark, meta0, [e["path"] for e in todo], with_rowid=True)
+    aggs = [
+        F.collect_set(
+            F.pmod(hex32_to_long(F.md5(F.col(c).cast("string"))), F.lit(m))
+        ).alias(f"_pos_{c}")
+        for c in cols
+    ]
+    rows = df.groupBy("__f").agg(*aggs).collect()
+    posmap = {
+        decode_file_uri(r["__f"]): {c: sorted(r[f"_pos_{c}"]) for c in cols}
+        for r in rows
+    }
+    todo_paths = {e["path"] for e in todo}
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        entries2 = []
+        for e in _meta_entries(meta):
+            e = dict(e)
+            if e["path"] in todo_paths:
+                pm = posmap.get(e["path"]) or {}
+                for c in cols:
+                    # zero-row / all-NULL files analyze to the empty set
+                    # — MARKED analyzed, so the next run skips them
+                    e[f"ndv_{c}"] = pm.get(c, [])
+            entries2.append(e)
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "ndv_m": m,
+            "analyze": {"cols": sorted(cols), "files_scanned": len(todo)},
+            **_entries_payload(table_dir, entries2, None),
+        }
+        if meta.get("schema") is not None:
+            snap["schema"] = meta["schema"]
+        if meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    v = publish_with_rebase(table_dir, make_snap)
+    return {"version": v, "files_scanned": len(todo)}
+
+
+def table_ndv(table_dir: str, col: str, version: int | None = None) -> dict:
+    """Metadata-only NDV: fold the per-file linear-counting partials
+    :func:`snapshot_analyze` recorded — set-union the occupied buckets
+    across files, estimate −m·ln(1−V). Zero data files opened; cost is
+    O(entries) metadata. Refuses LOUDLY (never silently stale) when
+    any file lacks partials for ``col`` (re-run snapshot_analyze —
+    incremental, it scans only those) or under live equality/positional
+    deletes (the partials include deleted rows' buckets). Returns
+    {"n_files", "k_occupied", "ndv_estimate"}; full occupancy clamps
+    to the (m−1)/m saturation reading like the registered
+    linear-counting face."""
+    import math
+
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        raise ValueError(f"no snapshots under {table_dir}")
+    meta = read_snapshot_meta(table_dir, v)
+    if meta.get("delete_files") or meta.get("pos_delete_files"):
+        raise ValueError(
+            "NDV partials include deleted rows under live equality/positional "
+            "deletes; run snapshot_compact first"
+        )
+    m = meta.get("ndv_m")
+    if m is None:
+        raise ValueError(f"table {table_dir} has never been analyzed")
+    entries = _meta_entries(meta)
+    key = f"ndv_{col}"
+    missing = [e["path"] for e in entries if key not in e]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} file(s) lack NDV partials for {col!r}; run "
+            "snapshot_analyze (incremental — it scans only those)"
+        )
+    occupied: set = set()
+    for e in entries:
+        occupied.update(e[key])
+    k = len(occupied)
+    frac = min(k, m - 1) / m
+    return {
+        "n_files": len(entries),
+        "k_occupied": k,
+        "ndv_estimate": -m * math.log(1.0 - frac),
+    }
+
+
 def snapshot_update(
     spark: SparkSession,
     table_dir: str,
@@ -974,9 +1105,18 @@ def snapshot_update(
         }
     base = _read_with_deletes(spark, meta0, touched_entries)
     cond = F.expr(condition)
-    updated = base
-    for c, expr in assignments.items():
-        updated = updated.withColumn(c, F.when(cond, F.expr(expr)).otherwise(F.col(c)))
+    # ONE select, not chained withColumn: SQL UPDATE evaluates every
+    # assignment RHS against the OLD row — sequential withColumn would
+    # let a later assignment silently read an earlier one's new value
+    # (r12 self-review; e.g. SET a = b, b = a must SWAP)
+    updated = base.select(
+        *[
+            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
     n_updated = base.where(cond).count()
     spec = meta0.get("partition_by")
     stats_cols = meta0.get("stats_cols", [])
@@ -1412,6 +1552,12 @@ def _carry_fence(snap: dict, parent_meta: dict) -> None:
         snap["last_batch_id"] = parent_meta["last_batch_id"]
     if "partition_by" not in snap and parent_meta.get("partition_by"):
         snap["partition_by"] = parent_meta["partition_by"]
+    # the ANALYZE modulus is a table property too: dropping it on an
+    # append would make table_ndv read "never analyzed" right after
+    # new files arrive — exactly when the incremental re-analyze needs
+    # the old partials to still merge
+    if "ndv_m" not in snap and parent_meta.get("ndv_m") is not None:
+        snap["ndv_m"] = parent_meta["ndv_m"]
 
 
 def snapshot_files(table_dir: str, version: int | None = None) -> list[dict]:
@@ -2364,7 +2510,14 @@ def vacuum_orphans(table_dir: str, min_age_s: float = 3600.0) -> dict:
                 for r, _, fs in os.walk(d)
                 for f in fs
             ]
-            if any(p in live_paths for p in members):
+            # member-level age guard: the sink's shared data/stream dir
+            # can be OLD while holding a young staged file of an
+            # in-flight batch (the dir's mtime only moves when a direct
+            # child appears, not when a nested partition file does) —
+            # any young member keeps the whole dir (r12 self-review)
+            if any(p in live_paths for p in members) or any(
+                not _old(p) for p in members
+            ):
                 continue
             shutil.rmtree(d, ignore_errors=True)
             out["deleted_commit_dirs"] += 1

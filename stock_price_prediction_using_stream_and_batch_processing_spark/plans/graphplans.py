@@ -313,8 +313,8 @@ def _lpa_oracle(rounds: int) -> str:
     "label_propagation_parts",
     oracle=_lpa_oracle(_LPA_ROUNDS),
     tags=("graph", "community", "label-propagation", "iterative"),
-    # new r12: extended tier first (driver rotation next round)
-    driver=False,
+    # new r12: promoted same-round (stream_ohlc_maintenance /
+    # linear_count_daily_users demoted on 7/5-green streaks)
 )
 def label_propagation_parts(spark, sf_dir):
     """COMMUNITY DETECTION by deterministic synchronous label

@@ -1779,8 +1779,16 @@ def snapshot_partitioned_orders(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     d = fresh_result_dir("snap_part")
+    # cluster the ingest on the partition key first: without it every
+    # input task writes a file per partition it sees (tasks × statuses
+    # small files — the classic partitioned-write amplification);
+    # hashing on the key caps it at one file per partition per bucket
     snap.snapshot_append(
-        spark, d, orders, stats_cols=["o_orderkey"], partition_by=["o_orderstatus"]
+        spark,
+        d,
+        orders.repartition(4, "o_orderstatus"),
+        stats_cols=["o_orderkey"],
+        partition_by=["o_orderstatus"],
     )
 
     statuses = {r["pv"]["o_orderstatus"] for r in snap.partition_values(d)}
@@ -2031,8 +2039,13 @@ def snapshot_update_orders(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     d = fresh_result_dir("snap_upd")
+    # cluster on the partition key first (see snapshot_partitioned_orders)
     snap.snapshot_append(
-        spark, d, orders, stats_cols=["o_orderkey"], partition_by=["o_orderstatus"]
+        spark,
+        d,
+        orders.repartition(4, "o_orderstatus"),
+        stats_cols=["o_orderkey"],
+        partition_by=["o_orderstatus"],
     )
     res = snap.snapshot_update(
         spark,
@@ -2068,4 +2081,72 @@ def snapshot_update_orders(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
+    )
+
+
+@register(
+    "snapshot_analyze_orders",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p
+      FROM orders WHERE o_custkey IS NOT NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS k_occupied,
+           -4096.0 * ln(1.0 - LEAST((SELECT COUNT(*) FROM pos), 4095) / 4096.0)
+             AS ndv_estimate,
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS exact_ndv
+    """,
+    tags=("layout", "snapshot", "analyze", "ndv", "sketch", "metadata"),
+    # new r12: promoted same-round (stream_ohlc_maintenance /
+    # linear_count_daily_users demoted on 7/5-green streaks)
+)
+def snapshot_analyze_orders(spark, sf_dir):
+    """INCREMENTAL ANALYZE + METADATA-ONLY NDV (operators/snapshots.py
+    ``snapshot_analyze`` / ``table_ndv``, r12): per-file linear-
+    counting partials (occupied md5 buckets mod 4096 — the SAME
+    engine-portable scheme as `linear_count_daily_users`, so the NDV
+    estimate is value-oracled, not invariant-oracled) ride the
+    snapshot entries and merge by set union. Asserted in-query: the
+    second ANALYZE after a new commit scans ONLY the new files
+    (incremental — O(delta), the property warehouse ANALYZE jobs
+    usually lack), and the NDV fold runs with the data directory
+    RENAMED AWAY (zero data access, the metadata_aggregates proof
+    pattern). Oracle replays the identical bucket set and estimator in
+    SQL; ``exact_ndv`` rides along so the sketch's error is visible in
+    the checked values. At 100 TB: ANALYZE cost tracks ingest (new
+    files only), estimates are O(entries) metadata folds, ≤ m ints per
+    (file, column)."""
+    import os as _os
+
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    d = fresh_result_dir("snap_ndv")
+    snap.snapshot_append(
+        spark, d, orders.where(F.col("o_orderkey") % 3 < 2), stats_cols=["o_orderkey"]
+    )
+    r1 = snap.snapshot_analyze(spark, d, ["o_custkey"])
+    if r1["files_scanned"] != len(snap.snapshot_files(d, 1)):
+        raise AssertionError("first ANALYZE did not scan every file")
+    snap.snapshot_append(
+        spark, d, orders.where(F.col("o_orderkey") % 3 == 2), stats_cols=["o_orderkey"]
+    )
+    n_new = len(snap.snapshot_files(d)) - len(snap.snapshot_files(d, 1))
+    r2 = snap.snapshot_analyze(spark, d, ["o_custkey"])
+    if r2["files_scanned"] != n_new:
+        raise AssertionError(
+            f"incremental ANALYZE scanned {r2['files_scanned']} files, "
+            f"expected only the {n_new} new ones"
+        )
+    data, hidden = _os.path.join(d, "data"), _os.path.join(d, "data_hidden")
+    _os.rename(data, hidden)
+    try:
+        ndv = snap.table_ndv(d, "o_custkey")
+    finally:
+        _os.rename(hidden, data)
+    exact = orders.select("o_custkey").distinct().count()
+    return spark.createDataFrame(
+        [(ndv["k_occupied"], ndv["ndv_estimate"], exact)],
+        "k_occupied long, ndv_estimate double, exact_ndv long",
     )

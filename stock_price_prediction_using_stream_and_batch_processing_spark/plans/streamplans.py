@@ -371,6 +371,9 @@ def _run_maintenance_stream(spark, sf_dir, name, maint_fn):
     FROM events GROUP BY user_id, date_trunc('hour', ts)
     """,
     tags=("streaming", "ohlc", "rollup", "continuous-aggregate"),
+    # r12 rotation: 7 straight driver greens (r5-r11); slot goes to
+    # label_propagation_parts — still oracle-checked every local run
+    driver=False,
 )
 def stream_ohlc_maintenance(spark, sf_dir):
     """STREAMING continuous-aggregate maintenance, oracle-checked: the

@@ -758,6 +758,10 @@ def kmv_overlap_daily_users(spark, sf_dir):
     FROM d
     """,
     tags=("sketch", "rollup", "approx", "linear-counting", "timeseries"),
+    # r12 rotation: 5 straight driver greens (r7-r11); slot goes to
+    # snapshot_analyze_orders, which drives the SAME md5 bucket scheme
+    # through the lakehouse metadata path — still oracle-checked locally
+    driver=False,
 )
 def linear_count_daily_users(spark, sf_dir):
     """LINEAR-COUNTING distinct rollup — the first approximate-distinct

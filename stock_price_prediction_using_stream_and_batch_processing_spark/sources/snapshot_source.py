@@ -179,7 +179,14 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                         "row-delta streaming is append-only (re-seed the stream "
                         "past rewrite commits, as Delta requires)"
                     )
-                resharded |= bool(meta.get("manifest_compaction"))
+                # commits that REWRITE the manifest layout without
+                # adding data (manifest compaction, ANALYZE partials)
+                # break the new-shards-are-the-delta shortcut — fall
+                # back to the bounded path set-difference or the
+                # re-chunked shards would double-emit every row
+                resharded |= bool(
+                    meta.get("manifest_compaction") or meta.get("analyze")
+                )
             prev_meta = (
                 snap.read_snapshot_meta(self.table_dir, lo) if lo else {"files": []}
             )

@@ -1067,3 +1067,84 @@ def test_update_refuses_unknown_assignment_column(spark, tmp_path):
     _commit(spark, d, 0, 10)
     with pytest.raises(ValueError, match="not in table schema"):
         snap.snapshot_update(spark, d, "k = 1", {"nope": "1"})
+
+
+def test_update_assignments_read_old_row_values(spark, tmp_path):
+    """SQL UPDATE evaluates every assignment against the OLD row:
+    SET k = v, v = k must SWAP, not cascade."""
+    d = str(tmp_path / "t")
+    _commit(spark, d, 1, 4)  # rows (k, v=2k)
+    snap.snapshot_update(spark, d, "k = 2", {"k": "v", "v": "k"})
+    got = sorted((r.k, r.v) for r in snap.read_snapshot(spark, d).collect())
+    assert got == [(1, 2), (3, 6), (4, 2)]
+
+
+# ------------------------------------------------------------------- ANALYZE
+
+
+def test_analyze_is_incremental_and_ndv_is_metadata_only(spark, tmp_path):
+    import os as _os
+
+    import pytest
+
+    d = str(tmp_path / "t")
+    _commit(spark, d, 0, 200)
+    r1 = snap.snapshot_analyze(spark, d, ["k"])
+    assert r1["files_scanned"] == len(snap.snapshot_files(d, 1))
+    # second run: nothing new -> no scan, no commit
+    assert snap.snapshot_analyze(spark, d, ["k"]) == {
+        "version": r1["version"], "files_scanned": 0
+    }
+    # append, re-analyze: ONLY the new files scan
+    _commit(spark, d, 200, 300)
+    n_new = len(snap.snapshot_files(d)) - len(snap.snapshot_files(d, 1))
+    r2 = snap.snapshot_analyze(spark, d, ["k"])
+    assert r2["files_scanned"] == n_new
+    # NDV folds from metadata alone: hide the data dir while estimating
+    data, hidden = _os.path.join(d, "data"), _os.path.join(d, "data_hidden")
+    _os.rename(data, hidden)
+    try:
+        ndv = snap.table_ndv(d, "k")
+    finally:
+        _os.rename(hidden, data)
+    assert ndv["k_occupied"] > 0
+    assert abs(ndv["ndv_estimate"] - 300) / 300 < 0.15
+    # unanalyzed files refuse loudly
+    _commit(spark, d, 300, 310)
+    with pytest.raises(ValueError, match="lack NDV partials"):
+        snap.table_ndv(d, "k")
+    # mismatched m refuses
+    with pytest.raises(ValueError, match="would \\nnot merge|would not merge"):
+        snap.snapshot_analyze(spark, d, ["k"], m=64)
+
+
+def test_analyze_partials_merge_exactly_to_table_positions(spark, tmp_path):
+    """Per-file position sets union to EXACTLY the table-level distinct
+    positions (the merge is lossless — same invariant the registered
+    linear-counting face pins), and all-NULL files analyze to empty."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snap.snapshot_append(spark, d, df.repartition(3), stats_cols=["k"])
+    nulls = spark.range(0, 5).select(
+        F.lit(None).cast("long").alias("k"), F.col("id").alias("v")
+    )
+    snap.snapshot_append(spark, d, nulls.repartition(1), stats_cols=["k"])
+    snap.snapshot_analyze(spark, d, ["k"], m=256)
+    from stock_price_prediction_using_stream_and_batch_processing_spark.functions.hashing import hex32_to_long
+
+    want = {
+        r[0]
+        for r in df.select(
+            F.pmod(hex32_to_long(F.md5(F.col("k").cast("string"))), F.lit(256))
+        ).distinct().collect()
+    }
+    got: set = set()
+    n_empty = 0
+    for e in snap.snapshot_files(d):
+        got.update(e["ndv_k"])
+        n_empty += not e["ndv_k"]
+    assert got == want
+    assert n_empty >= 1  # the all-NULL commit's file(s)
+    assert snap.table_ndv(d, "k")["k_occupied"] == len(want)
