@@ -1658,6 +1658,7 @@ def snapshot_compact(
     bits: int = 16,
     bloom_cols: list[str] | None = None,
     inline_max: int | None = None,
+    small_max_rows: int | None = None,
 ) -> int:
     """COPY-ON-WRITE compaction (the OPTIMIZE step of the protocol):
     read the current snapshot's files, rewrite them as ``target_files``
@@ -1677,7 +1678,16 @@ def snapshot_compact(
     ``bloom_cols`` defaults to the snapshot's declared bloom columns,
     so an OPTIMIZE on a bloom-indexed table keeps point-lookup pruning
     intact instead of silently degrading it to stats-only (ADVICE
-    r11)."""
+    r11).
+
+    ``small_max_rows`` switches to SELECTIVE compaction (the OPTIMIZE
+    a 100 TB table actually runs — you never rewrite the whole thing):
+    only files with fewer rows bin-pack; larger files carry VERBATIM.
+    A partial rewrite cannot materialize the table's merge-on-read
+    state, so equality/positional delete files and the schema-evolved
+    flag CARRY (they still govern the carried files; rewritten files
+    take the new sequence number, so older deletes never re-apply to
+    them). Fewer than two small files -> no-op, no commit."""
     parent = current_version(table_dir)
     if parent == 0:
         raise ValueError(f"nothing to compact under {table_dir}")
@@ -1685,7 +1695,16 @@ def snapshot_compact(
     stats_cols = stats_cols if stats_cols is not None else parent_meta.get("stats_cols", [])
     bloom_cols = bloom_cols if bloom_cols is not None else _snapshot_bloom_cols(parent_meta)
     spec = parent_meta.get("partition_by")
-    df = read_snapshot(spark, table_dir, parent)
+    carried_big: list[dict] = []
+    if small_max_rows is not None:
+        all_entries = _meta_entries(parent_meta)
+        small = [e for e in all_entries if e["n_rows"] < small_max_rows]
+        carried_big = [e for e in all_entries if e["n_rows"] >= small_max_rows]
+        if len(small) < 2:
+            return parent
+        df = _read_with_deletes(spark, parent_meta, small)
+    else:
+        df = read_snapshot(spark, table_dir, parent)
     if spec:
         # a partitioned table's OPTIMIZE preserves the partition
         # layout: hash the rewrite on the spec columns (each partition
@@ -1730,9 +1749,10 @@ def snapshot_compact(
     entries = _scan_commit_stats(spark, commit_dir, stats_cols)
     _attach_blooms(spark, commit_dir, entries, bloom_cols)
     _attach_pv(entries, spec)
-    # the rewrite read applied live equality deletes, so they are
-    # MATERIALIZED here: delete_files are deliberately NOT carried
-    # (the one commit that clears the merge-on-read read tax)
+    # FULL rewrite: the read applied live equality deletes, so they
+    # are MATERIALIZED — delete_files deliberately NOT carried (the
+    # one commit that clears the merge-on-read read tax). PARTIAL
+    # rewrite: deletes still govern the carried files, so they carry.
     for e in entries:
         e["seq"] = parent + 1
     snap = {
@@ -1742,12 +1762,22 @@ def snapshot_compact(
         "bloom_cols": bloom_cols,
         "compaction_of": parent,
         "clustered_by": cluster_by or None,
-        # the rewrite materializes the declared schema into EVERY file,
-        # so evolution is over: schema recorded, evolved flag cleared —
-        # readers drop back to the zero-overhead plain-parquet path
+        # a full rewrite materializes the declared schema into EVERY
+        # file, so evolution is over: schema recorded, evolved flag
+        # cleared — readers drop back to the plain-parquet path. A
+        # partial rewrite keeps the flag (carried files may predate
+        # the evolution).
         "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
-        **_entries_payload(table_dir, entries, inline_max),  # REPLACES
+        **_entries_payload(table_dir, carried_big + entries, inline_max),  # REPLACES
     }
+    if carried_big:
+        snap["partial_compaction"] = {
+            "files_rewritten": len(_meta_entries(parent_meta)) - len(carried_big),
+            "files_carried": len(carried_big),
+        }
+        if parent_meta.get("schema_evolved"):
+            snap["schema_evolved"] = True
+        _carry_deletes(snap, parent_meta)
     _carry_constraints(snap, parent_meta)
     _carry_fence(snap, parent_meta)
     _publish(table_dir, parent + 1, snap)

@@ -1148,3 +1148,35 @@ def test_analyze_partials_merge_exactly_to_table_positions(spark, tmp_path):
     assert got == want
     assert n_empty >= 1  # the all-NULL commit's file(s)
     assert snap.table_ndv(d, "k")["k_occupied"] == len(want)
+
+
+def test_selective_compaction_bin_packs_only_small_files(spark, tmp_path):
+    """OPTIMIZE with small_max_rows rewrites only the small files; big
+    files carry verbatim, live deletes keep governing them, and a
+    second pass is a no-op once nothing small remains."""
+    d = str(tmp_path / "t")
+    big = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    snap.snapshot_append(spark, d, big.repartition(1), stats_cols=["k"])
+    for lo in (500, 510, 520):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).repartition(1),
+            stats_cols=["k"],
+        )
+    snap.snapshot_delete(spark, d, spark.range(0, 3).select(F.col("id").alias("k")), "k")
+    big_paths = {e["path"] for e in snap.snapshot_files(d) if e["n_rows"] >= 100}
+    v = snap.snapshot_compact(spark, d, target_files=1, small_max_rows=100)
+    meta = snap.read_snapshot_meta(d, v)
+    assert meta["partial_compaction"] == {"files_rewritten": 3, "files_carried": 1}
+    entries = snap.snapshot_files(d, v)
+    assert {e["path"] for e in entries if e["n_rows"] >= 100} == big_paths
+    assert len([e for e in entries if e["n_rows"] < 100]) == 1  # packed
+    # the equality delete (keys 0-2 live in the CARRIED big file) survives
+    assert meta.get("delete_files")
+    got = sorted(r.k for r in snap.read_snapshot(spark, d).collect())
+    assert got == list(range(3, 530))
+    # nothing small left (the packed 30-row file is the only small one)
+    assert snap.snapshot_compact(spark, d, target_files=1, small_max_rows=25) == v
