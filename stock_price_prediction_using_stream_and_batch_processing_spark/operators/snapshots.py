@@ -1027,6 +1027,12 @@ def table_ndv(table_dir: str, col: str, version: int | None = None) -> dict:
         "n_files": len(entries),
         "k_occupied": k,
         "ndv_estimate": -m * math.log(1.0 - frac),
+        # linear counting's variance blows up as occupancy -> 1 (the
+        # estimator saturates near m·ln(m)); past ~70% occupancy the
+        # honest reading is "re-analyze with a larger m", and the probe
+        # (scripts/lakehouse_scale_probe.py) shows the cliff — surface
+        # it instead of letting a 30%-off number look authoritative
+        "saturated": k >= 0.7 * m,
     }
 
 

@@ -125,6 +125,27 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         self.read_change_feed = (
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
+        # PARTITION-SCOPED streaming (r12): a consumer of one partition
+        # of a partitioned table must not read the other partitions'
+        # deltas. The filter prunes at the ENTRY level (per-file pv —
+        # pure metadata, no file opened to decide), so a micro-batch's
+        # IO is exactly the matching partition's new files. Strict by
+        # contract: a delta file without pv for a filtered key refuses
+        # loudly (emitting it would leak other partitions' rows;
+        # compact under the spec to re-cluster). Values compare against
+        # the hive-rendered pv tokens (strings).
+        import json as _json
+
+        pf = options.get("partitionFilter")
+        self.pv_filter = (
+            {k: str(v) for k, v in _json.loads(pf).items()} if pf else None
+        )
+        if self.pv_filter and self.read_change_feed:
+            raise ValueError(
+                "partitionFilter composes with the row-delta mode only: "
+                "materialized change-feed rows (merge/delete pre/postimages) "
+                "carry no per-file partition attribution"
+            )
         # the stream's column order is FIXED at plan time; files from
         # before a schema evolution are padded with NULLs per column
         self.columns = [n for n, _ in _table_columns(self.table_dir)]
@@ -201,6 +222,7 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                     for rec in cur_meta["manifests"]
                     if rec["path"] not in prev_shards
                     for e in snap._load_manifest(rec["path"])
+                    if self._pv_keep(e)
                 ]
             # inline snapshots, an inline->sharded conversion, or a
             # manifest compaction in range (old entries re-chunked into
@@ -217,7 +239,22 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                 "references a version expired by retention; re-seed the "
                 "stream (new checkpoint + startingVersion at a live snapshot)"
             ) from exc
-        return [e["path"] for e in cur if e["path"] not in prev]
+        return [
+            e["path"] for e in cur if e["path"] not in prev and self._pv_keep(e)
+        ]
+
+    def _pv_keep(self, e: dict) -> bool:
+        if not self.pv_filter:
+            return True
+        pv = e.get("pv")
+        if pv is None or any(k not in pv for k in self.pv_filter):
+            raise ValueError(
+                f"delta file {e['path']} carries no partition values for "
+                f"partitionFilter keys {sorted(self.pv_filter)}; emitting it "
+                "would leak other partitions' rows — compact the table under "
+                "its partition spec to re-cluster, then re-seed the stream"
+            )
+        return all(pv[k] == v for k, v in self.pv_filter.items())
 
     def _rows(self, paths: list[str], columns: list[str] | None = None, suffix=()):
         import pyarrow.parquet as pq

@@ -260,3 +260,53 @@ def test_plain_reader_refuses_rollback_commits(spark, tmp_path):
     r = SnapshotChangesStreamReader({"table_dir": d})
     with pytest.raises(ValueError, match="rollback"):
         r.read({"version": 2})
+
+
+def test_partition_filter_prunes_deltas_at_metadata_level(spark, tmp_path):
+    """partitionFilter delivers ONLY the matching partition's rows
+    across commits — pruning decided from entry pv (metadata), with
+    pv-less delta files refusing loudly rather than leaking rows."""
+    import json
+
+    d = str(tmp_path / "t")
+    for lo in (0, 30):
+        snap.snapshot_append(
+            spark,
+            d,
+            spark.range(lo, lo + 30).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("p"),
+                (F.col("id") * 2.0).alias("v"),
+            ),
+            stats_cols=["k"],
+            partition_by=["p"],
+        )
+    r = SnapshotChangesStreamReader(
+        {"table_dir": d, "partitionFilter": json.dumps({"p": 1})}
+    )
+    it, nxt = r.read({"version": 0})
+    ks = sorted(k for k, _, _ in it)
+    assert ks == [k for k in range(30) if k % 3 == 1]
+    it, _ = r.read({"version": 1})
+    assert sorted(k for k, _, _ in it) == [k for k in range(30, 60) if k % 3 == 1]
+    # an unpartitioned commit's files have no pv -> loud refusal
+    snap.snapshot_append(
+        spark,
+        d,
+        spark.range(60, 63).select(
+            F.col("id").alias("k"), F.lit("1").alias("p"), (F.col("id") * 2.0).alias("v")
+        ),
+        stats_cols=["k"],
+        partition_by=None,
+    )
+    with pytest.raises(ValueError, match="no partition values"):
+        r.read({"version": 2})
+    # readChangeFeed + partitionFilter is refused at plan time
+    with pytest.raises(ValueError, match="row-delta mode only"):
+        SnapshotChangesStreamReader(
+            {
+                "table_dir": d,
+                "partitionFilter": json.dumps({"p": 1}),
+                "readChangeFeed": "true",
+            }
+        )
