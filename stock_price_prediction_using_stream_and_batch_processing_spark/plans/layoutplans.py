@@ -2150,3 +2150,78 @@ def snapshot_analyze_orders(spark, sf_dir):
         [(ndv["k_occupied"], ndv["ndv_estimate"], exact)],
         "k_occupied long, ndv_estimate double, exact_ndv long",
     )
+
+
+@register(
+    "stream_snapshot_partition_changes_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("streaming", "source", "snapshot", "cdc", "partition-pruning"),
+    # new r12: extended tier first (driver rotation next round)
+    driver=False,
+)
+def stream_snapshot_partition_changes_orders(spark, sf_dir):
+    """PARTITION-SCOPED incremental table consumption
+    (sources/snapshot_source.py ``partitionFilter``, r12): two
+    partitioned appends build the table (hive layout by
+    ``o_orderstatus``), then a ``snapshot_changes`` stream subscribed
+    with ``partitionFilter={"o_orderstatus": "O"}`` consumes it.
+    Asserted in-query: every micro-batch's input row count equals
+    exactly the 'O'-partition portion of its commit (the delta prune
+    is decided from per-file pv METADATA — files of other partitions
+    are never opened, the property that makes a partition subscriber
+    cost O(its partition's ingest) instead of O(table ingest) at
+    100 TB). The sink union is value-checked against the SQL
+    partition filter over the full table."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..operators import snapshots as snap
+    from ..session import track_memory_sink_table
+    from ..sources.snapshot_source import register_snapshot_changes
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = fresh_result_dir("snap_psrc")
+    halves = []
+    for sl in (0, 1):
+        half = orders.where(F.col("o_orderkey") % 2 == sl)
+        halves.append(half)
+        snap.snapshot_append(
+            spark,
+            table_dir,
+            half.repartition(4, "o_orderstatus"),
+            stats_cols=["o_orderkey"],
+            partition_by=["o_orderstatus"],
+        )
+    register_snapshot_changes(spark)
+    sdf = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", table_dir)
+        .option("partitionFilter", _json.dumps({"o_orderstatus": "O"}))
+        .load()
+    )
+    name = f"stream_snapp_{_uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    per_commit_o = [h.where(F.col("o_orderstatus") == "O").count() for h in halves]
+    if batches != per_commit_o:
+        raise AssertionError(
+            f"expected per-commit 'O'-partition row counts {per_commit_o}, "
+            f"saw micro-batches {batches}"
+        )
+    return spark.table(name).select("o_orderkey", "o_totalprice")
