@@ -382,3 +382,35 @@ def test_partitioned_sink_refuses_transforms_and_bad_types(spark, tmp_path):
         SnapshotStreamWriter({**base, "partition_by": "v"}, schema)
     with pytest.raises(ValueError, match="not in sink schema"):
         SnapshotStreamWriter({**base, "partition_by": "nope"}, schema)
+
+
+def test_partitioned_sink_special_char_tokens_match_batch(spark, tmp_path):
+    """A sink-written and a batch-written commit of the SAME logical
+    partition value must produce the same pv token (the overwrite
+    identity), even when their on-disk dir encodings differ
+    cosmetically (urllib vs hive escaping)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import (
+        SnapshotStreamWriter,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("p", T.StringType())]
+    )
+    d = str(tmp_path / "t")
+    w = SnapshotStreamWriter(
+        {"table_dir": d, "writer_id": "w1", "partition_by": "p"}, schema
+    )
+    w.commit([w.write(iter([_Row((1, "a b")), _Row((2, "c=d"))]))], batchId=0)
+    batch_df = spark.createDataFrame([(3, "a b"), (4, "c=d")], "k long, p string")
+    snap.snapshot_append(spark, d, batch_df, stats_cols=["k"], partition_by=["p"])
+    pvs = snap.partition_values(d)
+    assert sorted(r["pv"]["p"] for r in pvs) == ["a b", "c=d"]
+    # one logical partition each, spanning both writers' files
+    assert all(r["n_files"] == 2 and r["n_rows"] == 2 for r in pvs)
+    restated = spark.createDataFrame([(9, "a b")], "k long, p string")
+    v = snap.snapshot_overwrite_partitions(spark, d, restated)
+    got = {(r.k, r.p) for r in snap.read_snapshot(spark, d, v).collect()}
+    assert got == {(9, "a b"), (2, "c=d"), (4, "c=d")}

@@ -1180,3 +1180,24 @@ def test_selective_compaction_bin_packs_only_small_files(spark, tmp_path):
     assert got == list(range(3, 530))
     # nothing small left (the packed 30-row file is the only small one)
     assert snap.snapshot_compact(spark, d, target_files=1, small_max_rows=25) == v
+
+
+def test_partition_values_special_chars_round_trip(spark, tmp_path):
+    """Hive-encoded partition values with spaces, '=', ';', literal '%'
+    and even percent-escape look-alikes must round-trip through the
+    layout dirs into entry pv EXACTLY (pv is the overwrite identity
+    token — a decode drift here silently splits or merges
+    partitions), and dynamic overwrite must target such a partition
+    precisely."""
+    d = str(tmp_path / "t")
+    vals = ["plain", "a b", "c=d", "x%25y", "semi;colon", "100%"]
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, p string")
+    snap.snapshot_append(spark, d, df, stats_cols=["k"], partition_by=["p"])
+    pvs = sorted(r["pv"]["p"] for r in snap.partition_values(d))
+    assert pvs == sorted(vals)
+    assert all(e["pv"]["p"] == e["min_p"] == e["max_p"] for e in snap.snapshot_files(d))
+    restated = spark.createDataFrame([(99, "c=d")], "k long, p string")
+    v = snap.snapshot_overwrite_partitions(spark, d, restated)
+    got = {(r.k, r.p) for r in snap.read_snapshot(spark, d, v).collect()}
+    want = {(i, p) for i, p in enumerate(vals) if p != "c=d"} | {(99, "c=d")}
+    assert got == want
