@@ -1201,3 +1201,92 @@ def test_partition_values_special_chars_round_trip(spark, tmp_path):
     got = {(r.k, r.p) for r in snap.read_snapshot(spark, d, v).collect()}
     want = {(i, p) for i, p in enumerate(vals) if p != "c=d"} | {(99, "c=d")}
     assert got == want
+
+
+def test_concurrent_mixed_dml_serializes_or_refuses(spark, tmp_path):
+    """Mixed workload under real thread concurrency: disjoint-partition
+    appends, a dynamic overwrite, an UPDATE, and an ANALYZE race on one
+    table. Every operation either LANDS with its semantics intact or
+    raises ConcurrentCommitError — never silent row loss. Invariants
+    checked on the final table: a contiguous version chain, every
+    landed append's rows present exactly once, overwrite rows present
+    iff the overwrite landed, updated values consistent with whether
+    the UPDATE landed."""
+    import concurrent.futures as cf
+
+    d = str(tmp_path / "t")
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    snap.snapshot_append(spark, d, base, stats_cols=["k"], partition_by=["p"])
+    outcomes: dict = {}
+
+    def run(name, fn):
+        try:
+            outcomes[name] = ("ok", fn())
+        except snap.ConcurrentCommitError as e:
+            outcomes[name] = ("conflict", str(e))
+
+    def append_disjoint(i):
+        extra = spark.range(1000 + i * 10, 1010 + i * 10).select(
+            F.col("id").alias("k"),
+            F.lit(str(i % 3)).alias("p"),
+            (F.col("id") * 2).alias("v"),
+        )
+        return snap.snapshot_append(
+            spark, d, extra, stats_cols=["k"], partition_by=["p"]
+        )
+
+    def overwrite_p2():
+        restated = spark.range(5000, 5005).select(
+            F.col("id").alias("k"), F.lit("2").alias("p"), (F.col("id") * 2).alias("v")
+        )
+        return snap.snapshot_overwrite_partitions(spark, d, restated)
+
+    def update_p0():
+        return snap.snapshot_update(spark, d, "p = '0' AND k < 30", {"v": "v + 100000"})
+
+    def analyze():
+        return snap.snapshot_analyze(spark, d, ["k"])
+
+    jobs = [
+        ("append0", lambda: append_disjoint(0)),
+        ("append1", lambda: append_disjoint(1)),
+        ("overwrite", overwrite_p2),
+        ("update", update_p0),
+        ("analyze", analyze),
+    ]
+    with cf.ThreadPoolExecutor(len(jobs)) as ex:
+        futs = [ex.submit(run, n, f) for n, f in jobs]
+        for f in futs:
+            f.result()
+
+    # contiguous version chain
+    cur = snap.current_version(d)
+    for v in range(2, cur + 1):
+        assert snap.read_snapshot_meta(d, v)["parent"] == v - 1
+    rows = {r.k: (r.p, r.v) for r in snap.read_snapshot(spark, d).collect()}
+    # base rows outside any landed overwrite/update untouched
+    assert rows[1] == ("1", 2)
+    # appends that reported ok are fully present
+    for name, lo in (("append0", 1000), ("append1", 1010)):
+        if outcomes[name][0] == "ok":
+            for k in range(lo, lo + 10):
+                assert k in rows, (name, k)
+    if outcomes["overwrite"][0] == "ok":
+        # p=2 holds exactly the restated rows + any landed append rows
+        # for p=2 that the overwrite's rebase kept (appends into an
+        # overwritten partition either conflicted or landed AFTER)
+        assert all(5000 <= k < 5005 or k >= 1000 for k, (p, _) in rows.items() if p == "2")
+        assert all(k in rows for k in range(5000, 5005))
+    else:
+        assert all(k % 3 != 2 or k in rows for k in range(300))
+    if outcomes["update"][0] == "ok":
+        assert all(
+            rows[k][1] == k * 2 + 100000 for k in range(0, 30) if k % 3 == 0 and k in rows
+        )
+    # at least the disjoint appends and the analyze must have landed
+    assert outcomes["append0"][0] == "ok" or outcomes["append1"][0] == "ok"
+    assert outcomes["analyze"][0] == "ok"
