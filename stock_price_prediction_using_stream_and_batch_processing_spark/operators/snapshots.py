@@ -627,6 +627,38 @@ def snapshot_overwrite_partitions(
     return publish_with_rebase(table_dir, make_snap)
 
 
+def read_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    where: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column partition-pruned read: keep exactly the files whose
+    pv matches EVERY (key, value) in ``where`` (keys are pv names —
+    the column for identity specs, ``col_month``/``col_bucket``/...
+    for transforms; values compare against the hive-rendered string
+    tokens). Files WITHOUT pv for a requested key are KEPT — the same
+    conservative prune-not-filter contract as the stats prune: the
+    caller applies its residual predicate, and a mixed-layout table
+    returns correct rows instead of silently dropping them. Live
+    equality/positional deletes apply as in any snapshot read."""
+    v = current_version(table_dir) if version is None else version
+    meta = read_snapshot_meta(table_dir, v) if v else {}
+    if _meta_n_files(meta) == 0:
+        raise ValueError(f"snapshot has no files under {table_dir}")
+    where = {k: str(val) for k, val in where.items()}
+    kept = []
+    for e in _meta_entries(meta):
+        pv = e.get("pv") or {}
+        if all(k not in pv or pv[k] == val for k, val in where.items()):
+            kept.append(e)
+    if not kept:
+        return _aligned_reader(spark, meta, [_meta_entries(meta)[0]["path"]]).where(
+            F.lit(False)
+        )
+    return _read_with_deletes(spark, meta, kept)
+
+
 def partition_values(table_dir: str, version: int | None = None) -> list[dict]:
     """SHOW PARTITIONS from metadata alone: distinct partition tuples
     of ``version`` (default current) with file and row counts — zero

@@ -1290,3 +1290,42 @@ def test_concurrent_mixed_dml_serializes_or_refuses(spark, tmp_path):
     # at least the disjoint appends and the analyze must have landed
     assert outcomes["append0"][0] == "ok" or outcomes["append1"][0] == "ok"
     assert outcomes["analyze"][0] == "ok"
+
+
+def test_read_partitions_multi_column_prune(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") % 2).cast("string").alias("q"),
+        (F.col("id") * 2).alias("v"),
+    )
+    snap.snapshot_append(spark, d, df, stats_cols=["k"], partition_by=["p", "q"])
+    got = sorted(
+        r.k for r in snap.read_partitions(spark, d, {"p": "1", "q": 0}).collect()
+    )
+    assert got == [k for k in range(60) if k % 3 == 1 and k % 2 == 0]
+    # no matching partition -> empty frame with the table schema
+    empty = snap.read_partitions(spark, d, {"p": "9"})
+    assert empty.count() == 0 and empty.columns == ["k", "p", "q", "v"]
+    # pv-less files KEEP (conservative prune, caller residual-filters)
+    snap.snapshot_append(
+        spark,
+        d,
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit("1").alias("p"),
+            F.lit("0").alias("q"), (F.col("id") * 2).alias("v"),
+        ),
+        stats_cols=["k"],
+        partition_by=None,
+    )
+    got2 = {r.k for r in snap.read_partitions(spark, d, {"p": "2"}).collect()}
+    assert {100, 101, 102} <= got2  # kept conservatively
+    assert all(k % 3 == 2 for k in got2 - {100, 101, 102})
+    # equality deletes compose
+    snap.snapshot_delete(spark, d, spark.range(1, 2).select(F.col("id").alias("k")), "k")
+    got3 = sorted(r.k for r in snap.read_partitions(spark, d, {"p": "1", "q": "1"}).collect())
+    # the pv-less commit's rows ride along here too (conservative keep)
+    assert got3 == [
+        k for k in range(60) if k % 3 == 1 and k % 2 == 1 and k != 1
+    ] + [100, 101, 102]
