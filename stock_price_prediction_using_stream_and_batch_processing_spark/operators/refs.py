@@ -79,6 +79,14 @@ _CONTENT_KEYS = (
     "schema",
     "schema_evolved",
     "delete_files",
+    # positional deletes are content exactly like equality deletes:
+    # omitting them here made rollback/branch resurrect positionally-
+    # deleted rows while equality-deleted ones stayed dead (r12 ADVICE)
+    "pos_delete_files",
+    # the partition spec interprets every entry's pv tokens — a
+    # rollback across a spec change must restore the spec its restored
+    # files were written under, not inherit the head's
+    "partition_by",
     "constraints",
 )
 

@@ -206,6 +206,20 @@ def read_snapshot_meta(table_dir: str, version: int) -> dict:
 _PV_PREFIX = "__pv_"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+
+def hive_value_token(v) -> str:
+    """Canonical string a partition VALUE takes in pv tokens / hive
+    segments — the one renderer every writer AND every filter must
+    share. Python's ``str(True)`` is ``"True"`` but Spark's hive
+    layout (and this store's sink) writes ``"true"``, so a raw
+    ``str()`` on a boolean filter silently matched zero files
+    (r12 ADVICE). ``None`` renders as the hive NULL sentinel."""
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
 _TRANSFORM_RE = re.compile(
     r"^(year|month|day|hour)\((\w+)\)$"
     r"|^(bucket|truncate)\((\d+),\s*(\w+)\)$"
@@ -646,7 +660,7 @@ def read_partitions(
     meta = read_snapshot_meta(table_dir, v) if v else {}
     if _meta_n_files(meta) == 0:
         raise ValueError(f"snapshot has no files under {table_dir}")
-    where = {k: str(val) for k, val in where.items()}
+    where = {k: hive_value_token(val) for k, val in where.items()}
     kept = []
     for e in _meta_entries(meta):
         pv = e.get("pv") or {}
@@ -1181,6 +1195,21 @@ def snapshot_update(
             raise ConcurrentCommitError(
                 f"file(s) this UPDATE rewrites were rewritten concurrently "
                 f"under {table_dir}; re-plan against the current version"
+            )
+        # A concurrent DELETE commit adds delete files without touching
+        # any data path, so the path check above sails through — but the
+        # rewritten files take seq=parent+1, the new delete (lower seq /
+        # stale path refs) no longer applies to them, and concurrently-
+        # deleted rows would resurrect inside the updated files.
+        # Delta/Iceberg treat delete-vs-update as a conflict; so do we
+        # (r12 ADVICE). meta0 is the version this UPDATE was planned on.
+        if (meta.get("delete_files") or []) != (meta0.get("delete_files") or []) or (
+            meta.get("pos_delete_files") or []
+        ) != (meta0.get("pos_delete_files") or []):
+            raise ConcurrentCommitError(
+                f"delete files changed concurrently under {table_dir} while this "
+                "UPDATE was in flight; its rewritten files would escape the new "
+                "deletes — re-plan against the current version"
             )
         cur_carried = [e for e in _meta_entries(meta) if e["path"] not in touched_paths]
         for e in new_entries:

@@ -91,10 +91,12 @@ _SINK_PV_TYPES = ("byte", "short", "integer", "long", "string", "boolean", "date
 def _hive_str(v) -> str:
     """Render a partition value EXACTLY as Spark's hive layout would,
     so sink-written and batch-written partitions of one table carry
-    identical pv tokens (bool is Spark's lowercase, not Python's)."""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
+    identical pv tokens (bool is Spark's lowercase, not Python's).
+    Delegates to the store's single canonical renderer so filters and
+    writers can never drift (r12 ADVICE)."""
+    from ..operators.snapshots import hive_value_token
+
+    return hive_value_token(v)
 
 
 def _hive_seg(col: str, v) -> str:

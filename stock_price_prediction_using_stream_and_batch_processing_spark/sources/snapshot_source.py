@@ -137,9 +137,18 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         import json as _json
 
         pf = options.get("partitionFilter")
-        self.pv_filter = (
-            {k: str(v) for k, v in _json.loads(pf).items()} if pf else None
-        )
+        if pf:
+            from ..operators.snapshots import hive_value_token
+
+            # normalize through the writers' canonical renderer so a
+            # JSON boolean/null filter matches the hive tokens the sink
+            # actually wrote ("true"/"false", hive NULL sentinel) —
+            # raw str() rendered Python's "True" and matched nothing
+            self.pv_filter = {
+                k: hive_value_token(v) for k, v in _json.loads(pf).items()
+            }
+        else:
+            self.pv_filter = None
         if self.pv_filter and self.read_change_feed:
             raise ValueError(
                 "partitionFilter composes with the row-delta mode only: "
