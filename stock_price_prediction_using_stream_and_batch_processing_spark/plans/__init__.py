@@ -20,5 +20,6 @@ from . import layoutplans  # noqa: F401
 from . import graphplans  # noqa: F401
 from . import jdbcplans  # noqa: F401
 from . import sourceplans  # noqa: F401
+from . import pipelineplans  # noqa: F401
 
 __all__ = ["all_queries", "get", "oracle_map", "query_map"]
