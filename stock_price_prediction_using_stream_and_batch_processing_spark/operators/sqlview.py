@@ -1,0 +1,45 @@
+"""SQL addressability for the snapshot store: register a table version
+as a Spark temp view so ``spark.sql`` can run VERSION AS OF /
+TIMESTAMP AS OF reads without touching the DataFrame API.
+
+The reference's batch path is literally SQL-over-JDBC
+(batch_processor.py:76 builds a SELECT string); this is its native-
+engine analogue at the table-format layer — the interop face a SQL-only
+consumer (BI tool, notebook user) needs to query snapshot tables.
+
+The view wraps :func:`operators.snapshots.read_snapshot`, so everything
+the DataFrame read honors rides through SQL untouched: merge-on-read
+equality/positional deletes, schema evolution NULL-padding, sharded
+manifests. A temp view is a NAME for the lazy plan — registering one
+costs no execution, and Catalyst prunes/pushes into the underlying
+parquet scan exactly as for the DataFrame form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .snapshots import read_snapshot, version_as_of
+
+
+def snapshot_view(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> str:
+    """Register snapshot ``version`` (default current) — or the version
+    live at wall-clock ``timestamp`` (TIMESTAMP AS OF) — as temp view
+    ``name``. Returns ``name`` for call-chaining into ``spark.sql``.
+
+    The view is PINNED: it resolves the version at registration time,
+    so commits after registration never leak in (snapshot isolation for
+    SQL readers). Re-register to follow the head.
+    """
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if timestamp is not None:
+        version = version_as_of(table_dir, timestamp)
+    read_snapshot(spark, table_dir, version).createOrReplaceTempView(name)
+    return name

@@ -2225,3 +2225,147 @@ def stream_snapshot_partition_changes_orders(spark, sf_dir):
             f"saw micro-batches {batches}"
         )
     return spark.table(name).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "snapshot_sql_asof_orders",
+    oracle="""
+    SELECT 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 4,
+           CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    tags=("layout", "snapshot", "sql", "time-travel", "asof", "views"),
+)
+def snapshot_sql_asof_orders(spark, sf_dir):
+    """SQL SURFACE over the snapshot store (operators/sqlview.py) — the
+    interop face a SQL-only consumer needs: ``snapshot_view`` registers
+    a PINNED table version as a temp view, and the whole result is then
+    computed by ``spark.sql`` alone (VERSION AS OF via an explicit
+    version, TIMESTAMP AS OF via wall-clock resolution against the
+    commit log). The reference's batch path is literally SQL-over-JDBC
+    (batch_processor.py:76); this is that shape at the table-format
+    layer. The table builds as three modulo-slice appends (v1-v3) plus
+    a merge-on-read equality delete of o_orderkey % 7 == 0 (v4), so the
+    SQL read also proves the MOR delete algebra rides through the view:
+    v2 sees slices 0-1 untouched, the TIMESTAMP-resolved head sees all
+    rows minus the deleted keys. Isolation is asserted in-query: a
+    commit AFTER registration must not change the pinned view's count.
+    At 100 TB a temp view is a name for the lazy plan — zero cost at
+    registration, full pruning/pushdown in the SQL plan."""
+    import uuid as _uuid
+
+    from ..operators import snapshots as snap
+    from ..operators.sqlview import snapshot_view
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_sql")
+    for sl in (0, 1, 2):
+        snap.snapshot_append(
+            spark, table_dir, orders.where(F.col("o_orderkey") % 3 == sl),
+            stats_cols=["o_orderkey"],
+        )
+    snap.snapshot_delete(
+        spark, table_dir,
+        orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    ts_head = snap.read_snapshot_meta(table_dir, 4)["committed_at"]
+
+    sfx = _uuid.uuid4().hex[:8]
+    v2 = snapshot_view(spark, table_dir, f"snap_orders_v2_{sfx}", version=2)
+    cur = snapshot_view(spark, table_dir, f"snap_orders_asof_{sfx}", timestamp=ts_head)
+    pinned_count = spark.sql(f"SELECT COUNT(*) AS c FROM {v2}").collect()[0].c
+    # a commit AFTER registration must be invisible to the pinned views
+    snap.snapshot_append(
+        spark, table_dir, orders.limit(5), stats_cols=["o_orderkey"]
+    )
+    if spark.sql(f"SELECT COUNT(*) AS c FROM {v2}").collect()[0].c != pinned_count:
+        raise AssertionError("pinned SQL view leaked a post-registration commit")
+    return spark.sql(f"""
+        SELECT 2 AS version, COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM {v2}
+        UNION ALL
+        SELECT 4, COUNT(*), ROUND(SUM(o_totalprice), 2) FROM {cur}
+    """)
+
+
+@register(
+    "stream_snapshot_rescan_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) + SUM(CASE WHEN o_orderkey % 3 <> 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice)
+                 + SUM(CASE WHEN o_orderkey % 3 <> 2 THEN o_totalprice ELSE 0 END),
+                 2) AS total_price
+    FROM orders
+    """,
+    tags=("streaming", "snapshot", "cdc", "rescan", "recovery"),
+)
+def stream_snapshot_rescan_orders(spark, sf_dir):
+    """CDC RESCAN RECOVERY (sources/snapshot_source.py, Delta's
+    restart-past-a-rewrite escape hatch): append slice A (v1), append
+    slice B (v2), COMPACT (v3 — the rewrite the default mode refuses
+    loudly, pinned in tests), append slice C (v4); one stream with
+    ``onRewrite=rescan`` consumes the whole history. Batch accounting
+    is asserted in-query: v1=A, v2=B, v3=the FULL post-compaction
+    snapshot (A+B re-emitted — the documented semantics of recovering
+    through a rewrite), v4=C, so the sink totals are exactly
+    2A + 2B + C, which the oracle computes from the orders table. The
+    rescan batch costs one full-snapshot read ONCE at the rewrite,
+    after which planning is O(delta) again — the operational affordance
+    that turns 'stream dead, rebuild everything downstream' into one
+    bounded replay."""
+    import uuid as _uuid
+
+    from ..operators import snapshots as snap
+    from ..session import track_memory_sink_table
+    from ..sources.snapshot_source import register_snapshot_changes
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_rescan")
+    slices = [orders.where(F.col("o_orderkey") % 3 == sl) for sl in (0, 1, 2)]
+    snap.snapshot_append(spark, table_dir, slices[0], stats_cols=["o_orderkey"])
+    snap.snapshot_append(spark, table_dir, slices[1], stats_cols=["o_orderkey"])
+    snap.snapshot_compact(spark, table_dir, target_files=1)
+    snap.snapshot_append(spark, table_dir, slices[2], stats_cols=["o_orderkey"])
+
+    register_snapshot_changes(spark)
+    sdf = (
+        spark.readStream.format("snapshot_changes")
+        .option("table_dir", table_dir)
+        .option("onRewrite", "rescan")
+        .load()
+    )
+    name = f"stream_rescan_{_uuid.uuid4().hex[:8]}"
+    track_memory_sink_table(name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    n_a, n_b, n_c = (s.count() for s in slices)
+    expected = [n_a, n_b, n_a + n_b, n_c]
+    if batches != expected:
+        raise AssertionError(
+            f"rescan batch accounting: expected {expected}, saw {batches}"
+        )
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
