@@ -331,6 +331,18 @@ def main() -> None:
         with open(_BASELINE_PATH, "w") as f:
             json.dump({"sf": sf, "queries": times}, f, indent=1, sort_keys=True)
     print(json.dumps(out))
+    # Regression attribution in ONE file read (VERDICT r12 nit #2): the
+    # driver persists only a ~2 KB stdout tail into BENCH_r{N}.json, so
+    # the full per-query dict survived a round only via the baseline
+    # minima. Persist the complete record as a sidecar on every run.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_latest.json"), "w"
+        ) as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: keep the bench alive
+        print(f"# sidecar write skipped: {exc}", file=sys.stderr)
     # Driver stdout-tail safety: the full line above now spans 50+
     # queries (~3.4 KB) and the grading driver keeps only a ~2 KB tail
     # of stdout, so the full line's HEAD (metric/value) gets truncated

@@ -2136,12 +2136,20 @@ def snapshot_merge(
     writer_id: str | None = None,
     batch_id: int | None = None,
     change_feed: bool = False,
+    merge_schema: bool = False,
 ) -> dict:
     """Row-level MERGE via copy-on-write — the Delta/Iceberg
     ``MERGE INTO`` shape on this snapshot store. ``updates`` holds full
     replacement rows (matched keys are replaced, unmatched keys
     inserted); ``deletes`` (optional, single ``key`` column) removes
     rows. Requires ``key`` to be one of the table's ``stats_cols``.
+
+    ``merge_schema`` (Delta's MERGE autoMerge): NEW update columns
+    append to the table's declared schema (carried files NULL-pad on
+    read, exactly like a merge_schema append); OMITTED declared
+    columns stay refused even with the flag — MERGE writes full
+    replacement rows, and silently NULLing unspecified columns of a
+    replaced row is data loss, not evolution.
 
     The point at 100 TB is what does NOT get rewritten: candidate files
     are selected by a metadata-sized range join of the update/delete
@@ -2191,12 +2199,27 @@ def snapshot_merge(
     if key not in stats_cols:
         raise ValueError(f"merge key {key!r} not in stats_cols {stats_cols}")
     declared = meta.get("schema")
-    if declared is not None and [c for c, _ in declared] != updates.columns:
-        raise ValueError(
-            f"updates columns {updates.columns} must match the table's declared "
-            f"schema {[c for c, _ in declared]} (run snapshot_add_column / a "
-            "merge_schema append to evolve first)"
-        )
+    new_declared, evolved = declared, False
+    if declared is not None:
+        if merge_schema:
+            omitted = [n for n, _ in declared if n not in set(updates.columns)]
+            if omitted:
+                raise ValueError(
+                    f"MERGE updates omit declared columns {omitted}: full "
+                    "replacement rows are required — merge_schema adds NEW "
+                    "columns only"
+                )
+            new_declared, evolved = _merged_schema(
+                meta,
+                [[f.name, f.dataType.simpleString()] for f in updates.schema.fields],
+                merge_schema=True,
+            )
+        elif [c for c, _ in declared] != updates.columns:
+            raise ValueError(
+                f"updates columns {updates.columns} must match the table's declared "
+                f"schema {[c for c, _ in declared]} (run snapshot_add_column / a "
+                "merge_schema append — or pass merge_schema=True — to evolve first)"
+            )
     keys = updates.select(F.col(key).alias("_mk"))
     if deletes is not None:
         keys = keys.union(deletes.select(F.col(deletes.columns[0]).alias("_mk")))
@@ -2249,8 +2272,11 @@ def snapshot_merge(
         if touched_paths
         else spark.createDataFrame([], updates.schema)
     )
+    # with merge_schema, base rows (old files) lack the NEW columns —
+    # NULL-pad them into the evolved shape; without it the schemas are
+    # identical and this is a plain positional-by-name union
     merged = base.join(keys.distinct(), base[key] == F.col("_mk"), "left_anti").unionByName(
-        updates
+        updates, allowMissingColumns=merge_schema
     )
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     # a partitioned table's MERGE rewrites in the partition layout, so
@@ -2327,10 +2353,11 @@ def snapshot_merge(
         snap["change_feed_dir"] = changes_dir
     _carry_deletes(snap, meta)
     if declared is not None:
-        snap["schema"] = declared
-    if meta.get("schema_evolved") and (carried or carried_shards):
-        # carried files may still predate the declared schema; a merge
-        # that rewrote EVERYTHING homogenized the table
+        snap["schema"] = new_declared
+    if (meta.get("schema_evolved") and (carried or carried_shards)) or evolved:
+        # carried files may still predate the declared schema (or, when
+        # this MERGE itself evolved it, they certainly do); a merge
+        # that rewrote EVERYTHING on an unevolved table homogenized it
         snap["schema_evolved"] = True
     out = {"version": version, "files_rewritten": len(touched_paths)}
     if "manifests" in meta:

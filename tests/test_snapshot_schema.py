@@ -174,3 +174,41 @@ def test_cdc_stream_across_evolution(spark, tmp_path):
         q.awaitTermination()
     got = {r.k: (r.v, r.w) for r in spark.sql(f"select * from {name}").collect()}
     assert got[2] == (4, None) and got[7] == (14, "7") and len(got) == 10
+
+
+def test_merge_schema_merge_evolves_declaration(spark, tmp_path):
+    """MERGE autoMerge (r13): updates carrying a NEW column evolve the
+    declaration in the same commit — carried files NULL-pad on read,
+    rewritten base rows NULL-pad the new column, omitted declared
+    columns stay refused (full replacement rows, never silent NULLs)."""
+    d = str(tmp_path / "t")
+    # two well-separated key ranges -> the merge touches only one file
+    snap.snapshot_append(spark, d, _df2(spark, 0, 10), stats_cols=["k"])
+    snap.snapshot_append(spark, d, _df2(spark, 1000, 1010), stats_cols=["k"])
+    # without the flag: refusal unchanged
+    upd = spark.createDataFrame([(5, 55, "five")], "k long, v long, w string")
+    with pytest.raises(ValueError, match="declared"):
+        snap.snapshot_merge(spark, d, upd, key="k")
+    res = snap.snapshot_merge(spark, d, upd, key="k", merge_schema=True)
+    assert res["files_rewritten"] >= 1 and res["files_carried"] >= 1
+    meta = snap.read_snapshot_meta(d, snap.current_version(d))
+    assert [c for c, _ in meta["schema"]] == ["k", "v", "w"]
+    assert meta["schema_evolved"] is True
+    rows = {r.k: (r.v, r.w) for r in snap.read_snapshot(spark, d).collect()}
+    assert rows[5] == (55, "five")        # merged row carries the new col
+    assert rows[6] == (12, None)          # rewritten base row NULL-pads
+    assert rows[1005] == (2010, None)     # carried file NULL-pads
+    assert len(rows) == 20
+    # omitted declared columns refuse even WITH the flag
+    with pytest.raises(ValueError, match="omit declared"):
+        snap.snapshot_merge(
+            spark, d, spark.createDataFrame([(5, "x")], "k long, w string"),
+            key="k", merge_schema=True,
+        )
+    # same-name/different-type is never mergeable
+    with pytest.raises(ValueError, match="conflict"):
+        snap.snapshot_merge(
+            spark, d,
+            spark.createDataFrame([(5, 1.0, "x")], "k long, v double, w string"),
+            key="k", merge_schema=True,
+        )
