@@ -2369,3 +2369,60 @@ def stream_snapshot_rescan_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "snapshot_merge_evolution_orders",
+    oracle="""
+    WITH hot AS (
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN h.o_orderkey IS NOT NULL
+                THEN ROUND(o.o_totalprice * 1.1, 2) ELSE o.o_totalprice
+           END AS o_totalprice,
+           CASE WHEN h.o_orderkey IS NOT NULL THEN 'hot' END AS o_flag
+    FROM orders o LEFT JOIN hot h USING (o_orderkey)
+    """,
+    tags=("layout", "snapshot", "merge", "schema-evolution"),
+    driver=False,  # extended tier: evidence via the full-suite sweep
+)
+def snapshot_merge_evolution_orders(spark, sf_dir):
+    """MERGE SCHEMA EVOLUTION / autoMerge (operators/snapshots.py,
+    r13): a MERGE whose update rows carry a NEW column evolves the
+    table's declared schema in the same commit — Delta's
+    spark.databricks.delta.schema.autoMerge on MERGE INTO. The table
+    builds from full orders range-clustered into 4 files; the 20
+    lowest-key orders merge back repriced (*1.1) with a new o_flag
+    column under merge_schema=True. Asserted in-query: the declaration
+    gained o_flag, the stats-based touch test CARRIED (not rewrote) at
+    least one file — range clustering is what makes the key-local merge
+    prunable — and carried files' rows read back NULL for the new
+    column (the oracle's LEFT JOIN encodes exactly that NULL-padding).
+    Without the flag the same MERGE refuses loudly (pinned in
+    tests/test_snapshot_schema.py)."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_mevo")
+    snap.snapshot_append(
+        spark, table_dir, orders.repartitionByRange(4, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )
+    hot = (
+        orders.orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit("hot").alias("o_flag"),
+        )
+    )
+    res = snap.snapshot_merge(spark, table_dir, hot, key="o_orderkey", merge_schema=True)
+    meta = snap.read_snapshot_meta(table_dir, snap.current_version(table_dir))
+    if [c for c, _ in meta["schema"]] != ["o_orderkey", "o_totalprice", "o_flag"]:
+        raise AssertionError(f"declaration did not evolve: {meta['schema']}")
+    if not res["files_carried"]:
+        raise AssertionError("merge rewrote everything; carry path untested")
+    return snap.read_snapshot(spark, table_dir)
