@@ -174,6 +174,11 @@ HEADLINE = [
     "snapshot_update_orders",
     "snapshot_analyze_orders",
     "label_propagation_parts",
+    # round-13: the composed LLM curation chain, SQL time travel over
+    # the snapshot store, CDC rescan recovery
+    "pipeline_docs_end_to_end",
+    "snapshot_sql_asof_orders",
+    "stream_snapshot_rescan_orders",
 ]
 
 

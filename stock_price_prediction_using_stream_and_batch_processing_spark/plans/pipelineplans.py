@@ -194,10 +194,15 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Lazy plans — nothing executes here."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
 
-    # stage 1: exact dedup by normalized-content fingerprint, min-id keeper
+    # stage 1: exact dedup by normalized-content fingerprint, min-id keeper.
+    # The survivor set fans out into EVERY later stage (the LSH stages
+    # reference it 3x, the split twice more) — without lineage
+    # truncation the composed plan re-reads the raw corpus 18 times
+    # (measured at sf0.01); the lazy localCheckpoint materializes the
+    # survivors once and caps the whole chain at ~2 corpus scans.
     fp = d.withColumn("_f", hashing.fingerprint("text"))
     k1 = fp.groupBy("_f").agg(F.min("doc_id").alias("doc_id"))
-    s1 = fp.join(k1, ["_f", "doc_id"]).drop("_f")
+    s1 = fp.join(k1, ["_f", "doc_id"]).drop("_f").localCheckpoint(eager=False)
 
     # stage 2: LSH near-dup removal (exact collapse already done — the
     # pre-stage would be an idempotent extra shuffle)
@@ -205,11 +210,13 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         s1, "text", "doc_id", num_hashes=8, bands=4, dedup_exact_first=False
     )
 
-    # stage 3: quality filter on raw (un-rounded) score
+    # stage 3: quality filter on raw (un-rounded) score. Checkpointed
+    # for the same reason as s1: train/eval/contamination all branch
+    # from this frame.
     s3 = s2.where(
         (tx.token_count("text") >= _MIN_TOKENS)
         & (tx.quality_score("text") >= F.lit(_QUALITY_MIN))
-    )
+    ).localCheckpoint(eager=False)
 
     # stage 4: decontaminate train split against the held-out eval split
     b = sampling.hash_bucket("doc_id", 100)
