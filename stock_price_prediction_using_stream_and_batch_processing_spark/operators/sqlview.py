@@ -28,18 +28,35 @@ def snapshot_view(
     name: str,
     version: int | None = None,
     timestamp: float | None = None,
+    ref: str | None = None,
 ) -> str:
     """Register snapshot ``version`` (default current) — or the version
-    live at wall-clock ``timestamp`` (TIMESTAMP AS OF) — as temp view
-    ``name``. Returns ``name`` for call-chaining into ``spark.sql``.
+    live at wall-clock ``timestamp`` (TIMESTAMP AS OF), or a named ref
+    (``"branch:NAME"`` = the branch's audit read, ``"tag:NAME"`` = the
+    tagged version) — as temp view ``name``. Returns ``name`` for
+    call-chaining into ``spark.sql``.
 
-    The view is PINNED: it resolves the version at registration time,
-    so commits after registration never leak in (snapshot isolation for
-    SQL readers). Re-register to follow the head.
+    The view is PINNED: it resolves the version (or branch head) at
+    registration time, so commits after registration never leak in
+    (snapshot isolation for SQL readers). Re-register to follow the
+    head.
     """
-    if version is not None and timestamp is not None:
-        raise ValueError("pass version OR timestamp, not both")
-    if timestamp is not None:
+    if sum(x is not None for x in (version, timestamp, ref)) > 1:
+        raise ValueError("pass at most one of version / timestamp / ref")
+    if ref is not None:
+        from .refs import read_branch, tag_version
+
+        kind, _, rname = ref.partition(":")
+        if kind == "branch" and rname:
+            read_branch(spark, table_dir, rname).createOrReplaceTempView(name)
+            return name
+        if kind == "tag" and rname:
+            version = tag_version(table_dir, rname)
+        else:
+            raise ValueError(
+                f"ref must be 'branch:NAME' or 'tag:NAME', got {ref!r}"
+            )
+    elif timestamp is not None:
         version = version_as_of(table_dir, timestamp)
     read_snapshot(spark, table_dir, version).createOrReplaceTempView(name)
     return name

@@ -106,5 +106,30 @@ def test_snapshot_view_version_and_timestamp(spark, tmp_path):
     # pinned: a later commit is invisible to all three
     snap.snapshot_append(spark, d, _df(spark, 20, 25), stats_cols=["k"])
     assert spark.sql(f"SELECT COUNT(*) c FROM {head}").collect()[0].c == 19
-    with pytest.raises(ValueError, match="version OR timestamp"):
+    with pytest.raises(ValueError, match="at most one"):
         snapshot_view(spark, d, "x", version=1, timestamp=ts2)
+
+
+def test_snapshot_view_refs(spark, tmp_path):
+    """SQL over branches and tags: a WAP audit query and a tagged
+    release read run through spark.sql."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import refs
+
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _df(spark, 0, 10), stats_cols=["k"])
+    refs.tag_create(d, "rel1")
+    snap.snapshot_append(spark, d, _df(spark, 10, 20), stats_cols=["k"])
+    refs.branch_create(d, "audit")
+    refs.branch_append(spark, d, "audit", _df(spark, 20, 25), stats_cols=["k"])
+
+    sfx = uuid.uuid4().hex[:8]
+    tagv = snapshot_view(spark, d, f"rel_{sfx}", ref="tag:rel1")
+    br = snapshot_view(spark, d, f"aud_{sfx}", ref="branch:audit")
+    assert spark.sql(f"SELECT COUNT(*) c FROM {tagv}").collect()[0].c == 10
+    # the branch view sees base + staged rows; main does not
+    assert spark.sql(f"SELECT COUNT(*) c FROM {br}").collect()[0].c == 25
+    assert snap.read_snapshot(spark, d).count() == 20
+    with pytest.raises(ValueError, match="branch:NAME"):
+        snapshot_view(spark, d, "x", ref="bogus")
+    with pytest.raises(ValueError, match="at most one"):
+        snapshot_view(spark, d, "x", version=1, ref="tag:rel1")
