@@ -2736,3 +2736,67 @@ def metadata_aggregates(
         out[mn_k] = min(mins) if mins else None
         out[mx_k] = max(maxs) if maxs else None
     return out
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY (Delta's audit table / Iceberg's snapshots
+    metadata table) from the commit log alone: one record per RETAINED
+    version, ascending — version, operation class, file/row counts,
+    live delete-file counts, schema width, wall-clock. Zero data
+    access: counts come from entry lists or shard RECORDS (which carry
+    aggregated n_files/n_rows), so a million-file sharded table answers
+    from O(shards) metadata. Expired versions are absent by definition
+    (their snapshots are gone); the gap in version numbers is the
+    visible record of retention."""
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    versions = sorted(
+        int(n[1:9])
+        for n in os.listdir(d)
+        if n.startswith("v") and n.endswith(".json") and n[1:9].isdigit()
+    )
+    out = []
+    for v in versions:
+        meta = read_snapshot_meta(table_dir, v)
+        if meta.get("rollback_of") is not None:
+            op = "rollback"
+        elif meta.get("compaction_of") is not None:
+            op = "compact"
+        elif meta.get("manifest_compaction"):
+            op = "manifest_compact"
+        elif meta.get("merge"):
+            op = "merge"
+        elif meta.get("update"):
+            op = "update"
+        elif meta.get("delete"):
+            op = "delete"
+        elif meta.get("overwrite"):
+            op = "overwrite"
+        elif meta.get("analyze"):
+            op = "analyze"
+        elif meta.get("add_column"):
+            op = "add_column"
+        elif meta.get("wap_published_branch"):
+            op = "wap_publish"
+        elif meta.get("add_constraint") or meta.get("drop_constraint"):
+            op = "alter_constraint"
+        else:
+            op = "append"
+        if "manifests" in meta:
+            n_rows = sum(rec["n_rows"] for rec in meta["manifests"])
+        else:
+            n_rows = sum(e["n_rows"] for e in meta.get("files", []))
+        out.append(
+            {
+                "version": v,
+                "operation": op,
+                "n_files": _meta_n_files(meta),
+                "n_rows": n_rows,
+                "n_delete_files": len(meta.get("delete_files") or [])
+                + len(meta.get("pos_delete_files") or []),
+                "n_columns": len(meta["schema"]) if meta.get("schema") else None,
+                "committed_at": meta.get("committed_at"),
+            }
+        )
+    return out

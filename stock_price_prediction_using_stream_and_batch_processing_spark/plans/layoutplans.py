@@ -2426,3 +2426,66 @@ def snapshot_merge_evolution_orders(spark, sf_dir):
     if not res["files_carried"]:
         raise AssertionError("merge rewrote everything; carry path untested")
     return snap.read_snapshot(spark, table_dir)
+
+
+@register(
+    "snapshot_history_orders",
+    oracle="""
+    WITH s0 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 3 = 0),
+    s1 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 3 = 1),
+    s2 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 3 = 2),
+    del AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 21 = 0)
+    SELECT 1 AS version, 'append' AS operation, 2 AS n_files,
+           CAST(s0.n AS BIGINT) AS n_rows, 0 AS n_delete_files FROM s0
+    UNION ALL SELECT 2, 'append', 4, CAST(s0.n + s1.n AS BIGINT), 0 FROM s0, s1
+    UNION ALL SELECT 3, 'delete', 4, CAST(s0.n + s1.n AS BIGINT), 1 FROM s0, s1
+    UNION ALL SELECT 4, 'compact', 1, CAST(s0.n + s1.n - del.n AS BIGINT), 0
+              FROM s0, s1, del
+    UNION ALL SELECT 5, 'append', 3, CAST(s0.n + s1.n - del.n + s2.n AS BIGINT), 0
+              FROM s0, s1, s2, del
+    """,
+    tags=("layout", "snapshot", "history", "metadata", "audit"),
+    driver=False,  # extended tier: evidence via the full-suite sweep
+)
+def snapshot_history_orders(spark, sf_dir):
+    """DESCRIBE HISTORY (operators/snapshots.snapshot_history, r13) —
+    Delta's audit table / Iceberg's snapshots metadata table: one row
+    per retained version with operation class, PHYSICAL file/row counts
+    (merge-on-read deletes leave files untouched, so v3's counts equal
+    v2's — the compaction materializing them is where the physical rows
+    drop, exactly what an ops audit needs to see), and live delete-file
+    counts. Zero data access — counts fold from entry lists or shard
+    records. The table builds deterministically (2-file appends via
+    pinned repartition, an equality delete of o_orderkey % 21 == 0,
+    a full compaction, a final append) so the oracle states the whole
+    history as literals over orders aggregates."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_hist")
+    for sl in (0, 1):
+        snap.snapshot_append(
+            spark, table_dir,
+            orders.where(F.col("o_orderkey") % 3 == sl).repartition(2),
+            stats_cols=["o_orderkey"],
+        )
+    snap.snapshot_delete(
+        spark, table_dir,
+        orders.where(F.col("o_orderkey") % 21 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    snap.snapshot_compact(spark, table_dir, target_files=1)
+    snap.snapshot_append(
+        spark, table_dir,
+        orders.where(F.col("o_orderkey") % 3 == 2).repartition(2),
+        stats_cols=["o_orderkey"],
+    )
+    hist = snap.snapshot_history(table_dir)
+    return spark.createDataFrame(
+        [
+            (h["version"], h["operation"], h["n_files"], h["n_rows"], h["n_delete_files"])
+            for h in hist
+        ],
+        "version int, operation string, n_files int, n_rows long, n_delete_files int",
+    )

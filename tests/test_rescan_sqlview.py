@@ -133,3 +133,31 @@ def test_snapshot_view_refs(spark, tmp_path):
         snapshot_view(spark, d, "x", ref="bogus")
     with pytest.raises(ValueError, match="at most one"):
         snapshot_view(spark, d, "x", version=1, ref="tag:rel1")
+
+
+def test_snapshot_history_operation_classes(spark, tmp_path):
+    """DESCRIBE HISTORY classifies every commit verb it can encounter."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import refs
+
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _df(spark, 0, 10), stats_cols=["k"])
+    snap.snapshot_set_constraint(spark, d, "k_nonneg", "k >= 0")
+    snap.snapshot_add_column(d, "w", "string")
+    snap.snapshot_update(spark, d, "k = 1", {"v": "v + 1"})
+    snap.snapshot_merge(
+        spark, d,
+        spark.createDataFrame([(100, 1.0, None)], "k long, v double, w string"),
+        key="k",
+    )
+    refs.snapshot_rollback(d, 1)
+    hist = snap.snapshot_history(d)
+    assert [h["operation"] for h in hist] == [
+        "append", "alter_constraint", "add_column", "update", "merge", "rollback",
+    ]
+    assert [h["version"] for h in hist] == [1, 2, 3, 4, 5, 6]
+    assert hist[0]["n_rows"] == 10 and hist[-1]["n_rows"] == 10
+    assert hist[2]["n_columns"] == 3  # add_column widened the declaration
+    assert all(h["committed_at"] is not None for h in hist[1:])
+    # retention: expired versions vanish from the history, gap visible
+    snap.expire_snapshots(d, keep_last=2)
+    assert [h["version"] for h in snap.snapshot_history(d)] == [5, 6]
