@@ -5,7 +5,7 @@ JVM-side, fully pushdown/pruning-friendly."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing, text
@@ -264,6 +264,77 @@ def bm25_scores(
     if top_k is not None:
         scores = scores.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(top_k)
     return scores
+
+
+def bm25_batch_retrieval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """BATCH BM25 retrieval: for EVERY query document, the top-``k``
+    corpus documents by BM25 — the retrieval shape a RAG-training /
+    hard-negative-mining pipeline runs (N queries at once, not one
+    ad-hoc term bag like :func:`bm25_scores`).
+
+    Plan shape: the corpus postings index (doc, token, tf) and the
+    per-doc lengths build in ONE tokenize pass (the inherent index
+    cost, map-side combined); the query side reduces to DISTINCT
+    (qid, token) pairs — held-out query sets are small, so they
+    BROADCAST and the inverted-index equi-join touches each query
+    term's posting list only, never the full corpus token stream.
+    Query terms whose document frequency exceeds ``max_df_ratio``·N
+    are dropped on the QUERY side (the standard stop-posting cut:
+    their idf is ~0 while their posting lists are the corpus's
+    longest — at 100 TB this bounds the join at O(informative-term
+    postings) instead of O(corpus tokens)). Top-k per query is one
+    window over the per-query score groups; ties break by doc id so
+    ranks are deterministic across engines.
+    """
+    toks = corpus.select(
+        F.col(id_col), text.tokens(text_col).alias("_toks")
+    ).localCheckpoint(eager=False)
+    dl = toks.select(id_col, F.size("_toks").alias("dl"))
+    post = (
+        toks.select(id_col, F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ca = dl.groupBy().agg(F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl"))
+    dft = post.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    qterms = (
+        queries.select(F.col(qid_col), F.explode(text.tokens(text_col)).alias("token"))
+        .distinct()
+        .join(dft, "token")
+        .join(F.broadcast(ca))
+        .where(F.col("df_t") <= F.lit(max_df_ratio) * F.col("_n"))
+        .select(qid_col, "token", "df_t")
+    )
+    j = (
+        post.join(F.broadcast(qterms), "token")
+        .join(dl, id_col)
+        .join(F.broadcast(ca))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    gain = F.col("tf") * (k1 + 1.0)
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    sc = j.groupBy(qid_col, id_col).agg(F.sum(idf * gain / norm).alias("_s"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("_s").desc(), F.col(id_col))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            qid_col, id_col, F.col("rank").cast("int"),
+            F.round("_s", 6).alias("bm25"),
+        )
+    )
 
 
 def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1321,3 +1321,63 @@ def duplicate_passages_docs(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
     )
+
+
+@register(
+    "bm25_batch_retrieval_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    post AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    ca AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    dft AS (SELECT token, COUNT(*) AS df_t FROM post GROUP BY token),
+    q AS (
+      SELECT DISTINCT doc_id AS qid, token FROM toks
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT % 100) < 2
+    ),
+    qf AS (
+      SELECT q.qid, q.token, dft.df_t FROM q
+      JOIN dft USING (token)
+    ),
+    sc AS (
+      SELECT qf.qid, p.doc_id,
+             SUM(ln(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS s
+      FROM qf
+      JOIN post p USING (token)
+      JOIN dl ON dl.doc_id = p.doc_id
+      CROSS JOIN ca
+      GROUP BY qf.qid, p.doc_id
+    ),
+    r AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank, s
+      FROM sc
+    )
+    SELECT qid, doc_id, CAST(rank AS INTEGER) AS rank, ROUND(s, 6) AS bm25
+    FROM r WHERE rank <= 3
+    """,
+    tags=("text", "bm25", "retrieval", "ranking", "batch", "rag"),
+    driver=False,  # extended tier: evidence via the full-suite sweep
+)
+def bm25_batch_retrieval_docs(spark, sf_dir):
+    """BATCH BM25 RETRIEVAL (operators/textops.bm25_batch_retrieval,
+    r13): the hash-held-out 2% of docs act as N simultaneous queries;
+    for each, the top-3 corpus docs by BM25 via ONE inverted-index
+    equi-join (query side broadcast) —
+    the RAG-training / hard-negative retrieval shape, vs
+    `bm25_topk_docs`' single ad-hoc term bag. (On this synthetic
+    corpus self-retrieval is NOT top-1 — the 31-token shared
+    vocabulary makes BM25 favor short docs over exact self-matches;
+    the oracle re-derives the same ranking, which is the point.)"""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators import sampling
+
+    queries = d.filter(sampling.hash_bucket("doc_id", 100) < 2).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    # the synthetic corpus has a 31-token vocabulary with ~80% document
+    # frequency, so ANY df cut degenerates to an empty term set here —
+    # the stop-posting optimization (operator default max_df_ratio=0.5)
+    # is exercised on constructed fixtures in tests/test_round4_ops.py
+    return textops.bm25_batch_retrieval(d, queries, k=3, max_df_ratio=1.0)

@@ -290,3 +290,33 @@ def test_snapshot_diff_null_vs_empty_and_drift(spark):
     drifted = spark.createDataFrame([(1, "", 0.0)], ["k", "s", "extra"])
     with pytest.raises(ValueError, match="extra"):
         snapshot_diff(old, drifted, ["k"])
+
+
+def test_bm25_batch_retrieval_self_top_and_df_cut(spark):
+    """On a corpus with distinctive rare terms: (1) every query ranks
+    itself #1, (2) the stop-posting cut (max_df_ratio) drops the
+    ubiquitous token so a common-token-only query returns nothing."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.textops import bm25_batch_retrieval
+
+    rows = [
+        (1, "apple banana common common shared"),
+        (2, "cherry date common common shared"),
+        (3, "elder fig common common shared"),
+        (4, "grape husk common common shared"),
+        (5, "iris jade common common shared"),
+        (6, "common common common shared shared"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = corpus.where("doc_id in (1, 3)").select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    got = bm25_batch_retrieval(corpus, queries, k=2, max_df_ratio=0.5)
+    out = {(r.qid, r.rank): r.doc_id for r in got.collect()}
+    # rare terms survive the cut and are unique -> each query matches
+    # only itself ('common'/'shared' appear in ALL 6 docs, df=1.0 > 0.5)
+    assert out == {(1, 1): 1, (3, 1): 3}
+    # a query with ONLY ubiquitous terms returns nothing under the cut
+    q6 = corpus.where("doc_id = 6").select(F.col("doc_id").alias("qid"), "text")
+    assert bm25_batch_retrieval(corpus, q6, k=2, max_df_ratio=0.5).count() == 0
+    # ...and matches everything without it (k bounds the result)
+    assert bm25_batch_retrieval(corpus, q6, k=2, max_df_ratio=1.0).count() == 2
