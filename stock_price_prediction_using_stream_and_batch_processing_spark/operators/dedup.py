@@ -928,3 +928,57 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_pct: int = 10,
+    salt: str = "",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Train/eval split that can NEVER leak a near-duplicate across the
+    boundary: hash-split by the near-dup CLUSTER representative instead
+    of the document id, so every member of a cluster lands on the same
+    side. A plain id-hash split puts ~eval_pct% of each near-dup
+    cluster in eval while its twins train — the benchmark-contamination
+    failure decontamination papers warn about, closed structurally here
+    instead of detect-and-drop after the fact.
+
+    Plan: the standard bounded LSH machinery (band-bucket candidates →
+    exact-Jaccard ≥ ``threshold`` verification → min-label components)
+    produces (doc, cluster) for GRAPH MEMBERS only; singletons are
+    their own representative via coalesce — no extra shuffle. The split
+    decision is then the same deterministic md5 bucket every other
+    split uses, applied to the representative.
+
+    Output: ``df``'s rows plus ``cluster_id`` and ``split``
+    ('train' | 'eval').
+    """
+    from .sampling import hash_bucket
+
+    shingled = exploded_shingles(df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size, shingled=shingled,
+    )
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, threshold=threshold,
+        candidates=cands, shingled=shingled,
+    )
+    clusters = dedup_clusters(verified).withColumnRenamed("doc_id", "_cl_doc")
+    out = df.join(clusters, df[id_col] == F.col("_cl_doc"), "left").drop("_cl_doc")
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.withColumn("cluster_id", rep).withColumn(
+        "split",
+        F.when(hash_bucket(rep, 100, salt) < eval_pct, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -1381,3 +1381,75 @@ def bm25_batch_retrieval_docs(spark, sf_dir):
     # the stop-posting optimization (operator default max_df_ratio=0.5)
     # is exercised on constructed fixtures in tests/test_round4_ops.py
     return textops.bm25_batch_retrieval(d, queries, k=3, max_df_ratio=1.0)
+
+
+@register(
+    "leakage_safe_split_docs",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
+    ),
+    d AS (SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM sh),
+    sig AS (
+      SELECT doc_id, s.seed,
+             MIN(substr(CASE WHEN s.seed < 4 THEN d0 ELSE d1 END,
+                        CAST((s.seed % 4) * 8 + 1 AS INTEGER), 8)) AS mh
+      FROM d CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(CAST(seed // 2 AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    ver AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM ver UNION SELECT id_b, id_a FROM ver
+    ),
+    reach(node, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN reach r ON e.t = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+    SELECT doc_id,
+           COALESCE(comp.lab, doc_id) AS cluster_id,
+           CASE WHEN (('0x' || substr(md5(CAST(COALESCE(comp.lab, doc_id) AS VARCHAR) || ''), 1, 8))::BIGINT % 100) < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents LEFT JOIN comp ON comp.node = doc_id
+    """,
+    tags=("sampling", "split", "dedup", "leakage", "components"),
+    driver=False,  # extended tier: evidence via the full-suite sweep
+)
+def leakage_safe_split_docs(spark, sf_dir):
+    """LEAKAGE-SAFE train/eval split (operators/dedup.
+    leakage_safe_split, r13): the split decision hashes the near-dup
+    CLUSTER representative, not the doc id, so no near-duplicate pair
+    can straddle the train/eval boundary — the structural fix for the
+    benchmark-contamination mode a plain id-hash split creates (twins
+    of eval docs training). The oracle replays the full LSH → Jaccard
+    ≥ 0.8 → components chain and the rep-hash decision; the planted
+    near-dup pairs in the corpus land pairwise on one side (their
+    shared cluster_id makes that visible in the result)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.leakage_safe_split(d, "text", "doc_id", eval_pct=10).select(
+        "doc_id", "cluster_id", "split"
+    )
