@@ -421,3 +421,38 @@ def test_gapfill_locf_matches_python_reference(spark, rows):
         gv, gg = got[kb]
         assert gg == eg, kb
         assert gv == pytest.approx(ev, abs=1e-9), kb
+
+
+TOKS4 = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8)
+DOC_TEXTS = st.lists(TOKS4, min_size=1, max_size=10)
+
+
+def _py_shingles(text):
+    toks = [t for t in text.split() if t]
+    return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0) + (1 if len(toks) >= 3 else 0))}
+
+
+@PROP
+@given(texts=DOC_TEXTS)
+def test_leakage_safe_split_invariants(spark, texts):
+    """(1) row-preserving; (2) cluster_id = component min id (always
+    <= doc_id, equal for singletons); (3) NO cluster straddles the
+    split; (4) any 2-member cluster is a directly-verified pair, so its
+    true 3-gram Jaccard really is >= 0.8 (verification is exact even
+    though candidate generation is probabilistic)."""
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.leakage_safe_split(df, "text", "doc_id", eval_pct=30).collect()
+    assert len(out) == len(rows)
+    by_cluster: dict = {}
+    for r in out:
+        assert r.cluster_id <= r.doc_id
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert len({m.split for m in members}) == 1, f"cluster {cid} straddles"
+        if len(members) == 2:
+            a, b = (texts[m.doc_id] for m in members)
+            sa, sb = _py_shingles(" ".join(a)), _py_shingles(" ".join(b))
+            union = sa | sb
+            j = (len(sa & sb) / len(union)) if union else 1.0
+            assert j >= 0.8 - 1e-9, f"2-cluster with true jaccard {j}"
