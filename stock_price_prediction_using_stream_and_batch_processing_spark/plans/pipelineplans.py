@@ -290,3 +290,130 @@ def pipeline_docs_stage_attrition(spark, sf_dir):
         .select(F.lit("6_packed_bins").alias("stage"), "n_docs")
     )
     return out.unionAll(bins)
+
+
+# ------------------------------------------------- incremental face
+
+# The NIGHTLY form of the pipeline: batches arrive over time, and the
+# dedup stages consult digest STORES of everything already admitted
+# instead of recomputing over the union — O(delta) per night. Quality
+# is stateless (per-doc), so it runs first; exact then near-dup
+# admission are the stateful store stages; packing is per-batch (each
+# night packs its own new training shard).
+def _build_inc_pipe_oracle() -> str:
+    from .textplans import _INC_LSH_CTES, _STOPWORDS_SQL, _TOKS, _inc_batch_sql
+    from .textplans import _NORM as _TNORM
+
+    prelude = _INC_LSH_CTES + f""",
+    qt AS (
+      SELECT doc_id, doc_id % 3 AS bid, md5({_TNORM}) AS f, {_TOKS} AS toks,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct_r
+      FROM documents
+    ),
+    qual AS MATERIALIZED (
+      SELECT doc_id, bid, f, CAST(len(toks) AS BIGINT) AS n_tokens FROM (
+        SELECT *,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS sw_r
+        FROM qt
+      )
+      WHERE len(toks) >= {_MIN_TOKENS}
+        AND least(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+            + greatest(0.0, 1.0 - punct_r * 4) * 0.3
+            + least(sw_r * 5, 1.0) * 0.3 >= {_QUALITY_MIN}
+    ),
+    firstb AS (SELECT f, MIN(bid) AS fb FROM qual GROUP BY f),
+    batched AS MATERIALIZED (
+      SELECT MIN(q.doc_id) AS doc_id, q.bid AS bid
+      FROM qual q JOIN firstb fb ON q.f = fb.f AND q.bid = fb.fb
+      GROUP BY q.f, q.bid
+    )"""
+    return (
+        "WITH RECURSIVE "
+        + prelude
+        + ","
+        + _inc_batch_sql(0, None)
+        + ","
+        + _inc_batch_sql(1, "SELECT doc_id FROM adm0")
+        + ","
+        + _inc_batch_sql(2, "SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1")
+        + """,
+    admall AS (
+      SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1
+      UNION ALL SELECT doc_id FROM adm2
+    ),
+    fin AS (
+      SELECT b.doc_id, b.bid, q.n_tokens
+      FROM admall a
+      JOIN batched b ON b.doc_id = a.doc_id
+      JOIN qual q ON q.doc_id = a.doc_id
+    )
+    SELECT doc_id, CAST(bid AS INTEGER) AS batch_id, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / """
+        + f"{_PACK_CAPACITY}.0) AS BIGINT) AS bin_in_batch"
+        + """
+    FROM fin
+    WINDOW w AS (PARTITION BY bid ORDER BY doc_id)
+    """
+    )
+
+
+@register(
+    "pipeline_docs_incremental",
+    oracle=_build_inc_pipe_oracle(),
+    tags=("pipeline", "incremental", "dedup", "quality", "packing", "cross-snapshot"),
+    driver=False,  # extended tier: evidence via the full-suite sweep
+)
+def pipeline_docs_incremental(spark, sf_dir):
+    """The NIGHTLY incremental curation chain (r13): the corpus arrives
+    as THREE batches (doc_id % 3 — batch order is not id order, so
+    later nights genuinely collide with the stores); each batch runs
+    quality filter → cross-snapshot EXACT dedup against the fingerprint
+    store → cross-snapshot NEAR-dup admission against the LSH index
+    store (operators/dedup.incremental_content_dedup /
+    incremental_near_dup) → per-batch 2048-token packing. Per night the
+    cost is O(new batch + its store collisions), never O(corpus) — the
+    property that makes curation re-runnable nightly at 100 TB. The
+    oracle replays all three nights in SQL: quality + first-batch-wins
+    exact admission define the membership CTE, then the SAME per-batch
+    LSH/Jaccard/components blocks the incremental near-dup face uses,
+    then per-batch packing windows."""
+    from ..operators import snapshots as _snap  # noqa: F401 (parity with sibling plans)
+    from .workdirs import fresh_result_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.where(
+        (tx.token_count("text") >= _MIN_TOKENS)
+        & (tx.quality_score("text") >= F.lit(_QUALITY_MIN))
+    ).localCheckpoint(eager=False)
+    exact_store = fresh_result_dir("inc_pipe_fp")
+    nd_store = fresh_result_dir("inc_pipe_nd")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        parts = []
+        for b in range(3):
+            batch = q.where(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            s1 = dedup.incremental_content_dedup(spark, batch, exact_store)
+            s2 = dedup.incremental_near_dup(spark, s1, nd_store)
+            parts.append(s2.withColumn("bid", F.lit(b)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    adm = parts[0]
+    for p in parts[1:]:
+        adm = adm.unionByName(p)
+    adm = adm.select(
+        "doc_id", F.col("bid").cast("int").alias("batch_id"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy("doc_id")
+    prev_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return adm.withColumn(
+        "bin_in_batch",
+        F.floor(prev_cum / F.lit(float(_PACK_CAPACITY))).cast("long"),
+    )

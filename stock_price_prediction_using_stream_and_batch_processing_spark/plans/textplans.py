@@ -1021,7 +1021,10 @@ def incremental_content_dedup_docs(spark, sf_dir):
 
 # Per-batch building blocks of the incremental near-dup oracle (bands /
 # shingle digests shared with the near_dup_filter oracle prelude).
-_INC_PRELUDE = f"""
+# LSH CTEs shared by the incremental near-dup oracle AND the composed
+# incremental pipeline oracle (pipelineplans) — everything except the
+# `batched` membership CTE, which each consumer defines itself.
+_INC_LSH_CTES = f"""
     sh AS MATERIALIZED (
       SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents WHERE len({_TOKS}) > 0
     ),
@@ -1039,7 +1042,10 @@ _INC_PRELUDE = f"""
       FROM sig GROUP BY doc_id, seed // 2
     ),
     shd AS MATERIALIZED (SELECT DISTINCT doc_id, md5(sh) AS s FROM sh),
-    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id)
+"""
+
+_INC_PRELUDE = _INC_LSH_CTES + """,
     batched AS MATERIALIZED (SELECT doc_id, doc_id % 3 AS bid FROM documents)
 """
 
