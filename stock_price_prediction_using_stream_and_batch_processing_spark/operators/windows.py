@@ -637,3 +637,35 @@ def rolling_percentile(
     histograms in operators/sketches.py (quantile_rollup faces)."""
     w = _w(key, ts, tiebreak).rowsBetween(-(n - 1), 0)
     return df.withColumn(out, F.expr(f"percentile({value}, {p})").over(w))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    trend_hours: int = 24,
+) -> DataFrame:
+    """Naive seasonal decomposition of an hourly series per ``key``:
+    v = trend + seasonal + residual — the classic-decomposition shape
+    (hourly means → trailing ``trend_hours``-row moving average →
+    hour-of-day means of the detrended series → residual). The
+    dashboard/anomaly-triage verb: "is this spike trend, time-of-day,
+    or genuinely unusual?".
+
+    Plan: one groupBy to the hourly grid (map-side combined — this is
+    the only pass over raw rows), then two windows over the GRID
+    (rows-bounded trend per key, unordered hour-of-day partition for
+    the seasonal profile) — grid rows are ~raw/1000s, so the window
+    stages are metadata-cheap at any corpus size. ROWS framing (not
+    RANGE) keeps the trend exactly reproducible across engines on a
+    gappy grid."""
+    bkt = F.date_trunc("hour", F.col(ts))
+    hourly = df.groupBy(F.col(key), bkt.alias("bkt")).agg(F.avg(value).alias("v"))
+    w_tr = (
+        Window.partitionBy(key).orderBy("bkt").rowsBetween(-(trend_hours - 1), 0)
+    )
+    t = hourly.withColumn("trend", F.avg("v").over(w_tr))
+    w_se = Window.partitionBy(key, F.hour("bkt"))
+    s = t.withColumn("seasonal", F.avg(F.col("v") - F.col("trend")).over(w_se))
+    return s.withColumn("resid", F.col("v") - F.col("trend") - F.col("seasonal"))

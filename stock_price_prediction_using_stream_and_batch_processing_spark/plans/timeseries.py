@@ -1217,3 +1217,57 @@ def rolling_median_events(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.round("rolling_median", 6).alias("rolling_median")
     )
+
+
+@register(
+    "seasonal_decompose_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bkt, AVG(value) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    tr AS (
+      SELECT *, AVG(v) OVER (PARTITION BY event_type ORDER BY bkt
+                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS trend
+      FROM hourly
+    ),
+    se AS (
+      SELECT *, AVG(v - trend) OVER (PARTITION BY event_type, hour(bkt)) AS seasonal
+      FROM tr
+    )
+    -- +1e-9 before rounding: 2-decimal source values make these plain
+    -- averages land EXACTLY on 4th-decimal halves, where engine sum
+    -- order decides the side; the shared nudge moves both engines off
+    -- the half by the same margin (invisible at 4 dp otherwise)
+    SELECT event_type, strftime(bkt, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           ROUND(v + 1e-9, 4) AS v, ROUND(trend + 1e-9, 4) AS trend,
+           ROUND(seasonal + 1e-9, 4) AS seasonal,
+           ROUND(v - trend - seasonal + 1e-9, 4) AS resid
+    FROM se
+    """,
+    tags=("timeseries", "seasonal", "decomposition", "window"),
+    driver=False,  # extended tier: evidence via the full-suite sweep
+)
+def seasonal_decompose_events(spark, sf_dir):
+    """NAIVE SEASONAL DECOMPOSITION per event_type (operators/windows.
+    seasonal_decompose, r13): hourly means split into trailing-24h
+    trend + hour-of-day seasonal profile + residual — the triage verb
+    that separates "daily rhythm" from "genuinely anomalous" in a
+    metric series. One raw-data pass builds the hourly grid; both
+    decomposition windows run over the grid (ROWS framing, engine-
+    reproducible on gaps). Completes the TS family's analysis axis
+    (OHLC/TWAP = levels, EWMA/trend = smoothing/forecast, gapfill =
+    regularization, THIS = structure attribution)."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators import windows as W
+
+    out = W.seasonal_decompose(ev, "event_type", "ts", "value")
+    eps = F.lit(1e-9)  # off-the-half nudge, mirrored in the oracle
+    return out.select(
+        "event_type",
+        F.date_format("bkt", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.round(F.col("v") + eps, 4).alias("v"),
+        F.round(F.col("trend") + eps, 4).alias("trend"),
+        F.round(F.col("seasonal") + eps, 4).alias("seasonal"),
+        F.round(F.col("resid") + eps, 4).alias("resid"),
+    )
