@@ -179,6 +179,12 @@ HEADLINE = [
     "pipeline_docs_end_to_end",
     "snapshot_sql_asof_orders",
     "stream_snapshot_rescan_orders",
+    # round-14: SemDeDup-style semantic dedup (k-means cells + exact
+    # certification) and the batch DSv2 write path over the snapshot
+    # store (append, append, full-table overwrite through the sink's
+    # executor staging)
+    "semantic_dedup_embeddings",
+    "snapshot_dsv2_write_orders",
 ]
 
 

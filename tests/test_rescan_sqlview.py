@@ -75,6 +75,68 @@ def test_rescan_refuses_live_mor_deletes(spark, tmp_path):
         _drain(spark, d, onRewrite="rescan")
 
 
+def test_rescan_skips_ahead_past_live_mor_deletes(spark, tmp_path):
+    """append(10) -> MOR delete(k=1) -> compact -> append(3): the delete
+    commit carries live delete files a raw re-read cannot honor, so the
+    rescan target advances to the compaction version (first delete-free
+    snapshot). Batches: 10 appends, then the FULL 9-row compacted
+    snapshot (offset jumps 1 -> 3), then 3 appends (r13 ADVICE: the old
+    scan stopped AT the delete commit and refused forever)."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _df(spark, 0, 10), stats_cols=["k"])
+    snap.snapshot_delete(spark, d, spark.createDataFrame([(1,)], "k long"), "k")
+    snap.snapshot_compact(spark, d, target_files=1)
+    snap.snapshot_append(spark, d, _df(spark, 10, 13), stats_cols=["k"])
+
+    batches, sink = _drain(spark, d, onRewrite="rescan")
+    assert batches == [10, 9, 3]
+    got = sorted(r.k for r in sink.collect())
+    expect = sorted(list(range(10)) + [k for k in range(10) if k != 1] + [10, 11, 12])
+    assert got == expect
+
+
+def test_rescan_resumes_from_checkpoint_after_compaction(spark, tmp_path):
+    """The failure is NOT a checkpoint dead end: a stream that refused
+    at a delete-carrying rewrite resumes from the SAME checkpoint once
+    a compaction provides a delete-free rescan target."""
+    d = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    snap.snapshot_append(spark, d, _df(spark, 0, 10), stats_cols=["k"])
+    snap.snapshot_delete(spark, d, spark.createDataFrame([(1,)], "k long"), "k")
+
+    register_snapshot_changes(spark)
+
+    def _start():
+        # parquet sink: the one local sink that RECOVERS from a
+        # checkpoint (memory sink refuses to resume)
+        return (
+            spark.readStream.format("snapshot_changes")
+            .option("table_dir", d).option("onRewrite", "rescan")
+            .load().writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+
+    q = _start()
+    with pytest.raises(Exception, match="live merge-on-read delete"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # remedy: compact (materializes the delete), restart SAME checkpoint
+    snap.snapshot_compact(spark, d, target_files=1)
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    # batch 1 (pre-failure): 10 raw appends; resumed rescan batch: the
+    # 9-row compacted snapshot
+    assert got == sorted(list(range(10)) + [k for k in range(10) if k != 1])
+
+
 def test_rescan_option_validation(spark, tmp_path):
     d = str(tmp_path / "t")
     snap.snapshot_append(spark, d, _df(spark, 0, 3), stats_cols=["k"])

@@ -114,3 +114,53 @@ def test_ivf_finds_planted_partner(planted):
     )
     ivf = similarity.ivf_topk(planted, q, k=3, dim=DIM, n_cells=8, n_probe=2).filter("rank = 1")
     assert {(r.q_id, r.vec_id) for r in ivf.collect()} == {(1000 + i, i) for i in range(15)}
+
+
+# ------------------------------------------------- semantic dedup (r14)
+
+
+def test_semantic_dedup_drops_planted_near_copies(planted):
+    """Each planted 0.999-cosine copy shares its base's k-means cell
+    (near-identical vectors -> same argmin), so SemDeDup must keep all
+    120 bases and drop all 120 copies."""
+    out = similarity.semantic_dedup(planted, threshold=0.95, dim=DIM, n_cells=8)
+    rows = {r.vec_id: (r.sem_cluster_id, r.keep) for r in out.collect()}
+    assert len(rows) == 240
+    for i in range(120):
+        assert rows[i] == (i, True)
+        assert rows[1000 + i] == (i, False)
+
+
+def test_semantic_dedup_keep_superset_of_bruteforce(spark):
+    """The provable invariant the registered face pins: intra-cell
+    pairs are a subset of all true pairs, so the SemDeDup kept set is
+    a SUPERSET of the exact brute-force kept set."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
+
+    e = load_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    u = e.select("vec_id", vectors.unit("embedding").alias("_u"))
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("_u").alias("_ua"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("_u").alias("_ub"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(vectors.dot("_ua", "_ub") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    comps = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    exact_keep = {
+        r.vec_id
+        for r in e.select("vec_id").collect()
+        if comps.get(r.vec_id, r.vec_id) == r.vec_id
+    }
+    sem = similarity.semantic_dedup(e, threshold=0.4, dim=DIM, n_cells=16)
+    sem_keep = {r.vec_id for r in sem.filter("keep").collect()}
+    assert exact_keep <= sem_keep
+    # and something real was deduplicated on this fixture
+    assert len(sem_keep) < e.count()
+
+
+def test_semantic_dedup_cell_cap_raises_loudly(planted):
+    with pytest.raises(ValueError, match="max_cell_pairs_side"):
+        similarity.semantic_dedup(
+            planted, threshold=0.95, dim=DIM, n_cells=2, max_cell_pairs_side=10
+        )
