@@ -231,9 +231,11 @@ def semantic_dedup(
     the cell key, never an all-pairs shuffle. ``max_cell_pairs_side``
     optionally caps a degenerate cell (same posture as the LSH bucket
     cap in near-dup dedup: a loud bound beats a silent k² blowup).
-    Components run through pointer-doubling contraction
-    (dedup_clusters_doubling), so a chain-shaped duplicate family
-    costs O(log diameter) rounds, not O(diameter).
+    Components run through the shared policy seam
+    (dedup.resolve_components "auto"): O(diameter) propagation for the
+    clique-shaped families duplicate groups mostly are, pointer-
+    doubling fallback so a chain-shaped family costs O(log diameter)
+    rounds instead of aborting.
 
     Cross-cell duplicate pairs are deliberately missed — that is the
     SemDeDup approximation. The exact-oracle face
@@ -271,7 +273,7 @@ def semantic_dedup(
         .filter(vectors.cosine("_va", "_vb") >= threshold)
         .select("id_a", "id_b")
     )
-    comps = dedup.dedup_clusters_doubling(pairs)  # (doc_id, cluster_id)
+    comps = dedup.resolve_components(pairs)  # (doc_id, cluster_id)
     return (
         corpus.select(F.col(id_col))
         .join(comps, F.col(id_col) == F.col("doc_id"), "left")

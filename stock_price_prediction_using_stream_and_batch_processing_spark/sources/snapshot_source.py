@@ -335,7 +335,13 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         from ..operators import snapshots as snap
 
         for v in range(rw, cur + 1):
-            meta = snap.read_snapshot_meta(self.table_dir, v)
+            try:
+                meta = snap.read_snapshot_meta(self.table_dir, v)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"snapshot version {v} under {self.table_dir} expired by "
+                    "retention; re-seed the stream from a live snapshot"
+                ) from exc
             if not (meta.get("delete_files") or meta.get("pos_delete_files")):
                 return v
         raise ValueError(
@@ -476,7 +482,15 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         if self.on_rewrite == "rescan":
             from ..operators import snapshots as snap
 
-            if self._is_rewrite(snap.read_snapshot_meta(self.table_dir, lo + 1)):
+            try:
+                first_meta = snap.read_snapshot_meta(self.table_dir, lo + 1)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"snapshot version {lo + 1} under {self.table_dir} expired "
+                    "by retention during replay; re-seed the stream from a "
+                    "live snapshot"
+                ) from exc
+            if self._is_rewrite(first_meta):
                 # replay of a rescan batch: forward planning produces a
                 # batch whose FIRST version is a rewrite only as a
                 # rescan, and its end offset IS the rescan target — so

@@ -274,3 +274,30 @@ def test_label_propagation_deterministic_tiebreak(spark):
     edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
     got = {r.node: r.label for r in label_propagation(edges, rounds=1).collect()}
     assert got[5] == 1
+
+
+def test_pagerank_dangling_mass_and_tiebreak(spark):
+    """Pins the documented dangling simplification (r13 ask #4): a
+    dangling node's mass LEAKS (ranks sum < 1), the dangling node still
+    RECEIVES rank, and symmetric nodes tie exactly — verified against
+    the hand-computed 1-iteration recurrence on a 3-node graph
+    a->c, b->c (c dangling): rank(c) = teleport + d*(r_a + r_b),
+    rank(a) = rank(b) = teleport."""
+    edges = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r.node: r.rank for r in graph.pagerank(edges, n_iter=1).collect()}
+    teleport = 0.15 / 3
+    assert got["a"] == pytest.approx(teleport)
+    assert got["b"] == got["a"]  # symmetric tie, exact
+    assert got["c"] == pytest.approx(teleport + 0.85 * (2 / 3))
+    # dangling leak: total mass < 1 (c's rank had nowhere to go next
+    # round — run 2 iterations and the sum drops further)
+    assert sum(got.values()) < 1.0
+    got2 = {r.node: r.rank for r in graph.pagerank(edges, n_iter=2).collect()}
+    assert sum(got2.values()) < sum(got.values())
+    # ordering (what centrality consumers use) is stable across iters
+    assert got2["c"] > got2["a"]
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert graph.pagerank(edges).count() == 0
