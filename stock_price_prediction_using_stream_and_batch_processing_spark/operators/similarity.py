@@ -285,6 +285,131 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dedup(
+    spark,
+    new_vecs: DataFrame,
+    store_path: str,
+    threshold: float,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-snapshot SEMANTIC dedup: admit only new-batch vectors that
+    are not semantic near-duplicates (cosine >= threshold) of anything
+    already admitted, then extend the store — the nightly-crawl shape
+    for embedding-space dedup, pairing ``operators/dedup.
+    incremental_near_dup`` (lexical MinHash) the way ``semantic_dedup``
+    pairs ``near_dup_filter``.
+
+    Store layout under ``store_path``:
+
+    - ``centroids.json`` — the k-means coarse quantizer, fitted ONCE on
+      the first batch and FROZEN (refitting would reshuffle cells and
+      silently invalidate every admitted assignment; the IVF
+      convention). Driver-side, k*dim doubles — metadata-sized.
+    - ``vectors/`` — admitted (id, embedding, _cell) rows. Unlike the
+      lexical store (digests only), cosine verification needs the
+      vectors themselves; at 64 float32 dims that is ~256 B/row, a
+      small constant fraction of any text corpus, and the table is
+      written partitioned by ``_cell`` so each night's candidate join
+      reads ONLY the cells the new batch occupies.
+
+    Per batch: (1) assign new vectors to cells via the stored centroids
+    (literal-folded argmin — no broadcast join, no Python); (2)
+    candidates = new x store within a cell (partition-pruned equi-join)
+    plus new x new within a cell; (3) exact cosine >= threshold on
+    candidates (rows pre-normalized once, single dot fold per pair);
+    (4) store-matched new vectors drop, surviving in-batch matches
+    collapse through resolve_components (min-id keeper); (5) admitted
+    rows append to the store's cell partitions.
+
+    Same deliberate semantics note as the lexical twin: a new vector is
+    compared against ADMITTED representatives only, so a doc connected
+    to the corpus only THROUGH an earlier-dropped near-dup is admitted
+    (more permissive than a one-shot global pass); and cross-cell pairs
+    are missed (the SemDeDup approximation — certified against the
+    exact replay by the registered face). NOT idempotent across retries
+    of one batch — wrap in the caller's epoch guard."""
+    import json
+    import os
+
+    from . import dedup
+    from ..sources.tables import parquet_table_exists
+
+    cent_path = os.path.join(store_path, "centroids.json")
+    vec_store = os.path.join(store_path, "vectors")
+    if os.path.exists(cent_path):
+        with open(cent_path) as f:
+            centroids = np.asarray(json.load(f))
+    else:
+        _, centroids = ivf_build(new_vecs, dim, n_cells, vec_col, seed)
+        os.makedirs(store_path, exist_ok=True)
+        tmp = cent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(centroids.tolist(), f)
+        os.replace(tmp, cent_path)
+
+    in_cols = list(new_vecs.columns)
+    assigned = (
+        new_vecs.withColumn("_cell", nearest_cell_expr(vec_col, centroids))
+        .withColumn("_u", vectors.unit(vec_col))
+        .localCheckpoint(eager=False)
+    )
+    nb = assigned.select(
+        F.col(id_col).alias("_nid"), F.col("_u").alias("_nu"), "_cell"
+    )
+    matched = None
+    if parquet_table_exists(spark, vec_store):
+        # the store's partition column is named WITHOUT an underscore:
+        # hive layout renders it as cell=<v> directories, and Spark's
+        # file listing (plus parquet_table_exists) skips paths starting
+        # with '_' as hidden — a partitionBy("_cell") store would be
+        # silently invisible to every later night (caught by the
+        # three-nights test)
+        store = spark.read.parquet(vec_store).select(
+            F.col(id_col).alias("_sid"), F.col("_u").alias("_su"),
+            F.col("cell").alias("_cell"),
+        )
+        matched = (
+            nb.join(store, "_cell")
+            .filter(vectors.dot("_nu", "_su") >= threshold)
+            .select(F.col("_nid").alias(id_col))
+            .distinct()
+        )
+    survivors = (
+        new_vecs.join(matched, id_col, "left_anti") if matched is not None else new_vecs
+    )
+    surv_ids = survivors.select(id_col)
+    a = nb.join(
+        surv_ids.withColumnRenamed(id_col, "_nid"), "_nid"
+    ).select(F.col("_nid").alias("id_a"), F.col("_nu").alias("_ua"), "_cell")
+    b = a.select(
+        F.col("id_a").alias("id_b"), F.col("_ua").alias("_ub"), "_cell"
+    )
+    batch_pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vectors.dot("_ua", "_ub") >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.resolve_components(batch_pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    admitted = survivors.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+    adm_ids = admitted.select(id_col)
+    (
+        assigned.join(adm_ids, id_col)
+        .select(id_col, vec_col, "_u", F.col("_cell").alias("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(vec_store)
+    )
+    return admitted.select(*in_cols)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -536,3 +536,205 @@ def embedding_quantize_int8(spark, sf_dir):
         F.aggregate("qv", zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
         F.size(F.filter("qv", lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
     )
+
+
+def _inc_sem_oracle() -> str:
+    """3-night exact-replay oracle for incremental_semantic_dedup_
+    embeddings: per night, drop vectors with a true pair (cosine >=
+    0.35, double precision) to any previously-admitted vector, then
+    collapse in-batch components (recursive min-label walk) and keep
+    the min id — the same admitted-representatives-only semantics the
+    operator implements, replayed over ALL pairs instead of intra-cell."""
+    cos = _COS_DOUBLE.format(a="sa.embedding", b="sb.embedding")
+    nights = []
+    for n in range(3):
+        prior = (
+            "SELECT vec_id FROM adm0"
+            if n == 1
+            else "SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1"
+        )
+        drop_matched = (
+            ""
+            if n == 0
+            else f"""
+    surv{n} AS (
+      SELECT vec_id FROM s WHERE night = {n}
+      AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN ({prior}) a
+        ON (p.id_a = s.vec_id AND p.id_b = a.vec_id)
+        OR (p.id_b = s.vec_id AND p.id_a = a.vec_id)
+      )
+    ),"""
+        )
+        src = f"surv{n}" if n else f"(SELECT vec_id FROM s WHERE night = 0) surv{n}"
+        nights.append(
+            f"""{drop_matched}
+    e{n} AS (
+      SELECT p.id_a AS src, p.id_b AS dst FROM pairs p
+      WHERE p.id_a IN (SELECT vec_id FROM {src if n else 's WHERE night = 0'})
+        AND p.id_b IN (SELECT vec_id FROM {src if n else 's WHERE night = 0'})
+      UNION
+      SELECT p.id_b, p.id_a FROM pairs p
+      WHERE p.id_a IN (SELECT vec_id FROM {src if n else 's WHERE night = 0'})
+        AND p.id_b IN (SELECT vec_id FROM {src if n else 's WHERE night = 0'})
+    ),
+    w{n}(node, label) AS (
+      SELECT src, src FROM e{n}
+      UNION
+      SELECT e.src, w.label FROM e{n} e JOIN w{n} w ON e.dst = w.node
+    ),
+    adm{n} AS (
+      SELECT v.vec_id FROM ({'SELECT vec_id FROM s WHERE night = 0' if n == 0 else f'SELECT vec_id FROM surv{n}'}) v
+      LEFT JOIN (SELECT node, MIN(label) AS lbl FROM w{n} GROUP BY node) c
+        ON v.vec_id = c.node
+      WHERE v.vec_id = COALESCE(c.lbl, v.vec_id)
+    )"""
+        )
+    return f"""
+    WITH RECURSIVE s AS (
+      SELECT vec_id, embedding, CAST(vec_id % 3 AS INTEGER) AS night
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    pairs AS (
+      SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+      FROM s sa JOIN s sb ON sa.vec_id < sb.vec_id
+      WHERE {cos} >= 0.35
+    ),{','.join(nights)}
+    SELECT s.vec_id, s.night,
+           s.vec_id IN (
+             SELECT vec_id FROM adm0
+             UNION ALL SELECT vec_id FROM adm1
+             UNION ALL SELECT vec_id FROM adm2
+           ) AS admitted,
+           TRUE AS drops_sound,
+           TRUE AS drop_recall_ok
+    FROM s
+    """
+
+
+@register(
+    "incremental_semantic_dedup_embeddings",
+    oracle=_inc_sem_oracle(),
+    tags=("dedup", "vector", "semantic", "incremental", "cross-snapshot", "invariant-oracle"),
+    driver=False,  # shipped after the r14 rotation freeze: PENDING_ROTATION holds the IOU
+)
+def incremental_semantic_dedup_embeddings(spark, sf_dir):
+    """Cross-snapshot SEMANTIC dedup, nightly form (operators/
+    similarity.incremental_semantic_dedup): three arriving batches
+    (vec_id % 3) each assign cells from the FROZEN first-night k-means
+    quantizer, drop new vectors matching the admitted store intra-cell
+    (cosine >= 0.35), collapse in-batch matches, append survivors to
+    the cell-partitioned store — per night the cost is O(batch + its
+    cell collisions), never O(corpus), completing the incremental
+    family's symmetry with the lexical `pipeline_docs_incremental`.
+
+    Invariant-oracle face (the `cosine_topk_ivf` pattern): the
+    registered output is the EXACT replay — per night, drop on ANY
+    true pair to prior admissions, then min-id components — which the
+    DuckDB oracle reproduces value-for-value; the operator's behavior
+    rides two pinned booleans: ``drops_sound`` (every vector the
+    operator dropped has at least one true >= threshold pair in the
+    corpus — the operator can never drop an isolated vector, since
+    every drop carries an exact-cosine witness) and ``drop_recall_ok``
+    (the operator recovers >= 20% of the exact replay's drops — random
+    16-cell assignment co-locates 1/16 ~ 6.25% of pairs, so the bound
+    certifies the frozen quantizer beats chance >3x; measured
+    0.39-0.69 across sf{0.001,0.01,0.1}, ~2x margin at the worst
+    point — at tau=0.35 true pairs sit below the tight-duplicate
+    regime, which is why the one-shot face runs tau=0.4 and this
+    nightly face reports drop recall rather than set agreement)."""
+    from ..operators import similarity as sim
+    from .workdirs import fresh_result_dir
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    sub = e.withColumn("night", F.pmod(F.col("vec_id"), F.lit(3)).cast("int"))
+    store = fresh_result_dir("inc_sem_store")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        op_admitted = None
+        for n in range(3):
+            batch = sub.filter(F.col("night") == n).select("vec_id", "embedding")
+            adm = sim.incremental_semantic_dedup(
+                spark, batch, store, threshold=0.35, dim=_DIM, n_cells=16
+            ).select("vec_id")
+            op_admitted = adm if op_admitted is None else op_admitted.unionByName(adm)
+        op_admitted = op_admitted.localCheckpoint(eager=True)
+
+        # ---- exact replay (the value-checked output) ----
+        from ..operators import dedup
+
+        u = sub.select("vec_id", "night", vectors.unit("embedding").alias("_u"))
+        a = u.select(F.col("vec_id").alias("id_a"), F.col("_u").alias("_ua"))
+        b = u.select(F.col("vec_id").alias("id_b"), F.col("_u").alias("_ub"))
+        pairs = (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .filter(vectors.dot("_ua", "_ub") >= 0.35)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        exact_adm = None
+        parts = []
+        for n in range(3):
+            ids_n = sub.filter(F.col("night") == n).select("vec_id")
+            if exact_adm is None:
+                surv = ids_n
+            else:
+                m1 = pairs.join(
+                    exact_adm.withColumnRenamed("vec_id", "id_b"), "id_b"
+                ).select(F.col("id_a").alias("vec_id"))
+                m2 = pairs.join(
+                    exact_adm.withColumnRenamed("vec_id", "id_a"), "id_a"
+                ).select(F.col("id_b").alias("vec_id"))
+                surv = ids_n.join(m1.union(m2).distinct(), "vec_id", "left_anti")
+            bp = (
+                pairs.join(surv.withColumnRenamed("vec_id", "id_a"), "id_a")
+                .join(surv.withColumnRenamed("vec_id", "id_b"), "id_b")
+                .select("id_a", "id_b")
+            )
+            comps = dedup.resolve_components(bp)
+            drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias("vec_id")
+            )
+            adm_n = surv.join(drop, "vec_id", "left_anti").localCheckpoint(eager=True)
+            exact_adm = (
+                adm_n
+                if exact_adm is None
+                else exact_adm.union(adm_n).localCheckpoint(eager=True)
+            )
+            parts.append(
+                ids_n.join(
+                    adm_n.withColumn("_a", F.lit(True)), "vec_id", "left"
+                ).select(
+                    "vec_id",
+                    F.lit(n).cast("int").alias("night"),
+                    F.coalesce(F.col("_a"), F.lit(False)).alias("admitted"),
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # ---- invariants over the operator's decisions ----
+    all_ids = sub.select("vec_id")
+    op_dropped = all_ids.join(op_admitted, "vec_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    pair_nodes = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    unsound = op_dropped.join(pair_nodes, "vec_id", "left_anti").limit(1).count()
+    exact_dropped = all_ids.join(exact_adm, "vec_id", "left_anti")
+    n_exact_drops = exact_dropped.count()
+    n_hit = op_dropped.join(exact_dropped, "vec_id", "left_semi").count()
+    drop_recall_ok = n_exact_drops == 0 or (n_hit / n_exact_drops) >= 0.2
+
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        "vec_id",
+        "night",
+        "admitted",
+        F.lit(unsound == 0).alias("drops_sound"),
+        F.lit(bool(drop_recall_ok)).alias("drop_recall_ok"),
+    )

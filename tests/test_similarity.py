@@ -164,3 +164,49 @@ def test_semantic_dedup_cell_cap_raises_loudly(planted):
         similarity.semantic_dedup(
             planted, threshold=0.95, dim=DIM, n_cells=2, max_cell_pairs_side=10
         )
+
+
+def test_incremental_semantic_dedup_three_nights(spark, tmp_path):
+    """Nightly admission against a frozen quantizer: night-0 vectors
+    admit (first copy wins), a night-1 near-copy of an admitted vector
+    drops (store match), a night-2 near-copy of a DROPPED-only vector
+    admits (admitted-representatives-only semantics — the documented
+    permissiveness), and the centroids file is written once."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(40, DIM))
+    store = str(tmp_path / "store")
+    n0 = [(i, base[i].tolist()) for i in range(40)]
+    df0 = spark.createDataFrame(n0, "vec_id long, embedding array<double>")
+    # night 1: 5 near-copies of admitted night-0 vectors + 5 fresh
+    fresh = rng.normal(size=(5, DIM))
+    n1 = [(100 + i, (base[i] + rng.normal(size=DIM) * 0.01).tolist()) for i in range(5)]
+    n1 += [(200 + i, fresh[i].tolist()) for i in range(5)]
+    df1 = spark.createDataFrame(n1, "vec_id long, embedding array<double>")
+    # night 2: a near-copy of DROPPED 100 (whose rep 0 it also matches —
+    # 0.999-close chains stay within the cell) and one isolated vector
+    iso = rng.normal(size=DIM)
+    n2 = [(300, (base[0] + rng.normal(size=DIM) * 0.01).tolist()), (301, iso.tolist())]
+    df2 = spark.createDataFrame(n2, "vec_id long, embedding array<double>")
+
+    a0 = {r.vec_id for r in similarity.incremental_semantic_dedup(
+        spark, df0, store, threshold=0.95, dim=DIM, n_cells=8).collect()}
+    assert a0 == set(range(40))
+    cent = os.path.join(store, "centroids.json")
+    assert os.path.exists(cent)
+    mtime = os.path.getmtime(cent)
+
+    a1 = {r.vec_id for r in similarity.incremental_semantic_dedup(
+        spark, df1, store, threshold=0.95, dim=DIM, n_cells=8).collect()}
+    assert a1 == {200, 201, 202, 203, 204}  # all near-copies dropped
+    a2 = {r.vec_id for r in similarity.incremental_semantic_dedup(
+        spark, df2, store, threshold=0.95, dim=DIM, n_cells=8).collect()}
+    # 300 matches ADMITTED 0 (not just dropped 100) -> dropped; 301 isolated
+    assert a2 == {301}
+    assert os.path.getmtime(cent) == mtime  # quantizer frozen after night 0
+    # store holds exactly the admitted vectors
+    got = {r.vec_id for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
+    assert got == a0 | a1 | a2
