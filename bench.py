@@ -185,6 +185,7 @@ HEADLINE = [
     # executor staging)
     "semantic_dedup_embeddings",
     "snapshot_dsv2_write_orders",
+    "snapshot_retention_orders",
 ]
 
 

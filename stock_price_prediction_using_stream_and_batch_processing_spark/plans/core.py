@@ -79,8 +79,9 @@ PENDING_ROTATION: frozenset[str] = frozenset({
     # r6 veteran that didn't fit the r14 budget (redundant bucketed
     # variant of the in-rotation trailing_mean_events)
     "trailing_mean_events_bucketed",
-    # shipped after the r14 rotation freeze — r15 must slot it
+    # shipped after the r14 rotation freeze — r15 must slot them
     "incremental_semantic_dedup_embeddings",
+    "snapshot_retention_orders",
 })
 
 # Every query green in some past round's CORRECTNESS_r*.json driver

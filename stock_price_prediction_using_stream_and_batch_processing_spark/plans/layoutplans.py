@@ -2569,3 +2569,82 @@ def snapshot_dsv2_write_orders(spark, sf_dir):
     return ver_agg(1, "append").unionByName(ver_agg(2, "append")).unionByName(
         ver_agg(3, "overwrite")
     )
+
+
+@register(
+    "snapshot_retention_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 3 AS slice, o_totalprice FROM orders)
+    SELECT CAST(slice AS INTEGER) AS slice, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price, TRUE AS retention_ok
+    FROM s GROUP BY slice
+    """,
+    tags=("layout", "snapshot", "retention", "vacuum", "metadata"),
+    driver=False,  # shipped after the r14 rotation freeze: PENDING_ROTATION holds the IOU
+)
+def snapshot_retention_orders(spark, sf_dir):
+    """RETENTION lifecycle of the snapshot store, end to end (the two
+    collection verbs that until r14 had only unit-test evidence):
+    three appends + a compaction build a 4-version history with an
+    ORPHAN commit dir planted beside them (a lost publish race's
+    staging); ``expire_snapshots(keep_last=1)`` drops versions 1-3 and
+    physically deletes exactly the data files ONLY they referenced
+    (the pre-compaction originals — reachability is a metadata-sized
+    path set difference, never a data scan); ``vacuum_orphans``
+    collects the unreferenced commit dir (age-gated: a fresh orphan
+    survives the first pass, the zero-window pass removes it). The
+    face asserts in-query that expired time travel refuses, that the
+    expired files and the orphan are REALLY gone from disk, that the
+    live read after both collectors equals the full corpus
+    (value-checked per slice against the oracle), and folds all of it
+    into ``retention_ok``. At 100 TB: expiry cost is O(expired
+    entries), vacuum cost is O(live entries + listed dirs) — both
+    metadata-sized; neither touches a surviving data file."""
+    import os
+
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = fresh_result_dir("snap_retention")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for sl in (0, 1, 2):
+            snap.snapshot_append(
+                spark, table_dir,
+                orders.where(F.col("o_orderkey") % 3 == sl),
+                stats_cols=["o_orderkey"],
+            )
+        # plant the orphan: a staged-but-never-published commit dir
+        orphan_dir = os.path.join(table_dir, "data", "orphan_race")
+        orders.limit(5).coalesce(1).write.parquet(orphan_dir)
+        pre_files = {e["path"] for e in snap.snapshot_files(table_dir)}
+        snap.snapshot_compact(spark, table_dir, target_files=1)  # v4 rewrite
+        ok = True
+        # fresh orphan survives an age-gated pass (in-flight safety)
+        ok &= snap.vacuum_orphans(table_dir, min_age_s=3600)["deleted_commit_dirs"] == 0
+        ok &= os.path.isdir(orphan_dir)
+        rep = snap.expire_snapshots(table_dir, keep_last=1)
+        ok &= rep["expired_versions"] == 3
+        # every pre-compaction file was referenced ONLY by v1-v3: gone
+        ok &= rep["deleted_files"] == len(pre_files)
+        ok &= all(not os.path.exists(p) for p in pre_files)
+        try:
+            snap.read_snapshot(spark, table_dir, 2)
+            ok = False  # expired time travel must refuse
+        except (ValueError, FileNotFoundError):
+            pass
+        ok &= snap.vacuum_orphans(table_dir, min_age_s=0.0)["deleted_commit_dirs"] >= 1
+        ok &= not os.path.exists(orphan_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    live = snap.read_snapshot(spark, table_dir)
+    return (
+        live.groupBy(F.pmod(F.col("o_orderkey"), F.lit(3)).cast("int").alias("slice"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn("retention_ok", F.lit(bool(ok)))
+    )
