@@ -210,3 +210,50 @@ def test_incremental_semantic_dedup_three_nights(spark, tmp_path):
     # store holds exactly the admitted vectors
     got = {r.vec_id for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
     assert got == a0 | a1 | a2
+
+
+def test_incremental_semantic_dedup_epoch_guarded_redelivery(spark, tmp_path):
+    """The documented exactly-once recipe for the non-idempotent
+    nightly operator: wrap each batch in streaming/pipeline.
+    epoch_guarded. A redelivered epoch (foreachBatch replay after a
+    crash) must be a no-op — without the guard, re-admitting the same
+    batch would double every store row and flip later drop decisions."""
+    import os
+
+    import numpy as np
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import epoch_guarded
+
+    rng = np.random.RandomState(3)
+    store = str(tmp_path / "store")
+    vec_dir = os.path.join(store, "vectors")
+    b0 = spark.createDataFrame(
+        [(i, rng.normal(size=DIM).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def night(df, epoch):
+        return epoch_guarded(
+            store, epoch,
+            lambda: similarity.incremental_semantic_dedup(
+                spark, df, store, threshold=0.95, dim=DIM, n_cells=4
+            ).count(),
+        )
+
+    assert night(b0, 0) is True
+    n_files = len([
+        f for root, _, fs in os.walk(vec_dir) for f in fs if f.endswith(".parquet")
+    ])
+    # redelivery of epoch 0: guard skips, store bit-identical
+    assert night(b0, 0) is False
+    n_files2 = len([
+        f for root, _, fs in os.walk(vec_dir) for f in fs if f.endswith(".parquet")
+    ])
+    assert n_files2 == n_files
+    assert spark.read.parquet(vec_dir).count() == 20
+    # the next epoch still admits normally
+    b1 = spark.createDataFrame(
+        [(100, rng.normal(size=DIM).tolist())], "vec_id long, embedding array<double>"
+    )
+    assert night(b1, 1) is True
+    assert spark.read.parquet(vec_dir).count() == 21
