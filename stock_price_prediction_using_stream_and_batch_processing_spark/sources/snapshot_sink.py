@@ -10,9 +10,11 @@ This is the write-side twin of the connector's read faces
 
 - ``write(iterator)`` runs PER TASK on executors: rows stream into one
   parquet file under ``<table>/data/`` via pyarrow, per-file min/max
-  stats for ``stats_cols`` are folded WHILE WRITING (the ingest-time
-  stats ride the task result — no post-hoc scan job at all, one step
-  beyond ``snapshot_append``'s single-scan), and the file entry comes
+  stats for ``stats_cols`` — and per-file BLOOM FILTERS for
+  ``bloom_cols`` (pure-Python md5 positions, the store's portable
+  scheme) — are folded WHILE WRITING (the ingest-time stats ride the
+  task result — no post-hoc scan job at all, one step beyond
+  ``snapshot_append``'s single-scan), and the file entry comes
   back as the task's ``WriterCommitMessage``. Staged files are
   invisible: nothing references them until the driver publishes.
 - ``commit(messages, batchId)`` runs ON THE DRIVER once all tasks
@@ -76,6 +78,7 @@ class _FileEntry(WriterCommitMessage):
     path: str | None  # None => the task saw zero rows, wrote nothing
     n_rows: int
     stats: dict  # {col: (min, max)} for stats_cols
+    blooms: dict | None = None  # {col: {"m","k","bits"}} for bloom_cols
 
 
 @dataclass
@@ -142,7 +145,10 @@ def _assemble_entries(messages, stats_cols: list[str]) -> list[dict]:
         elif m.path is None:
             continue
         else:
-            files = [{"path": m.path, "n_rows": m.n_rows, "stats": m.stats}]
+            files = [{
+                "path": m.path, "n_rows": m.n_rows, "stats": m.stats,
+                "blooms": getattr(m, "blooms", None),
+            }]
         for frec in files:
             e = {"path": frec["path"], "n_rows": frec["n_rows"]}
             for c in stats_cols:
@@ -151,6 +157,8 @@ def _assemble_entries(messages, stats_cols: list[str]) -> list[dict]:
                 e[f"max_{c}"] = json_stat(mx)
             if "pv" in frec:
                 e["pv"] = frec["pv"]
+            for c, bloom in (frec.get("blooms") or {}).items():
+                e[f"bloom_{c}"] = bloom
             entries.append(e)
     return entries
 
@@ -183,6 +191,24 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                 "fresh checkpoint must use a NEW writer_id"
             )
         self.stats_cols = [c for c in options.get("stats_cols", "").split(",") if c]
+        # per-file BLOOM FILTERS folded WHILE WRITING (the ingest-time
+        # twin of snapshot_append's bloom_cols): positions are the
+        # portable md5 scheme (operators/snapshots.bloom_positions), so
+        # the executor computes them in pure Python with NO extra scan
+        # job — point-lookup skipping works on sink-written tables the
+        # day they land. Integral/string only, same contract (and
+        # reason) as the batch writer's _BLOOM_TYPES gate.
+        self.bloom_cols = [c for c in options.get("bloom_cols", "").split(",") if c]
+        for c in self.bloom_cols:
+            if c not in schema.fieldNames():
+                raise ValueError(f"bloom_cols column {c!r} not in sink schema")
+            t = schema[c].dataType.typeName()
+            if t not in ("byte", "short", "integer", "long", "string"):
+                raise ValueError(
+                    f"bloom_cols supports integral/string columns; got {c}: {t} "
+                    "— float/bool CAST-to-string differs between engines and "
+                    "would cause false negatives"
+                )
         # optional override of the manifest-sharding threshold (tests /
         # demos exercise the sharded format without thousands of files)
         self.inline_max = int(options["inline_max"]) if "inline_max" in options else None
@@ -239,9 +265,10 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from ..operators.snapshots import _HIVE_NULL
+        from ..operators.snapshots import _BLOOM_K, _BLOOM_M, _HIVE_NULL, bloom_positions
 
         names = self.schema.fieldNames()
+        bloom_idx = [(c, names.index(c)) for c in self.bloom_cols]
         data_dir = os.path.join(self.table_dir, "data", "stream")
         pidx = [names.index(c) for c in self.partition_by]
         # one open writer per partition tuple this task sees (hive
@@ -264,6 +291,7 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                     "path": path,
                     "n": 0,
                     "stats": {c: (None, None) for c in self.stats_cols},
+                    "blooms": {c: bytearray(_BLOOM_M >> 3) for c in self.bloom_cols},
                     "pv": {
                         c: (_HIVE_NULL if v is None else _hive_str(v))
                         for c, v in zip(self.partition_by, key)
@@ -294,6 +322,14 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
                                 lo if mn is None else min(mn, lo),
                                 hi if mx is None else max(mx, hi),
                             )
+                    for c, ci in bloom_idx:
+                        bits = st["blooms"][c]
+                        for row in rows:
+                            v = row[ci]
+                            if v is None:
+                                continue
+                            for pos in bloom_positions(v, _BLOOM_M, _BLOOM_K):
+                                bits[pos >> 3] |= 1 << (pos & 7)
                     st["w"].write_batch(
                         pa.record_batch(
                             [
@@ -307,14 +343,29 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
         finally:
             for st in writers.values():
                 st["w"].close()
+        import base64
+
+        def packed(st):
+            return {
+                c: {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "bits": base64.b64encode(bytes(b)).decode(),
+                }
+                for c, b in st["blooms"].items()
+            } or None
+
         if not writers:
             return _FileEntry(None, 0, {})
         if not self.partition_by:
             st = writers[()]
-            return _FileEntry(st["path"], st["n"], st["stats"])
+            return _FileEntry(st["path"], st["n"], st["stats"], packed(st))
         return _TaskFiles(
             [
-                {"path": st["path"], "n_rows": st["n"], "stats": st["stats"], "pv": st["pv"]}
+                {
+                    "path": st["path"], "n_rows": st["n"], "stats": st["stats"],
+                    "pv": st["pv"], "blooms": packed(st),
+                }
                 for st in writers.values()
             ]
         )
@@ -410,6 +461,7 @@ class SnapshotStreamWriter(DataSourceStreamWriter):
             # other writers' fences; then advance this writer's.
             s = snap.build_append_snap(
                 self.table_dir, parent, meta, entries, self.stats_cols,
+                bloom_cols=self.bloom_cols,
                 inline_max=self.inline_max,
                 schema=[
                     [f.name, f.dataType.simpleString()] for f in self.schema.fields
@@ -535,6 +587,7 @@ class SnapshotBatchWriter(SnapshotStreamWriter, DataSourceWriter):
             def make_append(parent: int, meta: dict):
                 s = snap.build_append_snap(
                     self.table_dir, parent, meta, entries, self.stats_cols,
+                    bloom_cols=self.bloom_cols,
                     inline_max=self.inline_max,
                     schema=schema_decl,
                     merge_schema=self.merge_schema,
@@ -559,7 +612,7 @@ class SnapshotBatchWriter(SnapshotStreamWriter, DataSourceWriter):
                 "version": parent + 1,
                 "parent": parent,
                 "stats_cols": list(self.stats_cols),
-                "bloom_cols": [],
+                "bloom_cols": list(self.bloom_cols),
                 "schema": schema_decl,
                 "overwrite": {
                     "full_table": True,

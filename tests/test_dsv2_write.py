@@ -177,3 +177,42 @@ def test_batch_schema_mismatch_refused_without_merge(spark, tmp_path):
     assert set(out.columns) == {"k", "v", "w"}
     # pre-evolution files read back NULL for the new column
     assert out.filter(F.col("w").isNull()).count() == 5
+
+
+def test_batch_write_folds_blooms_for_point_lookup(spark, tmp_path):
+    """bloom_cols on the DSv2 write folds per-file blooms WHILE WRITING
+    (pure-Python md5 positions, no post-hoc scan job): point-lookup
+    pruning keeps exactly the files that can hold the key, and a
+    missing key prunes everything."""
+    d = str(tmp_path / "t")
+    register_snapshot_sink(spark)
+    (
+        _df(spark, 0, 1000).coalesce(4)
+        .write.format("snapshot_sink").mode("append")
+        .option("table_dir", d).option("stats_cols", "k")
+        .option("bloom_cols", "k").save()
+    )
+    ent = snap.snapshot_files(d)
+    assert all("bloom_k" in e for e in ent)
+    kept, total = snap.point_lookup_files(d, "k", 17)
+    assert total == 4 and 1 <= len(kept) <= 2
+    # the admitted file really holds the row
+    got = spark.read.parquet(*[e["path"] for e in kept]).where("k = 17").count()
+    assert got == 1
+    # absent key: bloom prunes every file (m=512k, k=4, 250 keys/file
+    # -> false-positive odds are negligible at this size)
+    kept_none, _ = snap.point_lookup_files(d, "k", 10**12 + 7)
+    assert kept_none == []
+    # declared on the snapshot so later appends keep folding
+    assert snap.read_snapshot_meta(d, 1)["bloom_cols"] == ["k"]
+
+
+def test_batch_write_bloom_type_gate(spark, tmp_path):
+    register_snapshot_sink(spark)
+    with pytest.raises(Exception, match="integral/string"):
+        (
+            _df(spark, 0, 5)
+            .write.format("snapshot_sink").mode("append")
+            .option("table_dir", str(tmp_path / "t"))
+            .option("bloom_cols", "v").save()  # v is double
+        )
