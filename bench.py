@@ -186,6 +186,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "snapshot_dsv2_write_orders",
     "snapshot_retention_orders",
+    "snapshot_clone_orders",
 ]
 
 

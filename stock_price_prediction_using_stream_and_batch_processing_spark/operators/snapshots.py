@@ -2022,6 +2022,23 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
     dead_dels |= {
         m["change_feed_dir"] for m in expired_metas if m.get("change_feed_dir")
     } - live_cdf
+    # OWNERSHIP FENCE (r14, found via the clone tests): retention may
+    # only delete storage under ITS OWN table dir. A SHALLOW CLONE's
+    # early versions reference the SOURCE's files verbatim — without
+    # the fence, expiring the clone's sharing version rm'd data the
+    # source still serves (the inverse of the documented
+    # source-expiry-breaks-clones hazard, and strictly worse: it
+    # corrupts a table this command never named). Foreign paths simply
+    # fall out of the delete sets; the clone's own divergent commits
+    # still collect normally.
+    own = os.path.realpath(table_dir) + os.sep
+
+    def _owned(p: str) -> bool:
+        return os.path.realpath(p).startswith(own)
+
+    dead_paths = {p for p in dead_paths if _owned(p)}
+    dead_shards = {p for p in dead_shards if _owned(p)}
+    dead_dels = {p for p in dead_dels if _owned(p)}
     # Crash-ordering: expired snapshot JSONs are removed FIRST, dead
     # files after. A crash between the two leaks unreferenced files
     # (harmless, collected by nothing — the same class as an aborted
@@ -2770,6 +2787,8 @@ def snapshot_history(table_dir: str) -> list[dict]:
         meta = read_snapshot_meta(table_dir, v)
         if meta.get("rollback_of") is not None:
             op = "rollback"
+        elif meta.get("cloned_from"):
+            op = "clone"
         elif meta.get("compaction_of") is not None:
             op = "compact"
         elif meta.get("manifest_compaction"):
@@ -2809,3 +2828,68 @@ def snapshot_history(table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def snapshot_clone(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+    deep: bool = False,
+) -> int:
+    """CREATE TABLE ... CLONE — the Delta clone verb over this store.
+
+    SHALLOW (default): the clone's v1 references the source version's
+    data files (and manifest shards, delete files, blooms, stats,
+    schema, partition spec, CHECK constraints) VERBATIM — a pure
+    metadata publish, zero data copied, O(metadata) regardless of
+    table size. Writes to the clone diverge normally (new files land
+    under the CLONE's dir; a compaction deep-copies on write by
+    rewriting everything into the clone). THE documented hazard is
+    Delta's own: ``expire_snapshots``/``vacuum_orphans`` on the SOURCE
+    reason about the source's references only — expiring the cloned
+    version's files breaks the shallow clone. Run maintenance on the
+    source only after clones are dropped or deepened (compact the
+    clone to sever the sharing).
+
+    DEEP: one distributed read of the pinned version (merge-on-read
+    deletes APPLIED — the clone materializes the logical content, so
+    its files are self-contained) written as the clone's own v1
+    through ``snapshot_append``; constraints re-declared on top. Cost
+    is one copy of the live data; no sharing, no hazard.
+
+    Returns the clone's published version (1 for shallow; the
+    constraint re-declarations advance a deep clone past 1)."""
+    v = current_version(src_dir) if version is None else version
+    if v == 0:
+        raise ValueError(f"no table to clone under {src_dir}")
+    if current_version(dst_dir) != 0:
+        raise ValueError(f"clone destination {dst_dir} already has a table")
+    meta = read_snapshot_meta(src_dir, v)
+    if deep:
+        df = read_snapshot(spark, src_dir, v)
+        snapshot_append(
+            spark, dst_dir, df,
+            stats_cols=meta.get("stats_cols") or [],
+            bloom_cols=_snapshot_bloom_cols(meta) or None,
+            partition_by=meta.get("partition_by"),
+        )
+        out = current_version(dst_dir)
+        for name, expr in (meta.get("constraints") or {}).items():
+            out = snapshot_set_constraint(spark, dst_dir, name, expr)
+        return out
+    snap = {
+        "version": 1,
+        "parent": 0,
+        "stats_cols": meta.get("stats_cols", []),
+        "bloom_cols": _snapshot_bloom_cols(meta),
+        "cloned_from": {"table": src_dir, "version": v},
+    }
+    for k in (
+        "schema", "schema_evolved", "partition_by", "files", "manifests",
+        "delete_files", "pos_delete_files", "constraints",
+    ):
+        if meta.get(k) is not None and (k not in ("files", "manifests") or k in meta):
+            snap[k] = meta[k]
+    _publish(dst_dir, 1, snap)
+    return 1

@@ -82,6 +82,7 @@ PENDING_ROTATION: frozenset[str] = frozenset({
     # shipped after the r14 rotation freeze — r15 must slot them
     "incremental_semantic_dedup_embeddings",
     "snapshot_retention_orders",
+    "snapshot_clone_orders",
 })
 
 # Every query green in some past round's CORRECTNESS_r*.json driver

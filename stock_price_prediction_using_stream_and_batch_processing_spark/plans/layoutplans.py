@@ -2648,3 +2648,91 @@ def snapshot_retention_orders(spark, sf_dir):
         )
         .withColumn("retention_ok", F.lit(bool(ok)))
     )
+
+
+@register(
+    "snapshot_clone_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 2 AS slice, o_totalprice FROM orders)
+    SELECT 'clone_at_v1' AS face, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price, TRUE AS clone_ok
+    FROM s WHERE slice = 0
+    UNION ALL
+    SELECT 'clone_head_diverged', (SELECT COUNT(*) FROM s) + COUNT(*),
+           ROUND((SELECT SUM(o_totalprice) FROM s) + SUM(o_totalprice), 2), TRUE
+    FROM s WHERE slice = 0
+    UNION ALL
+    SELECT 'src_head', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2), TRUE
+    FROM s
+    """,
+    tags=("layout", "snapshot", "clone", "metadata", "acid"),
+    driver=False,  # shipped after the r14 rotation freeze: PENDING_ROTATION holds the IOU
+)
+def snapshot_clone_orders(spark, sf_dir):
+    """CREATE TABLE ... CLONE over the snapshot store
+    (operators/snapshots.snapshot_clone): a SHALLOW clone is one
+    metadata publish referencing the source version's files verbatim —
+    zero data copied (asserted: the clone dir holds no parquet of its
+    own), O(metadata) at any table size. Three value-checked reads:
+    a clone pinned at v1 (later source commits invisible), a clone of
+    the head that then DIVERGES via its own append (new files land
+    under the clone's dir; the source is bit-unaffected), and the
+    source head itself. ``clone_ok`` folds the zero-copy assertion,
+    DESCRIBE HISTORY classifying the clone verb, and source isolation.
+    The ownership fence this face's tests surfaced (retention may only
+    delete storage under its OWN table dir — without it, expiring a
+    shallow clone rm'd SOURCE data) is pinned in tests/test_clone.py,
+    alongside the Delta-documented inverse hazard and its remedies
+    (deep=True, or compact the clone to sever sharing)."""
+    import os
+
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = fresh_result_dir("clone_src")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        s0 = orders.where(F.col("o_orderkey") % 2 == 0)
+        snap.snapshot_append(spark, src, s0, stats_cols=["o_orderkey"])
+        snap.snapshot_append(
+            spark, src, orders.where(F.col("o_orderkey") % 2 == 1),
+            stats_cols=["o_orderkey"],
+        )
+        pinned = fresh_result_dir("clone_v1")
+        head = fresh_result_dir("clone_head")
+        snap.snapshot_clone(spark, src, pinned, version=1)
+        snap.snapshot_clone(spark, src, head)
+        ok = True
+
+        def _own_parquet(d):
+            return [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(os.path.join(d, "data"))
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+
+        ok &= _own_parquet(pinned) == [] and _own_parquet(head) == []  # zero copy
+        ok &= snap.snapshot_history(head)[0]["operation"] == "clone"
+        src_files_before = {e["path"] for e in snap.snapshot_files(src)}
+        snap.snapshot_append(spark, head, s0, stats_cols=["o_orderkey"])  # diverge
+        ok &= {e["path"] for e in snap.snapshot_files(src)} == src_files_before
+        ok &= len(_own_parquet(head)) > 0  # divergent files are clone-local
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def agg(df, face):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(F.lit(face).alias("face"), "n_rows", "total_price")
+
+    out = (
+        agg(snap.read_snapshot(spark, pinned), "clone_at_v1")
+        .unionByName(agg(snap.read_snapshot(spark, head), "clone_head_diverged"))
+        .unionByName(agg(snap.read_snapshot(spark, src), "src_head"))
+    )
+    return out.withColumn("clone_ok", F.lit(bool(ok)))
