@@ -117,3 +117,22 @@ def test_partitioned_shallow_clone_prunes(spark, tmp_path):
     snap.snapshot_append(spark, src, dfp, stats_cols=["k"], partition_by=["p"])
     snap.snapshot_clone(spark, src, dst)
     assert snap.read_partitions(spark, dst, {"p": "1"}).count() == 7
+
+
+def test_vacuum_never_crosses_table_boundaries(spark, tmp_path):
+    """vacuum_orphans on the CLONE walks only the clone's own storage
+    (source files referenced by the sharing version are not under it),
+    and vacuum on the SOURCE ignores the clone's divergent commits —
+    neither direction can collect the other table's data."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snap.snapshot_append(spark, src, _df(spark, 0, 10), stats_cols=["k"])
+    snap.snapshot_clone(spark, src, dst)
+    snap.snapshot_append(spark, dst, _df(spark, 100, 103), stats_cols=["k"])
+    src_files = set(_data_files(src))
+    dst_files = set(_data_files(dst))
+    snap.vacuum_orphans(dst, min_age_s=0.0)
+    snap.vacuum_orphans(src, min_age_s=0.0)
+    assert set(_data_files(src)) == src_files
+    assert set(_data_files(dst)) == dst_files
+    assert snap.read_snapshot(spark, dst).count() == 13
+    assert snap.read_snapshot(spark, src).count() == 10
