@@ -2858,6 +2858,12 @@ def snapshot_clone(
     through ``snapshot_append``; constraints re-declared on top. Cost
     is one copy of the live data; no sharing, no hazard.
 
+    Writer epoch fences (``last_batches``) are deliberately NOT
+    copied — the Delta rule: application transaction identities do not
+    transfer to clones, so a streaming pipeline writing into the clone
+    starts its own fence lineage instead of being silently dropped by
+    the source pipeline's batch numbering.
+
     Returns the clone's published version (1 for shallow; the
     constraint re-declarations advance a deep clone past 1)."""
     v = current_version(src_dir) if version is None else version
@@ -2889,7 +2895,7 @@ def snapshot_clone(
         "schema", "schema_evolved", "partition_by", "files", "manifests",
         "delete_files", "pos_delete_files", "constraints",
     ):
-        if meta.get(k) is not None and (k not in ("files", "manifests") or k in meta):
+        if meta.get(k) is not None:
             snap[k] = meta[k]
     _publish(dst_dir, 1, snap)
     return 1
