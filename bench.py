@@ -187,6 +187,7 @@ HEADLINE = [
     "snapshot_dsv2_write_orders",
     "snapshot_retention_orders",
     "snapshot_clone_orders",
+    "snapshot_rename_drop_orders",
 ]
 
 

@@ -88,6 +88,11 @@ _CONTENT_KEYS = (
     # files were written under, not inherit the head's
     "partition_by",
     "constraints",
+    # the column-mapping layer is content: a rollback/branch across a
+    # rename must keep reading pre-rename files, and the dropped-name
+    # shadow set guards resurrection exactly as on main
+    "column_mapping",
+    "dropped_columns",
 )
 
 

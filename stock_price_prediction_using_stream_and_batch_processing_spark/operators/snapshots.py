@@ -515,6 +515,7 @@ def build_append_snap(
             _entries_payload(table_dir, meta.get("files", []) + entries, inline_max)
         )
     _carry_constraints(snap, meta)
+    _carry_mapping(snap, meta)
     _carry_fence(snap, meta)
     return snap
 
@@ -635,6 +636,7 @@ def snapshot_overwrite_partitions(
             snap["schema_evolved"] = True
         _carry_deletes(snap, meta)
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -821,6 +823,7 @@ def snapshot_delete(
             if k in meta:
                 snap[k] = meta[k]
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -939,6 +942,7 @@ def snapshot_position_delete(
             if k in meta:
                 snap[k] = meta[k]
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -1024,6 +1028,7 @@ def snapshot_analyze(
             snap["schema_evolved"] = True
         _carry_deletes(snap, meta)
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -1230,6 +1235,7 @@ def snapshot_update(
             snap["schema_evolved"] = True
         _carry_deletes(snap, meta)
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -1358,6 +1364,13 @@ def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
             )
         if any(n == name for n, _ in schema):
             raise ValueError(f"column {name!r} already exists")
+        if name in (meta.get("dropped_columns") or []):
+            raise ValueError(
+                f"column name {name!r} shadows a DROPPED column whose data "
+                "still lives in pre-drop files (name-based mapping cannot "
+                "disambiguate them) — compact the table first to purge the "
+                "shadow, then add the column"
+            )
         snap = {
             "version": parent + 1,
             "parent": parent,
@@ -1372,6 +1385,7 @@ def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
                 snap[k] = meta[k]
         _carry_deletes(snap, meta)
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -1406,13 +1420,24 @@ def _aligned_reader(
         df = spark.read.parquet(*paths)
         return df.select("*", *rowid) if rowid else df
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    mapping = meta.get("column_mapping") or {}
+
+    def _resolve(n: str, t: str):
+        # RENAMED column: rows from pre-rename files live under the
+        # PHYSICAL source name, post-rename files under the declared
+        # name — coalesce reads both generations (dropped-name shadow
+        # collisions are refused at rename/add time, so the pair can
+        # never disagree on a row)
+        phys = mapping.get(n)
+        if phys is not None and phys in df.columns and n in df.columns:
+            return F.coalesce(F.col(n), F.col(phys)).cast(t).alias(n)
+        src = n if n in df.columns else (phys if phys in df.columns else None)
+        if src is None:
+            return F.lit(None).cast(t).alias(n)
+        return F.col(src).cast(t).alias(n)
+
     return df.select(
-        *[
-            F.col(n).cast(t).alias(n)
-            if n in df.columns
-            else F.lit(None).cast(t).alias(n)
-            for n, t in meta["schema"]
-        ],
+        *[_resolve(n, t) for n, t in meta["schema"]],
         *rowid,
     )
 
@@ -1456,6 +1481,19 @@ def _carry_constraints(snap: dict, parent_meta: dict) -> None:
     would silently drop enforcement."""
     if parent_meta.get("constraints"):
         snap["constraints"] = parent_meta["constraints"]
+
+
+def _carry_mapping(snap: dict, parent_meta: dict) -> None:
+    """Carry the column-mapping layer (rename sources) and the
+    dropped-column shadow set forward — table properties every commit
+    that keeps parent files must preserve, exactly like constraints
+    and fences. A FULL rewrite (compaction, full-table overwrite)
+    deliberately does not call this: rewritten files carry declared
+    names only, so the mapping is spent and dropped shadows are gone."""
+    if parent_meta.get("column_mapping"):
+        snap["column_mapping"] = parent_meta["column_mapping"]
+    if parent_meta.get("dropped_columns"):
+        snap["dropped_columns"] = parent_meta["dropped_columns"]
 
 
 def table_constraints(table_dir: str) -> dict:
@@ -1557,6 +1595,7 @@ def snapshot_set_constraint(
             if k in meta:
                 snap[k] = meta[k]
         _carry_deletes(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -1588,6 +1627,7 @@ def snapshot_drop_constraint(table_dir: str, name: str) -> int:
             if k in meta:
                 snap[k] = meta[k]
         _carry_deletes(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -1854,6 +1894,7 @@ def snapshot_compact(
         if parent_meta.get("schema_evolved"):
             snap["schema_evolved"] = True
         _carry_deletes(snap, parent_meta)
+        _carry_mapping(snap, parent_meta)
     _carry_constraints(snap, parent_meta)
     _carry_fence(snap, parent_meta)
     _publish(table_dir, parent + 1, snap)
@@ -1888,6 +1929,7 @@ def snapshot_compact_manifests(table_dir: str, inline_max: int | None = None) ->
             snap["schema_evolved"] = True
         _carry_deletes(snap, meta)
         _carry_constraints(snap, meta)
+        _carry_mapping(snap, meta)
         _carry_fence(snap, meta)
         return snap
 
@@ -2399,6 +2441,7 @@ def snapshot_merge(
         snap["files"] = carried + new_entries
         out["files_carried"] = len(carried)
     _carry_constraints(snap, meta)
+    _carry_mapping(snap, meta)
     _carry_fence(snap, meta)
     if writer_id is not None:
         # advance THIS writer's fence on top of the carried map (the
@@ -2805,6 +2848,10 @@ def snapshot_history(table_dir: str) -> list[dict]:
             op = "analyze"
         elif meta.get("add_column"):
             op = "add_column"
+        elif meta.get("rename_column"):
+            op = "rename_column"
+        elif meta.get("drop_column"):
+            op = "drop_column"
         elif meta.get("wap_published_branch"):
             op = "wap_publish"
         elif meta.get("add_constraint") or meta.get("drop_constraint"):
@@ -2894,8 +2941,163 @@ def snapshot_clone(
     for k in (
         "schema", "schema_evolved", "partition_by", "files", "manifests",
         "delete_files", "pos_delete_files", "constraints",
+        "column_mapping", "dropped_columns",
     ):
         if meta.get(k) is not None:
             snap[k] = meta[k]
     _publish(dst_dir, 1, snap)
     return 1
+
+
+def _refuse_load_bearing_column(meta: dict, col: str, verb: str) -> None:
+    """Columns the store's metadata layers key on cannot be renamed or
+    dropped without rewriting that metadata — refuse LOUDLY with the
+    reason (the Delta posture: these need columnMapping-mode rewrites;
+    this store's remedy is a compaction under the new shape first)."""
+    if col in (meta.get("stats_cols") or []):
+        raise ValueError(
+            f"cannot {verb} {col!r}: per-file min/max stats are keyed by its "
+            "physical name (pruning and MERGE touch tests would go blind)"
+        )
+    if col in (meta.get("bloom_cols") or []):
+        raise ValueError(
+            f"cannot {verb} {col!r}: per-file blooms are keyed by its physical name"
+        )
+    spec = meta.get("partition_by")
+    if spec and col in _spec_source_cols(spec):
+        raise ValueError(
+            f"cannot {verb} {col!r}: the partition spec derives from it "
+            "(pv tokens and hive layout are keyed by the physical name)"
+        )
+    import re as _re
+
+    for name, expr in (meta.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} {col!r}: CHECK constraint {name!r} references "
+                f"it ({expr!r}) — drop the constraint first"
+            )
+    for d in meta.get("delete_files") or []:
+        if d.get("col") == col:
+            raise ValueError(
+                f"cannot {verb} {col!r}: live merge-on-read equality deletes "
+                "key on it — compact the table first to materialize them"
+            )
+
+
+def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a PURE-METADATA commit (the
+    Delta columnMapping rename, name-based): the declared schema entry
+    renames, ``column_mapping[new]`` records the PHYSICAL name rows
+    wear in files written before the rename (resolving through any
+    earlier rename), and readers coalesce the two generations — no
+    data file is touched at any table size. Commits after the rename
+    write under the new name; a compaction rewrites everything under
+    declared names and retires the mapping.
+
+    Load-bearing columns (stats/bloom/partition/constraint/equality-
+    delete keys) refuse — their metadata is keyed by physical name.
+    Renaming onto a DROPPED column's shadow also refuses (pre-drop
+    files still hold data under that name and name-based mapping
+    cannot disambiguate; compact first)."""
+    if old == new:
+        raise ValueError("rename requires distinct names")
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        if parent == 0:
+            raise ValueError(f"cannot alter empty table {table_dir}")
+        schema = meta.get("schema")
+        if schema is None:
+            raise ValueError(
+                "table has no declared schema (history predates schema "
+                "tracking); run one append/compaction first"
+            )
+        names = [n for n, _ in schema]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in schema {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in (meta.get("dropped_columns") or []):
+            raise ValueError(
+                f"column name {new!r} shadows a DROPPED column whose data "
+                "still lives in pre-drop files — compact the table first"
+            )
+        _refuse_load_bearing_column(meta, old, "rename")
+        mapping = dict(meta.get("column_mapping") or {})
+        # resolve chained renames to the ORIGINAL physical name
+        phys = mapping.pop(old, old)
+        mapping[new] = phys
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "schema": [[new if n == old else n, t] for n, t in schema],
+            "schema_evolved": True,
+            "column_mapping": mapping,
+            "rename_column": [old, new],
+        }
+        if meta.get("dropped_columns"):
+            snap["dropped_columns"] = meta["dropped_columns"]
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
+        _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)
+
+
+def snapshot_drop_column(table_dir: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN as a PURE-METADATA commit: the
+    declared schema loses the entry; existing files keep the bytes
+    (readers project them away) until a compaction rewrites declared
+    columns only. The physical name (and, for a renamed column, its
+    original source name) joins the ``dropped_columns`` shadow set so
+    a later ADD/RENAME onto it refuses instead of silently resurrecting
+    pre-drop data. Load-bearing columns refuse exactly like rename."""
+
+    def make_snap(parent: int, meta: dict) -> dict:
+        if parent == 0:
+            raise ValueError(f"cannot alter empty table {table_dir}")
+        schema = meta.get("schema")
+        if schema is None:
+            raise ValueError(
+                "table has no declared schema (history predates schema "
+                "tracking); run one append/compaction first"
+            )
+        names = [n for n, _ in schema]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in schema {names}")
+        if len(schema) == 1:
+            raise ValueError("cannot drop the table's only column")
+        _refuse_load_bearing_column(meta, name, "drop")
+        mapping = dict(meta.get("column_mapping") or {})
+        phys = mapping.pop(name, None)
+        dropped = list(meta.get("dropped_columns") or [])
+        for shadow in {name} | ({phys} if phys else set()):
+            if shadow not in dropped:
+                dropped.append(shadow)
+        snap = {
+            "version": parent + 1,
+            "parent": parent,
+            "stats_cols": meta.get("stats_cols", []),
+            "bloom_cols": _snapshot_bloom_cols(meta),
+            "schema": [[n, t] for n, t in schema if n != name],
+            "schema_evolved": True,
+            "drop_column": name,
+            "dropped_columns": dropped,
+        }
+        if mapping:
+            snap["column_mapping"] = mapping
+        for k in ("files", "manifests"):
+            if k in meta:
+                snap[k] = meta[k]
+        _carry_deletes(snap, meta)
+        _carry_constraints(snap, meta)
+        _carry_fence(snap, meta)
+        return snap
+
+    return publish_with_rebase(table_dir, make_snap)

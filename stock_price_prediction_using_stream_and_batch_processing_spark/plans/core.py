@@ -83,6 +83,7 @@ PENDING_ROTATION: frozenset[str] = frozenset({
     "incremental_semantic_dedup_embeddings",
     "snapshot_retention_orders",
     "snapshot_clone_orders",
+    "snapshot_rename_drop_orders",
 })
 
 # Every query green in some past round's CORRECTNESS_r*.json driver

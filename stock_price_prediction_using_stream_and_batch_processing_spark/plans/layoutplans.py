@@ -2736,3 +2736,76 @@ def snapshot_clone_orders(spark, sf_dir):
         .unionByName(agg(snap.read_snapshot(spark, src), "src_head"))
     )
     return out.withColumn("clone_ok", F.lit(bool(ok)))
+
+
+@register(
+    "snapshot_rename_drop_orders",
+    oracle="""
+    WITH s AS (SELECT o_orderkey % 2 AS slice, o_totalprice FROM orders)
+    SELECT CAST(slice AS INTEGER) AS slice, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price, TRUE AS mapping_ok
+    FROM s GROUP BY slice
+    """,
+    tags=("layout", "snapshot", "schema-evolution", "column-mapping", "metadata"),
+    driver=False,  # shipped after the r14 rotation freeze: PENDING_ROTATION holds the IOU
+)
+def snapshot_rename_drop_orders(spark, sf_dir):
+    """Metadata-only RENAME / DROP COLUMN (name-based column mapping,
+    operators/snapshots.snapshot_rename_column / snapshot_drop_column):
+    slice 0 lands under ``o_totalprice``, the column renames to
+    ``price`` (pure metadata — zero files touched at any table size),
+    slice 1 lands under the NEW name, then ``o_orderstatus`` drops.
+    The final read coalesces both file generations through the mapping
+    — per-slice sums are value-checked against the raw table, so a
+    mapping bug (wrong generation, NULL-padded rename) breaks the
+    hash. ``mapping_ok`` folds: declared columns after the DDL,
+    history verbs [.., rename_column, .., drop_column], the dropped-
+    name shadow refusing resurrection, and the mapping retiring after
+    OPTIMIZE (compaction rewrites declared names only)."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    d = fresh_result_dir("snap_rename")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        snap.snapshot_append(
+            spark, d, orders.where(F.col("o_orderkey") % 2 == 0),
+            stats_cols=["o_orderkey"],
+        )
+        snap.snapshot_rename_column(d, "o_totalprice", "price")
+        snap.snapshot_append(
+            spark, d,
+            orders.where(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+                "o_totalprice", "price"
+            ),
+            stats_cols=["o_orderkey"],
+        )
+        snap.snapshot_drop_column(d, "o_orderstatus")
+        ok = True
+        live = snap.read_snapshot(spark, d)
+        ok &= live.columns == ["o_orderkey", "price"]
+        ops = [h["operation"] for h in snap.snapshot_history(d)]
+        ok &= ops == ["append", "rename_column", "append", "drop_column"]
+        try:
+            snap.snapshot_add_column(d, "o_orderstatus", "string")
+            ok = False  # shadow must refuse resurrection
+        except ValueError:
+            pass
+        snap.snapshot_compact(spark, d, target_files=2)
+        m = snap.read_snapshot_meta(d, snap.current_version(d))
+        ok &= not m.get("column_mapping") and not m.get("dropped_columns")
+        live = snap.read_snapshot(spark, d)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        live.groupBy(F.pmod(F.col("o_orderkey"), F.lit(2)).cast("int").alias("slice"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .withColumn("mapping_ok", F.lit(bool(ok)))
+    )

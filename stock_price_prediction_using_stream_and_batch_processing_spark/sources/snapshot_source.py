@@ -369,14 +369,35 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, paths: list[str], columns: list[str] | None = None, suffix=()):
         import pyarrow.parquet as pq
 
+        from ..operators import snapshots as snap
+
         columns = self.columns if columns is None else columns
+        # column-mapping awareness (metadata-only RENAME COLUMN): a
+        # rescan batch re-reads files written BEFORE a rename, whose
+        # rows wear the physical source name — resolve each declared
+        # column through the current mapping per file (append-only
+        # deltas always carry declared names, so the fast path is the
+        # identity)
+        v = snap.current_version(self.table_dir)
+        mapping = (
+            snap.read_snapshot_meta(self.table_dir, v).get("column_mapping") or {}
+            if v
+            else {}
+        )
         for p in sorted(paths):
             f = pq.ParquetFile(p)
             present = set(f.schema_arrow.names)
+
+            def _src(n: str) -> str | None:
+                if n in present:
+                    return n
+                phys = mapping.get(n)
+                return phys if phys in present else None
+
             for batch in f.iter_batches():
                 cols = [
-                    batch.column(n).to_pylist()
-                    if n in present
+                    batch.column(_src(n)).to_pylist()
+                    if _src(n) is not None
                     else [None] * batch.num_rows
                     for n in columns
                 ]
@@ -447,6 +468,24 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         cur = snap.current_version(self.table_dir)
         if cur <= lo:
             return iter([]), {"version": lo}
+        # RENAME/DROP COLUMN is a schema change: this stream's column
+        # list was pinned at start; continuing would silently NULL-pad
+        # the renamed column on post-rename deltas. Refuse loudly — the
+        # Delta posture (restart the stream to adopt the new schema).
+        # ADD COLUMN stays compatible: pinned columns all still exist.
+        declared = snap.read_snapshot_meta(self.table_dir, cur).get("schema")
+        if declared is not None:
+            now = {n for n, _ in declared}
+            gone = [
+                c for c in self.columns
+                if c not in now and c not in ("_change_type", "_commit_version")
+            ]
+            if gone:
+                raise ValueError(
+                    f"column(s) {gone} were renamed or dropped after this "
+                    "stream started; restart the stream to adopt the new "
+                    "schema"
+                )
         # admit up to max_commits commits per micro-batch (default 1:
         # offsets track commit lineage exactly); the delta of a RANGE
         # is the same metadata set difference replay recovery uses
