@@ -1340,6 +1340,16 @@ def _merged_schema(
             f"commit schema differs from the table's (new: {[c[0] for c in new_cols]}, "
             f"missing: {missing}); pass merge_schema=True to evolve additively"
         )
+    # same resurrection hazard as snapshot_add_column: a merged-in
+    # column named like a DROPPED one would read pre-drop bytes back
+    # out of old files (name-based mapping cannot disambiguate)
+    shadows = [c[0] for c in new_cols if c[0] in (meta.get("dropped_columns") or [])]
+    if shadows:
+        raise ValueError(
+            f"column name(s) {shadows} shadow DROPPED columns whose data "
+            "still lives in pre-drop files — compact the table first to "
+            "purge the shadow, then evolve the schema"
+        )
     evolved = bool(meta.get("schema_evolved")) or bool(new_cols) or bool(missing)
     return parent + new_cols, evolved
 

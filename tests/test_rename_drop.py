@@ -188,3 +188,21 @@ def test_stream_refuses_after_rename(spark, tmp_path):
         q2.awaitTermination()
     got = {(r.k, r.price) for r in spark.table(name2).collect()}
     assert got == {(i, i * 2.0) for i in range(7)}
+
+
+def test_merge_schema_append_refuses_dropped_shadow(spark, tmp_path):
+    """The add_column resurrection refusal must also gate merge_schema
+    appends — the other door into the declaration."""
+    d = str(tmp_path / "t")
+    df3 = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+        F.lit("x").alias("w"),
+    )
+    snap.snapshot_append(spark, d, df3, stats_cols=["k"])
+    snap.snapshot_drop_column(d, "v")
+    wider = spark.range(5, 7).select(
+        F.col("id").alias("k"), F.lit("y").alias("w"), F.lit(9.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="shadow DROPPED"):
+        snap.snapshot_append(spark, d, wider, stats_cols=["k"], merge_schema=True)
+    assert snap.read_snapshot(spark, d).columns == ["k", "w"]
