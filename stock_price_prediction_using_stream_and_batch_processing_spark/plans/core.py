@@ -33,41 +33,49 @@ DRIVER_QUERY_BUDGET = 50
 # Every other registered query stays in the extended tier (still fully
 # differentially tested in tests/test_queries_oracle.py).
 #
-# Round 14: the 6 late-r13 faces that never held a driver slot, the 2
-# new r14 faces (semantic dedup, DSv2 snapshot write), and the 42
-# stalest veterans — every remaining r4 and r5 row plus 15 of the 17
-# r6 rows (judge ask #1: no query's latest driver evidence should
-# predate round 4).
+# Round 15: consumes the entire r14 PENDING_ROTATION (judge ask #1),
+# adds the new r15 faces, and back-fills with every veteran whose
+# latest driver-green evidence predates r12 — after this round no
+# query's driver evidence is older than r10's artifacts (the r7–r11
+# tail is fully re-greened here).
 DRIVER_ROTATION: frozenset[str] | None = frozenset({
+    # r14 PENDING_ROTATION, consumed in full
+    "trailing_mean_events_bucketed",
+    "incremental_semantic_dedup_embeddings",
+    "snapshot_retention_orders",
+    "snapshot_clone_orders",
+    "snapshot_rename_drop_orders",
     # new this round
-    "semantic_dedup_embeddings",
-    "snapshot_dsv2_write_orders",
-    # never held a driver slot before r14 (shipped after the r13 freeze)
-    "bm25_batch_retrieval_docs", "leakage_safe_split_docs",
-    "pipeline_docs_incremental", "seasonal_decompose_events",
-    "snapshot_history_orders", "snapshot_merge_evolution_orders",
-    # stale: last driver-green r4
-    "bm25_topk_docs", "chunk_docs", "cosine_topk_bruteforce",
-    "data_quality_events", "doc_profile", "doc_repetition_docs",
-    "doc_winnow_fingerprints", "embedding_dedup_clusters", "latest_k_events",
-    "media_feature_stats", "minhash_lsh_pairs_docs", "predict_sliding60_events",
-    "range_join_purchase_windows", "salted_agg_by_type", "simhash_docs",
-    "tf_idf_docs", "top_parts_by_revenue", "trailing_mean_events",
-    "vwap_lineitem",
-    # stale: last driver-green r5
-    "collocation_pmi_docs", "decontaminate_train_eval",
-    "edit_distance_pairs_docs", "event_transitions_events",
-    "funnel_view_click_purchase", "global_shuffle_docs",
-    "outlier_events_zscore",
-    # stale: last driver-green r6 (16 of 17; the leftover heads
-    # PENDING_ROTATION for r15)
-    "doc_bigram_surprisal", "embedding_centroid_dispersion",
-    "gapfill_hourly_events", "hash_sample_docs", "heavy_hitter_tokens",
-    "mixture_resample_docs", "multi_res_ohlc_events", "order_status_history",
-    "pii_redact_docs", "retention_cohorts_events", "rolling_corr_lineitem",
-    "simhash_near_pairs_docs", "stratified_sample_docs",
-    "stream_session_counts", "table_profile_events",
-    "weighted_sample_events",
+    "pagerank_parts",               # r13 ask #4 closed explicitly
+    # r12 veteran re-greened because r15 reworks its validation path
+    # (DSv2 CHECK-constraint scan distributed — VERDICT r14 ask #2)
+    "snapshot_constraint_orders",
+    # stale: last driver-green r7
+    "media_frame_sample",
+    # stale: last driver-green r8
+    "cdc_apply_orders", "embedding_quantize_int8", "hierarchy_flatten_parts",
+    "media_feature_extract", "referential_orphans_check",
+    # stale: last driver-green r9
+    "histogram_value_events", "unpivot_user_event_counts",
+    "zorder_value_events",
+    # stale: last driver-green r10
+    "approx_agg_stats", "cosine_topk_ivf", "embedding_near_dup_lsh",
+    "hll_rollup_daily_users", "near_dup_filter_docs",
+    "pagerank_customer_supplier", "snapshot_diff_orders",
+    "stream_enrich_user_segment", "value_rank_distribution_events",
+    # stale: last driver-green r11
+    "bloom_pruned_join_part_lineitem", "cms_rollup_daily_tokens",
+    "cms_token_counts_docs", "doc_length_decile_stats",
+    "doc_surprisal_docs", "grouping_sets_orders", "hard_negative_pairs_docs",
+    "incremental_content_dedup_docs", "intra_doc_dedup_docs",
+    "jdbc_roundtrip_orders_topk", "kafka_wire_parse_events",
+    "kmv_overlap_daily_users", "linear_count_daily_users",
+    "ohlc_incremental_refresh_events", "pack_docs_bins",
+    "quantile_rollup_daily_values", "salted_join_hot_events",
+    "storage_lifecycle_events", "stream_cms_maintenance",
+    "stream_kmv_maintenance", "stream_ohlc_maintenance",
+    "time_to_conversion_events", "touch_attribution_events",
+    "train_val_test_split_docs", "upsert_latest_order_per_customer",
 })
 
 # Queries registered but not yet slotted: MUST be consumed by the next
@@ -75,23 +83,15 @@ DRIVER_ROTATION: frozenset[str] | None = frozenset({
 # registered query is in none of {DRIVER_ROTATION, PENDING_ROTATION,
 # DRIVER_CHECKED_BEFORE} — the guard the judge asked for after new
 # faces shipped past the rotation freeze three rounds running.
-PENDING_ROTATION: frozenset[str] = frozenset({
-    # r6 veteran that didn't fit the r14 budget (redundant bucketed
-    # variant of the in-rotation trailing_mean_events)
-    "trailing_mean_events_bucketed",
-    # shipped after the r14 rotation freeze — r15 must slot them
-    "incremental_semantic_dedup_embeddings",
-    "snapshot_retention_orders",
-    "snapshot_clone_orders",
-    "snapshot_rename_drop_orders",
-})
+PENDING_ROTATION: frozenset[str] = frozenset()
 
 # Every query green in some past round's CORRECTNESS_r*.json driver
 # sweep (generated from the committed artifacts at the r14 rotation
 # edit; append when a rotation lands).
 DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "active_users_union", "approx_agg_stats", "asof_join_purchase_error",
-    "bloom_pruned_join_part_lineitem", "bm25_topk_docs",
+    "bloom_pruned_join_part_lineitem", "bm25_batch_retrieval_docs",
+    "bm25_topk_docs",
     "bucketed_join_orders_customer", "case_when_price_bands",
     "catalog_txn_orders", "cdc_apply_orders", "chunk_docs",
     "cms_rollup_daily_tokens", "cms_token_counts_docs",
@@ -121,7 +121,7 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "join_orders_customer_segment", "json_extract_events", "k_core_parts",
     "kafka_wire_parse_events", "kmv_overlap_daily_users",
     "label_propagation_parts", "lag_returns_events",
-    "latest3_events_per_user", "latest_k_events",
+    "latest3_events_per_user", "latest_k_events", "leakage_safe_split_docs",
     "linear_count_daily_users", "manifest_pruned_scan_events",
     "media_feature_extract", "media_feature_stats", "media_frame_sample",
     "minhash_lsh_pairs_docs", "minhash_signatures_docs",
@@ -130,7 +130,8 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "ohlc_incremental_refresh_events", "order_status_history",
     "outlier_events_zscore", "pack_docs_bins",
     "pagerank_customer_supplier", "percentiles_by_type", "pii_redact_docs",
-    "pipeline_docs_end_to_end", "pipeline_docs_stage_attrition",
+    "pipeline_docs_end_to_end", "pipeline_docs_incremental",
+    "pipeline_docs_stage_attrition",
     "pivot_user_event_counts", "predict_next_events",
     "predict_sliding60_events", "pricing_summary",
     "purchasers_who_also_errored", "python_datasource_ticks",
@@ -139,12 +140,15 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "returns_volatility_per_user", "revenue_by_nation",
     "rolling_corr_lineitem", "rolling_median_events", "rollup_lineitem",
     "salted_agg_by_type", "salted_join_hot_events", "scan_filter_project",
-    "schema_evolution_read_events", "session_window_stats",
+    "schema_evolution_read_events", "seasonal_decompose_events",
+    "semantic_dedup_embeddings", "session_window_stats",
     "sessionize_events", "simhash_docs", "simhash_near_pairs_docs",
     "sliding60_mean_events", "snapshot_analyze_orders",
     "snapshot_bloom_lookup_orders", "snapshot_compact_orders",
     "snapshot_constraint_orders", "snapshot_diff_orders",
-    "snapshot_equality_delete_orders", "snapshot_hidden_partition_events",
+    "snapshot_dsv2_write_orders", "snapshot_equality_delete_orders",
+    "snapshot_hidden_partition_events", "snapshot_history_orders",
+    "snapshot_merge_evolution_orders",
     "snapshot_merge_orders", "snapshot_metadata_agg_orders",
     "snapshot_partitioned_orders", "snapshot_position_delete_orders",
     "snapshot_schema_evolution_orders", "snapshot_sharded_manifest_orders",
