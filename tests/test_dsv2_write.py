@@ -216,3 +216,133 @@ def test_batch_write_bloom_type_gate(spark, tmp_path):
             .option("table_dir", str(tmp_path / "t"))
             .option("bloom_cols", "v").save()  # v is double
         )
+
+
+# -- distributed CHECK validation (VERDICT r14 ask #2) -----------------------
+
+
+def test_constraint_counts_ride_the_task_message(tmp_path):
+    """Each task validates its OWN staged file in write() and ships the
+    per-constraint violation counts in its commit message — the commit
+    hook folds counts instead of rescanning the staged bytes."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources import snapshot_sink as sink_mod
+
+    d = str(tmp_path / "t")
+    # a table whose current snapshot declares a constraint
+    e0 = _stage_file(d, [(1, 1.0)])
+    w0 = SnapshotBatchWriter({"table_dir": d, "stats_cols": "k"}, SCHEMA, False)
+    w0.commit([e0])
+    snap.snapshot_set_constraint(None, d, "k_nonneg", "k >= 0", validate=False)
+    w = SnapshotBatchWriter({"table_dir": d, "stats_cols": "k"}, SCHEMA, False)
+    assert w.plan_constraints == {"k_nonneg": "k >= 0"}
+    msg = w.write(iter([(-3, 1.0), (4, 2.0), (-9, 3.0)]))
+    assert msg.violations == {"k_nonneg": 2}
+    clean = w.write(iter([(7, 1.0)]))
+    assert clean.violations == {}
+    w2 = SnapshotBatchWriter({"table_dir": d, "stats_cols": "k"}, SCHEMA, False)
+    ok = w2.write(iter([(5, 1.0)]))  # task-side validation happens HERE
+    # fast path: constraints unchanged -> commit must NOT rescan staged
+    # bytes (the per-task counts are authoritative)
+    orig = sink_mod._staged_violations
+    sink_mod._staged_violations = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("commit rescanned staged files on the fast path")
+    )
+    try:
+        with pytest.raises(snap.ConstraintViolationError, match="k_nonneg"):
+            w.commit([msg, clean])
+        w2.commit([ok])
+    finally:
+        sink_mod._staged_violations = orig
+    # the refused commit dropped its staged files; the clean one landed
+    assert snap.current_version(d) == 3
+    assert not os.path.exists(msg.path) and not os.path.exists(clean.path)
+
+
+def test_constraint_fallback_when_altered_between_plan_and_commit(tmp_path):
+    """A constraint ADDED after the writer was planned: per-task counts
+    validated a stale (empty) set, so the commit hook falls back to the
+    one commit-time scan and still refuses."""
+    d = str(tmp_path / "t")
+    e0 = _stage_file(d, [(1, 1.0)])
+    w0 = SnapshotBatchWriter({"table_dir": d, "stats_cols": "k"}, SCHEMA, False)
+    w0.commit([e0])
+    w = SnapshotBatchWriter({"table_dir": d, "stats_cols": "k"}, SCHEMA, False)
+    assert w.plan_constraints == {}
+    msg = w.write(iter([(-3, 1.0)]))
+    assert msg.violations is None  # nothing to validate against at plan time
+    snap.snapshot_set_constraint(None, d, "k_nonneg", "k >= 0", validate=False)
+    with pytest.raises(snap.ConstraintViolationError, match="k_nonneg"):
+        w.commit([msg])
+    assert snap.current_version(d) == 2 and not os.path.exists(msg.path)
+
+
+def test_staged_violations_null_and_unparseable(tmp_path):
+    """NULL counts as a violation (the Delta CHECK semantics, same rule
+    as snapshots._violation_counts); an expression DuckDB cannot parse
+    fails LOUDLY instead of skipping enforcement."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import _staged_violations
+
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, None, -2], pa.int64())}), p)
+    assert _staged_violations([p], {"k_nonneg": "k >= 0"}) == {"k_nonneg": 2}
+    assert _staged_violations([p], {"always": "TRUE"}) == {}
+    with pytest.raises(Exception):
+        _staged_violations([p], {"bad": "k ==== 1"})
+
+
+def test_end_to_end_distributed_refusal(spark, tmp_path):
+    """Multi-task write where only ONE task's partition violates: the
+    refusal happens from folded per-task counts, the table stays at the
+    parent version, and no staged file lingers."""
+    import glob
+
+    d = str(tmp_path / "t")
+    register_snapshot_sink(spark)
+    _write(_df(spark, 0, 10), d, stats_cols="k")
+    snap.snapshot_set_constraint(spark, d, "k_small", "k < 1000")
+    mixed = spark.createDataFrame(
+        [(100, 1.0), (200, 2.0), (5000, 3.0), (300, 4.0)], SCHEMA
+    ).repartition(4)
+    with pytest.raises(Exception, match="k_small"):
+        _write(mixed, d, stats_cols="k")
+    assert snap.current_version(d) == 2
+    referenced = {e["path"] for e in snap.snapshot_files(d)}
+    on_disk = set(glob.glob(os.path.join(d, "data", "**", "*.parquet"), recursive=True))
+    assert on_disk == referenced  # refused batch left zero orphans
+
+
+# -- write-path stats/bloom parity (VERDICT r14 ask #7) ----------------------
+
+
+def test_dsv2_and_streaming_sink_stats_bloom_parity(spark, tmp_path):
+    """The SAME rows written through df.write.format("snapshot_sink")
+    and through the streaming sink must produce BYTE-IDENTICAL per-file
+    stats + bloom metadata — drift here would silently weaken
+    point-lookup pruning on one path (both share write(), but pin it:
+    a fork of either path must keep the fold identical)."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snapshot_sink import SnapshotStreamWriter
+
+    rows = [(i * 7 % 97, float(i)) for i in range(200)]
+    db = str(tmp_path / "batch")
+    register_snapshot_sink(spark)
+    (
+        spark.createDataFrame(rows, SCHEMA).coalesce(1)
+        .write.format("snapshot_sink").mode("append")
+        .option("table_dir", db).option("stats_cols", "k")
+        .option("bloom_cols", "k").save()
+    )
+    ds = str(tmp_path / "stream")
+    sw = SnapshotStreamWriter(
+        {"table_dir": ds, "writer_id": "w1", "stats_cols": "k", "bloom_cols": "k"},
+        SCHEMA,
+    )
+    sw.commit([sw.write(iter(rows))], batchId=0)
+
+    def meta(table):
+        (e,) = snap.snapshot_files(table)
+        return {k: v for k, v in e.items() if k not in ("path", "seq")}
+
+    assert meta(db) == meta(ds)
