@@ -295,6 +295,8 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Cross-snapshot SEMANTIC dedup: admit only new-batch vectors that
     are not semantic near-duplicates (cosine >= threshold) of anything
@@ -303,18 +305,24 @@ def incremental_semantic_dedup(
     incremental_near_dup`` (lexical MinHash) the way ``semantic_dedup``
     pairs ``near_dup_filter``.
 
-    Store layout under ``store_path``:
+    The state lives in SNAPSHOT TABLES under ``store_path`` (r15 —
+    previously a bare parquet dir + centroids.json outside the table
+    format), so the nightly job gets atomic commits, time travel, and
+    retention for free:
 
-    - ``centroids.json`` — the k-means coarse quantizer, fitted ONCE on
-      the first batch and FROZEN (refitting would reshuffle cells and
-      silently invalidate every admitted assignment; the IVF
-      convention). Driver-side, k*dim doubles — metadata-sized.
-    - ``vectors/`` — admitted (id, embedding, _cell) rows. Unlike the
-      lexical store (digests only), cosine verification needs the
-      vectors themselves; at 64 float32 dims that is ~256 B/row, a
-      small constant fraction of any text corpus, and the table is
-      written partitioned by ``_cell`` so each night's candidate join
-      reads ONLY the cells the new batch occupies.
+    - ``centroids/`` — the k-means coarse quantizer as a snapshot
+      table (cell, centroid), committed ONCE on the first batch and
+      FROZEN: later nights read VERSION 1 explicitly, so even a racing
+      second commit could never silently reshuffle cells and
+      invalidate admitted assignments (the IVF convention). k*dim
+      doubles — metadata-sized.
+    - ``vectors/`` — admitted (id, embedding, _u, cell, night) rows,
+      PARTITIONED BY cell so each night's candidate join reads ONLY
+      the cells the new batch occupies (set-valued
+      ``read_partitions``). Unlike the lexical store (digests only),
+      cosine verification needs the vectors themselves; at 64 float32
+      dims that is ~256 B/row, a small constant fraction of any text
+      corpus.
 
     Per batch: (1) assign new vectors to cells via the stored centroids
     (literal-folded argmin — no broadcast join, no Python); (2)
@@ -323,35 +331,67 @@ def incremental_semantic_dedup(
     candidates (rows pre-normalized once, single dot fold per pair);
     (4) store-matched new vectors drop, surviving in-batch matches
     collapse through resolve_components (min-id keeper); (5) admitted
-    rows append to the store's cell partitions.
+    rows append to the store's cell partitions in ONE atomic commit.
+
+    EXACTLY-ONCE: pass ``writer_id`` + ``batch_id`` (the night number)
+    and the store append rides the snapshot store's per-writer epoch
+    fence (``snapshot_append`` writer fence — the same ``last_batches``
+    map the streaming sink and fenced MERGE use): a crash-replayed
+    night publishes nothing, and the operator returns the night's
+    ORIGINALLY admitted rows read back from the store's ``night``
+    column — kill/restart across a night boundary is a no-op, pinned
+    by tests/test_similarity.py. Without the pair, the operator stays
+    non-idempotent across retries (wrap in the caller's epoch guard).
 
     Same deliberate semantics note as the lexical twin: a new vector is
     compared against ADMITTED representatives only, so a doc connected
     to the corpus only THROUGH an earlier-dropped near-dup is admitted
     (more permissive than a one-shot global pass); and cross-cell pairs
     are missed (the SemDeDup approximation — certified against the
-    exact replay by the registered face). NOT idempotent across retries
-    of one batch — wrap in the caller's epoch guard."""
-    import json
+    exact replay by the registered face)."""
     import os
 
-    from . import dedup
-    from ..sources.tables import parquet_table_exists
+    from . import dedup, snapshots as snap
 
-    cent_path = os.path.join(store_path, "centroids.json")
+    if (writer_id is None) != (batch_id is None):
+        raise ValueError("writer_id and batch_id must be passed together")
+    cent_tbl = os.path.join(store_path, "centroids")
     vec_store = os.path.join(store_path, "vectors")
-    if os.path.exists(cent_path):
-        with open(cent_path) as f:
-            centroids = np.asarray(json.load(f))
-    else:
-        _, centroids = ivf_build(new_vecs, dim, n_cells, vec_col, seed)
-        os.makedirs(store_path, exist_ok=True)
-        tmp = cent_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(centroids.tolist(), f)
-        os.replace(tmp, cent_path)
-
     in_cols = list(new_vecs.columns)
+    store_exists = snap.current_version(vec_store) > 0
+
+    if writer_id is not None and store_exists:
+        meta = snap.read_snapshot_meta(vec_store, snap.current_version(vec_store))
+        fence = (meta.get("last_batches") or {}).get(writer_id)
+        if fence is not None and batch_id <= fence:
+            # REPLAYED NIGHT: the store already holds this night's
+            # decisions — return them instead of re-deciding against a
+            # store that has advanced since (exactly-once semantics)
+            replay_ids = (
+                snap.read_snapshot(spark, vec_store)
+                .filter(F.col("night") == batch_id)
+                .select(id_col)
+            )
+            return new_vecs.join(replay_ids, id_col, "semi").select(*in_cols)
+
+    if snap.current_version(cent_tbl) == 0:
+        _, centroids = ivf_build(new_vecs, dim, n_cells, vec_col, seed)
+        snap.snapshot_append(
+            spark,
+            cent_tbl,
+            spark.createDataFrame(
+                [(int(i), c.tolist()) for i, c in enumerate(centroids)],
+                "cell int, centroid array<double>",
+            ),
+            stats_cols=["cell"],
+        )
+    # ALWAYS read version 1 — the quantizer is frozen by construction,
+    # not by hoping nobody appended
+    cent_rows = snap.read_snapshot(spark, cent_tbl, version=1).collect()
+    centroids = np.asarray(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])]
+    )
+
     assigned = (
         new_vecs.withColumn("_cell", nearest_cell_expr(vec_col, centroids))
         .withColumn("_u", vectors.unit(vec_col))
@@ -361,14 +401,14 @@ def incremental_semantic_dedup(
         F.col(id_col).alias("_nid"), F.col("_u").alias("_nu"), "_cell"
     )
     matched = None
-    if parquet_table_exists(spark, vec_store):
-        # the store's partition column is named WITHOUT an underscore:
-        # hive layout renders it as cell=<v> directories, and Spark's
-        # file listing (plus parquet_table_exists) skips paths starting
-        # with '_' as hidden — a partitionBy("_cell") store would be
-        # silently invisible to every later night (caught by the
-        # three-nights test)
-        store = spark.read.parquet(vec_store).select(
+    if store_exists:
+        # metadata-sized collect: the distinct cells this batch occupies
+        # (<= n_cells ints) drive the partition prune — the join reads
+        # ONLY the store files of occupied cells
+        occupied = [
+            r["_cell"] for r in assigned.select("_cell").distinct().collect()
+        ]
+        store = snap.read_partitions(spark, vec_store, {"cell": occupied}).select(
             F.col(id_col).alias("_sid"), F.col("_u").alias("_su"),
             F.col("cell").alias("_cell"),
         )
@@ -400,12 +440,16 @@ def incremental_semantic_dedup(
     )
     admitted = survivors.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
     adm_ids = admitted.select(id_col)
-    (
-        assigned.join(adm_ids, id_col)
-        .select(id_col, vec_col, "_u", F.col("_cell").alias("cell"))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(vec_store)
+    snap.snapshot_append(
+        spark,
+        vec_store,
+        assigned.join(adm_ids, id_col).select(
+            id_col, vec_col, "_u", F.col("_cell").alias("cell"),
+            F.lit(-1 if batch_id is None else batch_id).cast("long").alias("night"),
+        ),
+        partition_by=["cell"],
+        writer_id=writer_id,
+        batch_id=batch_id,
     )
     return admitted.select(*in_cols)
 

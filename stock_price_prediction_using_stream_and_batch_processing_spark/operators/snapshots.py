@@ -402,8 +402,19 @@ def snapshot_append(
     inline_max: int | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the published version.
+
+    EPOCH FENCE (optional): pass ``writer_id`` + ``batch_id`` together
+    and the append becomes idempotent per writer — the same per-writer
+    ``last_batches`` map the streaming sink and fenced MERGE use. A
+    replayed batch (``batch_id`` <= this writer's fence) publishes
+    NOTHING and returns 0; a committed batch advances the fence
+    atomically with its data. This is the batch-job twin of the sink's
+    exactly-once: a nightly job that crashes after committing night N
+    and is re-run simply no-ops night N.
 
     Steps: (1) write data files under a fresh commit dir — invisible,
     no reader holds a list containing them; (2) one column-pruned scan
@@ -431,9 +442,22 @@ def snapshot_append(
     keep their own pv; readers prune by stats so mixed layouts stay
     correct) or none (entries without pv make dynamic-partition
     overwrite refuse loudly until compaction re-clusters them)."""
+    if (writer_id is None) != (batch_id is None):
+        raise ValueError("writer_id and batch_id must be passed together")
     stats_cols = stats_cols or []
     if partition_by:
         stats_cols = _merged_cols(_spec_source_cols(partition_by), stats_cols)
+    if writer_id is not None:
+        # fence PRE-CHECK before the data write: a replayed batch skips
+        # the whole staging cost, not just the publish (the rebase-loop
+        # re-check below remains authoritative under racing commits)
+        cur = current_version(table_dir)
+        if cur:
+            fence = (
+                read_snapshot_meta(table_dir, cur).get("last_batches") or {}
+            ).get(writer_id)
+            if fence is not None and batch_id <= fence:
+                return 0
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     _write_commit_files(df, commit_dir, partition_by)
     cons = table_constraints(table_dir)
@@ -444,13 +468,28 @@ def snapshot_append(
     _attach_pv(entries, partition_by)
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
-    def make_snap(parent: int, meta: dict) -> dict:
+    def make_snap(parent: int, meta: dict) -> dict | None:
+        if writer_id is not None and parent:
+            fence = (meta.get("last_batches") or {}).get(writer_id)
+            if fence is not None and batch_id <= fence:
+                # fenced under the rebased parent: drop the staged
+                # commit dir, publish nothing (idempotent replay)
+                import shutil
+
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                return None
         snap = build_append_snap(
             table_dir, parent, meta, entries, stats_cols, bloom_cols, inline_max,
             schema=schema, merge_schema=merge_schema,
         )
         if partition_by is not None:
             snap["partition_by"] = partition_by
+        if writer_id is not None:
+            # advance THIS writer's fence atomically with the data
+            # (_carry_fence in the builder preserved other writers')
+            fences = dict(snap.get("last_batches") or {})
+            fences[writer_id] = batch_id
+            snap["last_batches"] = fences
         return snap
 
     return publish_with_rebase(table_dir, make_snap)
@@ -653,7 +692,10 @@ def read_partitions(
     pv matches EVERY (key, value) in ``where`` (keys are pv names —
     the column for identity specs, ``col_month``/``col_bucket``/...
     for transforms; values compare against the hive-rendered string
-    tokens). Files WITHOUT pv for a requested key are KEPT — the same
+    tokens). A value may be a set/list/tuple — the file is kept when
+    its pv is IN the collection (the multi-partition scan an
+    incremental job needs: read only the cells its batch occupies).
+    Files WITHOUT pv for a requested key are KEPT — the same
     conservative prune-not-filter contract as the stats prune: the
     caller applies its residual predicate, and a mixed-layout table
     returns correct rows instead of silently dropping them. Live
@@ -662,11 +704,18 @@ def read_partitions(
     meta = read_snapshot_meta(table_dir, v) if v else {}
     if _meta_n_files(meta) == 0:
         raise ValueError(f"snapshot has no files under {table_dir}")
-    where = {k: hive_value_token(val) for k, val in where.items()}
+    where = {
+        k: (
+            {hive_value_token(x) for x in val}
+            if isinstance(val, (set, frozenset, list, tuple))
+            else {hive_value_token(val)}
+        )
+        for k, val in where.items()
+    }
     kept = []
     for e in _meta_entries(meta):
         pv = e.get("pv") or {}
-        if all(k not in pv or pv[k] == val for k, val in where.items()):
+        if all(k not in pv or pv[k] in vals for k, vals in where.items()):
             kept.append(e)
     if not kept:
         return _aligned_reader(spark, meta, [_meta_entries(meta)[0]["path"]]).where(

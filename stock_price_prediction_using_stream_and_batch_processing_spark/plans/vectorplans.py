@@ -656,7 +656,8 @@ def incremental_semantic_dedup_embeddings(spark, sf_dir):
         for n in range(3):
             batch = sub.filter(F.col("night") == n).select("vec_id", "embedding")
             adm = sim.incremental_semantic_dedup(
-                spark, batch, store, threshold=0.35, dim=_DIM, n_cells=16
+                spark, batch, store, threshold=0.35, dim=_DIM, n_cells=16,
+                writer_id="nightly", batch_id=n,  # fenced snapshot-store appends
             ).select("vec_id")
             op_admitted = adm if op_admitted is None else op_admitted.unionByName(adm)
         op_admitted = op_admitted.localCheckpoint(eager=True)

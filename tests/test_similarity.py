@@ -192,12 +192,13 @@ def test_incremental_semantic_dedup_three_nights(spark, tmp_path):
     n2 = [(300, (base[0] + rng.normal(size=DIM) * 0.01).tolist()), (301, iso.tolist())]
     df2 = spark.createDataFrame(n2, "vec_id long, embedding array<double>")
 
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
     a0 = {r.vec_id for r in similarity.incremental_semantic_dedup(
         spark, df0, store, threshold=0.95, dim=DIM, n_cells=8).collect()}
     assert a0 == set(range(40))
-    cent = os.path.join(store, "centroids.json")
-    assert os.path.exists(cent)
-    mtime = os.path.getmtime(cent)
+    cent = os.path.join(store, "centroids")
+    assert snap.current_version(cent) == 1  # quantizer table committed once
 
     a1 = {r.vec_id for r in similarity.incremental_semantic_dedup(
         spark, df1, store, threshold=0.95, dim=DIM, n_cells=8).collect()}
@@ -206,27 +207,33 @@ def test_incremental_semantic_dedup_three_nights(spark, tmp_path):
         spark, df2, store, threshold=0.95, dim=DIM, n_cells=8).collect()}
     # 300 matches ADMITTED 0 (not just dropped 100) -> dropped; 301 isolated
     assert a2 == {301}
-    assert os.path.getmtime(cent) == mtime  # quantizer frozen after night 0
-    # store holds exactly the admitted vectors
-    got = {r.vec_id for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
+    assert snap.current_version(cent) == 1  # quantizer frozen after night 0
+    # store is a SNAPSHOT TABLE holding exactly the admitted vectors,
+    # one atomic version per night
+    vec_tbl = os.path.join(store, "vectors")
+    assert snap.current_version(vec_tbl) == 3
+    got = {r.vec_id for r in snap.read_snapshot(spark, vec_tbl).collect()}
     assert got == a0 | a1 | a2
+    # time travel: after night 1 the store held nights 0+1 only
+    assert {r.vec_id for r in snap.read_snapshot(spark, vec_tbl, version=2).collect()} == a0 | a1
 
 
 def test_incremental_semantic_dedup_epoch_guarded_redelivery(spark, tmp_path):
-    """The documented exactly-once recipe for the non-idempotent
-    nightly operator: wrap each batch in streaming/pipeline.
-    epoch_guarded. A redelivered epoch (foreachBatch replay after a
-    crash) must be a no-op — without the guard, re-admitting the same
-    batch would double every store row and flip later drop decisions."""
+    """The EXTERNAL exactly-once recipe still composes: wrap each batch
+    in streaming/pipeline.epoch_guarded. A redelivered epoch
+    (foreachBatch replay after a crash) must be a no-op — without the
+    guard, re-admitting the same batch would double every store row
+    and flip later drop decisions."""
     import os
 
     import numpy as np
 
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
     from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import epoch_guarded
 
     rng = np.random.RandomState(3)
     store = str(tmp_path / "store")
-    vec_dir = os.path.join(store, "vectors")
+    vec_tbl = os.path.join(store, "vectors")
     b0 = spark.createDataFrame(
         [(i, rng.normal(size=DIM).tolist()) for i in range(20)],
         "vec_id long, embedding array<double>",
@@ -241,19 +248,75 @@ def test_incremental_semantic_dedup_epoch_guarded_redelivery(spark, tmp_path):
         )
 
     assert night(b0, 0) is True
-    n_files = len([
-        f for root, _, fs in os.walk(vec_dir) for f in fs if f.endswith(".parquet")
-    ])
+    v = snap.current_version(vec_tbl)
     # redelivery of epoch 0: guard skips, store bit-identical
     assert night(b0, 0) is False
-    n_files2 = len([
-        f for root, _, fs in os.walk(vec_dir) for f in fs if f.endswith(".parquet")
-    ])
-    assert n_files2 == n_files
-    assert spark.read.parquet(vec_dir).count() == 20
+    assert snap.current_version(vec_tbl) == v
+    assert snap.read_snapshot(spark, vec_tbl).count() == 20
     # the next epoch still admits normally
     b1 = spark.createDataFrame(
         [(100, rng.normal(size=DIM).tolist())], "vec_id long, embedding array<double>"
     )
     assert night(b1, 1) is True
-    assert spark.read.parquet(vec_dir).count() == 21
+    assert snap.read_snapshot(spark, vec_tbl).count() == 21
+
+
+def test_incremental_semantic_dedup_native_fence_kill_restart(spark, tmp_path):
+    """NATIVE exactly-once across a night boundary (VERDICT r14 ask
+    #6): the store is a snapshot table, so passing writer_id+batch_id
+    rides the store's per-writer epoch fence. Simulated kill/restart:
+    night 0 commits, the job is 'restarted' and re-runs night 0 — the
+    replay publishes NOTHING and returns the night's originally
+    admitted ids read back from the store; night 1 then proceeds
+    normally and a later replay of night 0 (after the boundary) is
+    STILL the same no-op."""
+    import os
+
+    import numpy as np
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
+    rng = np.random.RandomState(7)
+    store = str(tmp_path / "store")
+    vec_tbl = os.path.join(store, "vectors")
+    base = rng.normal(size=(10, DIM))
+    # two in-batch near-dups: 8 and 9 copy 0 and 1 -> min-id keeper drops them
+    rows = [(i, base[i].tolist()) for i in range(8)]
+    rows += [(8, (base[0] + rng.normal(size=DIM) * 0.01).tolist()),
+             (9, (base[1] + rng.normal(size=DIM) * 0.01).tolist())]
+    b0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(df, night):
+        return {r.vec_id for r in similarity.incremental_semantic_dedup(
+            spark, df, store, threshold=0.95, dim=DIM, n_cells=2,
+            writer_id="nightly", batch_id=night,
+        ).collect()}
+
+    a0 = run(b0, 0)
+    assert a0 == set(range(8))
+    v_after_0 = snap.current_version(vec_tbl)
+    # crash + restart: night 0 redelivered — same result, no new version
+    assert run(b0, 0) == a0
+    assert snap.current_version(vec_tbl) == v_after_0
+    # night 1: a near-copy of admitted 2 drops, a fresh vector admits
+    b1 = spark.createDataFrame(
+        [(20, (base[2] + rng.normal(size=DIM) * 0.01).tolist()),
+         (21, rng.normal(size=DIM).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    a1 = run(b1, 1)
+    assert a1 == {21}
+    v_after_1 = snap.current_version(vec_tbl)
+    assert v_after_1 == v_after_0 + 1
+    # replay of night 0 ACROSS the boundary: still fenced, still the
+    # original answer, store untouched
+    assert run(b0, 0) == a0
+    assert snap.current_version(vec_tbl) == v_after_1
+    # the fence is per-writer metadata on the snapshot, not a side file
+    meta = snap.read_snapshot_meta(vec_tbl, v_after_1)
+    assert meta["last_batches"] == {"nightly": 1}
+    # mismatched pairing refuses loudly
+    with pytest.raises(ValueError, match="together"):
+        similarity.incremental_semantic_dedup(
+            spark, b1, store, threshold=0.95, dim=DIM, writer_id="w"
+        )

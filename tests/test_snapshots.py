@@ -1329,3 +1329,70 @@ def test_read_partitions_multi_column_prune(spark, tmp_path):
     assert got3 == [
         k for k in range(60) if k % 3 == 1 and k % 2 == 1 and k != 1
     ] + [100, 101, 102]
+
+
+def test_fenced_append_exactly_once(spark, tmp_path):
+    """snapshot_append with writer_id+batch_id rides the per-writer
+    epoch fence (r15 — the batch twin of the streaming sink's
+    exactly-once): a replayed batch publishes nothing and returns 0;
+    a new batch advances the fence atomically with its data; fences
+    are per-writer, so a second pipeline's numbering is independent."""
+    d = str(tmp_path / "t")
+    v = snap.snapshot_append(
+        spark, d, spark.range(5).select(F.col("id").alias("k")),
+        stats_cols=["k"], writer_id="w1", batch_id=0,
+    )
+    assert v == 1
+    # replay of batch 0: no-op, version unchanged
+    assert snap.snapshot_append(
+        spark, d, spark.range(5).select(F.col("id").alias("k")),
+        stats_cols=["k"], writer_id="w1", batch_id=0,
+    ) == 0
+    assert snap.current_version(d) == 1
+    assert snap.read_snapshot(spark, d).count() == 5
+    # next batch commits and advances the fence
+    assert snap.snapshot_append(
+        spark, d, spark.range(5, 8).select(F.col("id").alias("k")),
+        stats_cols=["k"], writer_id="w1", batch_id=1,
+    ) == 2
+    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"w1": 1}
+    # a DIFFERENT writer starting at batch 0 is NOT fenced by w1
+    assert snap.snapshot_append(
+        spark, d, spark.range(8, 9).select(F.col("id").alias("k")),
+        stats_cols=["k"], writer_id="w2", batch_id=0,
+    ) == 3
+    assert snap.read_snapshot_meta(d, 3)["last_batches"] == {"w1": 1, "w2": 0}
+    # unfenced appends still work and carry the map forward
+    assert snap.snapshot_append(
+        spark, d, spark.range(9, 10).select(F.col("id").alias("k")),
+        stats_cols=["k"],
+    ) == 4
+    assert snap.read_snapshot_meta(d, 4)["last_batches"] == {"w1": 1, "w2": 0}
+    import pytest
+
+    with pytest.raises(ValueError, match="together"):
+        snap.snapshot_append(spark, d, spark.range(1), writer_id="w1")
+
+
+def test_read_partitions_accepts_value_sets(spark, tmp_path):
+    """read_partitions with a set/list value keeps files whose pv is IN
+    the collection — the multi-cell prune incremental jobs use. The
+    prune is exact on a fully partitioned table (file count checked
+    via the plan's input files)."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(
+        spark, d,
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+        ),
+        stats_cols=["k"], partition_by=["p"],
+    )
+    got = snap.read_partitions(spark, d, {"p": [0, 2]})
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [k for k in range(40) if k % 4 in (0, 2)]
+    # exactly the two partitions' files were admitted (no p=1/p=3 file)
+    assert got.inputFiles() and all(
+        "__pv_p=0" in f or "__pv_p=2" in f for f in got.inputFiles()
+    )
+    # scalar values keep working
+    assert snap.read_partitions(spark, d, {"p": 1}).count() == 10
