@@ -225,12 +225,27 @@ def semantic_dedup(
     uniques) and ``keep`` marks the representative.
 
     Scale shape: the quadratic term is PER CELL — at 100 TB the corpus
-    is stored bucketed by cell, cells stay O(corpus/n_cells) with
-    n_cells grown alongside the corpus (the SemDeDup recipe: ~sqrt(N)
-    cells), and each cell's pair generation is an equi-self-join on
-    the cell key, never an all-pairs shuffle. ``max_cell_pairs_side``
-    optionally caps a degenerate cell (same posture as the LSH bucket
-    cap in near-dup dedup: a loud bound beats a silent k² blowup).
+    is stored bucketed by cell and each cell's pair generation is an
+    equi-self-join on the cell key, never an all-pairs shuffle.
+
+    CELL-COUNT POLICY (measured — scripts/semdedup_cell_probe.py,
+    SCALE.md r15): the SemDeDup paper's ``n_cells ~ sqrt(N)`` keeps
+    totals sub-quadratic (candidate pairs ~N^1.5; measured pairs/N
+    81 -> 165 -> 307 across a 1x/4x/16x corpus) but per-cell pair
+    counts still grow ~linearly in N. For flat per-cell cost — the
+    property a 1000-executor run actually needs — scale
+    ``n_cells ~ N / target_cell_size`` (constant cell size, 500–10k
+    vectors): measured pairs/N stays ~flat (305 -> 273 over 4x) and
+    total candidate work is O(N * cell_size). Use sqrt(N) only while
+    the quantizer fit dominates (small corpora). Real k-means cells
+    skew 2–8x over the mean; ``max_cell_pairs_side`` caps a
+    degenerate cell loudly (same posture as the LSH bucket cap in
+    near-dup dedup: a loud bound beats a silent k² blowup). Ceiling:
+    ``nearest_cell_expr`` folds k*dim literals into the plan — past
+    ~1k cells expression assembly dominates assignment (measured
+    0.4 s @ 40 cells vs ~20 s @ 566), so a >1k-cell deployment should
+    assign via a broadcast centroid matrix in a vectorized pandas UDF
+    instead.
     Components run through the shared policy seam
     (dedup.resolve_components "auto"): O(diameter) propagation for the
     clique-shaped families duplicate groups mostly are, pointer-
