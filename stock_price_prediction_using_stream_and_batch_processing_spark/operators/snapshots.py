@@ -1390,17 +1390,36 @@ def _merged_schema(
             f"missing: {missing}); pass merge_schema=True to evolve additively"
         )
     # same resurrection hazard as snapshot_add_column: a merged-in
-    # column named like a DROPPED one would read pre-drop bytes back
-    # out of old files (name-based mapping cannot disambiguate)
-    shadows = [c[0] for c in new_cols if c[0] in (meta.get("dropped_columns") or [])]
+    # column named like a DROPPED one — or like the physical SOURCE of
+    # a live RENAME (r15 sweep: rename a->b leaves physical 'a' bytes
+    # in old files; re-declaring 'a' read them back) — would read
+    # stale bytes out of old files (name-based mapping cannot
+    # disambiguate)
+    shadow_set = _shadow_names(meta)
+    shadows = [c[0] for c in new_cols if c[0] in shadow_set]
     if shadows:
         raise ValueError(
-            f"column name(s) {shadows} shadow DROPPED columns whose data "
-            "still lives in pre-drop files — compact the table first to "
-            "purge the shadow, then evolve the schema"
+            f"column name(s) {shadows} shadow DROPPED columns or RENAME "
+            "sources whose data still lives in old files — compact the "
+            "table first to purge the shadow, then evolve the schema"
         )
     evolved = bool(meta.get("schema_evolved")) or bool(new_cols) or bool(missing)
     return parent + new_cols, evolved
+
+
+def _shadow_names(meta: dict) -> set[str]:
+    """Names that must not (re-)enter the declared schema: DROPPED
+    columns' names/physical sources AND the physical SOURCE names of
+    live renames. Both still own bytes in pre-evolution files, and the
+    aligned reader resolves columns by name per file — a re-introduced
+    declaration with one of these names would read the stale bytes as
+    if they were the new column's (found by the r15 adversarial sweep:
+    rename a->b then add/merge/rename-onto 'a' resurrected — and for
+    rename-onto, mis-attributed — old 'a' bytes). A compaction rewrites
+    under declared names, retiring both shadow classes."""
+    return set(meta.get("dropped_columns") or []) | set(
+        (meta.get("column_mapping") or {}).values()
+    )
 
 
 def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
@@ -1423,12 +1442,12 @@ def snapshot_add_column(table_dir: str, name: str, ddl_type: str) -> int:
             )
         if any(n == name for n, _ in schema):
             raise ValueError(f"column {name!r} already exists")
-        if name in (meta.get("dropped_columns") or []):
+        if name in _shadow_names(meta):
             raise ValueError(
-                f"column name {name!r} shadows a DROPPED column whose data "
-                "still lives in pre-drop files (name-based mapping cannot "
-                "disambiguate them) — compact the table first to purge the "
-                "shadow, then add the column"
+                f"column name {name!r} shadows a DROPPED column or a RENAME "
+                "source whose data still lives in old files (name-based "
+                "mapping cannot disambiguate them) — compact the table first "
+                "to purge the shadow, then add the column"
             )
         snap = {
             "version": parent + 1,
@@ -3076,10 +3095,11 @@ def snapshot_rename_column(table_dir: str, old: str, new: str) -> int:
             raise ValueError(f"no column {old!r} in schema {names}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
-        if new in (meta.get("dropped_columns") or []):
+        if new in _shadow_names(meta):
             raise ValueError(
-                f"column name {new!r} shadows a DROPPED column whose data "
-                "still lives in pre-drop files — compact the table first"
+                f"column name {new!r} shadows a DROPPED column or a RENAME "
+                "source whose data still lives in old files — compact the "
+                "table first"
             )
         _refuse_load_bearing_column(meta, old, "rename")
         mapping = dict(meta.get("column_mapping") or {})

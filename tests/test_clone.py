@@ -136,3 +136,30 @@ def test_vacuum_never_crosses_table_boundaries(spark, tmp_path):
     assert set(_data_files(dst)) == dst_files
     assert snap.read_snapshot(spark, dst).count() == 13
     assert snap.read_snapshot(spark, src).count() == 10
+
+
+def test_clone_of_expired_version_refuses_loudly(spark, tmp_path):
+    """r15 sweep: retention racing a clone of an OLD pinned version —
+    the expired snapshot JSON is gone, so the clone fails LOUDLY at
+    metadata read (no partial clone dir is left behind) rather than
+    silently cloning a different version. Cloning the CURRENT version
+    can never hit this: expire_snapshots always keeps >= 1."""
+    import os
+
+    import pytest
+
+    d = str(tmp_path / "src")
+    for i in range(3):
+        snap.snapshot_append(
+            spark, d,
+            spark.range(i * 5, i * 5 + 5).select(F.col("id").alias("k")),
+            stats_cols=["k"],
+        )
+    snap.expire_snapshots(d, keep_last=1)
+    c = str(tmp_path / "clone")
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_clone(spark, d, c, version=1)
+    assert not os.path.exists(os.path.join(c, "snapshots"))
+    # the current version still clones fine after retention
+    assert snap.snapshot_clone(spark, d, c, version=3) == 1
+    assert snap.read_snapshot(spark, c).count() == 15

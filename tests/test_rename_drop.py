@@ -206,3 +206,72 @@ def test_merge_schema_append_refuses_dropped_shadow(spark, tmp_path):
     with pytest.raises(ValueError, match="shadow DROPPED"):
         snap.snapshot_append(spark, d, wider, stats_cols=["k"], merge_schema=True)
     assert snap.read_snapshot(spark, d).columns == ["k", "w"]
+
+
+def test_rename_source_is_a_shadow_at_every_door(spark, tmp_path):
+    """r15 adversarial sweep finding (VERDICT r14 ask #8): after
+    rename a->b, old files still physically hold column 'a' — the
+    aligned reader resolves names per file, so RE-DECLARING 'a'
+    through any door read those stale bytes back out as the new
+    column's values (add_column / merge_schema resurrected them;
+    rename-onto even MIS-ATTRIBUTED them: 'rename v->a' returned the
+    old a-bytes, not v's). All three doors now refuse on the mapping's
+    SOURCE names exactly like dropped-column shadows; compaction
+    rewrites under declared names, retiring the shadow."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _df(spark, 0, 3), stats_cols=["k"])
+    snap.snapshot_rename_column(d, "v", "price")
+    with pytest.raises(ValueError, match="RENAME source"):
+        snap.snapshot_add_column(d, "v", "double")
+    with pytest.raises(ValueError, match="RENAME source"):
+        snap.snapshot_append(
+            spark, d,
+            spark.range(3, 5).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("price"),
+                F.lit(0.0).alias("v"),
+            ),
+            stats_cols=["k"], merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="RENAME source"):
+        snap.snapshot_rename_column(d, "k", "v")
+    # compaction retires the mapping: the name is reusable and the
+    # re-added column reads NULL (no stale bytes survive the rewrite)
+    snap.snapshot_compact(spark, d)
+    snap.snapshot_add_column(d, "v", "double")
+    out = snap.read_snapshot(spark, d)
+    assert out.filter(F.col("v").isNotNull()).count() == 0
+    assert {r.k: r.price for r in out.collect()} == {i: i * 2.0 for i in range(3)}
+
+
+def test_rename_vs_concurrent_merge_cannot_both_land(spark, tmp_path):
+    """Cross-verb conflict pin (r15 sweep): MERGE derives its carried
+    files from the planned parent and deliberately never rebases — a
+    RENAME landing between merge plan and publish takes the version
+    slot, so the merge refuses instead of publishing entries that
+    reference the pre-rename declaration."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _df(spark, 0, 10), stats_cols=["k"])
+
+    orig_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, s):
+        if not fired["done"] and s.get("merge"):
+            fired["done"] = True
+            snap.snapshot_rename_column(d, "v", "price")
+        return orig_publish(table_dir, version, s)
+
+    snap._publish = racing_publish
+    try:
+        with pytest.raises(snap.ConcurrentCommitError):
+            snap.snapshot_merge(
+                spark, d,
+                spark.range(1, 2).select(F.col("id").alias("k"), F.lit(99.0).alias("v")),
+                key="k",
+            )
+    finally:
+        snap._publish = orig_publish
+    # the rename won; the merge left no trace
+    out = snap.read_snapshot(spark, d)
+    assert out.columns == ["k", "price"]
+    assert {r.k: r.price for r in out.collect()} == {i: i * 2.0 for i in range(10)}
