@@ -15,6 +15,7 @@ Two tiers, per the north-star spec:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve via __globals__
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -134,7 +135,7 @@ def ivf_build(
     train = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     centroids = np.stack([np.asarray(c) for c in km.clusterCenters()])
-    assigned = corpus.withColumn("_cell", nearest_cell_expr(vec_col, centroids))
+    assigned = assign_cells(corpus, centroids, vec_col)
     return assigned, centroids
 
 
@@ -149,6 +150,53 @@ def nearest_cell_expr(vec_col: str, centroids: np.ndarray):
     ]
     arr = F.array(*scores)
     return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+
+# literal-folded assignment carries k*dim literals in the plan;
+# expression assembly + codegen dominate past a few hundred cells
+# (measured 0.4 s @ 40 cells vs ~20 s @ 566 on identical data —
+# scripts/semdedup_cell_probe.py), so larger quantizers switch to the
+# Arrow-batched matrix path below.
+_LITERAL_CELL_MAX = 256
+
+
+def nearest_cell_matrix(vec_col: str, centroids: np.ndarray):
+    """argmin over cells via an Arrow-batched pandas UDF: the k×dim
+    centroid matrix rides the pickled closure to executors ONCE, each
+    Arrow batch computes ``||c||² − 2·V·Cᵀ`` as one BLAS matmul and
+    takes the row argmin — O(batch × k × dim) float ops with NO plan
+    literals, so the quantizer can grow to 10⁴–10⁵ cells without
+    touching expression assembly. First-index tie-breaking matches
+    ``nearest_cell_expr`` (array_position-of-min and np.argmin both
+    take the first minimum), pinned by the parity test."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.float64)
+        scores = c_norm2[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    return _assign(F.col(vec_col))
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str, out: str = "_cell") -> DataFrame:
+    """Nearest-centroid cell assignment with the scale-appropriate
+    physical strategy: literal-folded native expressions while the
+    plan stays small (k <= _LITERAL_CELL_MAX — zero Python, whole-stage
+    codegen), the broadcast-matrix pandas UDF beyond it. One policy
+    seam so every IVF consumer (semantic dedup, incremental semantic
+    dedup, ivf_topk) picks up the ceiling fix."""
+    k = len(centroids)
+    expr = (
+        nearest_cell_expr(vec_col, centroids)
+        if k <= _LITERAL_CELL_MAX
+        else nearest_cell_matrix(vec_col, centroids)
+    )
+    return df.withColumn(out, expr)
 
 
 def ivf_topk(
@@ -240,12 +288,12 @@ def semantic_dedup(
     the quantizer fit dominates (small corpora). Real k-means cells
     skew 2–8x over the mean; ``max_cell_pairs_side`` caps a
     degenerate cell loudly (same posture as the LSH bucket cap in
-    near-dup dedup: a loud bound beats a silent k² blowup). Ceiling:
-    ``nearest_cell_expr`` folds k*dim literals into the plan — past
-    ~1k cells expression assembly dominates assignment (measured
-    0.4 s @ 40 cells vs ~20 s @ 566), so a >1k-cell deployment should
-    assign via a broadcast centroid matrix in a vectorized pandas UDF
-    instead.
+    near-dup dedup: a loud bound beats a silent k² blowup). The
+    literal-folded assignment ceiling (~20 s of expression assembly @
+    566 cells, measured) is handled by ``assign_cells``: past
+    ``_LITERAL_CELL_MAX`` cells assignment switches automatically to
+    the Arrow-batched broadcast-centroid matrix path
+    (``nearest_cell_matrix``), parity-pinned against the literal form.
     Components run through the shared policy seam
     (dedup.resolve_components "auto"): O(diameter) propagation for the
     clique-shaped families duplicate groups mostly are, pointer-
@@ -382,8 +430,12 @@ def incremental_semantic_dedup(
             # REPLAYED NIGHT: the store already holds this night's
             # decisions — return them instead of re-deciding against a
             # store that has advanced since (exactly-once semantics)
+            # per-file night stats make the replay read prune to the
+            # replayed night's files instead of scanning the store
             replay_ids = (
-                snap.read_snapshot(spark, vec_store)
+                snap.read_snapshot(
+                    spark, vec_store, prune_col="night", lo=batch_id, hi=batch_id
+                )
                 .filter(F.col("night") == batch_id)
                 .select(id_col)
             )
@@ -408,7 +460,7 @@ def incremental_semantic_dedup(
     )
 
     assigned = (
-        new_vecs.withColumn("_cell", nearest_cell_expr(vec_col, centroids))
+        assign_cells(new_vecs, centroids, vec_col)
         .withColumn("_u", vectors.unit(vec_col))
         .localCheckpoint(eager=False)
     )
@@ -462,6 +514,7 @@ def incremental_semantic_dedup(
             id_col, vec_col, "_u", F.col("_cell").alias("cell"),
             F.lit(-1 if batch_id is None else batch_id).cast("long").alias("night"),
         ),
+        stats_cols=["night"],  # replay reads prune to one night's files
         partition_by=["cell"],
         writer_id=writer_id,
         batch_id=batch_id,

@@ -320,3 +320,38 @@ def test_incremental_semantic_dedup_native_fence_kill_restart(spark, tmp_path):
         similarity.incremental_semantic_dedup(
             spark, b1, store, threshold=0.95, dim=DIM, writer_id="w"
         )
+
+
+def test_assign_cells_matrix_parity_and_policy(spark):
+    """The Arrow-batched broadcast-centroid assignment
+    (nearest_cell_matrix) must agree CELL-FOR-CELL with the
+    literal-folded expression — first-index tie-breaking and the
+    ||c||^2 - 2 v.c score are the same math on both paths — and
+    assign_cells must pick the literal path at small k, the matrix
+    path past _LITERAL_CELL_MAX (visible as a BatchEvalPython /
+    ArrowEvalPython node in the plan)."""
+    import numpy as np
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.similarity import (
+        _LITERAL_CELL_MAX,
+        assign_cells,
+        nearest_cell_expr,
+        nearest_cell_matrix,
+    )
+
+    rng = np.random.RandomState(5)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=DIM).tolist()) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = rng.normal(size=(300, DIM))  # > _LITERAL_CELL_MAX
+    lit = df.withColumn("_cell", nearest_cell_expr("embedding", cents))
+    mat = df.withColumn("_cell", nearest_cell_matrix("embedding", cents))
+    a = {r.vec_id: r._cell for r in lit.collect()}
+    b = {r.vec_id: r._cell for r in mat.collect()}
+    assert a == b
+    # policy seam: plan shape proves which path ran
+    small = assign_cells(df, cents[: _LITERAL_CELL_MAX], "embedding")
+    big = assign_cells(df, cents, "embedding")
+    assert "EvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in big._jdf.queryExecution().executedPlan().toString()
