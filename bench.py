@@ -188,6 +188,13 @@ HEADLINE = [
     "snapshot_retention_orders",
     "snapshot_clone_orders",
     "snapshot_rename_drop_orders",
+    # round-15: PageRank over the part co-purchase graph (the iterative
+    # dataflow on the skewed edge set; the customer->supplier face
+    # stays registry-extended as the bipartite twin).
+    # incremental_semantic_dedup_embeddings stays OUT of the headline
+    # like the other multi-batch incremental faces — its cost is the
+    # 3-night scaffold replay, not the operator.
+    "pagerank_parts",
 ]
 
 
