@@ -460,12 +460,26 @@ def snapshot_append(
                 return 0
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     _write_commit_files(df, commit_dir, partition_by)
-    cons = table_constraints(table_dir)
-    if cons:
-        _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
-    entries = _scan_commit_stats(spark, commit_dir, stats_cols)
-    _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
-    _attach_pv(entries, partition_by)
+    # EMPTY append (a nightly batch with no rows): the write leaves no
+    # parquet files — publish a files-less commit anyway, because the
+    # version (and, when fenced, the writer's batch fence) must still
+    # advance so a crash-replay of the empty batch stays idempotent
+    # (the Delta txn semantics). Scanning the empty dir would throw
+    # UNABLE_TO_INFER_SCHEMA instead.
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(commit_dir)
+        for f in fs
+    )
+    if has_files:
+        cons = table_constraints(table_dir)
+        if cons:
+            _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
+        entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+        _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
+        _attach_pv(entries, partition_by)
+    else:
+        entries = []
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
     def make_snap(parent: int, meta: dict) -> dict | None:

@@ -355,3 +355,42 @@ def test_assign_cells_matrix_parity_and_policy(spark):
     big = assign_cells(df, cents, "embedding")
     assert "EvalPython" not in small._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_semantic_dedup_empty_night(spark, tmp_path):
+    """A night with NO new vectors must still commit (files-less
+    version, fence advances — replaying the empty night stays a
+    no-op) and later nights proceed normally; it used to throw
+    UNABLE_TO_INFER_SCHEMA from scanning the empty commit dir."""
+    import os
+
+    import numpy as np
+
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
+    rng = np.random.RandomState(3)
+    store = str(tmp_path / "store")
+    vt = os.path.join(store, "vectors")
+    b0 = spark.createDataFrame(
+        [(i, rng.normal(size=DIM).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+    def run(df, night):
+        return similarity.incremental_semantic_dedup(
+            spark, df, store, threshold=0.95, dim=DIM, n_cells=2,
+            writer_id="w", batch_id=night,
+        ).count()
+
+    assert run(b0, 0) == 10
+    assert run(empty, 1) == 0
+    assert snap.current_version(vt) == 2
+    assert snap.read_snapshot_meta(vt, 2)["last_batches"] == {"w": 1}
+    assert run(empty, 1) == 0  # replay: fenced no-op
+    assert snap.current_version(vt) == 2
+    b2 = spark.createDataFrame(
+        [(20, rng.normal(size=DIM).tolist())], "vec_id long, embedding array<double>"
+    )
+    assert run(b2, 2) == 1
+    assert snap.read_snapshot(spark, vt).count() == 11

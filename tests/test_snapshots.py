@@ -1396,3 +1396,75 @@ def test_read_partitions_accepts_value_sets(spark, tmp_path):
     )
     # scalar values keep working
     assert snap.read_partitions(spark, d, {"p": 1}).count() == 10
+
+
+def test_empty_append_advances_version_and_fence(spark, tmp_path):
+    """An append of ZERO rows (a nightly batch with nothing new) must
+    still publish — files-less commit, version and writer fence
+    advance — so a crash-replay of the empty batch is idempotent (the
+    Delta txn semantics). It used to throw UNABLE_TO_INFER_SCHEMA from
+    scanning the empty commit dir."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(
+        spark, d, spark.range(5).select(F.col("id").alias("k")),
+        stats_cols=["k"], writer_id="w", batch_id=0,
+    )
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert snap.snapshot_append(
+        spark, d, empty, stats_cols=["k"], writer_id="w", batch_id=1
+    ) == 2
+    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"w": 1}
+    assert snap.read_snapshot(spark, d).count() == 5
+    # replay of the empty batch: fenced no-op
+    assert snap.snapshot_append(
+        spark, d, empty, stats_cols=["k"], writer_id="w", batch_id=1
+    ) == 0
+    assert snap.current_version(d) == 2
+
+
+def test_fenced_append_race_same_batch_exactly_once(spark, tmp_path):
+    """Two replicas racing the SAME (writer, batch): the loser's
+    rebase re-check sees the winner's fence, drops its own staged
+    commit dir, and publishes nothing — exactly one copy of the batch
+    lands (the sink's fence-under-rebase discipline on the batch
+    path). Injected race: the winner commits between the loser's
+    pre-check and its publish."""
+    import glob
+    import os
+
+    d = str(tmp_path / "t")
+    snap.snapshot_append(
+        spark, d, spark.range(5).select(F.col("id").alias("k")),
+        stats_cols=["k"], writer_id="w", batch_id=0,
+    )
+    orig_publish = snap._publish
+    fired = {"done": False}
+    # single-partition batches: a multi-partition range writes empty
+    # part files that entries rightly omit, which would read as
+    # orphans to this test's exact disk==referenced check
+    batch = lambda: spark.range(5, 8).coalesce(1).select(F.col("id").alias("k"))
+
+    def racing_publish(table_dir, version, s):
+        if not fired["done"]:
+            fired["done"] = True
+            # the winner replica lands batch 1 first
+            snap.snapshot_append(
+                spark, d, batch(), stats_cols=["k"], writer_id="w", batch_id=1,
+            )
+        return orig_publish(table_dir, version, s)
+
+    snap._publish = racing_publish
+    try:
+        got = snap.snapshot_append(
+            spark, d, batch(), stats_cols=["k"], writer_id="w", batch_id=1,
+        )
+    finally:
+        snap._publish = orig_publish
+    assert got in (0, 3)  # loser fenced (0) or lost-the-slot-then-fenced
+    assert snap.current_version(d) == 2
+    assert snap.read_snapshot(spark, d).count() == 8  # exactly once
+    assert snap.read_snapshot_meta(d, 2)["last_batches"] == {"w": 1}
+    # the loser's staged files are gone: all data on disk is referenced
+    referenced = {e["path"] for e in snap.snapshot_files(d)}
+    on_disk = set(glob.glob(os.path.join(d, "data", "**", "*.parquet"), recursive=True))
+    assert on_disk == referenced
