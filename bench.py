@@ -195,6 +195,10 @@ HEADLINE = [
     # like the other multi-batch incremental faces — its cost is the
     # 3-night scaffold replay, not the operator.
     "pagerank_parts",
+    # round-15 (cont.): TextRank corpus keywords (text x graph
+    # composition) and the 2-D Z-ORDER clustered rewrite face
+    "textrank_keywords_docs",
+    "snapshot_zorder_orders",
 ]
 
 

@@ -83,7 +83,11 @@ DRIVER_ROTATION: frozenset[str] | None = frozenset({
 # registered query is in none of {DRIVER_ROTATION, PENDING_ROTATION,
 # DRIVER_CHECKED_BEFORE} — the guard the judge asked for after new
 # faces shipped past the rotation freeze three rounds running.
-PENDING_ROTATION: frozenset[str] = frozenset()
+PENDING_ROTATION: frozenset[str] = frozenset({
+    # shipped after the r15 rotation freeze — r16 must slot them
+    "textrank_keywords_docs",
+    "snapshot_zorder_orders",
+})
 
 # Every query green in some past round's CORRECTNESS_r*.json driver
 # sweep (generated from the committed artifacts at the r14 rotation

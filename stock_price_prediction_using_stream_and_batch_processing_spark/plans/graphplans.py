@@ -152,6 +152,119 @@ def pagerank_parts(spark, sf_dir):
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+_TR_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TR_TOKS = f"CASE WHEN {_TR_NORM} = '' THEN [] ELSE string_split({_TR_NORM}, ' ') END"
+_TR_STOP = (
+    "['the','of','and','to','in','a','is','that','it','for','on','with',"
+    "'as','was','at','by','an','be','this','are']"
+)
+
+
+@register(
+    "textrank_keywords_docs",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT {_TR_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    fil AS (
+      SELECT DISTINCT string_split(bigram, ' ')[1] AS a, string_split(bigram, ' ')[2] AS b
+      FROM bg
+      WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]
+        AND len(string_split(bigram, ' ')[1]) >= 3
+        AND len(string_split(bigram, ' ')[2]) >= 3
+        AND NOT list_contains({_TR_STOP}, string_split(bigram, ' ')[1])
+        AND NOT list_contains({_TR_STOP}, string_split(bigram, ' ')[2])
+    ),
+    e AS MATERIALIZED (
+      -- explicit DISTINCT: inside WITH RECURSIVE DuckDB gives UNION
+      -- recursive-union semantics and does NOT dedup this shape
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM fil UNION ALL SELECT b, a FROM fil
+      )
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    pr AS (
+      SELECT 0 AS it, node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+      FROM nodes CROSS JOIN nn
+      UNION ALL
+      SELECT it, node,
+             (CAST(1.0 AS DOUBLE) - 0.85) / ANY_VALUE(nn2.n) + SUM(v) AS rank
+      FROM (
+        SELECT pr.it + 1 AS it, e.dst AS node,
+               CAST(0.85 AS DOUBLE) * pr.rank / deg.d AS v
+        FROM pr JOIN e ON pr.node = e.src JOIN deg ON deg.src = e.src
+        WHERE pr.it < {_ITER}
+        UNION ALL
+        SELECT pr.it + 1, pr.node, CAST(0.0 AS DOUBLE) FROM pr WHERE pr.it < {_ITER}
+      ) CROSS JOIN nn nn2
+      GROUP BY it, node
+    )
+    SELECT node AS token, ROUND(rank, 9) AS rank FROM pr WHERE it = {_ITER}
+    ORDER BY ROUND(rank, 9) DESC, token LIMIT 50
+    """,
+    tags=("text", "graph", "textrank", "keywords", "iterative"),
+    # shipped after the r15 rotation freeze: PENDING_ROTATION holds the IOU
+    driver=False,
+)
+def textrank_keywords_docs(spark, sf_dir):
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): the word
+    co-occurrence graph (distinct ADJACENT-token pairs under the
+    engine's one canonical tokenizer — functions/text.tokens — with
+    stopwords and sub-3-char tokens removed, symmetrized because
+    co-occurrence is undirected) ranked by 5 fixed PageRank iterations;
+    top 50 words by rank are the corpus keywords. The composition face
+    for text x graph: the edge derivation is the collocation family's
+    adjacent-bigram scan, the iteration is the shared
+    ``operators/graph.pagerank`` dataflow (one keyed shuffle per
+    round), top-k is TakeOrderedAndProject on the ROUNDED rank with a
+    token tie-break so both engines cut the same 50. Scale shape: one
+    corpus scan for edges (vocabulary-sized thereafter), never
+    O(corpus) per iteration."""
+    from ..functions import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    n = F.size(t)
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("a"), F.element_at(t, i + 2).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = (
+        d.select(tx.tokens(F.col("text")).alias("t"))
+        .select(F.explode(bigram_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (F.length("a") >= 3) & (F.length("b") >= 3)
+            & ~F.col("a").isin(*tx.EN_STOPWORDS)
+            & ~F.col("b").isin(*tx.EN_STOPWORDS)
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    out = graph.pagerank(edges, damping=0.85, n_iter=_ITER)
+    ranked = out.select(
+        F.col("node").alias("token"), F.round("rank", 9).alias("rank")
+    )
+    return ranked.orderBy(F.col("rank").desc(), F.col("token")).limit(50)
+
+
 @register(
     "triangle_counts_parts",
     oracle="""

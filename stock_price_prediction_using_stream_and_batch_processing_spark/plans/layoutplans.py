@@ -452,6 +452,94 @@ def snapshot_compact_orders(spark, sf_dir):
 
 
 @register(
+    "snapshot_zorder_orders",
+    oracle="""
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           TRUE AS zorder_pruned_2d
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("layout", "snapshot", "zorder", "clustering", "data-skipping", "optimize"),
+)
+def snapshot_zorder_orders(spark, sf_dir):
+    """OPTIMIZE ... ZORDER BY over the snapshot store — the
+    multi-dimensional clustered rewrite (snapshot_compact(cluster_by=
+    [c1, c2]), operators/layout.zorder_value): ingest-ordered files
+    (range-split on o_orderkey, so o_custkey and o_totalprice are
+    interleaved across every file) give a 2-D box predicate nothing to
+    prune on; the Z-ORDER rewrite range-partitions on the Morton code
+    of (o_custkey, o_totalprice), making every rewritten file a tight
+    bounding box in BOTH dimensions. The in-query contract, all from
+    the store's per-file [min,max] metadata (zero data reads for the
+    prune counts): pre-rewrite, a low-corner box intersects >= 3/4 of
+    the files; post-rewrite, at most half as many and at least one
+    file IS pruned; the rewrite is copy-on-write (no shared paths) and
+    content-preserving (the returned per-bucket aggregates read from
+    the CLUSTERED table and value-match plain SQL over orders). At
+    100 TB the rewrite is one range shuffle — identical cost to a
+    single-column sort rewrite — and the pruning decision stays
+    metadata-sized."""
+    from ..operators import snapshots as snap
+    from .workdirs import fresh_result_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table_dir = fresh_result_dir("snap_zorder")
+    snap.snapshot_append(
+        spark,
+        table_dir,
+        orders.repartitionByRange(8, F.col("o_orderkey")),
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+
+    def box_kept(version):
+        ents = snap.snapshot_files(table_dir, version)
+        mn_c = min(e["min_o_custkey"] for e in ents)
+        mx_c = max(e["max_o_custkey"] for e in ents)
+        mn_p = min(e["min_o_totalprice"] for e in ents)
+        mx_p = max(e["max_o_totalprice"] for e in ents)
+        hi_c = mn_c + 0.2 * (mx_c - mn_c)
+        hi_p = mn_p + 0.2 * (mx_p - mn_p)
+        kept = [
+            e for e in ents
+            if e["min_o_custkey"] <= hi_c and e["max_o_custkey"] >= mn_c
+            and e["min_o_totalprice"] <= hi_p and e["max_o_totalprice"] >= mn_p
+        ]
+        return len(kept), len(ents)
+
+    before_kept, before_total = box_kept(1)
+    if before_kept * 4 < before_total * 3:
+        raise AssertionError(
+            f"ingest layout unexpectedly prunable: {before_kept}/{before_total}"
+        )
+    pre_paths = {e["path"] for e in snap.snapshot_files(table_dir, 1)}
+    v = snap.snapshot_compact(
+        spark, table_dir, target_files=8,
+        cluster_by=["o_custkey", "o_totalprice"],
+    )
+    after_kept, after_total = box_kept(v)
+    if {e["path"] for e in snap.snapshot_files(table_dir, v)} & pre_paths:
+        raise AssertionError("copy-on-write violated: clustered list shares a file")
+    if not (after_kept * 2 <= before_kept and after_kept < after_total):
+        raise AssertionError(
+            f"zorder did not prune the 2-D box: {before_kept}/{before_total} "
+            f"-> {after_kept}/{after_total}"
+        )
+    return (
+        snap.read_snapshot(spark, table_dir)
+        .groupBy((F.col("o_custkey") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn("zorder_pruned_2d", F.lit(True))
+    )
+
+
+@register(
     "snapshot_merge_orders",
     oracle="""
     WITH b AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS b3,
