@@ -275,3 +275,39 @@ def test_rename_vs_concurrent_merge_cannot_both_land(spark, tmp_path):
     out = snap.read_snapshot(spark, d)
     assert out.columns == ["k", "price"]
     assert {r.k: r.price for r in out.collect()} == {i: i * 2.0 for i in range(10)}
+
+
+def test_append_racing_rename_refuses_stale_schema(spark, tmp_path):
+    """r15 sweep pin: an append planned before a RENAME but publishing
+    after it rebases onto the renamed declaration and must refuse —
+    plainly (schema differs) without merge_schema, and through the
+    RENAME-source shadow gate with it. Either way the stale-named rows
+    can never enter the renamed table."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(spark, d, _df(spark, 0, 3), stats_cols=["k"])
+    orig_publish = snap._publish
+
+    def run_race(merge_schema):
+        fired = {"done": False}
+
+        def racing_publish(table_dir, version, s):
+            if not fired["done"] and "rename_column" not in s:
+                fired["done"] = True
+                snap.snapshot_rename_column(d, "v", "price")
+            return orig_publish(table_dir, version, s)
+
+        snap._publish = racing_publish
+        try:
+            snap.snapshot_append(
+                spark, d, _df(spark, 3, 5), stats_cols=["k"],
+                merge_schema=merge_schema,
+            )
+        finally:
+            snap._publish = orig_publish
+
+    with pytest.raises(ValueError, match="schema differs"):
+        run_race(False)
+    assert snap.read_snapshot(spark, d).columns == ["k", "price"]
+    with pytest.raises(ValueError, match="RENAME source"):
+        run_race(True)
+    assert snap.read_snapshot(spark, d).count() == 3
