@@ -746,18 +746,21 @@ def incremental_near_dup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Cross-snapshot NEAR-dup dedup: admit only new-batch documents
     that are not near-duplicates of anything already admitted, then
     extend the index — the daily-crawl shape for fuzzy dedup, pairing
     ``incremental_content_dedup`` (exact) with the MinHash-LSH pipeline.
 
-    The store holds three digest-only tables under ``store_path``
-    (never text — at 100 TB of corpus the index is a small constant
-    fraction): ``bands`` (doc_id, band_key) for candidate generation,
-    ``shingles`` (doc_id, md5 digest) for exact-Jaccard verification of
-    candidates, ``sizes`` (doc_id, n_sh) so verification never
-    recounts the store.
+    The store holds three digest-only SNAPSHOT TABLES under
+    ``store_path`` (never text — at 100 TB of corpus the index is a
+    small constant fraction), each row stamped with the ``night`` it
+    was admitted: ``bands`` (doc_id, band_key, night) for candidate
+    generation, ``shingles`` (doc_id, md5 digest, night) for
+    exact-Jaccard verification of candidates, ``sizes`` (doc_id, n_sh,
+    night) so verification never recounts the store.
 
     Per batch: (1) LSH candidates new×store via an equi-join of band
     keys (``max_bucket_size`` caps boilerplate mega-buckets on BOTH
@@ -767,16 +770,58 @@ def incremental_near_dup(
     representative (min id) per verified cluster; (4) survivors' bands
     + digests + sizes append to the store.
 
+    EXACTLY-ONCE (r15, the lexical twin of the semantic store's
+    fence): pass ``writer_id`` + ``batch_id`` and the three appends
+    ride the snapshot store's per-writer epoch fence with ``sizes`` as
+    the COMMIT POINT — it is appended LAST, and store reads trust only
+    rows whose ``night`` is at or below the sizes table's fence. A
+    crash between the three appends therefore cannot corrupt the next
+    attempt: torn bands/shingles rows from the unfinished night are
+    filtered out of candidate generation, the (deterministic)
+    decisions recompute identically, and each table's own fence makes
+    its re-append a no-op or a fill-in. A fully committed night
+    replays as a pure no-op returning the night's original admissions
+    (read back from sizes.night). Single-writer per store by design —
+    the torn-state cutoff is this writer's fence. Without the pair the
+    operator keeps its legacy contract: not idempotent across retries,
+    wrap in the caller's epoch guard.
+
     Semantics note (deliberate, standard for streaming dedup): a new
     doc is compared against ADMITTED representatives only. A one-shot
     global pass can additionally drop docs connected only THROUGH an
     earlier-dropped near-dup (transitive closure across batches); the
-    incremental index is that much more permissive. NOT idempotent
-    across retries of one batch — wrap in the caller's epoch guard
-    (streaming/pipeline.maintain_bars_batch pattern)."""
-    from ..sources.tables import parquet_table_exists
+    incremental index is that much more permissive."""
+    from . import snapshots as snap
 
+    if (writer_id is None) != (batch_id is None):
+        raise ValueError("writer_id and batch_id must be passed together")
     in_cols = list(new_docs.columns)
+    bands_tbl = f"{store_path}/bands"
+    sh_tbl = f"{store_path}/shingles"
+    sz_tbl = f"{store_path}/sizes"
+    night = -1 if batch_id is None else batch_id
+    sz_version = snap.current_version(sz_tbl)
+    fence = None
+    if writer_id is not None and sz_version:
+        meta = snap.read_snapshot_meta(sz_tbl, sz_version)
+        fence = (meta.get("last_batches") or {}).get(writer_id)
+        if fence is not None and batch_id <= fence:
+            # REPLAYED NIGHT: sizes (the commit point) already fenced
+            # it — return the night's original admissions
+            replay_ids = (
+                snap.read_snapshot(spark, sz_tbl, prune_col="night", lo=batch_id, hi=batch_id)
+                .filter(F.col("night") == batch_id)
+                .select(id_col)
+            )
+            return new_docs.join(replay_ids, id_col, "semi").select(*in_cols)
+
+    def _committed(tbl):
+        df = snap.read_snapshot(spark, tbl)
+        if writer_id is not None:
+            # torn-write guard: trust only nights the sizes table has
+            # committed (legacy night=-1 rows always pass)
+            df = df.filter(F.col("night") <= F.lit(-1 if fence is None else fence))
+        return df
     shingled = exploded_shingles(new_docs, text_col, id_col, shingle_n).localCheckpoint(
         eager=False
     )
@@ -789,13 +834,11 @@ def incremental_near_dup(
     )
     new_sizes = new_digests.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    bands_path = f"{store_path}/bands"
-    have_store = parquet_table_exists(spark, bands_path)
     matched_ids = None
-    if have_store:
-        store_bands = spark.read.parquet(bands_path)
-        store_digests = spark.read.parquet(f"{store_path}/shingles")
-        store_sizes = spark.read.parquet(f"{store_path}/sizes")
+    if sz_version:
+        store_bands = _committed(bands_tbl).select(id_col, "band_key")
+        store_digests = _committed(sh_tbl).select(id_col, "sh")
+        store_sizes = _committed(sz_tbl).select(id_col, "n_sh")
         cross_cands = store_cross_candidates(
             new_bands, store_bands, id_col, max_bucket_size
         )
@@ -849,9 +892,32 @@ def incremental_near_dup(
     admitted = survivors.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
 
     adm_ids = admitted.select(id_col)
-    new_bands.join(adm_ids, id_col).write.mode("append").parquet(bands_path)
-    new_digests.join(adm_ids, id_col).write.mode("append").parquet(f"{store_path}/shingles")
-    new_sizes.join(adm_ids, id_col).write.mode("append").parquet(f"{store_path}/sizes")
+    # append order is the crash contract: sizes LAST (the commit
+    # point) — a crash before it leaves torn bands/shingles rows that
+    # the next attempt's night<=fence filter excludes
+    stamp = F.lit(night).cast("long").alias("night")
+    fenced = (
+        {"writer_id": writer_id, "batch_id": batch_id}
+        if writer_id is not None
+        else {}
+    )
+    # night is constant per commit: entries come from parquet footers
+    # (const_stats fast path — zero extra Spark jobs for stats)
+    snap.snapshot_append(
+        spark, bands_tbl,
+        new_bands.join(adm_ids, id_col).select(id_col, "band_key", stamp),
+        stats_cols=["night"], const_stats={"night": night}, **fenced,
+    )
+    snap.snapshot_append(
+        spark, sh_tbl,
+        new_digests.join(adm_ids, id_col).select(id_col, "sh", stamp),
+        stats_cols=["night"], const_stats={"night": night}, **fenced,
+    )
+    snap.snapshot_append(
+        spark, sz_tbl,
+        new_sizes.join(adm_ids, id_col).select(id_col, "n_sh", stamp),
+        stats_cols=["night"], const_stats={"night": night}, **fenced,
+    )
     return admitted.select(*in_cols)
 
 

@@ -404,6 +404,7 @@ def snapshot_append(
     partition_by: list[str] | None = None,
     writer_id: str | None = None,
     batch_id: int | None = None,
+    const_stats: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the published version.
 
@@ -415,6 +416,15 @@ def snapshot_append(
     atomically with its data. This is the batch-job twin of the sink's
     exactly-once: a nightly job that crashes after committing night N
     and is re-run simply no-ops night N.
+
+    ``const_stats``: {col: value} for stats columns that are CONSTANT
+    across this commit (e.g. the batch's night stamp). When every
+    requested stats column is covered (and no blooms, constraints, or
+    partition spec need a data pass), the per-file entries come from
+    the parquet FOOTERS (row counts) plus the declared constants —
+    zero Spark jobs for the stats step. The caller asserts the
+    constancy; min == max == value keeps interval pruning exact, which
+    is the same contract partition-value stats rely on.
 
     Steps: (1) write data files under a fresh commit dir — invisible,
     no reader holds a list containing them; (2) one column-pruned scan
@@ -475,9 +485,18 @@ def snapshot_append(
         cons = table_constraints(table_dir)
         if cons:
             _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
-        entries = _scan_commit_stats(spark, commit_dir, stats_cols)
-        _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
-        _attach_pv(entries, partition_by)
+        if (
+            const_stats is not None
+            and set(stats_cols) <= set(const_stats)
+            and not cons
+            and not bloom_cols
+            and not partition_by
+        ):
+            entries = _entries_from_footers(commit_dir, stats_cols, const_stats)
+        else:
+            entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+            _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
+            _attach_pv(entries, partition_by)
     else:
         entries = []
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
@@ -2196,6 +2215,31 @@ def expire_snapshots(table_dir: str, keep_last: int = 1, min_age_s: float = 0.0)
         "deleted_manifests": len(dead_shards),
         "deleted_delete_files": len(dead_dels),
     }
+
+
+def _entries_from_footers(
+    commit_dir: str, stats_cols: list[str], const_stats: dict
+) -> list[dict]:
+    """File entries WITHOUT a Spark job: row counts from the parquet
+    footers (driver-side metadata reads, O(files)), min == max == the
+    caller-declared constant for every stats column. The fast path for
+    commits whose stats columns are constants of the batch (a nightly
+    digest append's ``night`` stamp) — the same exactness contract as
+    partition-value stats."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _, fs in sorted(os.walk(commit_dir)):
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            e = {"path": p, "n_rows": pq.ParquetFile(p).metadata.num_rows}
+            for c in stats_cols:
+                e[f"min_{c}"] = json_stat(const_stats[c])
+                e[f"max_{c}"] = json_stat(const_stats[c])
+            entries.append(e)
+    return entries
 
 
 def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[str]) -> list[dict]:

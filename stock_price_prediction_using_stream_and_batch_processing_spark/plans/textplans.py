@@ -1167,8 +1167,12 @@ def incremental_near_dup_docs(spark, sf_dir):
         # oracle is unaffected — it exists to bound degenerate
         # boilerplate keys at corpus scale (adversarial-store bound
         # pinned in tests/test_dedup.py).
-        lambda batch, store: dedup.incremental_near_dup(
-            spark, batch, store, num_hashes=8, bands=4, max_bucket_size=64
+        # fenced nightly appends (r15): the three digest tables are
+        # snapshot tables with sizes as the commit point — the driver
+        # face exercises the exactly-once path, not just the operator
+        lambda batch, store, _n=iter(range(3)): dedup.incremental_near_dup(
+            spark, batch, store, num_hashes=8, bands=4, max_bucket_size=64,
+            writer_id="nightly", batch_id=next(_n),
         ),
     )
 

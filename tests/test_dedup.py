@@ -271,15 +271,19 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
 
 
 def test_incremental_near_dup_store_is_digest_only(spark, tmp_path):
+    """The store is three night-stamped SNAPSHOT TABLES (r15) holding
+    digests only — never text."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
     store = str(tmp_path / "nd_store2")
     b1 = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
     dedup.incremental_near_dup(spark, b1, store)
-    bands = spark.read.parquet(f"{store}/bands")
-    digests = spark.read.parquet(f"{store}/shingles")
-    sizes = spark.read.parquet(f"{store}/sizes")
-    assert set(bands.columns) == {"doc_id", "band_key"}
-    assert set(digests.columns) == {"doc_id", "sh"}
-    assert set(sizes.columns) == {"doc_id", "n_sh"}
+    bands = snap.read_snapshot(spark, f"{store}/bands")
+    digests = snap.read_snapshot(spark, f"{store}/shingles")
+    sizes = snap.read_snapshot(spark, f"{store}/sizes")
+    assert set(bands.columns) == {"doc_id", "band_key", "night"}
+    assert set(digests.columns) == {"doc_id", "sh", "night"}
+    assert set(sizes.columns) == {"doc_id", "n_sh", "night"}
     # digest values, never shingle text
     assert all(len(r["sh"]) == 32 for r in digests.limit(5).collect())
 
@@ -606,3 +610,74 @@ def test_near_dup_filter_survives_chain_family(spark):
     df = _chain_corpus(spark)
     out = dedup.near_dup_filter(df, "text", "doc_id")
     assert [r.doc_id for r in out.collect()] == [0]
+
+
+def test_incremental_near_dup_native_fence_and_torn_write(spark, tmp_path):
+    """Lexical twin of the semantic store's exactly-once (r15): the
+    three digest tables append fenced with SIZES as the commit point.
+    (a) A fully committed night replays as a no-op returning the
+    original admissions. (b) A crash BETWEEN the appends (bands landed,
+    shingles/sizes did not) leaves torn rows that the retry's
+    night<=fence filter excludes — the retry recomputes identical
+    decisions and completes the night; the final store state is
+    indistinguishable from a crash-free run."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup as dd
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
+    store = str(tmp_path / "nd_fenced")
+    b0 = spark.createDataFrame([(1, BASE), (2, BASE.replace("lazy", "idle"))], ["doc_id", "text"])
+
+    def run(df, night):
+        return {r.doc_id for r in dd.incremental_near_dup(
+            spark, df, store, writer_id="nightly", batch_id=night
+        ).collect()}
+
+    a0 = run(b0, 0)
+    assert a0 == {1}  # 2 is a near-dup of 1, min-id keeper
+    v_sz = snap.current_version(f"{store}/sizes")
+    assert run(b0, 0) == a0  # committed-night replay: no-op
+    assert snap.current_version(f"{store}/sizes") == v_sz
+
+    # night 1 with an injected crash AFTER the bands append
+    b1 = spark.createDataFrame(
+        [(10, BASE.replace("garden", "meadow")),  # near-dup of admitted 1
+         (11, "completely novel content about rivers flowing gently through quiet valleys under morning mist past old stone bridges where fishermen wait patiently at dawn")],
+        ["doc_id", "text"],
+    )
+    orig_append = snap.snapshot_append
+    calls = {"n": 0}
+
+    def crashing_append(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # bands landed; crash before shingles
+            raise RuntimeError("injected crash between store appends")
+        return orig_append(*a, **k)
+
+    snap.snapshot_append = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            dd.incremental_near_dup(spark, b1, store, writer_id="nightly", batch_id=1).collect()
+    finally:
+        snap.snapshot_append = orig_append
+    # torn state: bands fenced night 1, sizes (commit point) did not
+    assert (snap.read_snapshot_meta(f"{store}/bands", snap.current_version(f"{store}/bands"))
+            ["last_batches"]) == {"nightly": 1}
+    assert (snap.read_snapshot_meta(f"{store}/sizes", snap.current_version(f"{store}/sizes"))
+            ["last_batches"]) == {"nightly": 0}
+
+    # retry of night 1: identical decisions, the night completes
+    a1 = run(b1, 1)
+    assert a1 == {11}
+    for t in ("bands", "shingles", "sizes"):
+        m = snap.read_snapshot_meta(f"{store}/{t}", snap.current_version(f"{store}/{t}"))
+        assert m["last_batches"] == {"nightly": 1}, t
+    # store holds exactly the admitted docs' digests, one night each
+    sz = snap.read_snapshot(spark, f"{store}/sizes")
+    assert {(r.doc_id, r.night) for r in sz.collect()} == {(1, 0), (11, 1)}
+    # night 2 still admits against the clean store: a near-dup of the
+    # torn-night admission 11 drops
+    b2 = spark.createDataFrame(
+        [(20, "completely novel content about rivers flowing gently through quiet valleys under morning mist past old stone bridges where fishermen wait patiently at dawn today")],
+        ["doc_id", "text"],
+    )
+    assert run(b2, 2) == set()
