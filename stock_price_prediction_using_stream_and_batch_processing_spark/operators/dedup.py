@@ -566,22 +566,32 @@ def incremental_content_dedup(
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    writer_id: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Cross-snapshot exact dedup: filter a NEW batch of documents
     against the fingerprint store of everything already ingested, keep
     one copy of each fingerprint new to this batch, and append the
     surviving fingerprints to the store — the daily-crawl-lands-on-an-
-    existing-corpus shape. The store holds 16-byte md5 fingerprints,
-    never text, so at 100 TB of corpus it is ~0.02% of the data and the
-    anti-join shuffles digests only. First call bootstraps the store.
-    Returns the surviving rows of ``new_docs``.
+    existing-corpus shape. The store is a night-stamped SNAPSHOT TABLE
+    (r15) holding (fp, night) — 16-byte md5 fingerprints, never text,
+    so at 100 TB of corpus it is ~0.02% of the data and the anti-join
+    shuffles digests only. First call bootstraps the store. Returns
+    the surviving rows of ``new_docs``.
 
-    NOT idempotent across retries of the same batch (the append
-    advances the store); wrap calls in the caller's epoch guard (see
-    streaming/pipeline.maintain_bars_batch for the pattern) when driven
-    from foreachBatch."""
+    EXACTLY-ONCE: pass ``writer_id`` + ``batch_id`` and the append
+    rides the store's per-writer epoch fence — a replayed batch
+    appends nothing; the operator re-derives that batch's original
+    keepers by anti-joining against fingerprints admitted in EARLIER
+    nights only (night < batch_id), which is exactly the store state
+    the first attempt decided against. Without the pair the operator
+    keeps its legacy contract: not idempotent across retries, wrap in
+    the caller's epoch guard."""
+    from . import snapshots as snap
     from ..functions import hashing
 
+    if (writer_id is None) != (batch_id is None):
+        raise ValueError("writer_id and batch_id must be passed together")
     in_cols = list(new_docs.columns)
     fp_col = _free_name("_fp", in_cols)
     kfp_col = _free_name("_kfp", in_cols)
@@ -597,18 +607,42 @@ def incremental_content_dedup(
         keeper,
         (F.col(fp_col) == F.col(kfp_col)) & (F.col(id_col) == F.col(keep_col)),
     ).select(*in_cols, fp_col)
-    # explicit existence check, not a bare except around the read: a
-    # TRANSIENT failure reading an existing store must raise (treating
-    # it as 'first batch' would admit duplicates permanently)
-    from ..sources.tables import parquet_table_exists
-
-    if parquet_table_exists(spark, store_path):
-        store = spark.read.parquet(store_path)
+    # the snapshot version check is explicit, never a bare except
+    # around the read: a TRANSIENT failure reading an existing store
+    # must raise (treating it as 'first batch' would admit duplicates
+    # permanently)
+    night = -1 if batch_id is None else batch_id
+    store_v = snap.current_version(store_path)
+    replay = False
+    if writer_id is not None and store_v:
+        meta = snap.read_snapshot_meta(store_path, store_v)
+        fence = (meta.get("last_batches") or {}).get(writer_id)
+        replay = fence is not None and batch_id <= fence
+    if store_v:
+        store = snap.read_snapshot(spark, store_path)
+        if replay:
+            # re-derive the replayed night's original decisions: anti-
+            # join against what the store held BEFORE that night only
+            store = store.filter(F.col("night") < batch_id)
         fresh = batch_unique.join(store, batch_unique[fp_col] == store["fp"], "left_anti")
     else:  # first batch: bootstrap the store
         fresh = batch_unique
     fresh = fresh.localCheckpoint(eager=True)  # materialize before the store append
-    fresh.select(F.col(fp_col).alias("fp")).write.mode("append").parquet(store_path)
+    if not replay:
+        snap.snapshot_append(
+            spark,
+            store_path,
+            fresh.select(
+                F.col(fp_col).alias("fp"), F.lit(night).cast("long").alias("night")
+            ),
+            stats_cols=["night"],
+            const_stats={"night": night},
+            **(
+                {"writer_id": writer_id, "batch_id": batch_id}
+                if writer_id is not None
+                else {}
+            ),
+        )
     return fresh.select(*in_cols)
 
 

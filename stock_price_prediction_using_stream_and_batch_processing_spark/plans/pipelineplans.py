@@ -397,7 +397,9 @@ def pipeline_docs_incremental(spark, sf_dir):
         parts = []
         for b in range(3):
             batch = q.where(F.pmod(F.col("doc_id"), F.lit(3)) == b)
-            s1 = dedup.incremental_content_dedup(spark, batch, exact_store)
+            s1 = dedup.incremental_content_dedup(
+                spark, batch, exact_store, writer_id="nightly", batch_id=b
+            )
             s2 = dedup.incremental_near_dup(
                 spark, s1, nd_store, writer_id="nightly", batch_id=b
             )

@@ -1015,7 +1015,9 @@ def incremental_content_dedup_docs(spark, sf_dir):
     of corpus; each batch's check is one digest anti-join."""
     return _run_incremental_batches(
         spark, sf_dir, "inc_dedup",
-        lambda batch, store: dedup.incremental_content_dedup(spark, batch, store),
+        lambda batch, store, _n=iter(range(3)): dedup.incremental_content_dedup(
+            spark, batch, store, writer_id="nightly", batch_id=next(_n)
+        ),
     )
 
 

@@ -681,3 +681,38 @@ def test_incremental_near_dup_native_fence_and_torn_write(spark, tmp_path):
         ["doc_id", "text"],
     )
     assert run(b2, 2) == set()
+
+
+def test_incremental_content_dedup_native_fence_replay(spark, tmp_path):
+    """Exact-dedup twin of the fenced stores (r15): the fingerprint
+    store is one night-stamped snapshot table; a committed night
+    replays by re-deriving its original decisions against the
+    fingerprints of EARLIER nights only — even though the store has
+    since advanced."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup as dd
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
+    store = str(tmp_path / "fp_fenced")
+    b0 = spark.createDataFrame([(1, "alpha text"), (2, "alpha text"), (3, "beta text")], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(10, "alpha text"), (11, "gamma text")], ["doc_id", "text"])
+
+    def run(df, night):
+        return {r.doc_id for r in dd.incremental_content_dedup(
+            spark, df, store, writer_id="nightly", batch_id=night
+        ).collect()}
+
+    assert run(b0, 0) == {1, 3}
+    assert run(b1, 1) == {11}  # alpha already admitted night 0
+    v = snap.current_version(store)
+    # replay night 1 AFTER night 2 advanced the store: doc 11's
+    # fingerprint is now IN the store, but the replay anti-joins
+    # against nights < 1 only — original decision reproduced, no append
+    b2 = spark.createDataFrame([(20, "delta text")], ["doc_id", "text"])
+    assert run(b2, 2) == {20}
+    assert run(b1, 1) == {11}
+    assert snap.current_version(store) == v + 1  # only night 2 committed
+    meta = snap.read_snapshot_meta(store, v + 1)
+    assert meta["last_batches"] == {"nightly": 2}
+    # store rows carry their nights
+    got = {(r.fp is not None, r.night) for r in snap.read_snapshot(spark, store).collect()}
+    assert {n for _, n in got} == {0, 1, 2}

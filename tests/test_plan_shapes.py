@@ -239,11 +239,13 @@ def test_incremental_dedup_store_is_digest_only(spark, tmp_path):
     from stock_price_prediction_using_stream_and_batch_processing_spark.operators import dedup
     from stock_price_prediction_using_stream_and_batch_processing_spark.sources.tables import load_table
 
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators import snapshots as snap
+
     d = load_table(spark, SF, "documents")
     store = str(tmp_path / "fp_store")
     dedup.incremental_content_dedup(spark, d.limit(50), store)
-    stored = spark.read.parquet(store)
-    assert [f.name for f in stored.schema.fields] == ["fp"]
+    stored = snap.read_snapshot(spark, store)  # snapshot table since r15
+    assert [f.name for f in stored.schema.fields] == ["fp", "night"]
     assert stored.filter(F.length("fp") != 32).count() == 0
 
 
