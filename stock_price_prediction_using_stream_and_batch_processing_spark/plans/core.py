@@ -33,49 +33,46 @@ DRIVER_QUERY_BUDGET = 50
 # Every other registered query stays in the extended tier (still fully
 # differentially tested in tests/test_queries_oracle.py).
 #
-# Round 15: consumes the entire r14 PENDING_ROTATION (judge ask #1),
-# adds the new r15 faces, and back-fills with every veteran whose
-# latest driver-green evidence predates r12 — after this round no
-# query's driver evidence is older than r10's artifacts (the r7–r11
-# tail is fully re-greened here).
+# Round 16: consumes the entire r15 PENDING_ROTATION (judge ask #1),
+# then back-fills with 48 of the 49 veterans whose latest driver-green
+# evidence is r12 — the stalest tier after the r15 sweep.  49 stale + 2
+# IOUs = 51 candidates for 50 slots; `pivot_user_event_counts` (a
+# self-contained pivot untouched by this round's work, already in
+# DRIVER_CHECKED_BEFORE) is deferred to r17.  The snapshot-verb faces
+# whose internals r15/r16 touched (merge, bloom-lookup, streaming sink,
+# change feed, backfill/rescan, incremental_near_dup's fenced store)
+# are all inside this set.
 DRIVER_ROTATION: frozenset[str] | None = frozenset({
-    # r14 PENDING_ROTATION, consumed in full
-    "trailing_mean_events_bucketed",
-    "incremental_semantic_dedup_embeddings",
-    "snapshot_retention_orders",
-    "snapshot_clone_orders",
-    "snapshot_rename_drop_orders",
-    # new this round
-    "pagerank_parts",               # r13 ask #4 closed explicitly
-    # r12 veteran re-greened because r15 reworks its validation path
-    # (DSv2 CHECK-constraint scan distributed — VERDICT r14 ask #2)
-    "snapshot_constraint_orders",
-    # stale: last driver-green r7
-    "media_frame_sample",
-    # stale: last driver-green r8
-    "cdc_apply_orders", "embedding_quantize_int8", "hierarchy_flatten_parts",
-    "media_feature_extract", "referential_orphans_check",
-    # stale: last driver-green r9
-    "histogram_value_events", "unpivot_user_event_counts",
-    "zorder_value_events",
-    # stale: last driver-green r10
-    "approx_agg_stats", "cosine_topk_ivf", "embedding_near_dup_lsh",
-    "hll_rollup_daily_users", "near_dup_filter_docs",
-    "pagerank_customer_supplier", "snapshot_diff_orders",
-    "stream_enrich_user_segment", "value_rank_distribution_events",
-    # stale: last driver-green r11
-    "bloom_pruned_join_part_lineitem", "cms_rollup_daily_tokens",
-    "cms_token_counts_docs", "doc_length_decile_stats",
-    "doc_surprisal_docs", "grouping_sets_orders", "hard_negative_pairs_docs",
-    "incremental_content_dedup_docs", "intra_doc_dedup_docs",
-    "jdbc_roundtrip_orders_topk", "kafka_wire_parse_events",
-    "kmv_overlap_daily_users", "linear_count_daily_users",
-    "ohlc_incremental_refresh_events", "pack_docs_bins",
-    "quantile_rollup_daily_values", "salted_join_hot_events",
-    "storage_lifecycle_events", "stream_cms_maintenance",
-    "stream_kmv_maintenance", "stream_ohlc_maintenance",
-    "time_to_conversion_events", "touch_attribution_events",
-    "train_val_test_split_docs", "upsert_latest_order_per_customer",
+    # r15 PENDING_ROTATION, consumed in full
+    "textrank_keywords_docs",
+    "snapshot_zorder_orders",
+    # stale: last driver-green r12 (48 of 49; pivot_user_event_counts
+    # deferred to r17)
+    "asof_join_purchase_error", "bucketed_join_orders_customer",
+    "catalog_txn_orders", "concurrent_sessions_events",
+    "copurchase_lift_parts", "cosine_topk_lsh", "duplicate_passages_docs",
+    "histogram_incremental_refresh_events",
+    "incremental_join_refresh_orders", "incremental_near_dup_docs",
+    "k_core_parts", "label_propagation_parts",
+    "manifest_pruned_scan_events", "predict_next_events",
+    "python_datasource_ticks", "rolling_median_events",
+    "schema_evolution_read_events", "session_window_stats",
+    "snapshot_analyze_orders", "snapshot_bloom_lookup_orders",
+    "snapshot_compact_orders", "snapshot_equality_delete_orders",
+    "snapshot_hidden_partition_events", "snapshot_merge_orders",
+    "snapshot_metadata_agg_orders", "snapshot_partitioned_orders",
+    "snapshot_position_delete_orders", "snapshot_schema_evolution_orders",
+    "snapshot_sharded_manifest_orders", "snapshot_time_travel_orders",
+    "snapshot_update_orders", "snapshot_wap_orders",
+    "stream_cdf_view_maintenance_orders", "stream_change_feed_orders",
+    "stream_full_outer_join_purchase_error", "stream_jdbc_serving_append",
+    "stream_outer_join_purchase_error",
+    "stream_partitioned_datasource_ticks",
+    "stream_python_datasource_ticks", "stream_quantile_maintenance",
+    "stream_sketch_maintenance", "stream_snapshot_backfill_orders",
+    "stream_snapshot_changes_orders", "stream_snapshot_sink_events",
+    "stream_snapshot_upsert_orders", "stream_stateful_trailing_predict",
+    "triangle_counts_parts", "twap_hourly_events",
 })
 
 # Queries registered but not yet slotted: MUST be consumed by the next
@@ -83,11 +80,7 @@ DRIVER_ROTATION: frozenset[str] | None = frozenset({
 # registered query is in none of {DRIVER_ROTATION, PENDING_ROTATION,
 # DRIVER_CHECKED_BEFORE} — the guard the judge asked for after new
 # faces shipped past the rotation freeze three rounds running.
-PENDING_ROTATION: frozenset[str] = frozenset({
-    # shipped after the r15 rotation freeze — r16 must slot them
-    "textrank_keywords_docs",
-    "snapshot_zorder_orders",
-})
+PENDING_ROTATION: frozenset[str] = frozenset()
 
 # Every query green in some past round's CORRECTNESS_r*.json driver
 # sweep (generated from the committed artifacts at the r14 rotation
@@ -121,6 +114,7 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "histogram_value_events", "hll_rollup_daily_users",
     "hopping_counts_events", "incremental_content_dedup_docs",
     "incremental_join_refresh_orders", "incremental_near_dup_docs",
+    "incremental_semantic_dedup_embeddings",
     "intra_doc_dedup_docs", "jdbc_roundtrip_orders_topk",
     "join_orders_customer_segment", "json_extract_events", "k_core_parts",
     "kafka_wire_parse_events", "kmv_overlap_daily_users",
@@ -133,7 +127,8 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "near_dup_filter_docs", "ngram_jaccard_pairs_docs",
     "ohlc_incremental_refresh_events", "order_status_history",
     "outlier_events_zscore", "pack_docs_bins",
-    "pagerank_customer_supplier", "percentiles_by_type", "pii_redact_docs",
+    "pagerank_customer_supplier", "pagerank_parts",
+    "percentiles_by_type", "pii_redact_docs",
     "pipeline_docs_end_to_end", "pipeline_docs_incremental",
     "pipeline_docs_stage_attrition",
     "pivot_user_event_counts", "predict_next_events",
@@ -148,13 +143,15 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "semantic_dedup_embeddings", "session_window_stats",
     "sessionize_events", "simhash_docs", "simhash_near_pairs_docs",
     "sliding60_mean_events", "snapshot_analyze_orders",
-    "snapshot_bloom_lookup_orders", "snapshot_compact_orders",
+    "snapshot_bloom_lookup_orders", "snapshot_clone_orders",
+    "snapshot_compact_orders",
     "snapshot_constraint_orders", "snapshot_diff_orders",
     "snapshot_dsv2_write_orders", "snapshot_equality_delete_orders",
     "snapshot_hidden_partition_events", "snapshot_history_orders",
     "snapshot_merge_evolution_orders",
     "snapshot_merge_orders", "snapshot_metadata_agg_orders",
     "snapshot_partitioned_orders", "snapshot_position_delete_orders",
+    "snapshot_rename_drop_orders", "snapshot_retention_orders",
     "snapshot_schema_evolution_orders", "snapshot_sharded_manifest_orders",
     "snapshot_sql_asof_orders", "snapshot_time_travel_orders",
     "snapshot_update_orders", "snapshot_wap_orders",
