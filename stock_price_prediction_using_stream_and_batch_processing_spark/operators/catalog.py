@@ -80,6 +80,7 @@ def catalog_publish(
     updates: dict,
     base_pins: dict | None = None,
     max_attempts: int = 50,
+    fences: dict | None = None,
 ) -> int:
     """Publish catalog version pinning ``updates`` ({table_name:
     {"dir": ..., "version": v}}) on top of the current mapping.
@@ -88,7 +89,15 @@ def catalog_publish(
     of THIS transaction's tables past ``base_pins`` (the versions the
     transaction saw when it FIRST touched each table) — the txn read
     stale state and must re-run. Without ``base_pins`` the check
-    degrades to publish-time pins (last-writer-wins on the mapping)."""
+    degrades to publish-time pins (last-writer-wins on the mapping).
+
+    ``fences``: optional {writer_id: batch_id} map merged into the
+    catalog snapshot's ``last_batches`` — the CATALOG-level epoch fence
+    (r16). A multi-table transaction that advances a writer's fence
+    atomically with its pins gives nightly jobs exactly-once across
+    ALL the tables the transaction touches, with the catalog version
+    as the single commit point (the per-table ``last_batches`` twin,
+    one level up)."""
     if base_pins is None:
         base = read_catalog_meta(catalog_dir)
         base_pins = {t: rec["version"] for t, rec in base["tables"].items()}
@@ -106,6 +115,11 @@ def catalog_publish(
             "tables": {**meta["tables"], **updates},
             "parent": parent,
         }
+        merged_fences = dict(meta.get("last_batches") or {})
+        if fences:
+            merged_fences.update(fences)
+        if merged_fences:
+            snap["last_batches"] = merged_fences
         try:
             os.makedirs(_cat_dir(catalog_dir), exist_ok=True)
             _publish_cat(catalog_dir, parent + 1, snap)
@@ -222,7 +236,7 @@ class CatalogTransaction:
         self.base_pins = {}
         self._branches = {}
 
-    def commit(self) -> int:
+    def commit(self, fences: dict | None = None) -> int:
         from . import refs
 
         if not self.updates:
@@ -247,7 +261,7 @@ class CatalogTransaction:
                 final[name] = {"dir": rec["dir"], "version": v}
             else:
                 final[name] = rec
-        v = catalog_publish(self.catalog_dir, final, self.base_pins)
+        v = catalog_publish(self.catalog_dir, final, self.base_pins, fences=fences)
         self.updates = {}
         self.base_pins = {}
         self._branches = {}

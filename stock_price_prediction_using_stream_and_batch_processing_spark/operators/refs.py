@@ -177,6 +177,7 @@ def branch_append(
     bloom_cols: list[str] | None = None,
     inline_max: int | None = None,
     merge_schema: bool = False,
+    const_stats: dict | None = None,
 ) -> int:
     """Append ``df`` to branch ``name`` — the WRITE step of WAP. Data
     files land under the main table's ``data/`` (immutable, invisible:
@@ -184,22 +185,47 @@ def branch_append(
     at ingest exactly like a main append, and the snapshot publishes
     into the BRANCH line with the same rebase loop, so concurrent
     branch writers commute. Main's current version is untouched.
-    Returns the branch-local version."""
+    Returns the branch-local version.
+
+    ``const_stats`` mirrors :func:`snapshots.snapshot_append`'s footer
+    fast path: when every requested stats column is declared constant
+    (and no constraints/blooms need a data pass), per-file entries come
+    from parquet footers — zero Spark jobs for the stats step."""
     import uuid
+
+    from .snapshots import _entries_from_footers
 
     bdir = branch_dir(table_dir, name)
     head_meta = read_snapshot_meta(bdir, branch_head(table_dir, name))
     stats_cols = stats_cols or []
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.parquet(commit_dir)
+    # EMPTY staged append (zero part files): publish a files-less
+    # branch commit — same contract as snapshot_append's, so a fenced
+    # nightly transaction with no rows still advances its fence
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(commit_dir)
+        for f in fs
+    )
     cons = head_meta.get("constraints") or {}
-    if cons:
+    if has_files and cons:
         # branches inherit the base's CHECK constraints at create;
         # staged rows must satisfy them — a WAP audit should never be
         # the first place a declared invariant gets checked
         _enforce_constraints(spark, cons, spark.read.parquet(commit_dir), commit_dir)
-    entries = _scan_commit_stats(spark, commit_dir, stats_cols)
-    _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
+    if not has_files:
+        entries = []
+    elif (
+        const_stats is not None
+        and set(stats_cols) <= set(const_stats)
+        and not cons
+        and not bloom_cols
+    ):
+        entries = _entries_from_footers(commit_dir, stats_cols, const_stats)
+    else:
+        entries = _scan_commit_stats(spark, commit_dir, stats_cols)
+        _attach_blooms(spark, commit_dir, entries, bloom_cols or [])
     schema = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
     def make_snap(parent: int, meta: dict) -> dict:
