@@ -80,7 +80,10 @@ DRIVER_ROTATION: frozenset[str] | None = frozenset({
 # registered query is in none of {DRIVER_ROTATION, PENDING_ROTATION,
 # DRIVER_CHECKED_BEFORE} — the guard the judge asked for after new
 # faces shipped past the rotation freeze three rounds running.
-PENDING_ROTATION: frozenset[str] = frozenset()
+PENDING_ROTATION: frozenset[str] = frozenset({
+    # shipped after the r16 rotation edit — r17 must slot them
+    "cell_assign_matrix_embeddings",
+})
 
 # Every query green in some past round's CORRECTNESS_r*.json driver
 # sweep (generated from the committed artifacts at the r14 rotation
