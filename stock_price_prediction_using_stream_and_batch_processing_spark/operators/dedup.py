@@ -252,11 +252,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     unions of small cliques, so 2-3 rounds in practice. Each round is
     one shuffle keyed by node; no driver-side graph state, so it runs
     at any scale. Convergence check is type-agnostic (works for string
-    doc ids): count rows whose label changed this round via a self-join
-    of new vs old labels — still aggregate-only, no label collect, and
-    ``limit(1)`` lets Spark stop at the first changed row. A graph with
-    diameter > ``max_iters`` raises instead of returning silently wrong
-    cluster ids.
+    doc ids): each round's aggregate carries the node's previous label
+    alongside the new min, so "did anything change" is a filter over
+    the round's already-checkpointed rows — no second join, no label
+    collect, and ``limit(1)`` lets Spark stop at the first changed row.
+    A graph with diameter > ``max_iters`` raises instead of returning
+    silently wrong cluster ids.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -274,21 +275,25 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
     converged = False
     for _ in range(max_iters):
-        # neighbor labels: join edges with labels on dst, min over (own, neighbors)
+        # neighbor labels: join edges with labels on dst, min over (own, neighbors).
+        # The node's OWN row carries its current label a second time as
+        # ``_old`` (each node appears exactly once in ``labels``, so
+        # max(_old) over the group recovers it); the convergence check
+        # then reads label != _old off the checkpointed frame — one
+        # filter over materialized rows instead of the r15 shuffle join
+        # of new-vs-old labels (guide §2.4: one join per round removed).
         nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
-            F.col("src").alias("node"), F.col("label")
+            F.col("src").alias("node"), F.col("label"), F.lit(None).cast(labels.schema["label"].dataType).alias("_old")
         )
-        both = labels.union(nbr)
-        new_labels = both.groupBy("node").agg(F.min("label").alias("label"))
+        both = labels.select("node", "label", F.col("label").alias("_old")).union(nbr)
+        new_labels = both.groupBy("node").agg(
+            F.min("label").alias("label"), F.max("_old").alias("_old")
+        )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut the growing lineage
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -354,23 +359,21 @@ def _pointer_jump(p: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
     rounds = 0
     for _ in range(max_rounds):
         s1, s2 = state.alias("s1"), state.alias("s2")
+        # carry the PRE-jump pointer alongside the composed one so the
+        # fixpoint check is a filter over the checkpointed frame, not a
+        # second new-vs-old shuffle join (same move as dedup_clusters)
         nxt = (
             s1.join(s2, F.col("s1.anc") == F.col("s2.node"))
             .select(
                 F.col("s1.node").alias("node"),
                 F.col("s2.anc").alias("anc"),
+                F.col("s1.anc").alias("_old"),
             )
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        changed = (
-            nxt.alias("n")
-            .join(state.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.anc") != F.col("o.anc"))
-            .limit(1)
-            .count()
-        )
-        state = nxt
+        changed = nxt.filter(F.col("anc") != F.col("_old")).limit(1).count()
+        state = nxt.select("node", "anc")
         if changed == 0:
             return state, rounds
     raise RuntimeError(f"pointer jump did not converge in {max_rounds} rounds")

@@ -2243,7 +2243,32 @@ def _entries_from_footers(
 
 
 def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[str]) -> list[dict]:
-    """One column-pruned scan of a commit's NEW files -> file entries."""
+    """Per-file entries (row counts + min/max on ``stats_cols``) for a
+    commit's NEW files.
+
+    Fast path (r16, guide §1/§5 — stop paying a Spark job for metadata
+    Spark already wrote): the parquet FOOTERS hold exact per-column-chunk
+    min/max statistics, so for the supported type families the entries
+    come from O(files) driver-side footer reads — zero Spark jobs, zero
+    shuffles. This is how Iceberg/Delta collect file stats at commit
+    time. Falls back to the distributed scan whenever footer stats are
+    absent or not provably identical to what the scan would compute:
+
+    - timestamps (footer values are TZ-normalized by the writer; the
+      scan path renders session-TZ datetimes — not provably equal);
+    - float/double chunks whose min/max is NaN (parquet-mr propagates
+      NaN through Math.min/max, Spark's MIN/MAX order NaN greatest —
+      bounds would disagree exactly when NaN rows exist);
+    - long strings (>= 64 chars: column-index-style truncation would
+      silently widen/narrow bounds; short stats are written verbatim);
+    - anything else (decimal/binary/nested, missing chunk stats).
+
+    Both paths produce the same JSON-portable entry shape via
+    ``json_stat``; pruning semantics are unchanged because the footer
+    min/max for the accepted families are exact."""
+    entries = _footer_commit_stats(commit_dir, stats_cols)
+    if entries is not None:
+        return entries
     from .layout import decode_file_uri, file_minmax_manifest
 
     entries = []
@@ -2253,6 +2278,79 @@ def _scan_commit_stats(spark: SparkSession, commit_dir: str, stats_cols: list[st
             e[f"min_{c}"] = json_stat(r[f"min_{c}"])
             e[f"max_{c}"] = json_stat(r[f"max_{c}"])
         entries.append(e)
+    return entries
+
+
+# parquet physical/logical families whose footer min/max are exact and
+# render identically to the Spark-scan path (see _scan_commit_stats)
+_FOOTER_OK_TYPES = (
+    "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+    "float", "double", "bool", "string", "large_string", "date32[day]",
+)
+
+
+def _footer_commit_stats(commit_dir: str, stats_cols: list[str]) -> list[dict] | None:
+    """Footer-derived file entries, or ``None`` when any file/column
+    falls outside the provably-exact envelope (caller falls back to the
+    distributed scan). Driver-side metadata reads only — O(files)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    try:
+        for root, _, fs in sorted(os.walk(commit_dir)):
+            for f in sorted(fs):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, f)
+                md = pq.ParquetFile(p).metadata
+                if md.num_rows == 0:
+                    # mirror the scan path exactly: a zero-row file has
+                    # no input_file_name() group and never makes an entry
+                    continue
+                e = {"path": p, "n_rows": md.num_rows}
+                if stats_cols:
+                    schema = md.schema.to_arrow_schema()
+                    # column name -> flat footer index (top-level only;
+                    # nested stats cols bail via the name lookup below)
+                    idx = {
+                        md.schema.column(i).path: i
+                        for i in range(md.num_columns)
+                    }
+                    for c in stats_cols:
+                        if c not in idx:
+                            return None
+                        fld = schema.field(schema.get_field_index(c)) if schema.get_field_index(c) >= 0 else None
+                        if fld is None or str(fld.type) not in _FOOTER_OK_TYPES:
+                            return None
+                        mn = mx = None
+                        for g in range(md.num_row_groups):
+                            col = md.row_group(g).column(idx[c])
+                            st = col.statistics
+                            if st is None or not getattr(st, "has_null_count", True):
+                                return None
+                            if not st.has_min_max:
+                                # all-NULL chunk is fine (contributes no
+                                # bounds); stats missing otherwise: bail
+                                # (num_values is nulls-INCLUSIVE on chunk
+                                # metadata — verified against pyarrow 16)
+                                if st.null_count == col.num_values:
+                                    continue
+                                return None
+                            gmn, gmx = st.min, st.max
+                            for v in (gmn, gmx):
+                                if isinstance(v, float) and math.isnan(v):
+                                    return None
+                                if isinstance(v, str) and len(v) >= 64:
+                                    return None
+                            mn = gmn if mn is None or gmn < mn else mn
+                            mx = gmx if mx is None or gmx > mx else mx
+                        e[f"min_{c}"] = json_stat(mn)
+                        e[f"max_{c}"] = json_stat(mx)
+                entries.append(e)
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
     return entries
 
 

@@ -207,13 +207,14 @@ def semantic_dedup_embeddings(spark, sf_dir):
     from ..operators import dedup
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
-    u = e.select("vec_id", vectors.unit("embedding").alias("_u"))
-    a = u.select(F.col("vec_id").alias("id_a"), F.col("_u").alias("_ua"))
-    b = u.select(F.col("vec_id").alias("id_b"), F.col("_u").alias("_ub"))
+    # r16: exact pair enumeration via the blocked-BLAS primitive — the
+    # same pair SET as the broadcast-NL + higher-order-dot filter it
+    # replaces (margin vs rounding band proven on the operator; parity
+    # pinned in tests/test_similarity.py), at ~1/10 the cost (6.5 s ->
+    # sub-second at sf0.1, guide §4.2)
     true_pairs = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(vectors.dot("_ua", "_ub") >= 0.4)
-        .select("id_a", "id_b")
+        similarity.threshold_pairs_matrix(e, 0.4, id_col="vec_id", vec_col="embedding")
+        .select(F.col("id_a"), F.col("id_b"))
         # consumed 3x (exact components, superset check, recall join):
         # cut the half-million-pair brute-force lineage once
         .localCheckpoint(eager=False)
@@ -233,7 +234,12 @@ def semantic_dedup_embeddings(spark, sf_dir):
         .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
     )
     sem = (
-        similarity.semantic_dedup(e, threshold=0.4, dim=_DIM, n_cells=16)
+        # kmeans_max_iter=8: the quantizer only gates which pairs the
+        # CLUSTERED path compares; this face's value columns are the
+        # EXACT side + invariant bits, and the recall_ok bound holds
+        # with margin at 8 iterations (measured 0.35/0.52/0.35 at
+        # sf0.001/0.01/0.1, bound 0.15). Fit 2.6 s -> 0.9 s at sf0.1.
+        similarity.semantic_dedup(e, threshold=0.4, dim=_DIM, n_cells=16, kmeans_max_iter=8)
         .select(
             F.col("vec_id").alias("_sid"),
             F.col("sem_cluster_id"),

@@ -460,3 +460,57 @@ def test_semantic_dedup_target_cell_size_policy(spark):
     rows = out.collect()
     assert len(rows) == 100
     assert {r.vec_id for r in rows} == set(range(100))
+
+
+# --- r16: blocked-BLAS exact pair enumeration (threshold_pairs_matrix) ---
+
+
+def _hof_pairs(e, thr):
+    u = e.select("vec_id", vectors.unit("embedding").alias("_u"))
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("_u").alias("_ua"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("_u").alias("_ub"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(vectors.dot("_ua", "_ub") >= thr)
+        .select("id_a", "id_b")
+    )
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_threshold_pairs_matrix_parity_with_hof(spark, sf_dir):
+    """The matmul pair set must equal the higher-order-function pair set
+    exactly (the margin argument on the operator's docstring), and the
+    fixture margin that makes the argument valid must actually hold."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    fast = {(r.id_a, r.id_b) for r in similarity.threshold_pairs_matrix(e, 0.4).collect()}
+    slow = {(r.id_a, r.id_b) for r in _hof_pairs(e, 0.4).collect()}
+    assert fast == slow and len(fast) > 0
+    # margin: no pair's |cosine - threshold| inside the summation-order
+    # rounding band (1e-9 is 1e5x the worst-case band, see docstring)
+    u = e.select("vec_id", vectors.unit("embedding").alias("_u"))
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("_u").alias("_ua"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("_u").alias("_ub"))
+    margin = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(F.abs(vectors.dot("_ua", "_ub") - 0.4).alias("d"))
+        .agg(F.min("d"))
+        .head()[0]
+    )
+    assert margin > 1e-9
+
+
+def test_threshold_pairs_matrix_edges(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.threshold_pairs_matrix(empty, 0.5).count() == 0
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL embedding at vec_id=2"):
+        similarity.threshold_pairs_matrix(with_null, 0.5)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        similarity.threshold_pairs_matrix(ragged, 0.5)

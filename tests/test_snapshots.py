@@ -1468,3 +1468,94 @@ def test_fenced_append_race_same_batch_exactly_once(spark, tmp_path):
     referenced = {e["path"] for e in snap.snapshot_files(d)}
     on_disk = set(glob.glob(os.path.join(d, "data", "**", "*.parquet"), recursive=True))
     assert on_disk == referenced
+
+
+# --- r16: footer-derived commit stats (the zero-Spark-job fast path) ---
+
+
+def _entries_key(entries):
+    return sorted(
+        tuple(sorted((k, v) for k, v in e.items() if k != "path"))
+        for e in entries
+    )
+
+
+def test_footer_stats_match_scan_path(spark, tmp_path):
+    """_footer_commit_stats must be entry-identical (minus paths) to the
+    distributed scan for the supported type families: ints, doubles,
+    strings, dates, partial- and all-NULL columns."""
+    import datetime
+
+    d = str(tmp_path / "c")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+        F.date_add(F.lit(datetime.date(2024, 1, 1)), F.col("id").cast("int") % 30).alias("day"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("half_null"),
+        F.lit(None).cast("long").alias("all_null"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    df.repartition(4).write.parquet(d)
+    cols = ["k", "v", "s", "day", "half_null", "all_null", "flag"]
+    fast = snap._footer_commit_stats(d, cols)
+    assert fast is not None and len(fast) > 0
+    # the distributed-scan branch, invoked directly (not through
+    # _scan_commit_stats, whose fast path would short-circuit)
+    from stock_price_prediction_using_stream_and_batch_processing_spark.operators.layout import (
+        decode_file_uri,
+        file_minmax_manifest,
+    )
+
+    slow = []
+    for r in file_minmax_manifest(spark, d, cols).collect():
+        e = {"path": decode_file_uri(r["file"]), "n_rows": r["n_rows"]}
+        for c in cols:
+            e[f"min_{c}"] = snap.json_stat(r[f"min_{c}"])
+            e[f"max_{c}"] = snap.json_stat(r[f"max_{c}"])
+        slow.append(e)
+    assert _entries_key(fast) == _entries_key(slow)
+    # and per-file paths agree
+    assert sorted(e["path"] for e in fast) == sorted(e["path"] for e in slow)
+
+
+def test_footer_stats_bail_cases(spark, tmp_path):
+    """NaN doubles, >=64-char strings, and timestamp columns must return
+    None (fall back to the scan) — the not-provably-identical envelope."""
+    d1 = str(tmp_path / "nan")
+    spark.range(0, 10).select(
+        (F.when(F.col("id") == 3, F.lit(float("nan"))).otherwise(F.col("id") * 1.0)).alias("v")
+    ).coalesce(1).write.parquet(d1)
+    assert snap._footer_commit_stats(d1, ["v"]) is None
+
+    d2 = str(tmp_path / "longstr")
+    spark.range(0, 10).select(
+        F.concat(F.lit("x" * 80), F.col("id").cast("string")).alias("s")
+    ).coalesce(1).write.parquet(d2)
+    assert snap._footer_commit_stats(d2, ["s"]) is None
+
+    d3 = str(tmp_path / "ts")
+    spark.range(0, 10).select(
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts")
+    ).coalesce(1).write.parquet(d3)
+    assert snap._footer_commit_stats(d3, ["ts"]) is None
+
+    # a column absent from the files bails too (never a KeyError)
+    assert snap._footer_commit_stats(d1, ["nope"]) is None
+
+
+def test_append_uses_footer_stats_without_a_job(spark, tmp_path):
+    """snapshot_append on an int-keyed frame must produce entries whose
+    bounds equal the data's true min/max (the footer path is exact),
+    and pruned reads keep working unchanged."""
+    d = str(tmp_path / "t")
+    snap.snapshot_append(
+        spark, d,
+        spark.range(5, 105).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v")),
+        stats_cols=["k"],
+    )
+    files = snap.snapshot_files(d)
+    assert min(e["min_k"] for e in files) == 5
+    assert max(e["max_k"] for e in files) == 104
+    got = snap.read_snapshot(spark, d, prune_col="k", lo=5, hi=9)
+    assert sorted(r.k for r in got.where("k <= 9").collect()) == [5, 6, 7, 8, 9]
