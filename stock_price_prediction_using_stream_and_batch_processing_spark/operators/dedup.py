@@ -259,17 +259,23 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
     A graph with diameter > ``max_iters`` raises instead of returning
     silently wrong cluster ids.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        # materialize ONCE: every propagation round joins edges, and
-        # without the cut each round re-executes the whole upstream pair
-        # pipeline (for near_dup_filter that is minhash + LSH banding +
-        # jaccard verification PER ROUND — measured 9.6 s -> ~4 s at
-        # sf0.1 from this line alone)
-        .localCheckpoint(eager=True)
+    # materialize the PAIRS once (every propagation round joins the
+    # symmetrized edge view, and without the cut each round re-executes
+    # the whole upstream pair pipeline — for near_dup_filter that is
+    # minhash + LSH banding + jaccard verification PER ROUND; measured
+    # 9.6 s -> ~4 s at sf0.1 from this cut alone). r16: checkpoint the
+    # DIRECTED pairs and leave the symmetric union a view over the
+    # cached blocks — the r15 form checkpointed the UNION, which (a)
+    # computed the pair pipeline once per union branch and (b) paid a
+    # distinct shuffle that min-label propagation never needed: MIN is
+    # idempotent, so duplicate edges cannot change any label, they only
+    # inflate round shuffle sizes (callers with heavily duplicated pair
+    # sets should pre-distinct; every in-repo producer emits unique
+    # pairs by construction).
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
     )
+    edges = p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # self-loops keep isolated-after-filter nodes and each node's own id
     nodes = edges.select("src").distinct()
     labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
@@ -409,11 +415,15 @@ def dedup_clusters_doubling(
     ``dedup_clusters``: (doc_id, cluster_id = min reachable id).
     ``stats`` (optional dict) receives ``outer_rounds`` /
     ``jump_rounds`` so tests can assert the logarithmic bound."""
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # same move as dedup_clusters (r16): checkpoint the directed pairs
+    # once, keep the symmetric union a view — min-pointer contraction is
+    # duplicate-insensitive (min over neighbors), so the r15 distinct
+    # shuffle bought nothing for unique-pair producers
+    p0 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    edges = p0.union(p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).localCheckpoint(
+        eager=True
     )
     # symmetric edge list => "src" alone covers every endpoint
     mapping = (

@@ -35,9 +35,16 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    # ONE lazy checkpoint of the (often expensive) edge derivation:
+    # both consumers below (nodes, ed) otherwise re-execute the whole
+    # upstream plan — measured ~2x the edge-build cost per call on the
+    # co-purchase faces (r16, guide §2.4)
+    e = edges.select(
+        F.col(src).alias("_es"), F.col(dst).alias("_ed")
+    ).localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("_es").alias("node"))
+        .union(e.select(F.col("_ed").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -46,22 +53,36 @@ def pagerank(
         # empty graph (e.g. a day with no qualifying edges): empty
         # result, not a ZeroDivisionError from the teleport term
         return nodes.withColumn(out, F.lit(0.0))
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
-    ed = (
-        edges.join(deg, src)
-        .select(F.col(src).alias("_es"), F.col(dst).alias("_ed"), "_d")
-        .localCheckpoint(eager=False)
-    )
+    deg = e.groupBy("_es").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(deg, "_es").localCheckpoint(eager=False)
     teleport = (1.0 - damping) / n
+    # RANK-STATE BROADCAST (r16, guide §3.1): the per-iteration state is
+    # one (node, rank) row per node — n is already a driver scalar, so
+    # size-gate an explicit broadcast of the rank/contribution side
+    # under the session's own threshold. When it fits, the edge table is
+    # never shuffled per iteration (4 Exchanges + 2 SortMergeJoins ->
+    # 1 partial-agg Exchange per iteration); past the gate (node state
+    # bigger than the threshold — the honest 100 TB posture) the plan
+    # stays the r15 shuffle form. Checkpointed RDDs report
+    # UnknownPartitioning, so the planner can never make this choice
+    # itself (same ceiling triangle_counts documents).
+    thresh = _parse_size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    # node id + double rank, plus hashed-relation overhead (the
+    # triangle_counts estimate discipline: 24 B row header + 16 B/key)
+    can_broadcast = thresh > 0 and n * (8 + 8 + 40) <= thresh
     ranks = nodes.withColumn(out, F.lit(1.0 / n))
     for _ in range(n_iter):
+        r = F.broadcast(ranks) if can_broadcast else ranks
         contrib = (
-            ranks.join(ed, ranks["node"] == ed["_es"])
+            r.join(ed, ranks["node"] == ed["_es"])
             .groupBy("_ed")
             .agg(F.sum(F.col(out) * F.lit(damping) / F.col("_d")).alias("_c"))
         )
+        c = F.broadcast(contrib) if can_broadcast else contrib
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["_ed"], "left")
+            nodes.join(c, nodes["node"] == contrib["_ed"], "left")
             .select(
                 "node",
                 (F.lit(teleport) + F.coalesce(F.col("_c"), F.lit(0.0))).alias(out),
@@ -122,6 +143,12 @@ def triangle_counts(
         e.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
     )
+    # (r16 probe, left alone deliberately: hinting the degree joins to
+    # broadcast measured SLOWER here — the sort-merge form's exchanges
+    # are REUSED across the three orient consumers (e1, e2, closing),
+    # and removing them forced the orientation subtree to recompute
+    # per consumer: 5.8 s -> 8.9 s at sf0.1. Exchange reuse is the
+    # sharing mechanism; see OPTIMIZATION_r16.md.)
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -305,6 +332,16 @@ def k_core(
         eager=False
     )
     n_cur = cur.count()
+    # r16 (guide §3.1): the survivor set is one row per LIVE node. Its
+    # count comes for free from materializing it (one job the round
+    # pays anyway via the nxt count); size-gate an explicit broadcast
+    # so the two semi-joins probe the edge list in place instead of
+    # shuffling it twice per round. Past the gate the shuffle form
+    # stays (100 TB posture; checkpointed RDDs report
+    # UnknownPartitioning, so the planner can't pick this itself).
+    thresh = _parse_size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
     for _ in range(max_rounds):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -313,9 +350,15 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("_deg"))
         )
         surv = deg.where(F.col("_deg") >= k).localCheckpoint(eager=False)
+        n_surv = surv.count()
+        fits = thresh > 0 and n_surv * (16 + 40) <= thresh
+        sa = surv.select(F.col("node").alias("_sa"))
+        sb = surv.select(F.col("node").alias("_sb"))
+        if fits:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
         nxt = (
-            cur.join(surv.select(F.col("node").alias("_sa")), F.col("a") == F.col("_sa"), "left_semi")
-            .join(surv.select(F.col("node").alias("_sb")), F.col("b") == F.col("_sb"), "left_semi")
+            cur.join(sa, F.col("a") == F.col("_sa"), "left_semi")
+            .join(sb, F.col("b") == F.col("_sb"), "left_semi")
             .localCheckpoint(eager=False)
         )
         # ONE count job per round: the previous round's edge count
@@ -380,21 +423,39 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
-    from pyspark.sql import Window
+    # r16 (guide §3.1/§2.4): the round state is one (node, label) row
+    # per node — count it once (labels is checkpointed; the count also
+    # pre-materializes it) and size-gate an explicit broadcast of the
+    # label/pick side so the EDGE table never shuffles per round.
+    # Checkpointed RDDs report UnknownPartitioning, so without the hint
+    # every round pays a sort-merge join of the full edge list. Past
+    # the gate (label state above the session threshold) the shuffle
+    # form stays — the honest 100 TB posture.
+    n = labels.count()
+    thresh = _parse_size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    can_broadcast = thresh > 0 and n * (16 + 40) <= thresh
 
     for _ in range(rounds):
-        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+        lbl = F.broadcast(labels) if can_broadcast else labels
+        nbr = sym.join(lbl, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"
         )
         cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+        # most-frequent label, ties to the SMALLEST label, as ONE
+        # partial-aggregating min(struct(-count, label)) — replaces the
+        # r15 row_number window (extra Exchange + full per-node sort)
+        # with an aggregate; (-c, label) lexicographic min IS
+        # (max count, then min label), the identical total tie order
         pick = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("_nc"), F.col("label").alias("_l"))).alias("_m"))
+            .select("node", F.col("_m._l").alias("_new"))
         )
+        pk = F.broadcast(pick) if can_broadcast else pick
         labels = (
-            labels.join(pick, "node", "left")
+            labels.join(pk, "node", "left")
             .select("node", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
             .localCheckpoint(eager=False)
         )

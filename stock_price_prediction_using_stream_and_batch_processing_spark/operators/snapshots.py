@@ -847,7 +847,17 @@ def snapshot_delete(
     del_dir = os.path.join(table_dir, "deletes", uuid.uuid4().hex[:12])
     kdf = keys.select(F.col(keys.columns[0] if col not in keys.columns else col).alias(col)).distinct()
     kdf.write.parquet(del_dir)
-    n_keys = spark.read.parquet(del_dir).count()
+    # row count from the just-written parquet footers — the key files
+    # are on local disk already; a Spark count job re-read them for a
+    # number the metadata holds (r16, same move as the footer stats)
+    import pyarrow.parquet as pq  # noqa: F811
+
+    n_keys = sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _, fs in os.walk(del_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
     changes_dir = None
     if change_feed:
         # preimage scan PRUNES by per-file stats when the delete column
@@ -2525,6 +2535,12 @@ def snapshot_merge(
     keys = updates.select(F.col(key).alias("_mk"))
     if deletes is not None:
         keys = keys.union(deletes.select(F.col(deletes.columns[0]).alias("_mk")))
+    # the distinct key set is consumed up to 3x (shard-level touch test,
+    # file-level touch test, the anti-join inside the rewrite) and each
+    # consumer re-executed the caller's whole updates plan — one lazy
+    # checkpoint of the delta-sized key column computes it once (r16,
+    # guide §2.4/§5; the merge already holds delta-scale state by design)
+    keys = keys.distinct().localCheckpoint(eager=False)
     mn, mx = f"min_{key}", f"max_{key}"
     carried_shards: list[dict] = []
     if "manifests" in meta:
@@ -2577,7 +2593,7 @@ def snapshot_merge(
     # with merge_schema, base rows (old files) lack the NEW columns —
     # NULL-pad them into the evolved shape; without it the schemas are
     # identical and this is a plain positional-by-name union
-    merged = base.join(keys.distinct(), base[key] == F.col("_mk"), "left_anti").unionByName(
+    merged = base.join(keys, base[key] == F.col("_mk"), "left_anti").unionByName(
         updates, allowMissingColumns=merge_schema
     )
     commit_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
@@ -2614,8 +2630,11 @@ def snapshot_merge(
         # key was read into base. Cost: joins over rows the merge
         # already read — no extra file scan.
         ct = "_change_type"
-        ukeys = updates.select(F.col(key).alias("_uk")).distinct()
-        bkeys = base.select(F.col(key).alias("_bk")).distinct()
+        # each key set feeds two broadcast builds below; the lazy
+        # checkpoints stop the updates/base subtrees re-executing per
+        # build (delta-scale columns, same posture as ``keys`` above)
+        ukeys = updates.select(F.col(key).alias("_uk")).distinct().localCheckpoint(eager=False)
+        bkeys = base.select(F.col(key).alias("_bk")).distinct().localCheckpoint(eager=False)
         pre = base.join(
             F.broadcast(ukeys), base[key] == F.col("_uk"), "left_semi"
         ).withColumn(ct, F.lit("update_preimage"))
@@ -2695,11 +2714,15 @@ def _touched_by_keys(
     MERGE touch test (one row back per touched interval)."""
     if not bounds_rows:
         return set()
+    # no internal .distinct(): left_semi is set-semantic regardless of
+    # duplicate keys, and callers pass an already-distinct (and usually
+    # checkpointed) key frame — a second distinct here re-shuffled the
+    # keys on every touch level (r16)
     bounds = spark.createDataFrame(bounds_rows, ["_id", "_mn", "_mx"])
     return {
         r["_id"]
         for r in bounds.join(
-            F.broadcast(keys.distinct()),
+            F.broadcast(keys),
             (F.col("_mk") >= F.col("_mn")) & (F.col("_mk") <= F.col("_mx")),
             "left_semi",
         ).collect()

@@ -366,18 +366,54 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
             )
         return all(pv[k] == v for k, v in self.pv_filter.items())
 
+    def _out_type(self, name: str):
+        """DDL -> arrow type for the emitted record batches; matches
+        pyspark.sql.pandas.types.to_arrow_schema for every type in
+        _SUPPORTED_DDL (kept session-free: readBetweenOffsets replays
+        on executors, where no SparkSession exists to parse DDL
+        through)."""
+        import pyarrow as pa
+
+        if name == "_change_type":
+            return pa.string()
+        if name == "_commit_version":
+            return pa.int64()
+        ddl_to_arrow = {
+            "byte": pa.int8(), "tinyint": pa.int8(), "short": pa.int16(),
+            "smallint": pa.int16(), "int": pa.int32(), "integer": pa.int32(),
+            "bigint": pa.int64(), "long": pa.int64(), "float": pa.float32(),
+            "double": pa.float64(), "string": pa.string(),
+            "boolean": pa.bool_(), "date": pa.date32(),
+        }
+        return ddl_to_arrow[dict(_table_columns(self.table_dir))[name]]
+
     def _rows(self, paths: list[str], columns: list[str] | None = None, suffix=()):
+        """Arrow RECORD BATCHES (not rows) for ``paths`` — the Python
+        DataSource harness passes RecordBatch yields straight through
+        to the engine (records_to_arrow_batches), so the per-row
+        driver-side to_pylist/zip/pickle loop this replaced (r15) is
+        gone entirely: each micro-batch moves as columnar buffers
+        (guide §4.1 — control how data crosses the boundary). ~200k
+        feed rows cost milliseconds instead of seconds. ``suffix``
+        appends constant columns (the CDF _change_type /
+        _commit_version stamps), typed to the declared output schema.
+
+        Column-mapping awareness (metadata-only RENAME COLUMN) is
+        unchanged: a rescan batch re-reads files written BEFORE a
+        rename, so each declared column resolves through the current
+        mapping per file; files missing a column yield typed NULLs."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from ..operators import snapshots as snap
 
         columns = self.columns if columns is None else columns
-        # column-mapping awareness (metadata-only RENAME COLUMN): a
-        # rescan batch re-reads files written BEFORE a rename, whose
-        # rows wear the physical source name — resolve each declared
-        # column through the current mapping per file (append-only
-        # deltas always carry declared names, so the fast path is the
-        # identity)
+        suffix_names = (
+            ["_change_type", "_commit_version"][2 - len(suffix):] if suffix else []
+        )
+        out_names = list(columns) + suffix_names
+        out_types = [self._out_type(n) for n in out_names]
+        out_schema = pa.schema(list(zip(out_names, out_types)))
         v = snap.current_version(self.table_dir)
         mapping = (
             snap.read_snapshot_meta(self.table_dir, v).get("column_mapping") or {}
@@ -395,14 +431,22 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
                 return phys if phys in present else None
 
             for batch in f.iter_batches():
-                cols = [
-                    batch.column(_src(n)).to_pylist()
-                    if _src(n) is not None
-                    else [None] * batch.num_rows
-                    for n in columns
-                ]
-                for row in zip(*cols):
-                    yield row + suffix
+                n_rows = batch.num_rows
+                if n_rows == 0:
+                    continue
+                arrays = []
+                for name, typ in zip(out_names, out_types):
+                    if name in suffix_names:
+                        val = suffix[suffix_names.index(name) - len(suffix_names)]
+                        arrays.append(pa.array([val] * n_rows, type=typ))
+                        continue
+                    src = _src(name)
+                    if src is None:
+                        arrays.append(pa.nulls(n_rows, typ))
+                        continue
+                    arr = batch.column(src)
+                    arrays.append(arr if arr.type == typ else arr.cast(typ))
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     def _cdf_rows(self, lo: int, hi: int) -> list:
         """Change-feed rows for commits (lo, hi]: per version, either

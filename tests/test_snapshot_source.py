@@ -16,6 +16,16 @@ from stock_price_prediction_using_stream_and_batch_processing_spark.sources.snap
 )
 
 
+def _flat(it):
+    """Flatten the reader's RecordBatch iterator to row tuples — the
+    pre-r16 unit-test view of the stream (the engine consumes the
+    batches directly; see snapshot_source._rows)."""
+    rows = []
+    for b in it:
+        rows.extend(zip(*[c.to_pylist() for c in b.columns]))
+    return rows
+
+
 def _build(spark, d, n_commits=3, rows=30):
     for i in range(n_commits):
         snap.snapshot_append(
@@ -34,16 +44,16 @@ def test_one_commit_per_batch_and_replay(spark, tmp_path):
     r = SnapshotChangesStreamReader({"table_dir": d})
     assert r.initialOffset() == {"version": 0}
     it, nxt = r.read({"version": 0})
-    rows1 = sorted(it)
+    rows1 = sorted(_flat(it))
     assert nxt == {"version": 1} and [k for k, _ in rows1] == list(range(30))
     it, nxt = r.read({"version": 1})
-    rows2 = sorted(it)
+    rows2 = sorted(_flat(it))
     assert nxt == {"version": 2} and [k for k, _ in rows2] == list(range(30, 60))
     # quiesced: offset at head does not advance
     it, nxt = r.read({"version": 3})
-    assert list(it) == [] and nxt == {"version": 3}
+    assert _flat(it) == [] and nxt == {"version": 3}
     # recovery replay over a multi-version range is deterministic
-    replay = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    replay = sorted(_flat(r.readBetweenOffsets({"version": 0}, {"version": 2})))
     assert replay == sorted(rows1 + rows2)
 
 
@@ -53,7 +63,7 @@ def test_starting_version_skips_history(spark, tmp_path):
     r = SnapshotChangesStreamReader({"table_dir": d, "startingVersion": 2})
     assert r.initialOffset() == {"version": 2}
     it, nxt = r.read({"version": 2})
-    assert sorted(k for k, _ in it) == list(range(60, 90))
+    assert sorted(k for k, _ in _flat(it)) == list(range(60, 90))
 
 
 def test_rewrite_commits_are_refused(spark, tmp_path):
@@ -61,7 +71,7 @@ def test_rewrite_commits_are_refused(spark, tmp_path):
     _build(spark, d, n_commits=2)
     snap.snapshot_compact(spark, d, target_files=1)  # v3 = rewrite
     r = SnapshotChangesStreamReader({"table_dir": d})
-    assert sorted(k for k, _ in r.read({"version": 0})[0]) == list(range(30))
+    assert sorted(k for k, _ in _flat(r.read({"version": 0})[0])) == list(range(30))
     with pytest.raises(ValueError, match="compaction"):
         r.read({"version": 2})
     snap.snapshot_merge(
@@ -120,15 +130,15 @@ def test_max_commits_per_batch_coalesces_backfill(spark, tmp_path):
     r = SnapshotChangesStreamReader({"table_dir": d, "maxCommitsPerBatch": "2"})
     it, nxt = r.read({"version": 0})
     assert nxt == {"version": 2}
-    assert sorted(k for k, _ in it) == list(range(60))
+    assert sorted(k for k, _ in _flat(it)) == list(range(60))
     it, nxt = r.read({"version": 2})
     assert nxt == {"version": 4}
-    assert sorted(k for k, _ in it) == list(range(60, 120))
+    assert sorted(k for k, _ in _flat(it)) == list(range(60, 120))
     it, nxt = r.read({"version": 4})
     assert nxt == {"version": 5}  # partial tail: never overshoots head
-    assert sorted(k for k, _ in it) == list(range(120, 150))
+    assert sorted(k for k, _ in _flat(it)) == list(range(120, 150))
     # replay of a coalesced range is bit-identical
-    replay = sorted(r.readBetweenOffsets({"version": 0}, {"version": 2}))
+    replay = sorted(_flat(r.readBetweenOffsets({"version": 0}, {"version": 2})))
     assert [k for k, _ in replay] == list(range(60))
     with pytest.raises(ValueError, match="maxCommitsPerBatch"):
         SnapshotChangesStreamReader({"table_dir": d, "maxCommitsPerBatch": "0"})
@@ -171,7 +181,7 @@ def test_change_feed_merge_and_delete(spark, tmp_path):
     snap.snapshot_compact(spark, d, target_files=1)  # v4: no logical change
     r = SnapshotChangesStreamReader({"table_dir": d, "readChangeFeed": "true",
                                      "maxCommitsPerBatch": "10"})
-    rows = sorted(r._cdf_rows(0, 4))
+    rows = sorted(_flat(r._cdf_rows(0, 4)))
     by_type = {}
     for k, v, ct, ver in rows:
         by_type.setdefault(ct, []).append((k, v, ver))
@@ -285,10 +295,10 @@ def test_partition_filter_prunes_deltas_at_metadata_level(spark, tmp_path):
         {"table_dir": d, "partitionFilter": json.dumps({"p": 1})}
     )
     it, nxt = r.read({"version": 0})
-    ks = sorted(k for k, _, _ in it)
+    ks = sorted(k for k, _, _ in _flat(it))
     assert ks == [k for k in range(30) if k % 3 == 1]
     it, _ = r.read({"version": 1})
-    assert sorted(k for k, _, _ in it) == [k for k in range(30, 60) if k % 3 == 1]
+    assert sorted(k for k, _, _ in _flat(it)) == [k for k in range(30, 60) if k % 3 == 1]
     # an unpartitioned commit's files have no pv -> loud refusal
     snap.snapshot_append(
         spark,
