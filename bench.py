@@ -359,15 +359,25 @@ def main() -> None:
     # Regression attribution in ONE file read (VERDICT r12 nit #2): the
     # driver persists only a ~2 KB stdout tail into BENCH_r{N}.json, so
     # the full per-query dict survived a round only via the baseline
-    # minima. Persist the complete record as a sidecar on every run.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL_latest.json"), "w"
-        ) as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError as exc:  # read-only checkout: keep the bench alive
-        print(f"# sidecar write skipped: {exc}", file=sys.stderr)
+    # minima. Persist the complete record as a sidecar on every run —
+    # and (r17, VERDICT r16 ask #2) ALSO under a per-core-count name:
+    # the driver benches at two core counts back to back and the second
+    # run used to overwrite the first's per-query record, leaving its
+    # scaling comparison nothing to read. BENCH_FULL_c{N}.json survives
+    # both passes; BENCH_FULL_latest.json keeps its old meaning (most
+    # recent run) for existing consumers.
+    sidecars = ["BENCH_FULL_latest.json"]
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if cpus_env.isdigit():
+        sidecars.append(f"BENCH_FULL_c{cpus_env}.json")
+    for sidecar in sidecars:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar), "w"
+            ) as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError as exc:  # read-only checkout: keep the bench alive
+            print(f"# sidecar write skipped: {exc}", file=sys.stderr)
     # Driver stdout-tail safety: the full line above now spans 50+
     # queries (~3.4 KB) and the grading driver keeps only a ~2 KB tail
     # of stdout, so the full line's HEAD (metric/value) gets truncated
@@ -392,6 +402,30 @@ def main() -> None:
             n: ("reproduced" if r["recheck_min"] > r["prev_solo"] * NOISE_P90 else "transient")
             for n, r in rechecks.items()
         }
+    # Per-query times in the PARSED line (r17, VERDICT r16 ask #2),
+    # additions-only, within the driver's capture limit: the driver
+    # keeps only the LAST ~2000 chars of stdout and parses the final
+    # JSON line from that tail (BENCH_r06 recorded parsed:null when the
+    # only line was ~3.4 KB — its head was truncated away), so the full
+    # 107-query map (~4 KB: >2.3 KB of names alone) can NEVER ride the
+    # parsed line without destroying the headline metric. Emit the most
+    # expensive rows — the ones a perf comparison acts on; the cheap
+    # tail is scheduler-quantum noise by the NOISE_P90 rule — greedily
+    # by descending time until the line reaches its byte budget. The
+    # complete map stays on the full line above and in the
+    # BENCH_FULL_c{N}.json sidecars (named in `full_record` so the
+    # grader can find the per-core files the tail can't carry).
+    _LINE_BUDGET = 1900
+    if cpus_env.isdigit():
+        compact["full_record"] = f"BENCH_FULL_c{cpus_env}.json"
+    top: dict[str, float] = {}
+    for name in sorted(times, key=lambda n: (-times[n], n)):
+        candidate = {**top, name: times[name]}
+        if len(json.dumps({**compact, "top_queries": candidate})) > _LINE_BUDGET:
+            break
+        top[name] = times[name]
+    if top:
+        compact["top_queries"] = top
     print(json.dumps(compact))
 
 

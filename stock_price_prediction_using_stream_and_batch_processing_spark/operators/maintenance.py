@@ -16,12 +16,38 @@ MERGE FUNCTION differs per store.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import parquet_table_exists
 from .upsert import merge_into_parquet
+
+
+# shuffle-partition sizing for micro-batch maintenance bodies: aim for
+# this many delta rows per reduce partition before adding more
+DELTA_ROWS_PER_PARTITION = 65_536
+
+
+@contextmanager
+def delta_sized_shuffle(spark: SparkSession, n_rows: int, rows_per_partition: int = DELTA_ROWS_PER_PARTITION):
+    """Scale-adaptive shuffle sizing for a foreachBatch maintenance body
+    (r17, VERDICT r16 ask #4; guide §2.1): AQE cannot coalesce inside a
+    streaming micro-batch, so every groupBy/join in the body otherwise
+    runs at the session's cluster-sized partition count over a
+    delta-sized input — per-partition floors dominate. Partitions
+    derive from the MEASURED delta row count, never from host cores:
+    ``ceil(n_rows / rows_per_partition)``, clamped to [1, the session
+    setting] — a 100 TB delta keeps the cluster sizing, a maintenance
+    trickle drops to a handful. Restores the session value on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_parts = max(1, min(int(prev), -(-max(int(n_rows), 0) // rows_per_partition)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        yield n_parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def free_name(base: str, taken) -> str:

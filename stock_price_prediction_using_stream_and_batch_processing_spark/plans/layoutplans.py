@@ -1385,24 +1385,30 @@ def stream_snapshot_upsert_orders(spark, sf_dir):
     from pyspark.sql import Window
 
     def upsert_batch(batch_df, batch_id):
-        newest = (
-            batch_df.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
-                ),
-            )
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        from ..operators.maintenance import delta_sized_shuffle
+
         s = batch_df.sparkSession
-        if snap.current_version(dst_dir) == 0:
-            snap.snapshot_append(s, dst_dir, newest, stats_cols=["o_custkey"])
-        else:
-            snap.snapshot_merge(
-                s, dst_dir, newest, key="o_custkey",
-                writer_id="orders-upsert", batch_id=batch_id,
+        # r17 (VERDICT r16 ask #4): delta-sized shuffle partitions for
+        # the newest-per-key window and the merge's internals — see
+        # stream_cdf_view_maintenance_orders
+        with delta_sized_shuffle(s, batch_df.count()):
+            newest = (
+                batch_df.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+                    ),
+                )
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
             )
+            if snap.current_version(dst_dir) == 0:
+                snap.snapshot_append(s, dst_dir, newest, stats_cols=["o_custkey"])
+            else:
+                snap.snapshot_merge(
+                    s, dst_dir, newest, key="o_custkey",
+                    writer_id="orders-upsert", batch_id=batch_id,
+                )
 
     q = (
         spark.readStream.format("snapshot_changes")
@@ -1593,42 +1599,51 @@ def stream_cdf_view_maintenance_orders(spark, sf_dir):
     ckpt = fresh_result_dir("cdfmv_ckpt")
 
     def apply_batch(batch_df, batch_id):
+        from ..operators.maintenance import delta_sized_shuffle
+
         s = batch_df.sparkSession
-        sgn = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        ).otherwise(F.lit(-1))
-        delta = (
-            batch_df.withColumn("_sgn", sgn)
-            .groupBy("o_custkey")
-            .agg(
-                F.sum(F.col("o_totalprice") * F.col("_sgn")).alias("_dp"),
-                F.sum("_sgn").cast("long").alias("_dn"),
+        # r17 (VERDICT r16 ask #4, guide §2.1): the whole body — the
+        # signed-delta aggregate, the view join, every shuffle inside
+        # the fenced merge — runs at a shuffle-partition count derived
+        # from the MEASURED delta row count (one cheap count over the
+        # driver-prefetched feed batch), never from host cores; AQE
+        # cannot coalesce inside a streaming micro-batch.
+        with delta_sized_shuffle(s, batch_df.count()):
+            sgn = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+            ).otherwise(F.lit(-1))
+            delta = (
+                batch_df.withColumn("_sgn", sgn)
+                .groupBy("o_custkey")
+                .agg(
+                    F.sum(F.col("o_totalprice") * F.col("_sgn")).alias("_dp"),
+                    F.sum("_sgn").cast("long").alias("_dn"),
+                )
             )
-        )
-        if snap.current_version(view_dir) == 0:
-            s2 = delta.select(
-                "o_custkey",
-                F.col("_dp").alias("total_price"),
-                F.col("_dn").alias("n_orders"),
-            ).where(F.col("n_orders") > 0)
-            snap.snapshot_append(s, view_dir, s2, stats_cols=["o_custkey"])
-            return
-        cur = snap.read_snapshot(s, view_dir)
-        new = (
-            delta.join(cur, "o_custkey", "left")
-            .select(
-                "o_custkey",
-                (F.coalesce("total_price", F.lit(0.0)) + F.col("_dp")).alias("total_price"),
-                (F.coalesce("n_orders", F.lit(0)) + F.col("_dn")).cast("long").alias("n_orders"),
+            if snap.current_version(view_dir) == 0:
+                s2 = delta.select(
+                    "o_custkey",
+                    F.col("_dp").alias("total_price"),
+                    F.col("_dn").alias("n_orders"),
+                ).where(F.col("n_orders") > 0)
+                snap.snapshot_append(s, view_dir, s2, stats_cols=["o_custkey"])
+                return
+            cur = snap.read_snapshot(s, view_dir)
+            new = (
+                delta.join(cur, "o_custkey", "left")
+                .select(
+                    "o_custkey",
+                    (F.coalesce("total_price", F.lit(0.0)) + F.col("_dp")).alias("total_price"),
+                    (F.coalesce("n_orders", F.lit(0)) + F.col("_dn")).cast("long").alias("n_orders"),
+                )
             )
-        )
-        snap.snapshot_merge(
-            s, view_dir,
-            new.where(F.col("n_orders") > 0),
-            key="o_custkey",
-            deletes=new.where(F.col("n_orders") <= 0).select("o_custkey"),
-            writer_id="view-maint", batch_id=batch_id,
-        )
+            snap.snapshot_merge(
+                s, view_dir,
+                new.where(F.col("n_orders") > 0),
+                key="o_custkey",
+                deletes=new.where(F.col("n_orders") <= 0).select("o_custkey"),
+                writer_id="view-maint", batch_id=batch_id,
+            )
 
     q = (
         spark.readStream.format("snapshot_changes")

@@ -20,9 +20,12 @@ DuckDB replays the identical arithmetic over `range(n)`.
 Scale posture: a real 100 TB connector differs only in `partitions()`
 (split by file/offset/shard instead of id range) and `read()` (fetch
 instead of compute); the planning/parallelism contract is identical.
-Per-row Python yield is the API's cost model — for bulk columns the
-arrow batch variant (`DataSourceArrowReader`) is the faster path; this
-source is deliberately the simple reference implementation.
+All three readers yield pyarrow RECORD BATCHES (r17, guide §4.1 — the
+same columnar-across-the-boundary move the CDC snapshot source made in
+r16): the harness passes RecordBatch yields straight through, so no
+per-row tuple/pickle loop remains on the batch shard read, the simple
+stream reader's driver prefetch/replay, or the partitioned stream
+reader's executor shards.
 """
 
 from __future__ import annotations
@@ -56,6 +59,39 @@ def tick_row(i: int) -> tuple:
         100.0 + (i % 97) * 0.25,
         (i * 37) % 1000,
     )
+
+
+# one RecordBatch per this many rows: big enough to amortize per-batch
+# overhead, small enough to bound peak memory per shard
+_TICK_BATCH_ROWS = 65_536
+
+
+def tick_batches(start: int, end: int, chunk: int = _TICK_BATCH_ROWS):
+    """Ticks ``[start, end)`` as pyarrow RECORD BATCHES — the Python
+    DataSource harness passes RecordBatch yields straight through as
+    columnar buffers (the r16 CDC-source move, guide §4.1), so the
+    per-row tuple/pickle loop is gone on every read path. The closed
+    forms vectorize exactly: quarter prices are float-exact in float64,
+    the int arithmetic is exact in int64 (i*37 < 2^63 for any feasible
+    row id), and the symbol cycle is a take() over the 4-name
+    dictionary — every value bit-identical to ``tick_row`` (pinned in
+    tests/test_sources_stream.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    syms = pa.array(SYMBOLS, type=pa.string())
+    for lo in range(start, end, chunk):
+        hi = min(lo + chunk, end)
+        i = np.arange(lo, hi, dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(i, type=pa.int64()),
+                syms.take(pa.array(i % len(SYMBOLS), type=pa.int64())),
+                pa.array(100.0 + (i % 97) * 0.25, type=pa.float64()),
+                pa.array((i * 37) % 1000, type=pa.int64()),
+            ],
+            names=["tick_id", "symbol", "price", "volume"],
+        )
 
 
 class SyntheticTicksDataSource(DataSource):
@@ -97,9 +133,9 @@ class SyntheticTicksReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangeShard):
-        """Executor-side: materialize this shard only."""
-        for i in range(partition.start, partition.end):
-            yield tick_row(i)
+        """Executor-side: materialize this shard only — as Arrow record
+        batches (guide §4.1; an empty shard yields no batches)."""
+        yield from tick_batches(partition.start, partition.end)
 
 
 class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
@@ -147,10 +183,12 @@ class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
         hi = lo + self.batch
         if self.rows > 0:
             hi = min(hi, max(lo, self.rows))
-        return iter([tick_row(i) for i in range(lo, hi)]), {"offset": hi}
+        # materialized list, not a generator: the Simple API PICKLES the
+        # prefetched batch into its replay cache (the CDC source's move)
+        return iter(list(tick_batches(lo, hi))), {"offset": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter([tick_row(i) for i in range(int(start["offset"]), int(end["offset"]))])
+        return iter(list(tick_batches(int(start["offset"]), int(end["offset"]))))
 
     def commit(self, end: dict) -> None:
         # Nothing to clean up: the source is closed-form over the row id
@@ -203,8 +241,7 @@ class SyntheticTicksPartitionedStreamReader(DataSourceStreamReader):
         return [_RangeShard(s, min(s + per, hi)) for s in range(lo, hi, per)]
 
     def read(self, partition: _RangeShard):
-        for i in range(partition.start, partition.end):
-            yield tick_row(i)
+        yield from tick_batches(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
         pass

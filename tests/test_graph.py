@@ -174,12 +174,22 @@ def test_triangle_auto_sizing_measures_string_id_width(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # ~190 edges: short ids ≈ 190·(2·(3+16)+24) ≈ 12 KB < 32 KB;
-        # long ids ≈ 190·(2·(203+16)+24) ≈ 88 KB > 32 KB
+        # long ids ≈ 190·(2·(203+16)+24) ≈ 88 KB > 32 KB.
+        # The sizing decision under test is the CLOSING join's (its
+        # build side is edge-count-scaled); r17 also broadcasts the
+        # node-count-scaled DEGREE side under its own measured-width
+        # gate, so assert on the closing join's keys (y, z), not on
+        # the presence of any broadcast at all.
+        import re
+
+        def closing_broadcast(plan: str) -> bool:
+            return bool(re.search(r"BroadcastHashJoin \[y#\d+", plan))
+
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32KB")
         plan = graph.triangle_counts(short)._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert closing_broadcast(plan), plan[:2000]
         plan = graph.triangle_counts(long_ids)._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        assert not closing_broadcast(plan), plan[:2000]
         # and the strategies agree on the answer
         want = {r.node: (r.degree, r.n_triangles)
                 for r in graph.triangle_counts(short).collect()}

@@ -309,3 +309,28 @@ def test_cell_assign_face_runs_matrix_path(spark):
     )
     assert "ArrowEvalPython" in plan
     assert "Join" not in plan
+
+
+def test_parse_ticks_parses_json_once(spark):
+    """r17: the malformed-row filter must not push below the parse
+    projection and re-parse the wire JSON per checked field (the
+    un-barriered plan ran FOUR Jackson parses per row: three
+    schema-pruned from_json calls in the Filter plus the full one in
+    the Project). Exactly one from_json in the optimized plan, with the
+    filter reading the materialized struct above it."""
+    from stock_price_prediction_using_stream_and_batch_processing_spark.streaming.pipeline import (
+        parse_ticks,
+    )
+
+    raw = spark.createDataFrame(
+        [(bytearray(b'{"symbol":"A","timestamp":"2024-01-01T00:00:00",'
+                    b'"price":1.0,"volume":2}'),)],
+        "value binary",
+    )
+    parsed = parse_ticks(raw)
+    plan = parsed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+    # and the malformed-drop semantics are unchanged
+    assert parsed.count() == 1
+    bad = spark.createDataFrame([(bytearray(b'{"symbol":'),)], "value binary")
+    assert parse_ticks(bad).count() == 0

@@ -514,3 +514,87 @@ def test_threshold_pairs_matrix_edges(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         similarity.threshold_pairs_matrix(ragged, 0.5)
+
+
+# --- r17: grouped per-cell matmul pair enumeration (_cell_threshold_pairs) ---
+
+
+def _hof_cell_pairs(cell, thr):
+    a = cell.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"), "_cell")
+    b = cell.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"), "_cell")
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vectors.cosine("_va", "_vb") >= thr)
+        .select("id_a", "id_b")
+    )
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_cell_threshold_pairs_parity_with_hof_join(spark, sf_dir):
+    """The grouped-matmul intra-cell pair set must equal the equi-self-
+    join + higher-order-dot form it replaced (r17 — same margin-vs-
+    rounding-band argument as threshold_pairs_matrix, here pinned on
+    the exact cell layout semantic_dedup runs)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    assigned, _ = similarity.ivf_build(e, 64, 16, "embedding", 42, max_iter=8)
+    cell = assigned.select("vec_id", "embedding", "_cell")
+    fast = {
+        (r.id_a, r.id_b)
+        for r in similarity._cell_threshold_pairs(cell, 0.4, "vec_id", "embedding").collect()
+    }
+    slow = {(r.id_a, r.id_b) for r in _hof_cell_pairs(cell, 0.4).collect()}
+    assert fast == slow and len(fast) > 0
+
+
+def test_cell_threshold_pairs_null_and_zero_norm(spark):
+    """NULL embeddings (and the NULL cell they map to) form no pairs —
+    identical to the join form, where cosine(NULL, x) is NULL and fails
+    the >= filter; zero-norm embeddings raise loudly naming the id
+    (the join form's 0/0 would silently pass via NaN-greatest — an
+    accident of comparison semantics, not a contract; ADVICE r16)."""
+    cell = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, None, None), (4, None, 0)],
+        "vec_id long, embedding array<double>, _cell int",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity._cell_threshold_pairs(cell, 0.5, "vec_id", "embedding").collect()
+    }
+    assert pairs == {(1, 2)}
+    z = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (7, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, _cell int",
+    )
+    with pytest.raises(Exception, match="zero-norm embedding at vec_id=7"):
+        similarity._cell_threshold_pairs(z, 0.5, "vec_id", "embedding").collect()
+
+
+def test_threshold_pairs_matrix_zero_norm_raises(spark):
+    """ADVICE r16: a zero-norm embedding must refuse loudly instead of
+    silently dropping its pairs through a NaN mask."""
+    z = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (5, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-norm embedding at vec_id=5"):
+        similarity.threshold_pairs_matrix(z, 0.5)
+
+
+def test_threshold_pairs_margin_sf01():
+    """ADVICE r16: pin the matmul-vs-fold margin argument at sf0.1 —
+    the SF the bench face actually runs — not just the small fixtures.
+    Driver-side numpy replay of the same even-id slice and unit-dot."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.1/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m[ids % 2 == 0]
+    u = m / np.linalg.norm(m, axis=1)[:, None]
+    s = u @ u.T
+    iu = np.triu_indices(len(u), 1)
+    margin = np.abs(s[iu] - 0.4).min()
+    assert margin > 1e-9, margin

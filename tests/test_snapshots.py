@@ -1559,3 +1559,48 @@ def test_append_uses_footer_stats_without_a_job(spark, tmp_path):
     assert max(e["max_k"] for e in files) == 104
     got = snap.read_snapshot(spark, d, prune_col="k", lo=5, hi=9)
     assert sorted(r.k for r in got.where("k <= 9").collect()) == [5, 6, 7, 8, 9]
+
+
+def test_footer_stats_skip_hidden_paths(spark, tmp_path):
+    """Footer-derived entries and counts must mirror Spark's hidden-path
+    filtering (ADVICE r16): task-attempt residue under _temporary/ (or
+    dot-files) is invisible to the scan path and must never contribute
+    rows or bounds — while __pv_col=value partition dirs (underscore
+    but '='-bearing) stay visible, exactly like Spark's file index."""
+    import shutil
+
+    d = str(tmp_path / "c")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1).write.parquet(d)
+    # plant residue: a stale task attempt under _temporary and a dotfile
+    real = snap._visible_parquet_paths(d)
+    assert len(real) == 1
+    tdir = os.path.join(d, "_temporary", "0", "task_x")
+    os.makedirs(tdir)
+    shutil.copy(real[0], os.path.join(tdir, "part-residue.parquet"))
+    shutil.copy(real[0], os.path.join(d, ".hidden.parquet"))
+    assert snap._visible_parquet_paths(d) == real
+    fast = snap._footer_commit_stats(d, ["k"])
+    assert fast is not None and len(fast) == 1 and fast[0]["n_rows"] == 100
+    # partition-style dirs stay visible (the __pv_ convention)
+    pdir = os.path.join(d, "__pv_p=1")
+    os.makedirs(pdir)
+    shutil.copy(real[0], os.path.join(pdir, "part-p.parquet"))
+    assert len(snap._visible_parquet_paths(d)) == 2
+
+
+def test_footer_stats_utf8_byte_bound(spark, tmp_path):
+    """Stat truncation operates on BYTES: a 3-byte-per-char string of 30
+    chars (90 bytes) must bail the footer fast path even though its
+    Python length is far below 64 (ADVICE r16)."""
+    d = str(tmp_path / "utf8")
+    spark.range(0, 10).select(
+        F.concat(F.lit("€" * 30), F.col("id").cast("string")).alias("s")
+    ).coalesce(1).write.parquet(d)
+    assert snap._footer_commit_stats(d, ["s"]) is None
+    # short multi-byte strings stay inside the envelope
+    d2 = str(tmp_path / "utf8short")
+    spark.range(0, 10).select(
+        F.concat(F.lit("€€"), F.col("id").cast("string")).alias("s")
+    ).coalesce(1).write.parquet(d2)
+    fast = snap._footer_commit_stats(d2, ["s"])
+    assert fast is not None and len(fast) == 1

@@ -19,27 +19,38 @@ class _Opts(dict):
     pass
 
 
+def _flat(batches):
+    """Row tuples from the reader's Arrow RecordBatch yields (r17 — all
+    pysource read paths emit columnar batches, guide §4.1)."""
+    return [
+        t
+        for b in batches
+        for t in zip(*[c.to_pylist() for c in b.columns])
+    ]
+
+
 def test_offset_algebra_and_cap():
     r = SyntheticTicksStreamReader(_Opts(rows="1000", ticksPerBatch="300"))
     assert r.initialOffset() == {"offset": 0}
     it, nxt = r.read({"offset": 0})
-    rows = list(it)
+    rows = _flat(it)
     assert nxt == {"offset": 300} and len(rows) == 300
     assert rows[0] == tick_row(0) and rows[-1] == tick_row(299)
     # last partial batch stops at the cap
     it, nxt = r.read({"offset": 900})
-    assert nxt == {"offset": 1000} and len(list(it)) == 100
+    assert nxt == {"offset": 1000} and len(_flat(it)) == 100
     # at the cap: empty batch, offset does not advance (stream quiesces)
     it, nxt = r.read({"offset": 1000})
-    assert nxt == {"offset": 1000} and list(it) == []
+    assert nxt == {"offset": 1000} and _flat(it) == []
 
 
 def test_read_between_offsets_replays_read_exactly():
     r = SyntheticTicksStreamReader(_Opts(rows="1000", ticksPerBatch="128"))
     it, nxt = r.read({"offset": 256})
-    planned = list(it)
-    replayed = list(r.readBetweenOffsets({"offset": 256}, nxt))
+    planned = _flat(it)
+    replayed = _flat(r.readBetweenOffsets({"offset": 256}, nxt))
     assert planned == replayed  # bit-for-bit recovery replay
+    assert planned[0] == tick_row(256)  # value parity with the row form
 
 
 def test_unbounded_offset_keeps_advancing():
@@ -118,8 +129,8 @@ def test_partitioned_reader_shard_planning():
         (0, 250), (250, 500), (500, 750), (750, 1000)
     ]
     # executor-side read materializes exactly its shard
-    rows = list(r.read(parts[2]))
+    rows = _flat(r.read(parts[2]))
     assert rows[0] == tick_row(500) and rows[-1] == tick_row(749) and len(rows) == 250
     # degenerate range plans one empty shard (API needs >= 1 partition)
     (empty,) = r.partitions({"offset": 1000}, {"offset": 1000})
-    assert (empty.start, empty.end) == (1000, 1000) and list(r.read(empty)) == []
+    assert (empty.start, empty.end) == (1000, 1000) and _flat(r.read(empty)) == []
