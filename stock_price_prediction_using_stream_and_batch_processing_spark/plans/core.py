@@ -33,46 +33,44 @@ DRIVER_QUERY_BUDGET = 50
 # Every other registered query stays in the extended tier (still fully
 # differentially tested in tests/test_queries_oracle.py).
 #
-# Round 16: consumes the entire r15 PENDING_ROTATION (judge ask #1),
-# then back-fills with 48 of the 49 veterans whose latest driver-green
-# evidence is r12 — the stalest tier after the r15 sweep.  49 stale + 2
-# IOUs = 51 candidates for 50 slots; `pivot_user_event_counts` (a
-# self-contained pivot untouched by this round's work, already in
-# DRIVER_CHECKED_BEFORE) is deferred to r17.  The snapshot-verb faces
-# whose internals r15/r16 touched (merge, bloom-lookup, streaming sink,
-# change feed, backfill/rescan, incremental_near_dup's fenced store)
-# are all inside this set.
+# Round 17: the stalest cohort after the r16 sweep is the 50 whose
+# latest driver-green evidence is r13 (the tiers rotate in clean
+# 50-query waves — verified from the committed CORRECTNESS_r*.json).
+# Four swaps against that wave: the r16 IOU
+# (`cell_assign_matrix_embeddings`, never driver-checked) and the r16
+# deferral (`pivot_user_event_counts`, last green r12) MUST land, and
+# VERDICT r16's coverage ask pulls in `semantic_dedup_embeddings`
+# (last green r14 — its intra-cell pair path was rewritten this round)
+# and `pagerank_parts` (the broadcast-iteration face). To make room,
+# four single-operator relational projections whose semantics no round
+# since r13 has touched (case_when_price_bands, count_by_event_type,
+# customers_with_orders, distinct_user_type_pairs) defer to the r18
+# wave — still fully differentially tested locally every run.
 DRIVER_ROTATION: frozenset[str] | None = frozenset({
-    # r15 PENDING_ROTATION, consumed in full
-    "textrank_keywords_docs",
-    "snapshot_zorder_orders",
-    # stale: last driver-green r12 (48 of 49; pivot_user_event_counts
-    # deferred to r17)
-    "asof_join_purchase_error", "bucketed_join_orders_customer",
-    "catalog_txn_orders", "concurrent_sessions_events",
-    "copurchase_lift_parts", "cosine_topk_lsh", "duplicate_passages_docs",
-    "histogram_incremental_refresh_events",
-    "incremental_join_refresh_orders", "incremental_near_dup_docs",
-    "k_core_parts", "label_propagation_parts",
-    "manifest_pruned_scan_events", "predict_next_events",
-    "python_datasource_ticks", "rolling_median_events",
-    "schema_evolution_read_events", "session_window_stats",
-    "snapshot_analyze_orders", "snapshot_bloom_lookup_orders",
-    "snapshot_compact_orders", "snapshot_equality_delete_orders",
-    "snapshot_hidden_partition_events", "snapshot_merge_orders",
-    "snapshot_metadata_agg_orders", "snapshot_partitioned_orders",
-    "snapshot_position_delete_orders", "snapshot_schema_evolution_orders",
-    "snapshot_sharded_manifest_orders", "snapshot_time_travel_orders",
-    "snapshot_update_orders", "snapshot_wap_orders",
-    "stream_cdf_view_maintenance_orders", "stream_change_feed_orders",
-    "stream_full_outer_join_purchase_error", "stream_jdbc_serving_append",
-    "stream_outer_join_purchase_error",
-    "stream_partitioned_datasource_ticks",
-    "stream_python_datasource_ticks", "stream_quantile_maintenance",
-    "stream_sketch_maintenance", "stream_snapshot_backfill_orders",
-    "stream_snapshot_changes_orders", "stream_snapshot_sink_events",
-    "stream_snapshot_upsert_orders", "stream_stateful_trailing_predict",
-    "triangle_counts_parts", "twap_hourly_events",
+    # r16 IOU + r16 deferral, consumed
+    "cell_assign_matrix_embeddings", "pivot_user_event_counts",
+    # VERDICT r16 coverage asks (the two subtlest-semantics faces)
+    "semantic_dedup_embeddings", "pagerank_parts",
+    # stale: last driver-green r13 (46 of 50; the four deferrals above)
+    "active_users_union", "content_dedup_docs",
+    "corr_value_props_by_type", "cube_status_priority",
+    "customers_without_orders", "date_parts_orders", "dedup_exact_events",
+    "doc_fingerprint", "doc_lang_id", "doc_quality", "doc_token_stats",
+    "embedding_near_dup_exact", "ewma_final_per_user", "global_agg_stats",
+    "hopping_counts_events", "join_orders_customer_segment",
+    "json_extract_events", "lag_returns_events", "latest3_events_per_user",
+    "minhash_signatures_docs", "ngram_jaccard_pairs_docs",
+    "percentiles_by_type", "pipeline_docs_end_to_end",
+    "pipeline_docs_stage_attrition", "pricing_summary",
+    "purchasers_who_also_errored", "returns_volatility_per_user",
+    "revenue_by_nation", "rollup_lineitem", "scan_filter_project",
+    "sessionize_events", "sliding60_mean_events", "snapshot_sql_asof_orders",
+    "stream_dedup_within_watermark", "stream_filter_project_events",
+    "stream_hourly_counts", "stream_join_purchase_error",
+    "stream_snapshot_etl_orders", "stream_snapshot_partition_changes_orders",
+    "stream_snapshot_rescan_orders", "stream_watermark_hourly_append",
+    "token_freq_top100", "trend_forecast_per_user", "tumbling_ohlc_events",
+    "viewers_minus_purchasers", "views_except_all_purchases",
 })
 
 # Queries registered but not yet slotted: MUST be consumed by the next
@@ -80,10 +78,7 @@ DRIVER_ROTATION: frozenset[str] | None = frozenset({
 # registered query is in none of {DRIVER_ROTATION, PENDING_ROTATION,
 # DRIVER_CHECKED_BEFORE} — the guard the judge asked for after new
 # faces shipped past the rotation freeze three rounds running.
-PENDING_ROTATION: frozenset[str] = frozenset({
-    # shipped after the r16 rotation edit — r17 must slot them
-    "cell_assign_matrix_embeddings",
-})
+PENDING_ROTATION: frozenset[str] = frozenset()
 
 # Every query green in some past round's CORRECTNESS_r*.json driver
 # sweep (generated from the committed artifacts at the r14 rotation
@@ -158,6 +153,7 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "snapshot_schema_evolution_orders", "snapshot_sharded_manifest_orders",
     "snapshot_sql_asof_orders", "snapshot_time_travel_orders",
     "snapshot_update_orders", "snapshot_wap_orders",
+    "snapshot_zorder_orders",
     "storage_lifecycle_events", "stratified_sample_docs",
     "stream_cdf_view_maintenance_orders", "stream_change_feed_orders",
     "stream_cms_maintenance", "stream_dedup_within_watermark",
@@ -175,6 +171,7 @@ DRIVER_CHECKED_BEFORE: frozenset[str] = frozenset({
     "stream_snapshot_rescan_orders", "stream_snapshot_sink_events",
     "stream_snapshot_upsert_orders", "stream_stateful_trailing_predict",
     "stream_watermark_hourly_append", "table_profile_events",
+    "textrank_keywords_docs",
     "tf_idf_docs", "time_to_conversion_events", "token_freq_top100",
     "top_parts_by_revenue", "touch_attribution_events",
     "trailing_mean_events", "trailing_mean_events_bucketed",
