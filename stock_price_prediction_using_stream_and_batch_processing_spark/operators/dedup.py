@@ -1051,7 +1051,13 @@ def incremental_near_dup(
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    admitted = survivors.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+    # lazy checkpoint (r17): the first payload's branch write below
+    # materializes the night's decisions inside a job it runs anyway —
+    # still STRICTLY BEFORE any publish, and the decision plan reads
+    # catalog-PINNED versions (branch staging never mutates pinned
+    # files), so the decide-before-commit boundary the r15 eager form
+    # enforced is preserved with one fewer job per night.
+    admitted = survivors.join(drop, id_col, "left_anti").localCheckpoint(eager=False)
 
     adm_ids = admitted.select(id_col)
     stamp = F.lit(night).cast("long").alias("night")
