@@ -334,6 +334,13 @@ def _cell_threshold_pairs(
         if len(keep) < 2:
             return empty
         ids = pdf[id_col].to_numpy()[keep]
+        dims = {len(vals[i]) for i in keep}
+        if len(dims) > 1:
+            raise ValueError(
+                f"semantic_dedup: ragged embedding lengths {sorted(dims)} "
+                f"within one cell (e.g. {id_col}={ids[0]}) — fix the "
+                "embedding column before deduplicating"
+            )
         m = np.asarray([vals[i] for i in keep], dtype=np.float64)
         norms = np.linalg.norm(m, axis=1)
         zero = np.nonzero(norms == 0.0)[0]

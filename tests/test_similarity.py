@@ -598,3 +598,14 @@ def test_threshold_pairs_margin_sf01():
     iu = np.triu_indices(len(u), 1)
     margin = np.abs(s[iu] - 0.4).min()
     assert margin > 1e-9, margin
+
+
+def test_cell_threshold_pairs_ragged_raises(spark):
+    """Ragged embedding lengths inside a cell refuse with a descriptive
+    error instead of an opaque numpy shape failure."""
+    cell = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, _cell int",
+    )
+    with pytest.raises(Exception, match="ragged embedding lengths"):
+        similarity._cell_threshold_pairs(cell, 0.5, "vec_id", "embedding").collect()
